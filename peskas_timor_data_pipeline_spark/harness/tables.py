@@ -1,0 +1,34 @@
+"""Test-table loaders for the correctness harness.
+
+The driver provides a TPC-H-ish star schema (TESTDATA.md); FIXTURES.md §7
+maps it onto the reference's domain: lineitem ~ per-length catch rows,
+orders ~ landings/submissions, events ~ GPS-tracker stream, part ~
+catch_types, customer/supplier ~ boats/devices, documents/embeddings for the
+training-data operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from peskas_timor_data_pipeline_spark.session import prep_session
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table; normalizes the session TZ first so
+    timestamp->date derivations agree with the naive-timestamp oracle."""
+    prep_session(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

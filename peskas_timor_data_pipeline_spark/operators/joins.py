@@ -1,0 +1,143 @@
+"""Join operators (SURVEY.md §2.3).
+
+Scale notes: all metadata dimensions in the reference are KB-MB (15 Google-
+Sheets tables, inst/conf.yml:60-75) so J1/J2/J7/J9 broadcast. The only
+big-big joins are the per-day trip match (J5) and explode⋈length-weight
+(M2); both shuffle on their natural keys and benefit from AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def reduce_join(
+    dfs: Sequence[DataFrame], on: Sequence[str] | str, how: str = "left"
+) -> DataFrame:
+    """Fold a list of frames into one by repeated join on a shared key
+    (purrr::reduce(left_join), R/validate-landings.R:135-154 — 14 validator
+    outputs into one validated row). Each input is keyed 1:1 so the joins
+    are shuffle-on-key merges; Catalyst reuses the exchange across steps."""
+    return reduce(lambda a, b: a.join(b, on=on, how=how), dfs)
+
+
+def complete(
+    df: DataFrame,
+    dims: Sequence[str | Sequence[str]],
+    fill: dict[str, object] | None = None,
+) -> DataFrame:
+    """tidyr::complete — expand to the cartesian product of the distinct
+    values of each dim (a str = single column; a sequence = `nesting(...)`,
+    i.e. observed combinations only), left-join the data back, fill gaps.
+
+    (R/estimate-catch.R:131-135, R/model-catch.R:226-235,
+    R/format-public-data.R:853-859.)
+
+    The spine sides are distinct-projections (small); the crossJoin of
+    distinct dims stays tiny relative to the fact table, then one left join
+    re-attaches facts.
+    """
+    spines: list[DataFrame] = []
+    keys: list[str] = []
+    for d in dims:
+        cols = [d] if isinstance(d, str) else list(d)
+        spines.append(df.select(*cols).distinct())
+        keys.extend(cols)
+    spine = reduce(lambda a, b: a.crossJoin(b), spines)
+    out = spine.join(df, on=keys, how="left")
+    if fill:
+        out = out.fillna(fill)
+    return out
+
+
+def one_to_one_day_match(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """Constrained 1:1-per-key full join (J5, R/merge-trips.R:17-49).
+
+    Landings and tracker trips are only matched where BOTH sides have exactly
+    one row for the (landing_date, tracker_imei) key; every other row passes
+    through unmatched (null columns from the other side). Implemented as a
+    count-window on each side, a full join of the n==1 slices, and a union
+    of the remainders — one shuffle per side on the match key.
+    """
+    from pyspark.sql.window import Window
+
+    on = list(on)
+    w = Window.partitionBy(*on)
+
+    lcount = left.withColumn("__n__", F.count(F.lit(1)).over(w))
+    rcount = right.withColumn("__n__", F.count(F.lit(1)).over(w))
+    l1 = lcount.filter(F.col("__n__") == 1).drop("__n__")
+    r1 = rcount.filter(F.col("__n__") == 1).drop("__n__")
+    lrest = lcount.filter(F.col("__n__") != 1).drop("__n__")
+    rrest = rcount.filter(F.col("__n__") != 1).drop("__n__")
+
+    matched = l1.join(r1, on=on, how="full")
+    return matched.unionByName(lrest, allowMissingColumns=True).unionByName(
+        rrest, allowMissingColumns=True
+    )
+
+
+def suffix_regex_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_col: str,
+    dim_col: str,
+    min_len: int = 5,
+) -> DataFrame:
+    """Suffix match join (J9): survey-entered trailing IMEI digits matched as
+    a suffix of a full device IMEI (R/validation-functions.R:12-48).
+
+    Non-equi join against a tiny dimension -> broadcast nested loop with an
+    `endswith` predicate; adds ``__matches__`` = number of dim rows whose
+    ``dim_col`` ends with the fact's digits (0 -> alert, 1 -> replace,
+    >1 -> ambiguous), and ``matched_value`` = the unique match when n==1.
+    """
+    matches = (
+        facts.join(
+            F.broadcast(dim),
+            F.col(dim_col).endswith(F.col(fact_col))
+            & (F.length(F.col(fact_col)) >= min_len),
+            "left",
+        )
+        .groupBy(*facts.columns)
+        .agg(
+            F.count(F.col(dim_col)).alias("__matches__"),
+            F.min(F.col(dim_col)).alias("__candidate__"),
+        )
+    )
+    return matches.withColumn(
+        "matched_value",
+        F.when(F.col("__matches__") == 1, F.col("__candidate__")),
+    ).drop("__candidate__")
+
+
+def join_nested(
+    df: DataFrame,
+    nested_col: str,
+    dim: DataFrame,
+    on: str,
+    keys: Sequence[str],
+    how: str = "left",
+    order_by: Sequence[str] | None = None,
+    reattach: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """Join a dimension into rows of a nested array<struct> column (J7,
+    purrr::map(species_group, left_join, ...) R/calculate-weights.R:300-316):
+    explode -> broadcast join -> re-nest. The dim is broadcast so the only
+    shuffle is the final re-nest groupBy on ``keys``."""
+    from peskas_timor_data_pipeline_spark.operators.restructure import nest, unnest
+
+    flat = unnest(df.select(*keys, nested_col), nested_col)
+    joined = flat.join(F.broadcast(dim), on=on, how=how)
+    value_cols = [c for c in joined.columns if c not in keys]
+    renested = nest(joined, keys, nested_col, value_cols, order_by=order_by)
+    scalars = df.drop(nested_col)
+    return scalars.join(renested, on=list(keys), how="left")

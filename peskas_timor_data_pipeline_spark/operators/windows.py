@@ -1,0 +1,113 @@
+"""Window operators (SURVEY.md §2.5, A5-A6, W1-W5).
+
+Everything here is a Catalyst window function — single shuffle on the
+partition key, then in-partition sort. At 100 TB the partition keys (boat,
+imei, submission group) have bounded cardinality per key so no single
+partition blows up; skewed keys are handled by AQE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def top1_per_group(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]
+) -> DataFrame:
+    """First row per group under an explicit ordering (W2; worst-alert
+    selection `arrange(desc(alert_number)) + row_number()==1`,
+    R/validation-functions.R:343-351)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def mode_per_group(
+    df: DataFrame, keys: Sequence[str], value: str, out_col: str | None = None
+) -> DataFrame:
+    """Most frequent value per group, ties broken by the value itself for
+    determinism (A5; most-frequent municipality per imei,
+    R/estimate-catch.R:561-573)."""
+    out_col = out_col or value
+    counts = df.groupBy(*keys, value).agg(F.count(F.lit(1)).alias("__cnt__"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("__cnt__"), F.col(value))
+    return (
+        counts.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(*keys, F.col(value).alias(out_col))
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: str,
+    new_session: Column,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Generic gap-based sessionization: a running sum over a boolean
+    "this row starts a new session" column (A6 core,
+    R/validate-pds-trips.R:242-308 — consecutive tracker trips with
+    <3 h gap and <2 km end->start distance are merged into one session).
+
+    ``new_session`` may reference lag/lead columns the caller prepared.
+    NOTE the reference's one-step `lag(associated_to)` chains at most
+    pairwise; use :func:`pairwise_merge_sessions` for exact parity and this
+    full transitive closure for the (better-defined) scalable variant.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(order_by)
+    flag = F.when(new_session, F.lit(0)).otherwise(F.lit(1))
+    return df.withColumn(
+        session_col,
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+def with_gap_to_next(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: str,
+    ts_end: str,
+    ts_start: str,
+    gap_col: str = "gap_seconds",
+) -> DataFrame:
+    """Seconds between this row's end and the next row's start within a
+    partition (W1 lead pattern, R/validate-pds-trips.R:43-49)."""
+    w = Window.partitionBy(*partition_by).orderBy(order_by)
+    nxt = F.lead(F.col(ts_start)).over(w)
+    return df.withColumn(
+        gap_col, F.unix_timestamp(nxt) - F.unix_timestamp(F.col(ts_end))
+    )
+
+
+def month_spine(
+    spark,
+    start: str = "2018-01-01",
+    end: str | None = None,
+    col_name: str = "landing_period",
+) -> DataFrame:
+    """Continuous month spine (W4, `get_frame` R/estimate-catch.R:534-546):
+    one row per month from ``start`` to ``end`` (default: current date).
+    Built with sequence+explode — no driver loop, parallelizable."""
+    end_expr = f"to_date('{end}')" if end else "current_date()"
+    return spark.range(1).select(
+        F.explode(
+            F.expr(f"sequence(to_date('{start}'), date_trunc('month', {end_expr})::date, interval 1 month)")
+        ).alias(col_name)
+    )
+
+
+def group_share(
+    df: DataFrame, keys: Sequence[str], value: str, out_col: str = "share"
+) -> DataFrame:
+    """Per-group normalized share value/sum(value) kept on rows (W3,
+    `catch_taxa/sum(catch_taxa)` R/estimate-catch.R:593-603)."""
+    w = Window.partitionBy(*keys)
+    return df.withColumn(out_col, F.col(value) / F.sum(value).over(w))

@@ -1,0 +1,110 @@
+"""Unit tests for restructuring operators — models the reference's only
+unit-test file (tests/testthat/test-pre-process-landings.R): nested shape
+assertions plus value-level checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StructType
+
+from peskas_timor_data_pipeline_spark.operators.restructure import (
+    coalesce_columns,
+    deterministic_sample_n,
+    distinct_except,
+    nest,
+    pivot_longer,
+    pivot_wider,
+    replicate_rows,
+    unite,
+    unnest,
+)
+
+
+def _catch_df(spark):
+    rows = [
+        ("t1", "CLP", 7.5, 20.0),
+        ("t1", "CLP", 12.5, 5.0),
+        ("t1", "TUN", 30.0, 2.0),
+        ("t2", "MZZ", 17.5, 1.0),
+    ]
+    return spark.createDataFrame(rows, ["trip_id", "species", "mean_length", "n_individuals"])
+
+
+def test_nest_unnest_roundtrip(spark):
+    df = _catch_df(spark)
+    nested = nest(df, ["trip_id"], "species_group", order_by=["species", "mean_length"])
+    assert isinstance(nested.schema["species_group"].dataType, ArrayType)
+    assert isinstance(nested.schema["species_group"].dataType.elementType, StructType)
+    t1 = nested.filter(F.col("trip_id") == "t1").collect()[0]
+    assert len(t1.species_group) == 3
+    # value-level check mirroring the reference's (class 5_10 -> 7.5 -> 20)
+    assert t1.species_group[0].mean_length == 7.5
+    assert t1.species_group[0].n_individuals == 20.0
+
+    flat = unnest(nested, "species_group")
+    assert sorted(tuple(r) for r in flat.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_unnest_keep_empty(spark):
+    df = spark.createDataFrame(
+        [("a", [(1.0,)]), ("b", [])],
+        "id string, xs array<struct<v double>>",
+    )
+    out = unnest(df, "xs", keep_empty=True)
+    assert out.count() == 2  # empty array keeps its row with null v
+    assert out.filter("id = 'b'").collect()[0].v is None
+
+
+def test_pivot_roundtrip(spark):
+    df = _catch_df(spark)
+    wide = pivot_wider(
+        df.groupBy("trip_id", "species").agg(F.sum("n_individuals").alias("n")),
+        ["trip_id"],
+        "species",
+        "n",
+        agg=F.first("n"),
+        values=["CLP", "TUN", "MZZ"],
+    )
+    assert set(wide.columns) == {"trip_id", "CLP", "TUN", "MZZ"}
+    long = pivot_longer(wide, ["trip_id"], ["CLP", "TUN", "MZZ"], "species", "n")
+    assert long.filter("species = 'CLP' and trip_id = 't1'").collect()[0].n == 25.0
+
+
+def test_coalesce_columns(spark):
+    df = spark.createDataFrame(
+        [(None, "x", "y"), ("a", None, "z"), (None, None, None)],
+        ["v3_fuel", "v2_fuel", "v1_fuel"],
+    )
+    out = coalesce_columns(df, {"fuel": ["v3_fuel", "v2_fuel", "v1_fuel"]})
+    assert [r.fuel for r in out.collect()] == ["x", "a", None]
+    assert out.columns == ["fuel"]
+
+
+def test_unite_na_rm(spark):
+    df = spark.createDataFrame([(1, None, 3), (None, None, None)], "a int, b int, c int")
+    out = unite(df, "alert", ["a", "b", "c"])
+    vals = [r.alert for r in out.collect()]
+    assert vals == ["1-3", None]
+
+
+def test_distinct_except(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 10), (2, "x", 10), (3, "y", 20)], ["Trip", "boat", "dist"]
+    )
+    out = distinct_except(df, ["Trip"])
+    got = sorted((r.boat, r.dist, r.Trip) for r in out.collect())
+    assert got == [("x", 10, 1), ("y", 20, 3)]  # min-Trip survivor
+
+
+def test_deterministic_sample_stable(spark):
+    df = _catch_df(spark)
+    a = sorted(map(tuple, deterministic_sample_n(df, ["trip_id"], 1).collect()))
+    b = sorted(map(tuple, deterministic_sample_n(df.repartition(7), ["trip_id"], 1).collect()))
+    assert a == b  # stable across partitionings
+
+
+def test_replicate_rows(spark):
+    df = spark.createDataFrame([(1,), (2,)], ["v"])
+    assert replicate_rows(df, 5).count() == 10
