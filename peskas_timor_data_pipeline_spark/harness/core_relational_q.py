@@ -1,3 +1,655 @@
-"""Placeholder — filled in as operators land."""
+"""Core relational operators (SURVEY.md §2.2 P1-P12, §2.3 J1-J9, §2.6 O1-O5,
+§2.7 scalars) exercised on the driver's star schema, each with a DuckDB
+oracle twin.
 
-QUERIES: dict = {}
+Plan-shape notes are inline: dims broadcast, facts shuffle at most once on
+their natural key, filters/projections reach the parquet scan via Catalyst
+pushdown (verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from peskas_timor_data_pipeline_spark.functions.hashing import anonymized_id
+from peskas_timor_data_pipeline_spark.harness.tables import load
+from peskas_timor_data_pipeline_spark.operators.joins import (
+    complete,
+    one_to_one_day_match,
+    reduce_join,
+    suffix_regex_join,
+)
+from peskas_timor_data_pipeline_spark.operators.restructure import (
+    coalesce_columns,
+    deterministic_sample_n,
+    distinct_except,
+    replicate_rows,
+    unite,
+)
+
+
+# --- P2: filter predicates + projection + derived columns -------------------
+
+def p2_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & F.col("l_returnflag").isin("A", "R")
+            & F.col("l_discount").between(0.02, 0.08)
+            & F.col("l_quantity").isNotNull()
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("qty"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+P2_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_returnflag IN ('A', 'R')
+  AND l_discount BETWEEN 0.02 AND 0.08
+  AND l_quantity IS NOT NULL
+"""
+
+
+# --- P3/P4: semi / anti joins ------------------------------------------------
+
+def p3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+P3_ORACLE = """
+SELECT l_partkey, count(*) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_partkey
+"""
+
+
+def p4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+P4_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+# --- P6: coalesce across column sets (coalist) -------------------------------
+
+def p6_coalesce_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Synthesize the reference's cross-survey-version sparsity: the same
+    # logical field lives in v3/v2/v1 columns, each populated for a slice.
+    part = load(spark, sf_dir, "part")
+    staged = part.select(
+        "p_partkey",
+        F.when(F.col("p_size") < 15, F.col("p_brand")).alias("v3_brand"),
+        F.when(F.col("p_size").between(15, 35), F.lower(F.col("p_brand"))).alias("v2_brand"),
+        F.upper(F.col("p_brand")).alias("v1_brand"),
+    )
+    return coalesce_columns(staged, {"brand": ["v3_brand", "v2_brand", "v1_brand"]})
+
+
+P6_ORACLE = """
+SELECT p_partkey,
+       coalesce(CASE WHEN p_size < 15 THEN p_brand END,
+                CASE WHEN p_size BETWEEN 15 AND 35 THEN lower(p_brand) END,
+                upper(p_brand)) AS brand
+FROM part
+"""
+
+
+# --- P7: case_when recode (+ broadcast mapping-table variant) ----------------
+
+def p7_case_when_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    pri_rank = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority").isin("3-MEDIUM", "4-NOT SPECIFIED"), 3)
+        .otherwise(9)
+    )
+    status_name = (
+        F.when(F.col("o_orderstatus") == "F", "fulfilled")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+    )
+    return (
+        orders.withColumn("pri_rank", pri_rank)
+        .withColumn("status_name", status_name)
+        .groupBy("pri_rank", "status_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+P7_ORACLE = """
+SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+            WHEN o_orderpriority = '2-HIGH' THEN 2
+            WHEN o_orderpriority IN ('3-MEDIUM', '4-NOT SPECIFIED') THEN 3
+            ELSE 9 END AS pri_rank,
+       CASE WHEN o_orderstatus = 'F' THEN 'fulfilled'
+            WHEN o_orderstatus = 'O' THEN 'open'
+            ELSE 'partial' END AS status_name,
+       count(*) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+# --- P9: late type casts ------------------------------------------------------
+
+def p9_type_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference reads everything as string and casts late (S3); model
+    # that: stringify, then cast back with validation.
+    orders = load(spark, sf_dir, "orders")
+    raw = orders.select(
+        F.col("o_orderkey").cast("string").alias("id_str"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        F.col("o_totalprice").cast("string").alias("price_str"),
+    )
+    return raw.select(
+        F.col("id_str").cast("long").alias("o_orderkey"),
+        F.to_date("date_str").alias("order_date"),
+        F.round(F.col("price_str").cast("double"), 2).alias("price"),
+    )
+
+
+P9_ORACLE = """
+SELECT CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS o_orderkey,
+       CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS order_date,
+       round(CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE), 2) AS price
+FROM orders
+"""
+
+
+# --- P10: row replication -----------------------------------------------------
+
+def p10_replicate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    return (
+        replicate_rows(nation, 5)
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+P10_ORACLE = """
+SELECT n_regionkey, count(*) AS n_rows
+FROM nation, range(5)
+GROUP BY n_regionkey
+"""
+
+
+# --- P11: deterministic per-group sampling ------------------------------------
+
+def p11_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return deterministic_sample_n(orders, ["o_orderpriority"], n=1)
+
+
+P11_ORACLE = """
+SELECT o_orderkey, o_orderpriority
+FROM (
+  SELECT o_orderkey, o_orderpriority,
+         row_number() OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY md5(concat_ws(chr(31), '0', CAST(o_orderkey AS VARCHAR), o_orderpriority))
+         ) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# --- P12: distinct ignoring a column -------------------------------------------
+
+def p12_distinct_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"
+    )
+    return distinct_except(li, ["l_linenumber"])
+
+
+P12_ORACLE = """
+SELECT l_orderkey, l_partkey, l_suppkey,
+       CAST(min(l_linenumber) AS INTEGER) AS l_linenumber
+FROM lineitem
+GROUP BY l_orderkey, l_partkey, l_suppkey
+"""
+
+
+# --- J1: left join through broadcast dim chain ---------------------------------
+
+def j1_left_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    out = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+    return out
+
+
+J1_ORACLE = """
+SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- J3: right join against a dimension spine ----------------------------------
+
+def j3_right_join_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey, "right")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+J3_ORACLE = """
+SELECT c_custkey, c_mktsegment, coalesce(n_orders, 0) AS n_orders
+FROM customer
+LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) t
+  ON o_custkey = c_custkey
+"""
+
+
+# --- J4: full outer join + coalesce ---------------------------------------------
+
+def j4_full_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    by_order_day = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    by_ship_day = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_ships")
+    )
+    return (
+        by_order_day.join(by_ship_day, "d", "full")
+        .select(
+            "d",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+        )
+    )
+
+
+J4_ORACLE = """
+SELECT coalesce(a.d, b.d) AS d,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(n_ships, 0) AS n_ships
+FROM (SELECT CAST(o_orderdate AS DATE) d, count(*) n_orders FROM orders GROUP BY 1) a
+FULL JOIN (SELECT CAST(l_shipdate AS DATE) d, count(*) n_ships FROM lineitem GROUP BY 1) b
+  USING (d)
+"""
+
+
+# --- J5: constrained 1:1-per-day match (merge_trips) -----------------------------
+
+def j5_one_to_one_day_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Landings/tracker analogue: split lineitem into two "sources" and match
+    # per (ship day, supplier) only where each side has exactly one row.
+    li = load(spark, sf_dir, "lineitem")
+    left = li.filter(F.col("l_linenumber") == 1).select(
+        F.to_date("l_shipdate").alias("d"),
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_orderkey").alias("landing_id"),
+        F.col("l_quantity").alias("landing_qty"),
+    )
+    right = li.filter(F.col("l_linenumber") == 2).select(
+        F.to_date("l_shipdate").alias("d"),
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_orderkey").alias("tracker_id"),
+        F.col("l_extendedprice").alias("tracker_price"),
+    )
+    matched = one_to_one_day_match(left, right, ["d", "sk"])
+    return matched.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("landing_id").alias("n_landings"),
+        F.count("tracker_id").alias("n_tracks"),
+        F.sum(
+            F.when(F.col("landing_id").isNotNull() & F.col("tracker_id").isNotNull(), 1).otherwise(0)
+        ).alias("n_matched"),
+        F.round(F.sum("landing_qty"), 2).alias("sum_qty"),
+    )
+
+
+J5_ORACLE = """
+WITH l AS (
+  SELECT CAST(l_shipdate AS DATE) d, l_suppkey sk, l_orderkey landing_id, l_quantity landing_qty,
+         count(*) OVER (PARTITION BY CAST(l_shipdate AS DATE), l_suppkey) AS n
+  FROM lineitem WHERE l_linenumber = 1
+), r AS (
+  SELECT CAST(l_shipdate AS DATE) d, l_suppkey sk, l_orderkey tracker_id, l_extendedprice tracker_price,
+         count(*) OVER (PARTITION BY CAST(l_shipdate AS DATE), l_suppkey) AS n
+  FROM lineitem WHERE l_linenumber = 2
+), matched AS (
+  SELECT coalesce(a.d, b.d) d, coalesce(a.sk, b.sk) sk,
+         a.landing_id, a.landing_qty, b.tracker_id, b.tracker_price
+  FROM (SELECT * FROM l WHERE n = 1) a
+  FULL JOIN (SELECT * FROM r WHERE n = 1) b USING (d, sk)
+  UNION ALL BY NAME
+  SELECT d, sk, landing_id, landing_qty, NULL tracker_id, NULL tracker_price FROM l WHERE n <> 1
+  UNION ALL BY NAME
+  SELECT d, sk, NULL landing_id, NULL landing_qty, tracker_id, tracker_price FROM r WHERE n <> 1
+)
+SELECT count(*) AS n_rows,
+       count(landing_id) AS n_landings,
+       count(tracker_id) AS n_tracks,
+       CAST(sum(CASE WHEN landing_id IS NOT NULL AND tracker_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       round(sum(landing_qty), 2) AS sum_qty
+FROM matched
+"""
+
+
+# --- J6 + O5: reduce-join of validator-style outputs + unite --------------------
+
+def j6_reduce_join_unite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    base = orders.select("o_orderkey")
+    v1 = orders.select(
+        "o_orderkey", F.when(F.col("o_totalprice") > 400000, 6).alias("alert_price")
+    )
+    v2 = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 2).alias("alert_priority"),
+    )
+    v3 = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.when(F.sum("l_quantity") > 250, 11).alias("alert_qty")
+    )
+    joined = reduce_join([base, v1, v2, v3], on="o_orderkey", how="left")
+    return unite(joined, "alert", ["alert_price", "alert_priority", "alert_qty"])
+
+
+J6_ORACLE = """
+WITH v1 AS (SELECT o_orderkey, CASE WHEN o_totalprice > 400000 THEN 6 END AS alert_price FROM orders),
+v2 AS (SELECT o_orderkey, CASE WHEN o_orderpriority = '1-URGENT' THEN 2 END AS alert_priority FROM orders),
+v3 AS (SELECT l_orderkey AS o_orderkey, CASE WHEN sum(l_quantity) > 250 THEN 11 END AS alert_qty
+       FROM lineitem GROUP BY l_orderkey)
+SELECT o.o_orderkey,
+       nullif(concat_ws('-', v1.alert_price, v2.alert_priority, v3.alert_qty), '') AS alert
+FROM (SELECT o_orderkey FROM orders) o
+LEFT JOIN v1 USING (o_orderkey)
+LEFT JOIN v2 USING (o_orderkey)
+LEFT JOIN v3 USING (o_orderkey)
+"""
+
+
+# --- J8: complete (cross of dims, zero-filled) ----------------------------------
+
+def j8_complete_crossfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return complete(counts, ["l_suppkey", "l_returnflag"], fill={"n": 0})
+
+
+J8_ORACLE = """
+SELECT s.l_suppkey, f.l_returnflag, coalesce(c.n, 0) AS n
+FROM (SELECT DISTINCT l_suppkey FROM lineitem) s
+CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem) f
+LEFT JOIN (SELECT l_suppkey, l_returnflag, count(*) n FROM lineitem GROUP BY 1, 2) c
+  USING (l_suppkey, l_returnflag)
+"""
+
+
+# --- J9: suffix regex match join (IMEI validation shape) -------------------------
+
+def j9_suffix_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_custkey").cast("string").alias("digits")
+    )
+    dim = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("full_code")
+    )
+    out = suffix_regex_join(cust, dim, "digits", "full_code", min_len=1)
+    return out.select("c_custkey", "__matches__", "matched_value").withColumnRenamed(
+        "__matches__", "n_matches"
+    )
+
+
+J9_ORACLE = """
+SELECT c_custkey,
+       count(full_code) AS n_matches,
+       CASE WHEN count(full_code) = 1 THEN min(full_code) END AS matched_value
+FROM (SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS digits FROM customer) c
+LEFT JOIN (SELECT CAST(p_partkey AS VARCHAR) AS full_code FROM part) p
+  ON ends_with(p.full_code, c.digits) AND length(c.digits) >= 1
+GROUP BY c_custkey
+"""
+
+
+# --- O1: multi-key sort + top-n with explicit rank --------------------------------
+
+def o1_sort_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "o_orderkey", "o_totalprice")
+    )
+
+
+O1_ORACLE = """
+SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+       o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+# --- O2: union by name with missing columns ----------------------------------------
+
+def o2_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice", F.lit("v1").alias("survey_version")
+    )
+    v2 = orders.filter(F.col("o_orderstatus") != "F").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.lit("v2").alias("survey_version"),
+    )
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return merged.groupBy("survey_version").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count("o_orderpriority").alias("n_priority"),
+    )
+
+
+O2_ORACLE = """
+WITH merged AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority, 'v1' AS survey_version
+  FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL BY NAME
+  SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority, 'v2' AS survey_version
+  FROM orders WHERE o_orderstatus <> 'F'
+)
+SELECT survey_version, count(*) AS n,
+       count(o_totalprice) AS n_price, count(o_orderpriority) AS n_priority
+FROM merged GROUP BY survey_version
+"""
+
+
+# --- O4: set ops on key columns ------------------------------------------------------
+
+def o4_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    sold = li.select(F.col("l_partkey").alias("p_partkey")).distinct()
+    big = part.filter(F.col("p_size") > 40).select("p_partkey")
+    never_sold_big = big.exceptAll(sold)
+    sold_big = big.intersect(sold)
+    return never_sold_big.withColumn("status", F.lit("never_sold")).unionByName(
+        sold_big.withColumn("status", F.lit("sold"))
+    )
+
+
+O4_ORACLE = """
+SELECT p_partkey, 'never_sold' AS status
+FROM (SELECT p_partkey FROM part WHERE p_size > 40
+      EXCEPT ALL
+      SELECT DISTINCT l_partkey FROM lineitem)
+UNION ALL
+SELECT p_partkey, 'sold' AS status
+FROM (SELECT p_partkey FROM part WHERE p_size > 40
+      INTERSECT
+      SELECT DISTINCT l_partkey FROM lineitem)
+"""
+
+
+# --- F: scalar string / date / math / hash / json batteries ---------------------------
+
+def f_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "[0-9]", "").alias("no_digits"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+    )
+
+
+F_STRING_ORACLE = """
+SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       regexp_replace(c_name, '[0-9]', '', 'g') AS no_digits,
+       substring(c_name, 1, 8) AS prefix,
+       upper(c_mktsegment) AS seg_upper,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       concat_ws('|', c_name, c_mktsegment) AS joined,
+       trim('  x  ') AS trimmed
+FROM customer
+"""
+
+
+def f_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from peskas_timor_data_pipeline_spark.functions.datetime_fns import (
+        week_start_sunday,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month_start"),
+        week_start_sunday(F.col("o_orderdate")).alias("week_sunday"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).alias(
+            "days_to_horizon"
+        ),
+        F.date_format("o_orderdate", "MMMM yyyy").alias("period_label"),
+    )
+
+
+F_DATE_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(date_trunc('week', CAST(o_orderdate AS DATE) + 1) - 1 AS DATE) AS week_sunday,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_horizon,
+       strftime(o_orderdate, '%B %Y') AS period_label
+FROM orders
+"""
+
+
+def f_math_hash_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(F.log1p(F.abs("value")), 6).alias("log1p_value"),
+        F.round(F.pow("value", F.lit(0.5)), 6).alias("sqrt_value"),
+        F.round(F.exp(F.lit(1.0) * F.col("value") / 1000.0), 6).alias("exp_scaled"),
+        F.floor(F.col("value") / 25.0).cast("long").alias("bucket"),
+        anonymized_id(F.col("event_id"), F.col("user_id")).alias("anon_id"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+F_MATH_ORACLE = """
+SELECT event_id,
+       round(ln(1 + abs(value)), 6) AS log1p_value,
+       round(pow(value, 0.5), 6) AS sqrt_value,
+       round(exp(value / 1000.0), 6) AS exp_scaled,
+       CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+       md5(concat_ws(' ', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR))) AS anon_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+QUERIES = {
+    "p2_filter_project": (p2_filter_project, P2_ORACLE),
+    "p3_semi_join": (p3_semi_join, P3_ORACLE),
+    "p4_anti_join": (p4_anti_join, P4_ORACLE),
+    "p6_coalesce_columns": (p6_coalesce_columns, P6_ORACLE),
+    "p7_case_when_recode": (p7_case_when_recode, P7_ORACLE),
+    "p9_type_casts": (p9_type_casts, P9_ORACLE),
+    "p10_replicate_rows": (p10_replicate_rows, P10_ORACLE),
+    "p11_sample_deterministic": (p11_sample_deterministic, P11_ORACLE),
+    "p12_distinct_except": (p12_distinct_except, P12_ORACLE),
+    "j1_left_join_dims": (j1_left_join_dims, J1_ORACLE),
+    "j3_right_join_spine": (j3_right_join_spine, J3_ORACLE),
+    "j4_full_outer_coalesce": (j4_full_outer_coalesce, J4_ORACLE),
+    "j5_one_to_one_day_match": (j5_one_to_one_day_match, J5_ORACLE),
+    "j6_reduce_join_unite": (j6_reduce_join_unite, J6_ORACLE),
+    "j8_complete_crossfill": (j8_complete_crossfill, J8_ORACLE),
+    "j9_suffix_match_join": (j9_suffix_match_join, J9_ORACLE),
+    "o1_sort_topn": (o1_sort_topn, O1_ORACLE),
+    "o2_union_by_name": (o2_union_by_name, O2_ORACLE),
+    "o4_set_ops": (o4_set_ops, O4_ORACLE),
+    "f_string_functions": (f_string_functions, F_STRING_ORACLE),
+    "f_date_functions": (f_date_functions, F_DATE_ORACLE),
+    "f_math_hash_json": (f_math_hash_json, F_MATH_ORACLE),
+}

@@ -29,6 +29,17 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table; normalizes the session TZ first so
-    timestamp->date derivations agree with the naive-timestamp oracle."""
+    timestamp->date derivations agree with the naive-timestamp oracle.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark has no native
+    type for: read it as long nanos (legacy conf) and floor-convert to a
+    microsecond TimestampType — integer division, because nanos exceed
+    double's 2^53 exact range."""
     prep_session(spark)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -37,7 +37,7 @@ def canon(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
+        return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
