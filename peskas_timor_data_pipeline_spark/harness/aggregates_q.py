@@ -1,3 +1,513 @@
-"""Placeholder — filled in as operators land."""
+"""Aggregation operators (SURVEY.md §2.4 A1-A15) with DuckDB oracle twins.
 
-QUERIES: dict = {}
+Scale shape: every groupBy here partial-aggregates map-side (low-cardinality
+keys), the MAD/median passes are two-phase aggregates on the group key, and
+the nested-model round-trip shuffles once on the nest key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from peskas_timor_data_pipeline_spark.functions.datetime_fns import week_start_sunday
+from peskas_timor_data_pipeline_spark.harness.tables import load
+from peskas_timor_data_pipeline_spark.operators.outliers import loc_scale_bounds, mad_alert
+from peskas_timor_data_pipeline_spark.operators.restructure import nest, pivot_longer, pivot_wider, unnest
+from peskas_timor_data_pipeline_spark.operators.windows import mode_per_group, sessionize
+
+
+# --- A1: group_by + summarise (full stat battery) ---------------------------
+
+def a1_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias("sum_revenue"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.round(F.median("l_discount"), 6).alias("median_discount"),
+    )
+
+
+A1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_revenue,
+       min(l_shipdate) AS first_ship,
+       max(l_shipdate) AS last_ship,
+       count(*) AS n,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       round(median(l_discount), 6) AS median_discount
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- A2: summarise across every numeric column ------------------------------
+
+def a2_summarise_across(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    numeric = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return li.agg(
+        *[F.round(F.avg(c), 6).alias(f"avg_{c}") for c in numeric],
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+A2_ORACLE = """
+SELECT round(avg(l_quantity), 6) AS avg_l_quantity,
+       round(avg(l_extendedprice), 6) AS avg_l_extendedprice,
+       round(avg(l_discount), 6) AS avg_l_discount,
+       round(avg(l_tax), 6) AS avg_l_tax,
+       count(*) AS n
+FROM lineitem
+"""
+
+
+# --- A3: add_count (group size kept on rows) ---------------------------------
+
+def a3_add_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("n") >= 15)
+        .select("o_orderkey", "o_custkey", "n")
+    )
+
+
+A3_ORACLE = """
+SELECT o_orderkey, o_custkey, n
+FROM (SELECT o_orderkey, o_custkey, count(*) OVER (PARTITION BY o_custkey) AS n FROM orders)
+WHERE n >= 15
+"""
+
+
+# --- A4: conditional aggregates -----------------------------------------------
+
+def a4_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("prop_high_discount"),
+        F.round(
+            F.avg(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 6
+        ).alias("avg_price_when_discounted"),
+        F.sum(F.when(F.col("l_quantity") > 45, 1)).alias("n_bulk"),
+    )
+
+
+A4_ORACLE = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / count(*), 6) AS prop_high_discount,
+       round(avg(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 6) AS avg_price_when_discounted,
+       CAST(sum(CASE WHEN l_quantity > 45 THEN 1 END) AS BIGINT) AS n_bulk
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- A5: mode per group ---------------------------------------------------------
+
+def a5_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return mode_per_group(li, ["l_suppkey"], "l_returnflag", "top_flag")
+
+
+A5_ORACLE = """
+SELECT l_suppkey, l_returnflag AS top_flag
+FROM (
+  SELECT l_suppkey, l_returnflag,
+         row_number() OVER (PARTITION BY l_suppkey ORDER BY count(*) DESC, l_returnflag) AS rn
+  FROM lineitem GROUP BY l_suppkey, l_returnflag
+) WHERE rn = 1
+"""
+
+
+# --- A6: gap-based sessionization (consecutive-trip merge shape) -----------------
+
+def a6_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prepared = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    gap_ok = (
+        F.col("prev_ts").isNotNull()
+        & ((F.col("ts").cast("double") - F.col("prev_ts").cast("double")) <= 1800.0)
+    )
+    sess = sessionize(prepared, ["user_id"], "ts", gap_ok, "session_id")
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.sum("session_value"), 4).alias("total_value"),
+    )
+
+
+A6_ORACLE = """
+WITH prepared AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NOT NULL
+                  AND (epoch(ts) - epoch(prev_ts)) <= 1800.0
+             THEN 0 ELSE 1 END AS new_session
+  FROM prepared
+), sess AS (
+  SELECT *, sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         round(sum(value), 4) AS session_value
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       round(avg(n_events), 6) AS avg_events_per_session,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       round(sum(session_value), 4) AS total_value
+FROM per_session GROUP BY user_id
+"""
+
+
+# --- A7: grid binning -------------------------------------------------------------
+
+def a7_grid_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from peskas_timor_data_pipeline_spark.functions.geo import grid_cell
+
+    ev = load(spark, sf_dir, "events")
+    binned = ev.select(
+        grid_cell(F.col("value"), 0.0, 25.0).alias("cell_x"),
+        F.hour("ts").alias("cell_y"),
+        "value",
+    )
+    return binned.groupBy("cell_x", "cell_y").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.median("value"), 6).alias("median_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+A7_ORACLE = """
+SELECT CAST(floor(value / 25.0) AS BIGINT) AS cell_x,
+       CAST(extract(hour FROM ts) AS INTEGER) AS cell_y,
+       count(*) AS n,
+       round(median(value), 6) AS median_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- A8/M1: grouped robust MAD bounds (LocScaleB) -----------------------------------
+
+def a8_mad_bounds_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    bounds = loc_scale_bounds(li, "l_quantity", ["l_returnflag"], k=3.0, logt=True)
+    return bounds.select(
+        "l_returnflag",
+        "n_valid",
+        F.round("lower_bound", 6).alias("lower_bound"),
+        F.round("upper_bound", 6).alias("upper_bound"),
+    )
+
+
+A8_ORACLE = """
+WITH x AS (
+  SELECT l_returnflag AS g, ln(1 + l_quantity) AS xv, l_quantity FROM lineitem
+), med AS (
+  SELECT g, median(xv) AS m, count(xv) AS n_valid,
+         sum(CASE WHEN l_quantity <> 0 THEN 1 ELSE 0 END) AS nz
+  FROM x GROUP BY g
+), mad AS (
+  SELECT x.g, median(abs(xv - m)) AS md FROM x JOIN med USING (g) GROUP BY x.g
+)
+SELECT g AS l_returnflag, n_valid,
+       round(CASE WHEN nz > 0 AND md > 0 THEN exp(m - 3 * 1.4826 * md) - 1 END, 6) AS lower_bound,
+       round(CASE WHEN nz > 0 AND md > 0 THEN exp(m + 3 * 1.4826 * md) - 1 END, 6) AS upper_bound
+FROM med JOIN mad USING (g)
+"""
+
+
+# --- A9/M1: global MAD alert with degenerate guards -----------------------------------
+
+def a9_mad_alert_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    alerted = mad_alert(orders, "o_totalprice", keys=None, k=2.0, logt=True, alert_number=11)
+    return alerted.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("alert_number") == 11, 1).otherwise(0)).alias("n_alerts"),
+    )
+
+
+A9_ORACLE = """
+WITH x AS (SELECT *, ln(1 + o_totalprice) AS xv FROM orders),
+med AS (SELECT median(xv) AS m,
+               sum(CASE WHEN o_totalprice <> 0 THEN 1 ELSE 0 END) AS nz FROM x),
+mad AS (SELECT median(abs(xv - m)) AS md FROM x, med),
+bounds AS (
+  SELECT CASE WHEN nz > 0 AND md > 0 THEN exp(m - 2 * 1.4826 * md) - 1 END AS lo,
+         CASE WHEN nz > 0 AND md > 0 THEN exp(m + 2 * 1.4826 * md) - 1 END AS hi
+  FROM med, mad
+)
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CASE WHEN o_totalprice < lo OR o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts
+FROM orders, bounds GROUP BY o_orderpriority
+"""
+
+
+# --- A10/M2-tail: exact quantile per group ----------------------------------------------
+
+def a10_quantile_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.7), 6).alias("p70_price"),
+        F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_qty"),
+    )
+
+
+A10_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.7), 6) AS p70_price,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- A11: pivot wide + unpivot long --------------------------------------------------------
+
+def a11_pivot_wider(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    wide = pivot_wider(
+        li.select("l_suppkey", "l_returnflag"),
+        ["l_suppkey"],
+        "l_returnflag",
+        "l_returnflag",
+        agg=F.count(F.lit(1)),
+        values=["A", "N", "R"],
+    )
+    return wide.fillna(0, subset=["A", "N", "R"])
+
+
+A11W_ORACLE = """
+SELECT l_suppkey,
+       CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS "A",
+       CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS "N",
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS "R"
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def a11_pivot_longer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    typed = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return pivot_longer(typed, ["p_partkey"], ["size", "retailprice"], "metric", "value")
+
+
+A11L_ORACLE = """
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+"""
+
+
+# --- A12: two-level nested model round-trip --------------------------------------------------
+
+def a12_two_level_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # species_group/length_individuals analogue: order -> supplier ->
+    # line-items, nested two levels deep then fully unnested and aggregated.
+    li = load(spark, sf_dir, "lineitem")
+    level1 = nest(
+        li,
+        keys=["l_orderkey", "l_suppkey"],
+        nested_col="length_individuals",
+        value_cols=["l_linenumber", "l_quantity", "l_returnflag"],
+    )
+    level2 = nest(
+        level1,
+        keys=["l_orderkey"],
+        nested_col="species_group",
+        value_cols=["l_suppkey", "length_individuals"],
+    )
+    flat = unnest(unnest(level2, "species_group"), "length_individuals")
+    return flat.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+A12_ORACLE = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- A13: explicit two-level rollup (municipal -> national) ------------------------------------
+
+def a13_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    municipal = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.trunc(F.to_date("o_orderdate"), "month").alias("period"))
+        .agg(F.sum("o_totalprice").alias("municipal_total"))
+    )
+    return municipal.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.round(F.sum("municipal_total"), 0).alias("national_total"),
+        F.round(F.avg("municipal_total"), 6).alias("avg_municipal"),
+        F.round(F.median("municipal_total"), 6).alias("median_municipal"),
+    )
+
+
+A13_ORACLE = """
+WITH municipal AS (
+  SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+         sum(o_totalprice) AS municipal_total
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT period, count(*) AS n_nations,
+       round(sum(municipal_total), 0) AS national_total,
+       round(avg(municipal_total), 6) AS avg_municipal,
+       round(median(municipal_total), 6) AS median_municipal
+FROM municipal GROUP BY period
+"""
+
+
+# --- A14: time-binned multi-source aggregation ---------------------------------------------------
+
+def a14_time_binned_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o_bins = orders.groupBy(
+        week_start_sunday(F.col("o_orderdate")).alias("week")
+    ).agg(F.count(F.lit(1)).alias("n_landings"))
+    l_bins = li.groupBy(week_start_sunday(F.col("l_shipdate")).alias("week")).agg(
+        F.count(F.lit(1)).alias("n_tracks")
+    )
+    matched = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            week_start_sunday(F.col("l_shipdate"))
+            == week_start_sunday(F.col("o_orderdate"))
+        )
+        .groupBy(week_start_sunday(F.col("o_orderdate")).alias("week"))
+        .agg(F.countDistinct("o_orderkey").alias("n_matched"))
+    )
+    out = (
+        o_bins.join(l_bins, "week", "full")
+        .join(matched, "week", "full")
+        .fillna(0, subset=["n_landings", "n_tracks", "n_matched"])
+    )
+    return out.withColumn(
+        "prop_matched",
+        F.round(
+            F.col("n_matched")
+            / (F.col("n_landings") + F.col("n_tracks") - F.col("n_matched")),
+            6,
+        ),
+    )
+
+
+A14_ORACLE = """
+WITH o_bins AS (
+  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE) + 1) - 1 AS DATE) AS week,
+         count(*) AS n_landings
+  FROM orders GROUP BY 1
+), l_bins AS (
+  SELECT CAST(date_trunc('week', CAST(l_shipdate AS DATE) + 1) - 1 AS DATE) AS week,
+         count(*) AS n_tracks
+  FROM lineitem GROUP BY 1
+), matched AS (
+  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE) + 1) - 1 AS DATE) AS week,
+         count(DISTINCT o_orderkey) AS n_matched
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE CAST(date_trunc('week', CAST(l_shipdate AS DATE) + 1) - 1 AS DATE)
+        = CAST(date_trunc('week', CAST(o_orderdate AS DATE) + 1) - 1 AS DATE)
+  GROUP BY 1
+)
+SELECT week,
+       coalesce(n_landings, 0) AS n_landings,
+       coalesce(n_tracks, 0) AS n_tracks,
+       coalesce(n_matched, 0) AS n_matched,
+       round(coalesce(n_matched, 0) * 1.0
+             / (coalesce(n_landings, 0) + coalesce(n_tracks, 0) - coalesce(n_matched, 0)), 6) AS prop_matched
+FROM o_bins
+FULL JOIN l_bins USING (week)
+FULL JOIN matched USING (week)
+"""
+
+
+# --- A15: metric arithmetic + unpivot (nutrient rollup shape) --------------------------------------
+
+def a15_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias("revenue"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_tax")), 0).alias("tax_amount"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 0).alias("discount_amount"),
+    )
+    return pivot_longer(
+        per_flag, ["l_returnflag"], ["revenue", "tax_amount", "discount_amount"],
+        "metric", "value",
+    )
+
+
+A15_ORACLE = """
+WITH per_flag AS (
+  SELECT l_returnflag,
+         round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+         round(sum(l_extendedprice * l_tax), 0) AS tax_amount,
+         round(sum(l_extendedprice * l_discount), 0) AS discount_amount
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'revenue' AS metric, revenue AS value FROM per_flag
+UNION ALL
+SELECT l_returnflag, 'tax_amount' AS metric, tax_amount AS value FROM per_flag
+UNION ALL
+SELECT l_returnflag, 'discount_amount' AS metric, discount_amount AS value FROM per_flag
+"""
+
+
+QUERIES = {
+    "a1_groupby_stats": (a1_groupby_stats, A1_ORACLE),
+    "a2_summarise_across": (a2_summarise_across, A2_ORACLE),
+    "a3_add_count": (a3_add_count, A3_ORACLE),
+    "a4_conditional_agg": (a4_conditional_agg, A4_ORACLE),
+    "a5_mode_per_group": (a5_mode_per_group, A5_ORACLE),
+    "a6_sessionization": (a6_sessionization, A6_ORACLE),
+    "a7_grid_binning": (a7_grid_binning, A7_ORACLE),
+    "a8_mad_bounds_grouped": (a8_mad_bounds_grouped, A8_ORACLE),
+    "a9_mad_alert_global": (a9_mad_alert_global, A9_ORACLE),
+    "a10_quantile_group": (a10_quantile_group, A10_ORACLE),
+    "a11_pivot_wider": (a11_pivot_wider, A11W_ORACLE),
+    "a11_pivot_longer": (a11_pivot_longer, A11L_ORACLE),
+    "a12_two_level_nest": (a12_two_level_nest, A12_ORACLE),
+    "a13_rollup_two_level": (a13_rollup_two_level, A13_ORACLE),
+    "a14_time_binned_multisource": (a14_time_binned_multisource, A14_ORACLE),
+    "a15_metric_unpivot": (a15_metric_unpivot, A15_ORACLE),
+}

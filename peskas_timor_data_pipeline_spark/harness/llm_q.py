@@ -1,3 +1,361 @@
-"""Placeholder — filled in as operators land."""
+"""Training-data pipeline queries (dedup / similarity / text / multimodal)
+over the documents and embeddings tables, each with a DuckDB oracle.
 
-QUERIES: dict = {}
+Hash-heavy oracles (MinHash, SimHash) are possible because every hash in
+the engine is md5-based: DuckDB computes the identical hex digests, so the
+full LSH pipeline is value-checked end to end, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from peskas_timor_data_pipeline_spark.harness.tables import load
+from peskas_timor_data_pipeline_spark.llm.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard,
+    simhash,
+    simhash_bits_sql,
+)
+from peskas_timor_data_pipeline_spark.llm.multimodal import (
+    attach_binary,
+    extract_binary_meta,
+)
+from peskas_timor_data_pipeline_spark.llm.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from peskas_timor_data_pipeline_spark.llm.text import (
+    STOPWORDS,
+    bottom_k_fingerprint,
+    langid_heuristic,
+    quality_features,
+    token_counts,
+)
+
+DIM = 64
+
+
+# --- D1: exact dedup ----------------------------------------------------------
+
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(recrawl)
+    deduped = exact_dedup(corpus, "doc_id", ["text"])
+    return deduped.groupBy().agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("n_dups").alias("n_total"),
+        F.sum(F.when(F.col("n_dups") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.min("doc_id").alias("min_survivor"),
+        F.max("doc_id").alias("max_survivor"),
+    )
+
+
+D1_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+), groups AS (
+  SELECT md5(text) h, min(doc_id) AS doc_id, count(*) AS n_dups
+  FROM corpus GROUP BY md5(text)
+)
+SELECT count(*) AS n_unique,
+       CAST(sum(n_dups) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN n_dups > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       min(doc_id) AS min_survivor,
+       max(doc_id) AS max_survivor
+FROM groups
+"""
+
+
+# --- D2: MinHash signatures + LSH candidates + Jaccard verification ---------------
+
+N_HASHES, BAND_SIZE, K_SHINGLE = 6, 2, 5
+
+
+def d2_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BAND_SIZE)
+    verified = ngram_jaccard(docs, pairs, "doc_id", "text", K_SHINGLE)
+    high = verified.filter(F.col("jaccard") >= 0.5)
+    return high.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+_SHINGLE_CTE = f"""
+sh AS (
+  SELECT doc_id, substr(lower(text), CAST(i AS INTEGER), {K_SHINGLE}) AS sh
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {K_SHINGLE - 1})) AS i
+        FROM documents)
+)
+"""
+
+_SIG_COLS = ", ".join(
+    f"min(md5(sh || '#{j}')) AS h{j}" for j in range(N_HASHES)
+)
+_BAND_LIST = ", ".join(
+    "md5(concat_ws('|', '%d', h%d, h%d))" % (b, b * BAND_SIZE, b * BAND_SIZE + 1)
+    for b in range(N_HASHES // BAND_SIZE)
+)
+
+D2_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+long AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sig),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM long a JOIN long b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+sets AS (SELECT DISTINCT doc_id, sh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.id_a
+  JOIN sets sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       round(coalesce(n_inter, 0) * 1.0
+             / (za.set_size + zb.set_size - coalesce(n_inter, 0)), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter USING (id_a, id_b)
+JOIN sizes za ON za.doc_id = p.id_a
+JOIN sizes zb ON zb.doc_id = p.id_b
+WHERE coalesce(n_inter, 0) * 1.0 / (za.set_size + zb.set_size - coalesce(n_inter, 0)) >= 0.5
+"""
+
+
+# --- D3: SimHash ---------------------------------------------------------------------
+
+def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash(docs, "doc_id", "text", n_bits=16)
+
+
+_SIMHASH_AGGS = ", ".join(
+    f"{e} AS b{i}" for i, e in enumerate(simhash_bits_sql("text", 16))
+)
+_SIMHASH_CONCAT = " || ".join(f"b{i}" for i in range(16))
+
+D3_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), sig AS (
+  SELECT doc_id, {_SIMHASH_AGGS} FROM nonempty GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM sig
+"""
+
+
+# --- E1: brute-force cosine top-k ------------------------------------------------------
+
+def _dot_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
+    )
+
+
+def e1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    candidates = emb.filter(F.col("vec_id") >= 10)
+    return cosine_topk_bruteforce(queries, candidates, "vec_id", "embedding", k=3, dim=DIM)
+
+
+E1_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+scored AS (
+  SELECT query_id, cand_id,
+         ({_dot_sql('qv', 'cv')})
+         / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
+  FROM q CROSS JOIN c
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 3
+"""
+
+
+# --- E2: hyperplane-LSH pruned ANN ------------------------------------------------------
+
+def e2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    candidates = emb.filter(F.col("vec_id") >= 50)
+    return cosine_topk_lsh(
+        queries, candidates, "vec_id", "embedding", k=1, dim=DIM, n_bits=8
+    )
+
+
+_BUCKET_SQL = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 9)
+) + ")"
+
+E2_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {_BUCKET_SQL} AS bucket
+           FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id AS cand_id, embedding AS cv, {_BUCKET_SQL} AS bucket
+      FROM embeddings WHERE vec_id >= 50),
+scored AS (
+  SELECT query_id, cand_id,
+         ({_dot_sql('qv', 'cv')})
+         / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
+  FROM q JOIN c USING (bucket)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 1
+"""
+
+
+# --- T1: language-ID heuristic ------------------------------------------------------------
+
+def t1_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pred = langid_heuristic(docs, "text")
+    return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _hits_sql(lang: str) -> str:
+    wl = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split_regex(lower(text), '\\s+'),"
+        f" x -> x IN ({wl})))"
+    )
+
+
+T1_ORACLE = f"""
+WITH hits AS (
+  SELECT lang,
+         {_hits_sql('en')} AS en_h, {_hits_sql('fr')} AS fr_h,
+         {_hits_sql('es')} AS es_h, {_hits_sql('de')} AS de_h
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE WHEN de_h > greatest(en_h, fr_h, es_h) THEN 'de'
+              WHEN es_h > greatest(en_h, fr_h) THEN 'es'
+              WHEN fr_h > en_h THEN 'fr'
+              WHEN en_h > 0 THEN 'en'
+              ELSE 'und' END AS pred_lang
+  FROM hits
+)
+SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang
+"""
+
+
+# --- T2: quality scoring ---------------------------------------------------------------------
+
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(docs, "text").select(
+        "doc_id", "n_tokens", "avg_token_len", "alpha_ratio",
+        "punct_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+T2_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+         round(length(regexp_replace(text, '\\s+', '', 'g'))
+               / len(string_split_regex(lower(text), '\\s+')), 6) AS avg_token_len,
+         round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text), 6) AS alpha_ratio,
+         round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / length(text), 6) AS punct_ratio,
+         round({_hits_sql('en')} * 1.0
+               / len(string_split_regex(lower(text), '\\s+')), 6) AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, avg_token_len, alpha_ratio, punct_ratio, stopword_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.3
+             + alpha_ratio * 0.4
+             + least(stopword_ratio * 5.0, 1.0) * 0.2
+             + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1, 6) AS quality_score
+FROM feats
+"""
+
+
+# --- T3: token counting -----------------------------------------------------------------------
+
+def t3_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_counts(docs, "text").select("doc_id", "ws_tokens", "bpe_ish_tokens")
+
+
+T3_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+# --- T4: bottom-k fingerprint -------------------------------------------------------------------
+
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bottom_k_fingerprint(docs, "doc_id", "text", k_gram=8, k=4)
+
+
+T4_ORACLE = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, md5(substr(lower(text), CAST(i AS INTEGER), 8)) AS h
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 7)) AS i
+        FROM documents)
+)
+SELECT doc_id,
+       md5(array_to_string(list_slice(list_sort(list(DISTINCT h)), 1, 4), '')) AS fingerprint
+FROM grams GROUP BY doc_id
+"""
+
+
+# --- MM1: multimodal binary plumbing (Arrow batch extraction) -------------------------------------
+
+def mm1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_binary(docs, "text", "content")
+    return extract_binary_meta(media, "doc_id", "content")
+
+
+MM1_ORACLE = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       substr(text, 1, 4) AS magic,
+       md5(text) AS digest
+FROM documents
+"""
+
+
+QUERIES = {
+    "d1_exact_dedup": (d1_exact_dedup, D1_ORACLE),
+    "d2_minhash_lsh_jaccard": (d2_minhash_lsh_jaccard, D2_ORACLE),
+    "d3_simhash": (d3_simhash, D3_ORACLE),
+    "e1_cosine_topk": (e1_cosine_topk, E1_ORACLE),
+    "e2_lsh_ann": (e2_lsh_ann, E2_ORACLE),
+    "t1_langid": (t1_langid, T1_ORACLE),
+    "t2_quality_score": (t2_quality_score, T2_ORACLE),
+    "t3_token_counts": (t3_token_counts, T3_ORACLE),
+    "t4_fingerprint": (t4_fingerprint, T4_ORACLE),
+    "mm1_binary_meta": (mm1_binary_meta, MM1_ORACLE),
+}

@@ -1,3 +1,294 @@
-"""Placeholder — filled in as operators land."""
+"""Statistical operators (SURVEY.md §2.8 M2/M3/M4/M5/M7/M9) on star-schema
+analogues. M4/M5 are applyInPandas paths (genuinely non-SQL) and get
+rows-only checks; everything else has a DuckDB oracle."""
 
-QUERIES: dict = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from peskas_timor_data_pipeline_spark.harness.tables import load
+from peskas_timor_data_pipeline_spark.operators.estimate import (
+    impute_mean_replicates,
+    poisson_glm_per_group,
+    redistribute_shares,
+)
+from peskas_timor_data_pipeline_spark.operators.interpolate import interpolate_linear
+from peskas_timor_data_pipeline_spark.operators.outliers import ols_cooks_distance
+from peskas_timor_data_pipeline_spark.operators.weights import estimate_weights
+
+
+# --- M2: set-based length-weight estimator -----------------------------------
+
+def m2_length_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    # catch rows: length = l_quantity, n = l_linenumber, species code = brand
+    catch = (
+        li.join(part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.col("p_brand").alias("code"),
+            F.col("l_quantity").alias("length"),
+            F.col("l_linenumber").cast("double").alias("n_ind"),
+        )
+    )
+    # LW parameter table: every part of the same brand is a candidate species
+    params = part.select(
+        F.col("p_brand").alias("code"),
+        (F.col("p_retailprice") / 10000.0).alias("a"),
+        (1.0 + (F.col("p_size") % 10) / 10.0).alias("b"),
+    )
+    weights = estimate_weights(
+        catch, params, "code", "length", "n_ind",
+        ["l_orderkey", "l_linenumber", "l_returnflag"], quantile=0.75,
+    )
+    return weights.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("weight"), 6).alias("avg_weight"),
+        F.round(F.sum("weight"), 2).alias("total_weight"),
+        F.max("n_candidates").alias("max_candidates"),
+    )
+
+
+M2_ORACLE = """
+WITH catch AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, p_brand AS code,
+         l_quantity AS length, CAST(l_linenumber AS DOUBLE) AS n_ind
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), params AS (
+  SELECT p_brand AS code, p_retailprice / 10000.0 AS a,
+         1.0 + (p_size % 10) / 10.0 AS b
+  FROM part
+), weights AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         quantile_cont(a * pow(length, b), 0.75) * min(n_ind) AS weight,
+         count(*) AS n_candidates
+  FROM catch JOIN params USING (code)
+  GROUP BY l_orderkey, l_linenumber, l_returnflag
+)
+SELECT l_returnflag, count(*) AS n_rows,
+       round(avg(weight), 6) AS avg_weight,
+       round(sum(weight), 2) AS total_weight,
+       max(n_candidates) AS max_candidates
+FROM weights GROUP BY l_returnflag
+"""
+
+
+# --- M3: OLS + Cook's distance in closed form -----------------------------------
+
+def m3_ols_cooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    per_order = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .select(
+            "o_orderkey",
+            F.log1p("qty").alias("x"),
+            F.log1p("o_totalprice").alias("y"),
+        )
+    )
+    fitted = ols_cooks_distance(per_order, "x", "y")
+    sample = fitted.filter(F.col("o_orderkey") % 100 == 0)
+    return sample.select(
+        "o_orderkey",
+        F.round("fitted", 6).alias("fitted"),
+        F.round("resid", 6).alias("resid"),
+        F.round(F.col("cooksd") * 1e6, 3).alias("cooksd_ppm"),
+    )
+
+
+M3_ORACLE = """
+WITH pts AS (
+  SELECT o_orderkey, ln(1 + qty) AS x, ln(1 + o_totalprice) AS y
+  FROM (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY l_orderkey) t
+  JOIN orders ON l_orderkey = o_orderkey
+), stats AS (
+  SELECT count(*) AS n, avg(x) AS xbar, avg(y) AS ybar,
+         sum(x * x) AS sxx_raw, sum(x * y) AS sxy_raw
+  FROM pts
+), fit AS (
+  SELECT pts.*, n, xbar,
+         (sxy_raw - n * xbar * ybar) / (sxx_raw - n * xbar * xbar) AS slope,
+         ybar - (sxy_raw - n * xbar * ybar) / (sxx_raw - n * xbar * xbar) * xbar AS intercept,
+         sxx_raw - n * xbar * xbar AS sxx
+  FROM pts, stats
+), resids AS (
+  SELECT *, intercept + slope * x AS fitted, y - (intercept + slope * x) AS resid
+  FROM fit
+), sse AS (
+  SELECT sum(resid * resid) AS sse_v FROM resids
+)
+SELECT o_orderkey,
+       round(fitted, 6) AS fitted,
+       round(resid, 6) AS resid,
+       round((resid * resid * (1.0/n + (x - xbar)*(x - xbar)/sxx))
+             / (2 * (sse_v / (n - 2)) * pow(1 - (1.0/n + (x - xbar)*(x - xbar)/sxx), 2))
+             * 1e6, 3) AS cooksd_ppm
+FROM resids, sse
+WHERE o_orderkey % 100 = 0
+"""
+
+
+# --- M7: window-based linear interpolation ----------------------------------------
+
+def m7_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    # Tie-free average: sum exact integer cents (order-independent), divide
+    # once — money averages otherwise land exactly on .5 rounding boundaries
+    # (cents/n rationals) where engine summation order flips the digit.
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("period"),
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100)) / F.count(F.lit(1)) / 100.0,
+            6,
+        ).alias("avg_price")
+    )
+    # inject gaps deterministically: every 3rd month is "unobserved"
+    gappy = monthly.withColumn(
+        "avg_price",
+        F.when(F.month("period") % 3 != 0, F.col("avg_price")),
+    )
+    filled = interpolate_linear(
+        gappy, ["o_orderpriority"], "period", "avg_price", out_col="price_filled"
+    )
+    # floor-quantize, not round(): midpoints of 6-decimal values are exact
+    # .5 ties at the 7th digit, where Spark (decimal-repr HALF_UP) and
+    # DuckDB (binary round) disagree; floor(x*1e4+0.5) is the same IEEE op
+    # sequence in both engines.
+    return filled.select(
+        "o_orderpriority",
+        "period",
+        (F.floor(F.col("price_filled") * 1e4 + 0.5) / 1e4).alias("price_filled"),
+        "is_imputed",
+    )
+
+
+M7_ORACLE = """
+WITH monthly AS (
+  SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+         round(sum(round(o_totalprice * 100)) / count(*) / 100.0, 6) AS avg_price
+  FROM orders GROUP BY 1, 2
+), gappy AS (
+  SELECT o_orderpriority, period,
+         CASE WHEN month(period) % 3 <> 0 THEN avg_price END AS v
+  FROM monthly
+), indexed AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY period) AS rn
+  FROM gappy
+), ctx AS (
+  SELECT *,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY o_orderpriority ORDER BY period
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        OVER (PARTITION BY o_orderpriority ORDER BY period
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prn,
+    first_value(v IGNORE NULLS) OVER (PARTITION BY o_orderpriority ORDER BY period
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        OVER (PARTITION BY o_orderpriority ORDER BY period
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nrn
+  FROM indexed
+)
+SELECT o_orderpriority, period,
+       floor((CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + ((nv - pv) * (rn - prn)) / (nrn - prn)
+             END) * 1e4 + 0.5) / 1e4 AS price_filled,
+       v IS NULL AND coalesce(pv, nv) IS NOT NULL AS is_imputed
+FROM ctx
+"""
+
+
+# --- M9: taxa-proportion redistribution ----------------------------------------------
+
+def m9_share_redistribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    monthly_flag = li.groupBy(
+        F.trunc(F.to_date("l_shipdate"), "month").alias("period"),
+        "l_returnflag",
+    ).agg(F.sum("l_quantity").alias("catch_taxa"))
+    # independent "total estimate" per period to re-apply shares to
+    totals = li.groupBy(
+        F.trunc(F.to_date("l_shipdate"), "month").alias("period")
+    ).agg((F.sum(F.col("l_extendedprice")) / 1000.0).alias("total_est"))
+    df = monthly_flag.join(totals, "period")
+    out = redistribute_shares(df, ["period"], "catch_taxa", "total_est")
+    return out.select(
+        "period",
+        "l_returnflag",
+        F.round("share_pct", 6).alias("share_pct"),
+        F.round("redistributed", 4).alias("redistributed"),
+    )
+
+
+M9_ORACLE = """
+WITH monthly_flag AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS period, l_returnflag,
+         sum(l_quantity) AS catch_taxa
+  FROM lineitem GROUP BY 1, 2
+), totals AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS period,
+         sum(l_extendedprice) / 1000.0 AS total_est
+  FROM lineitem GROUP BY 1
+)
+SELECT period, l_returnflag,
+       round(catch_taxa / sum(catch_taxa) OVER (PARTITION BY period) * 100.0, 6) AS share_pct,
+       round(total_est * (catch_taxa / sum(catch_taxa) OVER (PARTITION BY period) * 100.0) / 100.0, 4) AS redistributed
+FROM monthly_flag JOIN totals USING (period)
+"""
+
+
+# --- M4: per-group Poisson GLM via applyInPandas (rows-only check) ---------------------
+
+def m4_poisson_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("period"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    indexed = monthly.withColumn(
+        "month_idx",
+        F.months_between(F.col("period"), F.lit("1995-01-01").cast("date")),
+    )
+    fits = poisson_glm_per_group(
+        indexed, ["o_orderpriority"], "n_orders", ["month_idx"]
+    )
+    return fits.select(
+        "o_orderpriority", "term", F.round("coef", 6).alias("coef"), "n_obs"
+    ).orderBy("o_orderpriority", "term")
+
+
+# --- M5: seeded multiple-imputation analogue (rows-only check) --------------------------
+
+def m5_impute_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("period"),
+    ).agg(F.avg("o_totalprice").alias("avg_price"))
+    gappy = monthly.withColumn(
+        "avg_price", F.when(F.month("period") % 4 != 0, F.col("avg_price"))
+    )
+    out = impute_mean_replicates(
+        gappy, ["o_orderpriority"], "period", "avg_price", m=5, seed=666
+    )
+    return out.select(
+        "o_orderpriority", "period", F.round("avg_price", 6).alias("avg_price"), "is_imputed"
+    )
+
+
+QUERIES = {
+    "m2_length_weight": (m2_length_weight, M2_ORACLE),
+    "m3_ols_cooks": (m3_ols_cooks, M3_ORACLE),
+    "m7_interpolation": (m7_interpolation, M7_ORACLE),
+    "m9_share_redistribution": (m9_share_redistribution, M9_ORACLE),
+    "m4_poisson_glm": (m4_poisson_glm, None),
+    "m5_impute_replicates": (m5_impute_replicates, None),
+}

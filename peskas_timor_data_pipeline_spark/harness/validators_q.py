@@ -1,3 +1,214 @@
-"""Placeholder — filled in as operators land."""
+"""Validation-library queries (SURVEY.md §2.9) on the star-schema analogues:
+orders ~ landings submissions, lineitem ~ catch rows, dims ~ metadata tables.
+Alert numbering follows the reference (4/10 dates, 5 duration, 6 price,
+14 categorical, 20 unit conversion)."""
 
-QUERIES: dict = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from peskas_timor_data_pipeline_spark.harness.tables import load
+from peskas_timor_data_pipeline_spark.operators.validation import (
+    combine_validators,
+    validate_bounds,
+    validate_categorical,
+    validate_date_order,
+    validate_unit_conversion,
+)
+
+
+def _joined_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_shipdate"))
+    return orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey, "left")
+
+
+# --- alerts 4/10: date order + submission delay --------------------------------
+
+def v_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _joined_orders(spark, sf_dir)
+    out = validate_date_order(
+        df, "o_orderkey", "o_orderdate", "first_shipdate", max_delay_days=60
+    )
+    return out.withColumnRenamed("alert_4_10", "alert_number")
+
+
+V_DATES_ORACLE = """
+WITH df AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS ev, CAST(first_shipdate AS DATE) AS sub
+  FROM orders LEFT JOIN (
+    SELECT l_orderkey, min(l_shipdate) AS first_shipdate FROM lineitem GROUP BY l_orderkey
+  ) ON o_orderkey = l_orderkey
+), flagged AS (
+  SELECT o_orderkey, ev,
+         CASE WHEN ev > sub THEN 4
+              WHEN date_diff('day', ev, sub) > 60 THEN 10 END AS alert_number
+  FROM df
+)
+SELECT o_orderkey,
+       CASE WHEN alert_number IS NULL THEN ev END AS o_orderdate,
+       alert_number
+FROM flagged
+"""
+
+
+# --- alert 5: duration bounds ----------------------------------------------------
+
+def v_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _joined_orders(spark, sf_dir).withColumn(
+        "trip_days", F.datediff(F.to_date("first_shipdate"), F.to_date("o_orderdate"))
+    )
+    out = validate_bounds(df, "o_orderkey", "trip_days", 0, 90, 5)
+    return out.withColumnRenamed("alert_5", "alert_number")
+
+
+V_DURATION_ORACLE = """
+WITH df AS (
+  SELECT o_orderkey,
+         date_diff('day', CAST(o_orderdate AS DATE), CAST(first_shipdate AS DATE)) AS trip_days
+  FROM orders LEFT JOIN (
+    SELECT l_orderkey, min(l_shipdate) AS first_shipdate FROM lineitem GROUP BY l_orderkey
+  ) ON o_orderkey = l_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN trip_days IS NOT NULL AND (trip_days < 0 OR trip_days > 90)
+            THEN NULL ELSE trip_days END AS trip_days,
+       CASE WHEN trip_days IS NOT NULL AND (trip_days < 0 OR trip_days > 90)
+            THEN 5 END AS alert_number
+FROM df
+"""
+
+
+# --- alert 6: price ceiling --------------------------------------------------------
+
+def v_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    out = validate_bounds(orders, "o_orderkey", "o_totalprice", None, 400000.0, 6)
+    return out.withColumnRenamed("alert_6", "alert_number")
+
+
+V_PRICE_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 400000.0 THEN NULL ELSE o_totalprice END AS o_totalprice,
+       CASE WHEN o_totalprice > 400000.0 THEN 6 END AS alert_number
+FROM orders
+"""
+
+
+# --- alert 14: categorical FK check --------------------------------------------------
+
+def v_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    # inject invalid codes deterministically (synthetic bad survey entries)
+    facts = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_nationkey") + 100)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nation_code"),
+    )
+    out = validate_categorical(facts, "c_custkey", "nation_code", nation, "n_nationkey", 14)
+    return out.withColumnRenamed("alert_14", "alert_number")
+
+
+V_CATEGORICAL_ORACLE = """
+WITH facts AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_nationkey + 100 ELSE c_nationkey END AS nation_code
+  FROM customer
+)
+SELECT c_custkey,
+       CASE WHEN nation_code IN (SELECT n_nationkey FROM nation) THEN nation_code END AS nation_code,
+       CASE WHEN nation_code NOT IN (SELECT n_nationkey FROM nation) THEN 14 END AS alert_number
+FROM facts
+"""
+
+
+# --- alert 20: unit conversion + ceiling ----------------------------------------------
+
+def v_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    facts = li.select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("item_id"),
+        F.col("l_quantity").alias("mesh"),
+        F.when(F.col("l_returnflag") == "A", "inches").otherwise("mm").alias("unit"),
+    )
+    out = validate_unit_conversion(
+        facts, "item_id", "mesh", "unit", "inches", 25.4, 800.0, 20
+    )
+    return out.withColumnRenamed("alert_20", "alert_number")
+
+
+V_UNIT_ORACLE = """
+WITH facts AS (
+  SELECT concat_ws('-', l_orderkey, l_linenumber) AS item_id,
+         CASE WHEN l_returnflag = 'A' THEN l_quantity * 25.4 ELSE l_quantity END AS mesh_std
+  FROM lineitem
+)
+SELECT item_id,
+       CASE WHEN mesh_std > 800.0 THEN NULL ELSE mesh_std END AS mesh_std,
+       CASE WHEN mesh_std > 800.0 THEN 20 END AS alert_number
+FROM facts
+"""
+
+
+# --- full orchestration: reduce-join + unite alert codes --------------------------------
+
+def v_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    base = orders.select("o_orderkey")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_shipdate"))
+    joined = orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey, "left")
+
+    v_price_df = validate_bounds(orders, "o_orderkey", "o_totalprice", None, 400000.0, 6)
+    v_dates_df = validate_date_order(
+        joined, "o_orderkey", "o_orderdate", "first_shipdate", max_delay_days=60
+    ).select("o_orderkey", "alert_4_10")
+    v_qty_df = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .select("o_orderkey", F.when(F.col("total_qty") > 250, 11).alias("alert_11"))
+    )
+    out = combine_validators(base, [v_price_df, v_dates_df, v_qty_df], "o_orderkey")
+    return out.select("o_orderkey", "o_totalprice", "alert")
+
+
+V_COMBINED_ORACLE = """
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_shipdate FROM lineitem GROUP BY l_orderkey
+), v_price AS (
+  SELECT o_orderkey,
+         CASE WHEN o_totalprice > 400000.0 THEN NULL ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_totalprice > 400000.0 THEN 6 END AS a6
+  FROM orders
+), v_dates AS (
+  SELECT o_orderkey,
+         CASE WHEN CAST(o_orderdate AS DATE) > CAST(first_shipdate AS DATE) THEN 4
+              WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(first_shipdate AS DATE)) > 60 THEN 10
+         END AS a410
+  FROM orders LEFT JOIN first_ship ON o_orderkey = l_orderkey
+), v_qty AS (
+  SELECT l_orderkey AS o_orderkey,
+         CASE WHEN sum(l_quantity) > 250 THEN 11 END AS a11
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, v_price.o_totalprice,
+       nullif(concat_ws('-', a6, a410, a11), '') AS alert
+FROM (SELECT o_orderkey FROM orders) o
+LEFT JOIN v_price USING (o_orderkey)
+LEFT JOIN v_dates USING (o_orderkey)
+LEFT JOIN v_qty USING (o_orderkey)
+"""
+
+
+QUERIES = {
+    "v_dates": (v_dates, V_DATES_ORACLE),
+    "v_duration": (v_duration, V_DURATION_ORACLE),
+    "v_price": (v_price, V_PRICE_ORACLE),
+    "v_categorical": (v_categorical, V_CATEGORICAL_ORACLE),
+    "v_unit_conversion": (v_unit_conversion, V_UNIT_ORACLE),
+    "v_combined": (v_combined, V_COMBINED_ORACLE),
+}

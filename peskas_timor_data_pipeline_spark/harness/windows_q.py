@@ -1,3 +1,196 @@
-"""Placeholder — filled in as operators land."""
+"""Window operators (SURVEY.md §2.5 W1-W5) with DuckDB oracle twins."""
 
-QUERIES: dict = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from peskas_timor_data_pipeline_spark.harness.tables import load
+from peskas_timor_data_pipeline_spark.operators.windows import (
+    group_share,
+    top1_per_group,
+    with_gap_to_next,
+)
+
+
+# --- W1: lead/lag over partition (inter-trip gap) ----------------------------
+
+def w1_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    gapped = with_gap_to_next(
+        ev.select("user_id", "event_id", "ts"),
+        ["user_id"],
+        "ts",
+        ts_end="ts",
+        ts_start="ts",
+    )
+    return gapped.groupBy("user_id").agg(
+        F.count("gap_seconds").alias("n_gaps"),
+        F.round(F.avg("gap_seconds"), 6).alias("avg_gap_s"),
+        F.max("gap_seconds").alias("max_gap_s"),
+    )
+
+
+# NB unix_timestamp truncates to whole seconds; epoch() in DuckDB keeps
+# microseconds — the oracle floors both ends the same way.
+W1_ORACLE = """
+WITH gapped AS (
+  SELECT user_id,
+         floor(epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)))
+         - floor(epoch(ts)) AS gap_seconds
+  FROM events
+)
+SELECT user_id, count(gap_seconds) AS n_gaps,
+       round(avg(gap_seconds), 6) AS avg_gap_s,
+       CAST(max(gap_seconds) AS BIGINT) AS max_gap_s
+FROM gapped GROUP BY user_id
+"""
+
+
+# --- W2: top-1 per group under explicit ordering ------------------------------
+
+def w2_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return top1_per_group(
+        orders, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+W2_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# --- W3: per-group normalized shares kept on rows ------------------------------
+
+def w3_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    shared = group_share(rev, ["n_name"], "rev", "share")
+    return shared.select(
+        "n_name", "s_suppkey", F.round("rev", 0).alias("rev"), F.round("share", 6).alias("share")
+    )
+
+
+W3_ORACLE = """
+WITH rev AS (
+  SELECT n_name, s_suppkey,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_suppkey
+)
+SELECT n_name, s_suppkey, round(rev, 0) AS rev,
+       round(rev / sum(rev) OVER (PARTITION BY n_name), 6) AS share
+FROM rev
+"""
+
+
+# --- W4: month-spine completion --------------------------------------------------
+
+def w4_spine_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("period")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    bounds = orders.agg(
+        F.min(F.trunc(F.to_date("o_orderdate"), "month")).alias("lo"),
+        F.max(F.trunc(F.to_date("o_orderdate"), "month")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias("period")
+    )
+    return (
+        spine.join(monthly, "period", "left")
+        .fillna(0, subset=["n_orders"])
+        .withColumn("is_imputed", F.col("n_orders") == 0)
+    )
+
+
+W4_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(date_trunc('month', o_orderdate)) AS DATE) lo,
+         CAST(max(date_trunc('month', o_orderdate)) AS DATE) hi
+  FROM orders
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS period FROM bounds
+), monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period, count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT period, coalesce(n_orders, 0) AS n_orders,
+       coalesce(n_orders, 0) = 0 AS is_imputed
+FROM spine LEFT JOIN monthly USING (period)
+"""
+
+
+# --- W5: current-period proration with lead ----------------------------------------
+
+def w5_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # value * elapsed/period_length using lead(period) and a fixed "as-of"
+    # date (the reference uses today(); fixed here for determinism).
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("period")
+    ).agg(F.round(F.sum("o_totalprice"), 0).alias("value"))
+    w = Window.orderBy("period")
+    as_of = F.lit("2001-06-15").cast("date")
+    with_next = monthly.withColumn("next_period", F.lead("period").over(w))
+    return with_next.select(
+        "period",
+        "value",
+        F.when(
+            F.col("next_period").isNotNull() | (F.datediff(as_of, F.col("period")) < 0),
+            F.col("value"),
+        )
+        .otherwise(
+            F.round(
+                F.col("value")
+                * F.datediff(as_of, F.col("period"))
+                / F.datediff(F.add_months(F.col("period"), 1), F.col("period")),
+                6,
+            )
+        )
+        .alias("prorated_value"),
+    )
+
+
+W5_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+         round(sum(o_totalprice), 0) AS value
+  FROM orders GROUP BY 1
+), with_next AS (
+  SELECT *, lead(period) OVER (ORDER BY period) AS next_period FROM monthly
+)
+SELECT period, value,
+       CASE WHEN next_period IS NOT NULL OR date_diff('day', period, DATE '2001-06-15') < 0
+            THEN value
+            ELSE round(value * date_diff('day', period, DATE '2001-06-15')
+                 / date_diff('day', period, period + INTERVAL 1 MONTH), 6)
+       END AS prorated_value
+FROM with_next
+"""
+
+
+QUERIES = {
+    "w1_lead_lag": (w1_lead_lag, W1_ORACLE),
+    "w2_top1_per_group": (w2_top1_per_group, W2_ORACLE),
+    "w3_group_share": (w3_group_share, W3_ORACLE),
+    "w4_spine_completion": (w4_spine_completion, W4_ORACLE),
+    "w5_proration": (w5_proration, W5_ORACLE),
+}

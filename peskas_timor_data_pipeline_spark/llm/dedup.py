@@ -1,0 +1,178 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hashing is md5 column expressions so results are deterministic,
+partition-stable, and reproducible on any engine (the correctness oracle
+recomputes them in DuckDB).
+
+Scale notes:
+- exact dedup is one shuffle on the content hash
+- MinHash signatures are a single explode + groupBy(doc) pass; LSH pairing
+  shuffles on band keys, so cluster skew (a viral duplicate) is bounded by
+  the band bucket, not the corpus
+- verification (true Jaccard) runs only on LSH candidates, never all pairs
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_shingles(text_col: str, k: int = 5, out_col: str = "shingle") -> Column:
+    """Array of lowercased character k-grams (empty for too-short texts).
+
+    Guarded: Spark's sequence(1, 0) counts DOWN, so short texts must hit the
+    empty-array branch, not a descending sequence."""
+    lowered = f"lower({text_col})"
+    return F.expr(
+        f"CASE WHEN length({lowered}) >= {k} THEN "
+        f"transform(sequence(1, length({lowered}) - {k - 1}),"
+        f" i -> substring({lowered}, i, {k})) "
+        f"ELSE array() END"
+    ).alias(out_col)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, content_cols: list[str]
+) -> DataFrame:
+    """Exact duplicate removal by content hash: survivor = min id per hash
+    (deterministic). Adds ``n_dups`` = group size. One shuffle on the hash."""
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+    hashed = df.withColumn("__h__", h)
+    survivors = hashed.groupBy("__h__").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups")
+    )
+    return survivors.join(hashed, [id_col, "__h__"]).drop("__h__")
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 6,
+    k_shingle: int = 5,
+) -> DataFrame:
+    """MinHash signature per document: h_j = min(md5(shingle || '#' || j)).
+
+    String-min over md5 hex digests is a valid permutation-min (md5 is the
+    "random permutation"); identical in any engine with md5. One explode +
+    one groupBy(doc)."""
+    shingled = df.select(
+        F.col(id_col), F.explode(char_shingles(text_col, k_shingle)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{j}")))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 6,
+    band_size: int = 2,
+) -> DataFrame:
+    """Band the signature (rows of ``band_size`` hashes), bucket-join on
+    band keys, emit distinct candidate pairs (a < b). Only bucket-mates
+    pair up — never an all-pairs product."""
+    n_bands = n_hashes // band_size
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"h{b * band_size + i}") for i in range(band_size)],
+            )
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = signatures.select(F.col(id_col), *bands)
+    long = banded.select(
+        id_col,
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias("band_key"),
+    )
+    a = long.select(F.col(id_col).alias("id_a"), "band_key")
+    b = long.select(F.col(id_col).alias("id_b"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 5,
+) -> DataFrame:
+    """True Jaccard similarity over distinct char k-gram sets for the given
+    candidate pairs: |A ∩ B| / |A ∪ B|. Joins shingle sets only for
+    candidates (LSH verification pass)."""
+    sets = docs.select(
+        F.col(id_col), F.explode(char_shingles(text_col, k_shingle)).alias("sh")
+    ).distinct()
+    sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a_sets = sets.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    b_sets = sets.select(F.col(id_col).alias("id_b"), F.col("sh"))
+    inter = (
+        pairs.join(a_sets, "id_a").join(b_sets, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .fillna(0, subset=["n_inter"])
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")), "id_b")
+    )
+    return out.withColumn(
+        "jaccard",
+        F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+    )
+
+
+_HEX_DIGIT_CASE = (
+    "CASE {c} "
+    + " ".join(f"WHEN '{d:x}' THEN {d}" for d in range(16))
+    + " END"
+)
+
+
+def simhash_bits_sql(text_col: str, n_bits: int = 16) -> str:
+    """Engine-portable SQL for a SimHash over whitespace tokens.
+
+    Each token's md5 hex prefix supplies n_bits bits (4 per hex char);
+    SimHash bit b = sign of sum over tokens of (2*bit_b - 1). Returns a SQL
+    expression list (one per bit) to aggregate with SUM; identical text in
+    Spark SQL and DuckDB, so the oracle is the same string.
+    """
+    exprs = []
+    for b in range(n_bits):
+        char_idx = b // 4 + 1  # 1-based position in md5 hex
+        bit_in_char = b % 4
+        digit = _HEX_DIGIT_CASE.format(c=f"substring(md5(tok), {char_idx}, 1)")
+        exprs.append(
+            f"CASE WHEN sum(2 * (CAST(floor(({digit}) / {2 ** bit_in_char}) AS BIGINT) % 2) - 1) >= 0"
+            f" THEN '1' ELSE '0' END"
+        )
+    return exprs
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
+    """SimHash per document as an ``n_bits``-char bit string column
+    ``simhash``. Tokens = whitespace split; explode + one groupBy(doc)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bit_exprs = simhash_bits_sql(text_col, n_bits)
+    aggs = [F.expr(e).alias(f"b{i}") for i, e in enumerate(bit_exprs)]
+    sig = toks.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.concat(*[F.col(f"b{i}") for i in range(n_bits)]).alias("simhash"),
+    )

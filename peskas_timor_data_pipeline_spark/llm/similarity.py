@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline; crossJoin(queries x
+  candidates) is acceptable only because the query side is small — the
+  candidate side streams through in parallel and never materializes.
+- hyperplane-LSH bucketing: the scale path; sign-bit bucket on leading
+  dimensions prunes candidates before the distance computation (at 100 TB
+  the bucket join replaces the crossJoin entirely).
+
+The dot product is a generated fixed-length arithmetic expression (the
+embedding dim is known from the schema), which keeps the whole computation
+inside whole-stage codegen — faster than higher-order aggregate lambdas and
+bit-identical across engines for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_expr(a: str, b: str, dim: int) -> Column:
+    """sum_i a[i]*b[i] as one generated expression (deterministic order)."""
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(dim)
+    )
+    return F.expr(terms)
+
+
+def norm_expr(a: str, dim: int) -> Column:
+    terms = " + ".join(f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)" for i in range(dim))
+    return F.sqrt(F.expr(terms))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Exact top-k by cosine per query (tie-broken by candidate id)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    )
+    scored = q.crossJoin(c).withColumn(
+        "cosine",
+        dot_expr("qv", "cv", dim) / (norm_expr("qv", dim) * norm_expr("cv", dim)),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def hyperplane_bucket(vec_col: str, n_bits: int = 8) -> Column:
+    """Sign-bit bucket over the leading ``n_bits`` dimensions — a
+    deterministic hyperplane LSH (axis-aligned planes). Vectors in the same
+    orthant share a bucket; cosine-similar vectors usually do."""
+    bits = [f"CASE WHEN {vec_col}[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(n_bits)]
+    return F.expr("concat(" + ", ".join(bits) + ")")
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 1,
+    dim: int = 64,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates are pruned to the query's hyperplane
+    bucket before scoring. Misses across orthant boundaries are the accepted
+    approximation (IVF-style recall/cost trade)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        hyperplane_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        hyperplane_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    scored = q.join(c, "bucket").withColumn(
+        "cosine",
+        dot_expr("qv", "cv", dim) / (norm_expr("qv", dim) * norm_expr("cv", dim)),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: only bucket-mates
+    are compared; pairs with cosine >= threshold survive."""
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn(
+        "cosine",
+        dot_expr("va", "vb", dim) / (norm_expr("va", dim) * norm_expr("vb", dim)),
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )

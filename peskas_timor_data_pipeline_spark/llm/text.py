@@ -1,0 +1,107 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure column expressions (no UDFs) so they run
+JVM-side at full scan speed and are oracle-reproducible."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# n-gram-heuristic language ID: tiny per-language stopword inventories.
+# Deterministic tie-break = this dict's order.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "es": ["el", "la", "y", "los", "de", "que", "un", "una"],
+    "de": ["der", "die", "und", "das", "ein", "ist", "nicht", "mit"],
+}
+
+
+def tokens(text_col: str) -> Column:
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def stopword_hits(text_col: str, words: list[str]) -> Column:
+    """How many tokens belong to the given stopword set."""
+    wl = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        f"size(filter(split(lower({text_col}), '\\\\s+'), x -> x IN ({wl})))"
+    )
+
+
+def langid_heuristic(df: DataFrame, text_col: str, out_col: str = "pred_lang") -> DataFrame:
+    """Argmax of per-language stopword hit counts; 'und' when all zero.
+    Ties resolve in STOPWORDS declaration order (deterministic)."""
+    out = df
+    for lang, words in STOPWORDS.items():
+        out = out.withColumn(f"__{lang}__", stopword_hits(text_col, words))
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang in STOPWORDS:  # later langs must strictly beat earlier ones
+        cond = F.col(f"__{lang}__") > best_n
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, F.col(f"__{lang}__")).otherwise(best_n)
+    return out.withColumn(out_col, best).drop(*[f"__{l}__" for l in STOPWORDS])
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Length/punctuation/stopword quality features + a composite score in
+    [0, 1]. Mirrors the heuristics production corpus filters use (length
+    bands, symbol ratio, stopword presence)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    alpha_only = F.regexp_replace(F.lower(t), "[^a-z]", "")
+    punct_only = F.regexp_replace(t, r"[a-zA-Z0-9\s]", "")
+    en_hits = stopword_hits(text_col, STOPWORDS["en"])
+    out = (
+        df.withColumn("n_chars_f", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "avg_token_len",
+            F.round(F.length(F.regexp_replace(t, r"\s+", "")) / n_tokens, 6),
+        )
+        .withColumn("alpha_ratio", F.round(F.length(alpha_only) / n_chars, 6))
+        .withColumn("punct_ratio", F.round(F.length(punct_only) / n_chars, 6))
+        .withColumn("stopword_ratio", F.round(en_hits / n_tokens, 6))
+    )
+    score = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.3
+        + F.col("alpha_ratio") * 0.4
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.2
+        + (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))) * 0.1
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish regex token count (letter runs,
+    digit runs, single symbols) — the standard pre-tokenizer shape."""
+    return df.withColumn(
+        "ws_tokens", F.size(tokens(text_col))
+    ).withColumn(
+        "bpe_ish_tokens",
+        F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")),
+    )
+
+
+def bottom_k_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, k_gram: int = 8, k: int = 4
+) -> DataFrame:
+    """Winnowing-style document fingerprint: md5 of the k lexicographically
+    smallest distinct char k-gram hashes. Robust to local edits; docs with
+    the same fingerprint are near-dup candidates. One explode + groupBy."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import char_shingles
+
+    grams = df.select(
+        F.col(id_col), F.explode(char_shingles(text_col, k_gram, "g")).alias("g")
+    ).distinct()
+    hashed = grams.select(id_col, F.md5("g").alias("h"))
+    collected = hashed.groupBy(id_col).agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("bottom")
+    )
+    return collected.select(
+        F.col(id_col),
+        F.md5(F.concat_ws("", "bottom")).alias("fingerprint"),
+    )
