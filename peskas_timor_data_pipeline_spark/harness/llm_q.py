@@ -77,7 +77,11 @@ FROM groups
 
 # --- D2: MinHash signatures + LSH candidates + Jaccard verification ---------------
 
-N_HASHES, BAND_SIZE, K_SHINGLE = 6, 2, 5
+# 2 bands of 8: candidate probability ~ 1-(1-s^8)^2, which stays near zero
+# for the corpus-wide s~0.5 background similarity of synthetic word-salad
+# docs and high for true near-dups — without this the verification join
+# degenerates to ~1M candidate pairs at sf0.1.
+N_HASHES, BAND_SIZE, K_SHINGLE = 16, 8, 5
 
 
 def d2_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,7 +108,8 @@ _SIG_COLS = ", ".join(
     f"min(md5(sh || '#{j}')) AS h{j}" for j in range(N_HASHES)
 )
 _BAND_LIST = ", ".join(
-    "md5(concat_ws('|', '%d', h%d, h%d))" % (b, b * BAND_SIZE, b * BAND_SIZE + 1)
+    "md5(concat_ws('|', '%d', %s))"
+    % (b, ", ".join(f"h{b * BAND_SIZE + i}" for i in range(BAND_SIZE)))
     for b in range(N_HASHES // BAND_SIZE)
 )
 

@@ -34,6 +34,7 @@ def m2_length_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").alias("length"),
             F.col("l_linenumber").cast("double").alias("n_ind"),
         )
+        .distinct()  # catch-row identity = full tuple (keys alone collide)
     )
     # LW parameter table: every part of the same brand is a candidate species
     params = part.select(
@@ -55,7 +56,7 @@ def m2_length_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 M2_ORACLE = """
 WITH catch AS (
-  SELECT l_orderkey, l_linenumber, l_returnflag, p_brand AS code,
+  SELECT DISTINCT l_orderkey, l_linenumber, l_returnflag, p_brand AS code,
          l_quantity AS length, CAST(l_linenumber AS DOUBLE) AS n_ind
   FROM lineitem JOIN part ON l_partkey = p_partkey
 ), params AS (
@@ -63,11 +64,11 @@ WITH catch AS (
          1.0 + (p_size % 10) / 10.0 AS b
   FROM part
 ), weights AS (
-  SELECT l_orderkey, l_linenumber, l_returnflag,
+  SELECT l_orderkey, l_linenumber, l_returnflag, code, length,
          quantile_cont(a * pow(length, b), 0.75) * min(n_ind) AS weight,
          count(*) AS n_candidates
   FROM catch JOIN params USING (code)
-  GROUP BY l_orderkey, l_linenumber, l_returnflag
+  GROUP BY l_orderkey, l_linenumber, l_returnflag, code, length
 )
 SELECT l_returnflag, count(*) AS n_rows,
        round(avg(weight), 6) AS avg_weight,

@@ -18,6 +18,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism before an
+    explode: partition sizing happens pre-explode (a few parquet splits), so
+    without this the k*len(text) shingle expansion runs on 2-3 tasks."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def char_shingles(text_col: str, k: int = 5, out_col: str = "shingle") -> Column:
     """Array of lowercased character k-grams (empty for too-short texts).
 
@@ -57,7 +64,7 @@ def minhash_signature(
     String-min over md5 hex digests is a valid permutation-min (md5 is the
     "random permutation"); identical in any engine with md5. One explode +
     one groupBy(doc)."""
-    shingled = df.select(
+    shingled = _spread(df).select(
         F.col(id_col), F.explode(char_shingles(text_col, k_shingle)).alias("sh")
     )
     aggs = [
@@ -111,10 +118,18 @@ def ngram_jaccard(
 ) -> DataFrame:
     """True Jaccard similarity over distinct char k-gram sets for the given
     candidate pairs: |A ∩ B| / |A ∪ B|. Joins shingle sets only for
-    candidates (LSH verification pass)."""
-    sets = docs.select(
-        F.col(id_col), F.explode(char_shingles(text_col, k_shingle)).alias("sh")
-    ).distinct()
+    candidates (LSH verification pass).
+
+    ``pairs`` and the shingle sets are each referenced several times in the
+    join tree; persist them so the (expensive) upstream lineage — shingle
+    explode, MinHash, LSH banding — is computed once, not per reference."""
+    pairs = pairs.localCheckpoint(eager=True)
+    sets = (
+        _spread(docs)
+        .select(F.col(id_col), F.explode(char_shingles(text_col, k_shingle)).alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a_sets = sets.select(F.col(id_col).alias("id_a"), F.col("sh"))
     b_sets = sets.select(F.col(id_col).alias("id_b"), F.col("sh"))
@@ -165,7 +180,7 @@ def simhash_bits_sql(text_col: str, n_bits: int = 16) -> str:
 def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
     """SimHash per document as an ``n_bits``-char bit string column
     ``simhash``. Tokens = whitespace split; explode + one groupBy(doc)."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")

@@ -92,9 +92,9 @@ def bottom_k_fingerprint(
     """Winnowing-style document fingerprint: md5 of the k lexicographically
     smallest distinct char k-gram hashes. Robust to local edits; docs with
     the same fingerprint are near-dup candidates. One explode + groupBy."""
-    from peskas_timor_data_pipeline_spark.llm.dedup import char_shingles
+    from peskas_timor_data_pipeline_spark.llm.dedup import _spread, char_shingles
 
-    grams = df.select(
+    grams = _spread(df).select(
         F.col(id_col), F.explode(char_shingles(text_col, k_gram, "g")).alias("g")
     ).distinct()
     hashed = grams.select(id_col, F.md5("g").alias("h"))

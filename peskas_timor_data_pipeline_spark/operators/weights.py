@@ -40,13 +40,26 @@ def estimate_weights(
     reference) and ``n_candidates``.
     """
     q = F.lit(quantile) if isinstance(quantile, float) else quantile
-    candidates = catch.join(F.broadcast(params), on=code_col, how="inner")
-    cand_w = candidates.withColumn(
+    # The candidate percentile depends only on (code, length) — lengths are
+    # binned (5-cm classes in the reference), so the computation domain is
+    # tiny regardless of catch-table size. Deduplicate it, evaluate the
+    # percentile once per combo, broadcast the result back. This turns an
+    # O(rows x candidates) explode into O(combos x candidates) + one
+    # broadcast join — the difference between 48M and 100k intermediate
+    # rows at sf0.1, and between a shuffle and none at 100 TB.
+    domain = catch.select(code_col, length_col).distinct()
+    cand_w = domain.join(F.broadcast(params), on=code_col, how="inner").withColumn(
         "__w__", F.col(a_col) * F.pow(F.col(length_col), F.col(b_col))
     )
-    return cand_w.groupBy(*row_keys).agg(
-        (F.percentile("__w__", q) * F.first(F.col(n_col))).alias("weight"),
+    per_combo = cand_w.groupBy(code_col, length_col).agg(
+        F.percentile("__w__", q).alias("__pw__"),
         F.count(F.lit(1)).alias("n_candidates"),
+    )
+    joined = catch.join(F.broadcast(per_combo), on=[code_col, length_col], how="inner")
+    return joined.select(
+        *row_keys,
+        (F.col("__pw__") * F.col(n_col)).alias("weight"),
+        "n_candidates",
     )
 
 
