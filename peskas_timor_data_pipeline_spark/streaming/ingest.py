@@ -1,0 +1,76 @@
+"""Structured Streaming ingestion (SURVEY.md §2.10).
+
+The reference is batch-on-cron, but its incremental patterns map directly
+to streams; these builders make ingestion continuous without changing any
+downstream batch stage (parquet sinks are readable by both):
+
+- landing-dir file stream + dedup-by-id with a submission-time watermark
+  (replaces the since-id fetch + duplicate check,
+  R/retrieve-survey-data.R:207-223; late-submission window = the 28-day
+  delay threshold, inst/conf.yml:106-107)
+- append-only track sink with periodic compaction (replaces the
+  consolidated tracks file + 1000-trip resync, R/get-cloud-files.R:160-214)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.types import StructType
+
+
+def stream_landed_files(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    fmt: str = "json",
+    max_files_per_trigger: int = 100,
+) -> DataFrame:
+    """File-source stream over the REST ingestors' landing directory.
+    Checkpointing replaces the reference's already-ingested anti-join —
+    the source tracks processed files exactly-once."""
+    reader = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    return reader.load(landing_dir)
+
+
+def dedup_submissions(
+    stream: DataFrame,
+    id_col: str = "_id",
+    ts_col: str = "_submission_time",
+    late_days: int = 28,
+) -> DataFrame:
+    """Exactly-once submissions: watermark on submission time bounds the
+    dedup state to the reference's 28-day late-submission window; within
+    it, duplicate ids (Kobo re-sends) are dropped."""
+    return stream.withWatermark(ts_col, f"{late_days} days").dropDuplicates(
+        [id_col]
+    )
+
+
+def write_append_sink(
+    stream: DataFrame, path: str, checkpoint: str, trigger_available_now: bool = True
+) -> DataStreamWriter:
+    """Append-only parquet sink (the streaming version of the consolidated
+    track cache). ``availableNow`` drains the backlog then stops — the
+    cron-compatible mode; drop it for a continuously-running pipeline."""
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
+def compact_sink(spark: SparkSession, path: str, target_partitions: int = 32) -> None:
+    """Periodic small-file compaction for the append sink (the reference
+    resyncs its single tracks file after 1000 new trips; at scale this is
+    a rewrite to ``target_partitions`` zstd parquet files)."""
+    df = spark.read.parquet(path)
+    df.repartition(target_partitions).write.mode("overwrite").parquet(path + "__compact")

@@ -1,0 +1,99 @@
+"""Estimation + public-data stage tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from peskas_timor_data_pipeline_spark.operators.windows import month_spine
+from peskas_timor_data_pipeline_spark.pipeline.estimate_pipeline import (
+    complete_and_impute,
+    monthly_indicators,
+    national_rollup,
+    scale_to_fleet,
+)
+from peskas_timor_data_pipeline_spark.pipeline.public import (
+    RDI,
+    anonymize_trips,
+    nutrient_supply,
+    periodic_summary,
+)
+
+
+def _trips(spark):
+    rows = [
+        ("Dili", dt.date(2023, 1, 5), 1, 10, 30.0, 12.0),
+        ("Dili", dt.date(2023, 1, 20), 2, 10, 50.0, 20.0),
+        ("Dili", dt.date(2023, 3, 2), 3, 11, 40.0, 15.0),   # Feb missing
+        ("Baucau", dt.date(2023, 1, 8), 4, 12, 20.0, 8.0),
+        ("Baucau", dt.date(2023, 3, 9), 5, 12, 24.0, 9.0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "region string, landing_date date, landing_id int, boat_id int, "
+        "landing_catch double, catch_price double",
+    )
+
+
+def test_estimation_end_to_end(spark):
+    monthly = monthly_indicators(_trips(spark))
+    jan = monthly.filter("region = 'Dili'").orderBy("landing_period").collect()[0]
+    assert jan.n_landings == 2 and jan.n_boats_seen == 1
+    assert jan.landing_catch == 40.0
+
+    spine = month_spine(spark, "2023-01-01", "2023-03-01")
+    imputed = complete_and_impute(monthly, spine)
+    assert imputed.count() == 6  # 2 regions x 3 months
+    feb = imputed.filter(
+        "region = 'Dili' and landing_period = date'2023-02-01'"
+    ).collect()[0]
+    assert abs(feb.landing_catch - 40.0) < 1e-9  # midpoint of 40 and 40
+    assert feb.is_imputed
+
+    boats = spark.createDataFrame(
+        [("Dili", 100), ("Baucau", 50)], "region string, n_boats int"
+    )
+    scaled = scale_to_fleet(imputed, boats)
+    national = national_rollup(scaled)
+    assert national.count() == 3
+    row = national.filter("landing_period = date'2023-01-01'").collect()[0]
+    assert row.n_regions == 2 and row.catch is not None
+
+
+def test_anonymized_ids_unique(spark):
+    merged = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, None)], "landing_id int, tracker_trip_id int"
+    )
+    out = anonymize_trips(merged)
+    ids = [r.trip_id for r in out.collect()]
+    assert len(ids) == len(set(ids))  # tinytest test_public_data.R:11-14
+    assert all(len(i) == 32 for i in ids)
+
+
+def test_periodic_summary_and_nutrients(spark):
+    catches = spark.createDataFrame(
+        [
+            (dt.date(2023, 1, 2), "CLP", 100.0),
+            (dt.date(2023, 1, 9), "CLP", 50.0),
+        ],
+        "period date, species string, catch_kg double",
+    )
+    weekly = periodic_summary(
+        catches, "period", "week", [F.sum("catch_kg").alias("catch_kg")]
+    )
+    # 2023-01-02 (Mon) -> Sunday 2023-01-01; 01-09 (Mon) -> 01-08
+    weeks = sorted(str(r.period) for r in weekly.collect())
+    assert weeks == ["2023-01-01", "2023-01-08"]
+
+    dim = spark.createDataFrame(
+        [("CLP", *[1.0] * len(RDI))],
+        "species string, " + ", ".join(f"{c} double" for c in RDI),
+    )
+    supply = nutrient_supply(catches, dim, unit_days=30.0)
+    assert supply.count() == 2 * len(RDI)
+    sel = supply.filter(
+        "nutrient = 'Protein_mu' and period = date'2023-01-02'"
+    ).collect()[0]
+    # 100 kg x 1.0 mu x1000 /30d /RDI(50)
+    assert abs(sel.people_rdi - 100 * 1000 / 30 / 50) < 1e-6

@@ -1,0 +1,137 @@
+"""Sources, artifact versioning, DAG runner, streaming ingestion."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from peskas_timor_data_pipeline_spark.sources.io import (
+    add_version,
+    read_stage,
+    resolve_latest,
+    write_stage,
+)
+from peskas_timor_data_pipeline_spark.sources.rest import (
+    fetch_kobo_paginated,
+    incremental_trip_ids,
+    sync_flags_frames,
+)
+
+
+def test_versioned_artifacts_roundtrip(spark, tmp_path):
+    import datetime as dt
+
+    d = str(tmp_path)
+    df1 = spark.range(3).withColumn("v", F.lit("old"))
+    df2 = spark.range(5).withColumn("v", F.lit("new"))
+    p1 = write_stage(df1, d, "landings")
+    time.sleep(1.1)  # version stamps have second resolution
+    p2 = write_stage(df2, d, "landings")
+    assert p1 != p2
+    latest = resolve_latest(d, "landings", "parquet")
+    assert latest == p2
+    assert read_stage(spark, d, "landings").count() == 5
+    name = add_version("x", "parquet", ts=dt.datetime(2023, 5, 1, 12, 0, 0))
+    assert name.startswith("x__20230501120000_") and name.endswith("__.parquet")
+
+
+def test_pipeline_runner(spark, tmp_path):
+    from peskas_timor_data_pipeline_spark.plans import Pipeline
+
+    pipe = Pipeline(spark, str(tmp_path))
+
+    @pipe.stage("raw")
+    def raw(spark):
+        return spark.range(10).withColumn("v", F.col("id") * 2)
+
+    @pipe.stage("agg", inputs=["raw"])
+    def agg(spark, raw):
+        return raw.agg(F.sum("v").alias("total"))
+
+    paths = pipe.run()
+    assert set(paths) == {"raw", "agg"}
+    assert spark.read.parquet(paths["agg"]).collect()[0].total == 90
+
+
+def test_kobo_pagination_and_retry():
+    pages = [
+        {"results": [{"_id": 1}, {"_id": 2}], "next": "http://k/page2"},
+        {"results": [{"_id": 3}], "next": None},
+    ]
+    calls = {"n": 0, "fail_once": True}
+
+    class Resp:
+        def __init__(self, payload):
+            self._p = payload
+
+        def json(self):
+            return self._p
+
+    def http_get(url, params=None, auth=None):
+        if calls["fail_once"]:
+            calls["fail_once"] = False
+            raise ConnectionError("flaky")
+        out = Resp(pages[calls["n"]])
+        calls["n"] += 1
+        return out
+
+    got = list(fetch_kobo_paginated(http_get, "http://k", "asset", since_id=0))
+    assert [r["_id"] for r in got] == [1, 2, 3]
+
+
+def test_incremental_ids():
+    assert incremental_trip_ids([1, 2, 3, 4], {2, 4}) == [1, 3]
+
+
+def test_sync_flags(spark):
+    local = spark.createDataFrame(
+        [(1, "6"), (2, "11"), (3, None)], "submission_id int, alert string"
+    )
+    remote = spark.createDataFrame(
+        [(1, None, True, "checked ok")],
+        "submission_id int, alert string, validated boolean, comments string",
+    )
+    synced = sync_flags_frames(local, remote)
+    rows = {r.submission_id: r for r in synced.collect()}
+    assert len(rows) == 3
+    assert rows[1].validated is True and rows[1].alert == "6"  # remote kept, alert refreshed
+    assert rows[2].alert == "11" and rows[2].validated is None  # appended new
+
+
+def test_streaming_dedup_available_now(spark, tmp_path):
+    from peskas_timor_data_pipeline_spark.streaming.ingest import (
+        dedup_submissions,
+        stream_landed_files,
+        write_append_sink,
+    )
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    subs = [
+        {"_id": "1", "_submission_time": "2023-05-01T10:00:00", "v": "a"},
+        {"_id": "1", "_submission_time": "2023-05-01T10:00:00", "v": "a-dup"},
+        {"_id": "2", "_submission_time": "2023-05-02T11:00:00", "v": "b"},
+    ]
+    with open(landing / "batch1.jsonl", "w") as f:
+        for s in subs:
+            f.write(json.dumps(s) + "\n")
+
+    schema = StructType(
+        [
+            StructField("_id", StringType()),
+            StructField("_submission_time", TimestampType()),
+            StructField("v", StringType()),
+        ]
+    )
+    stream = stream_landed_files(spark, str(landing), schema)
+    assert stream.isStreaming
+    deduped = dedup_submissions(stream)
+    sink = str(tmp_path / "sink")
+    q = write_append_sink(deduped, sink, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(60)
+    out = spark.read.parquet(sink)
+    assert out.count() == 2
+    assert {r._id for r in out.collect()} == {"1", "2"}
