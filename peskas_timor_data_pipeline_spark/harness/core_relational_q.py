@@ -653,3 +653,117 @@ QUERIES = {
     "f_date_functions": (f_date_functions, F_DATE_ORACLE),
     "f_math_hash_json": (f_math_hash_json, F_MATH_ORACLE),
 }
+
+
+# --- P1: pattern-based projection + rename (tidyselect) -------------------------
+
+def p1_pattern_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    # starts_with("l_") ∩ numeric measure columns, renamed without prefix
+    # (the engine-side equivalent of tidyselect + regex renaming P8)
+    measures = [c for c in li.columns if c.startswith("l_") and c.endswith(("price", "quantity", "discount", "tax"))]
+    renamed = li.select(
+        "l_orderkey", *[F.col(c).alias(c.removeprefix("l_")) for c in measures]
+    )
+    return renamed.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.round(F.avg(c.removeprefix("l_")), 6).alias(f"avg_{c.removeprefix('l_')}") for c in measures],
+    )
+
+
+P1_ORACLE = """
+SELECT count(*) AS n,
+       round(avg(l_quantity), 6) AS avg_quantity,
+       round(avg(l_extendedprice), 6) AS avg_extendedprice,
+       round(avg(l_discount), 6) AS avg_discount,
+       round(avg(l_tax), 6) AS avg_tax
+FROM lineitem
+"""
+
+
+# --- P5: bulk mutate across columns ----------------------------------------------
+
+def p5_mutate_across(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # across(everything(), standardize): trim/uppercase all string cols,
+    # log1p all measures — the reference's across() idiom (P5/P8)
+    part = load(spark, sf_dir, "part")
+    strings = ["p_name", "p_brand", "p_type"]
+    out = part.select(
+        "p_partkey",
+        *[F.upper(F.trim(F.col(c))).alias(c) for c in strings],
+        F.round(F.log1p("p_retailprice"), 6).alias("log_price"),
+        F.round(F.log1p("p_size"), 6).alias("log_size"),
+    )
+    return out
+
+
+P5_ORACLE = """
+SELECT p_partkey,
+       upper(trim(p_name)) AS p_name,
+       upper(trim(p_brand)) AS p_brand,
+       upper(trim(p_type)) AS p_type,
+       round(ln(1 + p_retailprice), 6) AS log_price,
+       round(ln(1 + p_size), 6) AS log_size
+FROM part
+"""
+
+
+# --- J2: inner join with aggregation ----------------------------------------------
+
+def j2_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey, "inner")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+J2_ORACLE = """
+SELECT s_suppkey, s_name, n_name, r_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+# --- J7: join a dimension into a nested column (explode-join-renest) ---------------
+
+def j7_join_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from peskas_timor_data_pipeline_spark.operators.joins import join_nested
+    from peskas_timor_data_pipeline_spark.operators.restructure import nest, unnest
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand", "p_retailprice"
+    )
+    nested = nest(
+        li, ["l_orderkey"], "items", ["l_partkey", "l_quantity"]
+    )
+    joined = join_nested(
+        nested, "items", part, on="l_partkey", keys=["l_orderkey"]
+    )
+    flat = unnest(joined, "items")
+    return flat.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+    )
+
+
+J7_ORACLE = """
+SELECT p_brand, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(p_retailprice), 6) AS avg_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+QUERIES.update({
+    "p1_pattern_projection": (p1_pattern_projection, P1_ORACLE),
+    "p5_mutate_across": (p5_mutate_across, P5_ORACLE),
+    "j2_inner_join": (j2_inner_join, J2_ORACLE),
+    "j7_join_nested": (j7_join_nested, J7_ORACLE),
+})

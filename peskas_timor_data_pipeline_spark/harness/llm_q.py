@@ -364,3 +364,35 @@ QUERIES = {
     "t4_fingerprint": (t4_fingerprint, T4_ORACLE),
     "mm1_binary_meta": (mm1_binary_meta, MM1_ORACLE),
 }
+
+
+# --- D4: embedding-cosine near-duplicate pairs (LSH-blocked) ----------------------
+
+def d4_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, dim=DIM, n_bits=8
+    )
+
+
+D4_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+  FROM v a JOIN v b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT id_a, id_b,
+         ({_dot_sql('va', 'vb')})
+         / (sqrt({_dot_sql('va', 'va')}) * sqrt({_dot_sql('vb', 'vb')})) AS cosine
+  FROM pairs
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine
+FROM scored WHERE cosine >= 0.3
+"""
+
+QUERIES["d4_embedding_near_dup"] = (d4_embedding_near_dup, D4_ORACLE)
