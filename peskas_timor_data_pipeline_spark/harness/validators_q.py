@@ -212,3 +212,86 @@ QUERIES = {
     "v_unit_conversion": (v_unit_conversion, V_UNIT_ORACLE),
     "v_combined": (v_combined, V_COMBINED_ORACLE),
 }
+
+
+# --- alerts 18/21/23: grouped MAD outlier validators (n_fishers/gleaners/fuel) ---
+
+def v_outlier_fishers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD outlier validator per gear-type group (alert 18 n_fishers shape,
+    R/validation-functions.R:579-594): per-group robust bounds, k=2.5."""
+    from peskas_timor_data_pipeline_spark.operators.outliers import mad_alert
+
+    li = load(spark, sf_dir, "lineitem")
+    facts = li.select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("item_id"),
+        "l_returnflag",
+        F.col("l_quantity").alias("n_fishers"),
+    )
+    alerted = mad_alert(
+        facts, "n_fishers", keys=["l_returnflag"], k=2.5, logt=True, alert_number=18
+    )
+    return alerted.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("alert_number") == 18, 1).otherwise(0)).alias("n_alerts"),
+    )
+
+
+V_OUTLIER_FISHERS_ORACLE = """
+WITH facts AS (
+  SELECT l_returnflag AS g, l_quantity AS x FROM lineitem
+), med AS (
+  SELECT g, median(ln(1 + x)) AS m,
+         sum(CASE WHEN x <> 0 THEN 1 ELSE 0 END) AS nz
+  FROM facts GROUP BY g
+), mad AS (
+  SELECT facts.g, median(abs(ln(1 + x) - m)) AS md
+  FROM facts JOIN med USING (g) GROUP BY facts.g
+), bounds AS (
+  SELECT g,
+         CASE WHEN nz > 0 AND md > 0 THEN exp(m - 2.5 * 1.4826 * md) - 1 END AS lo,
+         CASE WHEN nz > 0 AND md > 0 THEN exp(m + 2.5 * 1.4826 * md) - 1 END AS hi
+  FROM med JOIN mad USING (g)
+)
+SELECT g AS l_returnflag, count(*) AS n,
+       CAST(sum(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts
+FROM facts JOIN bounds USING (g)
+GROUP BY g
+"""
+
+
+# --- alert 17: price-per-kg thresholds (M3's live path) ---------------------------
+
+def v_price_per_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-per-unit band check (alert 17, R/validation-functions.R:405-506:
+    the production alert uses the 0.25-30 USD/kg band, not Cook's distance)."""
+    li = load(spark, sf_dir, "lineitem")
+    ppu = li.select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("item_id"),
+        (F.col("l_extendedprice") / (F.col("l_quantity") * 1000.0)).alias("price_per_kg"),
+    )
+    alert = F.when(
+        (F.col("price_per_kg") < 0.25) | (F.col("price_per_kg") > 30.0), 17
+    )
+    cleaned = F.when(alert.isNull(), F.col("price_per_kg"))
+    return ppu.withColumn("alert_number", alert).withColumn(
+        "price_per_kg", F.floor(cleaned * 1e6 + 0.5) / 1e6
+    )
+
+
+V_PRICE_PER_KG_ORACLE = """
+WITH ppu AS (
+  SELECT concat_ws('-', l_orderkey, l_linenumber) AS item_id,
+         l_extendedprice / (l_quantity * 1000.0) AS price_per_kg
+  FROM lineitem
+)
+SELECT item_id,
+       floor((CASE WHEN price_per_kg < 0.25 OR price_per_kg > 30.0 THEN NULL
+                  ELSE price_per_kg END) * 1e6 + 0.5) / 1e6 AS price_per_kg,
+       CASE WHEN price_per_kg < 0.25 OR price_per_kg > 30.0 THEN 17 END AS alert_number
+FROM ppu
+"""
+
+QUERIES.update({
+    "v_outlier_fishers": (v_outlier_fishers, V_OUTLIER_FISHERS_ORACLE),
+    "v_price_per_kg": (v_price_per_kg, V_PRICE_PER_KG_ORACLE),
+})
