@@ -511,3 +511,45 @@ QUERIES = {
     "a14_time_binned_multisource": (a14_time_binned_multisource, A14_ORACLE),
     "a15_metric_unpivot": (a15_metric_unpivot, A15_ORACLE),
 }
+
+
+# --- A16: salted two-phase aggregation for Zipfian keys ----------------------------
+
+def a16_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe rewrite of a hot-key aggregation: identical results to a
+    plain groupBy (the oracle IS the plain groupBy), but each key spreads
+    over 16 salt buckets before reducing — the pattern for Zipfian species
+    codes at 100 TB where one group would pin a single task."""
+    from peskas_timor_data_pipeline_spark.operators.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "n": ("l_orderkey", "count"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n",
+        "min_price",
+        "max_price",
+    )
+
+
+A16_ORACLE = """
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(l_orderkey) AS n,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+QUERIES["a16_salted_agg"] = (a16_salted_agg, A16_ORACLE)

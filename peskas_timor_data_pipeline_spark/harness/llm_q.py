@@ -396,3 +396,87 @@ FROM scored WHERE cosine >= 0.3
 """
 
 QUERIES["d4_embedding_near_dup"] = (d4_embedding_near_dup, D4_ORACLE)
+
+
+# --- T5: TF-IDF document-term weights ---------------------------------------------
+
+def t5_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over whitespace tokens: tf = count in doc, idf =
+    ln(N / df). Two groupBys + one broadcast join — the classic corpus
+    featurization, top-3 terms per doc for a bounded output."""
+    from pyspark.sql.window import Window
+    from peskas_timor_data_pipeline_spark.llm.dedup import _spread
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _spread(docs).select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "tok").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "rank", (F.floor(F.col("tfidf") * 1e6 + 0.5) / 1e6).alias("tfidf"))
+    )
+
+
+T5_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+), nonempty AS (SELECT * FROM toks WHERE tok <> ''),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM nonempty GROUP BY 1, 2),
+n AS (SELECT count(*) AS n_docs FROM documents),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT doc_id, tok, tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+  FROM tf JOIN df USING (tok), n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+  FROM scored
+)
+SELECT doc_id, tok, CAST(rank AS INTEGER) AS rank,
+       floor(tfidf * 1e6 + 0.5) / 1e6 AS tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
+# --- T6: deterministic stratified sampling ------------------------------------------
+
+def t6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (training-data curation: cap each
+    source's contribution): md5-ordered row_number <= quota per (lang,
+    source) stratum. Reproducible on any engine/partitioning — the salted
+    md5 plays the seeded RNG."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    order_key = F.md5(F.concat_ws("#", F.lit("seed42"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang", "source").orderBy(order_key)
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("lang", "source", "doc_id", "rn")
+    )
+
+
+T6_ORACLE = """
+SELECT lang, source, doc_id, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT lang, source, doc_id,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(concat_ws('#', 'seed42', CAST(doc_id AS VARCHAR)))
+         ) AS rn
+  FROM documents
+) WHERE rn <= 2
+"""
+
+QUERIES.update({
+    "t5_tfidf": (t5_tfidf, T5_ORACLE),
+    "t6_stratified_sample": (t6_stratified_sample, T6_ORACLE),
+})

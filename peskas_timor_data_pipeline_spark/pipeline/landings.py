@@ -142,18 +142,15 @@ def unnest_catches(df: DataFrame, id_cols: list[str]) -> DataFrame:
     (submission, species, length class) — the shape weights/nutrients
     computations run on (R/calculate-weights.R:317-318)."""
     sp = df.select(*id_cols, F.explode_outer("species_group").alias("sp"))
+    sp_fields = [f.name for f in sp.schema["sp"].dataType.fields]
+    scalar = [f for f in sp_fields if f != "length_individuals"]
     li = sp.select(
         *id_cols,
-        F.col("sp.n").alias("species_n"),
-        F.col("sp.species").alias("species"),
-        F.col("sp.food_or_sale").alias("food_or_sale"),
+        *[F.col(f"sp.{f}").alias("species_n" if f == "n" else f) for f in scalar],
         F.explode_outer("sp.length_individuals").alias("li"),
     )
+    li_fields = [f.name for f in li.schema["li"].dataType.fields]
     return li.select(
-        *id_cols,
-        "species_n",
-        "species",
-        "food_or_sale",
-        F.col("li.mean_length").alias("mean_length"),
-        F.col("li.n_individuals").alias("n_individuals"),
+        *[c for c in li.columns if c != "li"],
+        *[F.col(f"li.{f}").alias(f) for f in li_fields],
     )

@@ -1,0 +1,90 @@
+"""Stateful streaming sessionization + nested JSON source."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_sessionize_stream_closes_on_gap(spark, tmp_path):
+    from peskas_timor_data_pipeline_spark.streaming.stateful import sessionize_stream
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    landing = tmp_path / "events"
+    landing.mkdir()
+    # user 7: 3 events in one session, then a 2h gap -> second session.
+    # The first session closes when the post-gap event arrives; the second
+    # stays open (no later event) so append mode emits exactly 1 row.
+    rows = [
+        ("2024-01-01T10:00:00", 7, 1.0),
+        ("2024-01-01T10:10:00", 7, 2.0),
+        ("2024-01-01T10:20:00", 7, 3.0),
+        ("2024-01-01T12:30:00", 7, 4.0),
+    ]
+    with open(landing / "a.jsonl", "w") as f:
+        for ts, uid, v in rows:
+            f.write(json.dumps({"ts": ts, "user_id": uid, "value": v}) + "\n")
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(landing))
+    sessions = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sessions_out").collect()
+    assert len(out) == 1
+    s = out[0]
+    assert s.n_events == 3 and s.sum_value == 6.0
+    assert s.session_start.minute == 0 and s.session_end.minute == 20
+
+
+def test_nested_json_source(spark, tmp_path):
+    from peskas_timor_data_pipeline_spark.sources.json_source import (
+        read_kobo_submissions,
+        typed_catches,
+    )
+    from peskas_timor_data_pipeline_spark.pipeline.landings import unnest_catches
+
+    sub = {
+        "_id": "42",
+        "_submission_time": "2023-05-02T08:00:00",
+        "date": "2023-05-02",
+        "total_catch_value": "25",
+        "species_group": [
+            {
+                "species": "CLP",
+                "food_or_sale": "food",
+                "length_individuals": [
+                    {"mean_length": "7.5", "n_individuals": "20"},
+                    {"mean_length": "12.5", "n_individuals": "5"},
+                ],
+            }
+        ],
+        "_attachments": [{"download_url": "http://x/1.jpg", "id": "9001"}],
+    }
+    p = tmp_path / "subs.jsonl"
+    p.write_text(json.dumps(sub) + "\n")
+
+    typed = typed_catches(read_kobo_submissions(spark, str(p)))
+    row = typed.collect()[0]
+    assert row.species_group[0].length_individuals[0].mean_length == 7.5
+    # same downstream unnest path as the wide-export route
+    flat = unnest_catches(typed.select("_id", "species_group"), ["_id"])
+    assert flat.count() == 2
