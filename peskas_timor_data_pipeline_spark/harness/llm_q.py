@@ -480,3 +480,49 @@ QUERIES.update({
     "t5_tfidf": (t5_tfidf, T5_ORACLE),
     "t6_stratified_sample": (t6_stratified_sample, T6_ORACLE),
 })
+
+
+# --- D5: duplicate-cluster resolution (connected components over LSH pairs) ---------
+
+def d5_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs -> iterative min-label
+    connected components (llm.cluster). The oracle recomputes the same
+    components with a recursive CTE — the full dedup pipeline is
+    value-checked end to end, graph step included."""
+    from peskas_timor_data_pipeline_spark.llm.cluster import connected_components
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BAND_SIZE)
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+D5_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+long AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sig),
+p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM long a JOIN long b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT s AS node, d AS other FROM edges
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN edges e ON r.other = e.s WHERE e.d <> r.node
+),
+comp AS (
+  SELECT node, least(node, min(other)) AS component FROM reach GROUP BY node
+)
+SELECT component, count(*) AS cluster_size,
+       min(node) AS min_node, max(node) AS max_node
+FROM comp GROUP BY component
+"""
+
+QUERIES["d5_dup_clusters"] = (d5_dup_clusters, D5_ORACLE)

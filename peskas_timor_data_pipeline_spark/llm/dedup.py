@@ -99,6 +99,9 @@ def lsh_candidate_pairs(
         id_col,
         F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias("band_key"),
     )
+    # the pair join is a self-join: without materialization the whole
+    # signature lineage (shingle explode + n_hashes mins) computes twice
+    long = long.localCheckpoint(eager=True)
     a = long.select(F.col(id_col).alias("id_a"), "band_key")
     b = long.select(F.col(id_col).alias("id_b"), "band_key")
     return (

@@ -1,0 +1,54 @@
+"""Connected-components dedup clustering + Airtable converters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from peskas_timor_data_pipeline_spark.llm.cluster import (
+    connected_components,
+    resolve_duplicates,
+)
+from peskas_timor_data_pipeline_spark.sources.airtable import (
+    df_to_record_batches,
+    records_to_df,
+)
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == comp[12] == 10
+    assert comp[20] == comp[21] == 20
+
+
+def test_resolve_duplicates(spark):
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 9]], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = resolve_duplicates(docs, pairs, "doc_id")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].canonical_id == 1 and not rows[1].is_duplicate
+    assert rows[2].canonical_id == 1 and rows[2].is_duplicate
+    assert rows[3].canonical_id == 1 and rows[3].is_duplicate
+    assert rows[9].canonical_id == 9 and not rows[9].is_duplicate
+
+
+def test_airtable_roundtrip(spark):
+    records = [
+        {"id": "recA", "fields": {"name": "boat1", "n": 3}, "createdTime": "x"},
+        {"id": "recB", "fields": {"name": "boat2"}},
+    ]
+    df = records_to_df(spark, records)
+    assert df.count() == 2
+    assert df.filter(F.col("_airtable_id") == "recA").collect()[0].n == 3
+
+    batches = list(df_to_record_batches(df.orderBy("_airtable_id"), batch_size=1))
+    assert len(batches) == 2
+    assert batches[0][0]["id"] == "recA"
+    assert batches[0][0]["fields"]["name"] == "boat1"
+    # None fields are dropped (PATCH semantics)
+    assert "n" not in batches[1][0]["fields"]
