@@ -50,3 +50,30 @@ def grid_cell(coord: Column, origin: float, step: float) -> Column:
     """findInterval-style grid cell index (A7: 0.001° map grid / 0.1°
     indicator grid, R/ingest-pds-data.R:388-408,494-573)."""
     return F.floor((coord - F.lit(origin)) / F.lit(step)).cast("long")
+
+
+def point_in_polygon(
+    lat: Column, lng: Column, polygon: list[tuple[float, float]]
+) -> Column:
+    """Ray-casting point-in-polygon test for a STATIC polygon (the
+    reference's st_within against the national boundary,
+    R/ingest-pds-data.R:744-747), generated as a pure column expression:
+    one parity term per edge, no UDF, whole-stage-codegen friendly.
+
+    ``polygon``: [(lat, lng), ...] vertices (closed implicitly). Suitable
+    for boundary polygons up to a few thousand vertices (expression size
+    grows linearly); beyond that, pre-simplify the polygon.
+    """
+    terms = []
+    n = len(polygon)
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        crosses = ((F.lit(y1) > lat) != (F.lit(y2) > lat))
+        # intersection x of the edge with the horizontal ray at `lat`
+        x_at = F.lit(x1) + (lat - F.lit(y1)) * F.lit((x2 - x1)) / F.lit((y2 - y1) if y2 != y1 else 1e-12)
+        terms.append(F.when(crosses & (lng < x_at), 1).otherwise(0))
+    parity = terms[0]
+    for t in terms[1:]:
+        parity = parity + t
+    return (parity % 2) == 1

@@ -108,3 +108,36 @@ def test_deterministic_sample_stable(spark):
 def test_replicate_rows(spark):
     df = spark.createDataFrame([(1,), (2,)], ["v"])
     assert replicate_rows(df, 5).count() == 10
+
+
+def test_point_in_polygon(spark):
+    from pyspark.sql import functions as F
+    from peskas_timor_data_pipeline_spark.functions.geo import point_in_polygon
+
+    # unit square (0,0)-(1,1); Timor-ish bbox semantics are the same
+    square = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)]
+    pts = spark.createDataFrame(
+        [(0.5, 0.5, True), (1.5, 0.5, False), (-0.1, 0.2, False), (0.9999, 0.0001, True)],
+        "lat double, lng double, expected boolean",
+    )
+    out = pts.withColumn("inside", point_in_polygon(F.col("lat"), F.col("lng"), square))
+    for r in out.collect():
+        assert r.inside == r.expected, (r.lat, r.lng)
+
+
+def test_convert_length(spark):
+    from pyspark.sql import functions as F
+    from peskas_timor_data_pipeline_spark.operators.weights import convert_length
+
+    catch = spark.createDataFrame(
+        [("CLP", "FL", 20.0), ("TUN", "TL", 30.0)],
+        "species string, length_type string, length double",
+    )
+    # FL->TL regression exists for CLP only; TUN passes through
+    ll = spark.createDataFrame(
+        [("CLP", "FL", 1.5, 1.1)], "species string, length_type string, aL double, bL double"
+    )
+    out = convert_length(catch, "length", ll, on=["species", "length_type"])
+    rows = {r.species: r for r in out.collect()}
+    assert abs(rows["CLP"].length - (1.5 + 20.0 * 1.1)) < 1e-9
+    assert rows["TUN"].length == 30.0
