@@ -553,3 +553,31 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 QUERIES["a16_salted_agg"] = (a16_salted_agg, A16_ORACLE)
+
+
+# --- A17: tumbling-window aggregation (the streaming bin, batch-checked) ------------
+
+def a17_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows via F.window — identical semantics to the
+    streaming windowed aggregation (§2.10); the oracle bins by epoch
+    division. Works unchanged on a readStream source."""
+    ev = load(spark, sf_dir, "events")
+    win = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return win.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+A17_ORACLE = """
+SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["a17_tumbling_window"] = (a17_tumbling_window, A17_ORACLE)

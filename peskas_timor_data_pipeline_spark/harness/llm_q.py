@@ -150,7 +150,7 @@ def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_AGGS = ", ".join(
-    f"{e} AS b{i}" for i, e in enumerate(simhash_bits_sql("text", 16))
+    f"{e} AS b{i}" for i, e in enumerate(simhash_bits_sql("tokh", 16))
 )
 _SIMHASH_CONCAT = " || ".join(f"b{i}" for i in range(16))
 
@@ -159,7 +159,7 @@ WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
   FROM documents
 ), nonempty AS (
-  SELECT doc_id, tok FROM toks WHERE tok <> ''
+  SELECT doc_id, md5(tok) AS tokh FROM toks WHERE tok <> ''
 ), sig AS (
   SELECT doc_id, {_SIMHASH_AGGS} FROM nonempty GROUP BY doc_id
 )

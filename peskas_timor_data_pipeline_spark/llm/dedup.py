@@ -160,19 +160,20 @@ _HEX_DIGIT_CASE = (
 )
 
 
-def simhash_bits_sql(text_col: str, n_bits: int = 16) -> str:
+def simhash_bits_sql(hash_col: str = "tokh", n_bits: int = 16) -> list[str]:
     """Engine-portable SQL for a SimHash over whitespace tokens.
 
-    Each token's md5 hex prefix supplies n_bits bits (4 per hex char);
-    SimHash bit b = sign of sum over tokens of (2*bit_b - 1). Returns a SQL
-    expression list (one per bit) to aggregate with SUM; identical text in
-    Spark SQL and DuckDB, so the oracle is the same string.
+    ``hash_col`` holds the PRE-COMPUTED md5 hex of each token (hoisted so
+    the digest is computed once, not once per bit aggregate). Each hex
+    char supplies 4 bits; SimHash bit b = sign of sum over tokens of
+    (2*bit_b - 1). Returns one SQL expression per bit, valid verbatim in
+    both Spark SQL and DuckDB, so the oracle is the same string.
     """
     exprs = []
     for b in range(n_bits):
         char_idx = b // 4 + 1  # 1-based position in md5 hex
         bit_in_char = b % 4
-        digit = _HEX_DIGIT_CASE.format(c=f"substring(md5(tok), {char_idx}, 1)")
+        digit = _HEX_DIGIT_CASE.format(c=f"substring({hash_col}, {char_idx}, 1)")
         exprs.append(
             f"CASE WHEN sum(2 * (CAST(floor(({digit}) / {2 ** bit_in_char}) AS BIGINT) % 2) - 1) >= 0"
             f" THEN '1' ELSE '0' END"
@@ -183,11 +184,16 @@ def simhash_bits_sql(text_col: str, n_bits: int = 16) -> str:
 def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
     """SimHash per document as an ``n_bits``-char bit string column
     ``simhash``. Tokens = whitespace split; explode + one groupBy(doc)."""
-    toks = _spread(df).select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    bit_exprs = simhash_bits_sql(text_col, n_bits)
+    toks = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .withColumn("tokh", F.md5("tok"))
+    )
+    bit_exprs = simhash_bits_sql("tokh", n_bits)
     aggs = [F.expr(e).alias(f"b{i}") for i, e in enumerate(bit_exprs)]
     sig = toks.groupBy(id_col).agg(*aggs)
     return sig.select(

@@ -95,15 +95,30 @@ def suffix_regex_join(
     """Suffix match join (J9): survey-entered trailing IMEI digits matched as
     a suffix of a full device IMEI (R/validation-functions.R:12-48).
 
-    Non-equi join against a tiny dimension -> broadcast nested loop with an
-    `endswith` predicate; adds ``__matches__`` = number of dim rows whose
-    ``dim_col`` ends with the fact's digits (0 -> alert, 1 -> replace,
-    >1 -> ambiguous), and ``matched_value`` = the unique match when n==1.
+    NOT a nested-loop: the dimension is expanded to one row per (code,
+    suffix) — codes are short (<=15 digits), so the expansion is bounded —
+    and the match becomes a broadcast EQUI-join on the suffix. O(facts)
+    instead of O(facts x dim): the difference between a hash probe and
+    300M endswith comparisons at sf0.1, and the only shape that survives a
+    full-corpus IMEI check at 100 TB.
+
+    Adds ``__matches__`` = number of dim codes ending with the fact's
+    digits (0 -> alert, 1 -> replace, >1 -> ambiguous) and
+    ``matched_value`` = the unique match when n==1.
     """
+    suffixes = dim.select(
+        F.col(dim_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({dim_col})),"
+                f" i -> substring({dim_col}, i, length({dim_col})))"
+            )
+        ).alias("__suffix__"),
+    ).filter(F.length("__suffix__") >= min_len)
     matches = (
         facts.join(
-            F.broadcast(dim),
-            F.col(dim_col).endswith(F.col(fact_col))
+            F.broadcast(suffixes),
+            (F.col(fact_col) == F.col("__suffix__"))
             & (F.length(F.col(fact_col)) >= min_len),
             "left",
         )
