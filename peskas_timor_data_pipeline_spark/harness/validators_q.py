@@ -295,3 +295,52 @@ QUERIES.update({
     "v_outlier_fishers": (v_outlier_fishers, V_OUTLIER_FISHERS_ORACLE),
     "v_price_per_kg": (v_price_per_kg, V_PRICE_PER_KG_ORACLE),
 })
+
+
+# --- alerts 1-3: IMEI suffix validation ---------------------------------------------
+
+def v_imei(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMEI validator (R/validation-functions.R:12-48): survey-entered
+    trailing digits matched as a suffix against the device dimension.
+    0 matches -> alert 3; exactly 1 -> replace with the full IMEI;
+    >1 -> alert 2 (ambiguous); too-short entry -> alert 1."""
+    from peskas_timor_data_pipeline_spark.operators.joins import suffix_regex_join
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_custkey").cast("string").alias("digits")
+    )
+    dim = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("full_code")
+    )
+    matched = suffix_regex_join(cust, dim, "digits", "full_code", min_len=2)
+    return matched.select(
+        "c_custkey",
+        F.when(F.length("digits") < 2, 1)
+        .when(F.col("__matches__") == 0, 3)
+        .when(F.col("__matches__") > 1, 2)
+        .alias("alert_number"),
+        F.col("matched_value").alias("imei"),
+    )
+
+
+V_IMEI_ORACLE = """
+WITH facts AS (
+  SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS digits FROM customer
+), matched AS (
+  SELECT c_custkey, digits,
+         count(full_code) AS n_matches,
+         CASE WHEN count(full_code) = 1 THEN min(full_code) END AS imei
+  FROM facts
+  LEFT JOIN (SELECT CAST(p_partkey AS VARCHAR) AS full_code FROM part) p
+    ON ends_with(p.full_code, facts.digits) AND length(facts.digits) >= 2
+  GROUP BY c_custkey, digits
+)
+SELECT c_custkey,
+       CASE WHEN length(digits) < 2 THEN 1
+            WHEN n_matches = 0 THEN 3
+            WHEN n_matches > 1 THEN 2 END AS alert_number,
+       imei
+FROM matched
+"""
+
+QUERIES["v_imei"] = (v_imei, V_IMEI_ORACLE)
