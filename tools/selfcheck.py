@@ -67,14 +67,25 @@ def main() -> int:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default=None)
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession like the external driver does",
+    )
     args = ap.parse_args()
 
     import duckdb
 
     import __spark_entry__ as entrymod
-    from peskas_timor_data_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="selfcheck")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("selfcheck-vanilla").getOrCreate()
+    else:
+        from peskas_timor_data_pipeline_spark.session import get_spark
+
+        spark = get_spark(app_name="selfcheck")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
