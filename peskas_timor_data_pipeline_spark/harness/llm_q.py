@@ -95,7 +95,7 @@ def d2_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SHINGLE_CTE = f"""
+_SHINGLE_SQL = f"""
 sh AS (
   SELECT doc_id, substr(lower(text), CAST(i AS INTEGER), {K_SHINGLE}) AS sh
   FROM (SELECT doc_id, text,
@@ -104,8 +104,16 @@ sh AS (
 )
 """
 
+# mirrors llm.dedup.minhash_signature: one md5 chain per shingle, sliced
+# into 8-hex-char (32-bit) sub-hashes
+_N_MD5 = -(-N_HASHES * 8 // 32)
+_DIG_SQL = " || ".join(f"md5(sh || '#{j}')" for j in range(_N_MD5))
+_SHINGLE_CTE = (
+    _SHINGLE_SQL
+    + f", shd AS (SELECT doc_id, sh, {_DIG_SQL} AS dig FROM sh)"
+)
 _SIG_COLS = ", ".join(
-    f"min(md5(sh || '#{j}')) AS h{j}" for j in range(N_HASHES)
+    f"min(substr(dig, {1 + 8 * j}, 8)) AS h{j}" for j in range(N_HASHES)
 )
 _BAND_LIST = ", ".join(
     "md5(concat_ws('|', '%d', %s))"
@@ -115,7 +123,7 @@ _BAND_LIST = ", ".join(
 
 D2_ORACLE = f"""
 WITH {_SHINGLE_CTE},
-sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM shd GROUP BY doc_id),
 long AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sig),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -504,7 +512,7 @@ def d5_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D5_ORACLE = f"""
 WITH RECURSIVE {_SHINGLE_CTE},
-sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM shd GROUP BY doc_id),
 long AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sig),
 p AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -344,3 +344,69 @@ FROM matched
 """
 
 QUERIES["v_imei"] = (v_imei, V_IMEI_ORACLE)
+
+
+# --- alert 22: catch-regularity consistency ------------------------------------------
+
+def v_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catch-regularity validator (alert 22, R/validation-functions.R:115-184)
+    on the star analogue: orders ~ submissions (no-catch marker + total
+    value), lineitem ~ unnested catch rows (individual counts). The left
+    join leaves order 'catch rows' null for lineitem-less orders,
+    exercising the R ``sum(na.rm=TRUE) == 0`` branch."""
+    from peskas_timor_data_pipeline_spark.operators.validation import (
+        validate_regularity,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    facts = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left"
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, "0")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("species"),
+        F.when(F.col("o_orderkey") % 13 == 0, 0.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("total_value"),
+        F.col("l_quantity").alias("n_units"),
+    )
+    out = validate_regularity(
+        facts, "o_orderkey", "species", "total_value", "n_units"
+    )
+    return out.withColumnRenamed("alert_22", "alert_number")
+
+
+V_REGULARITY_ORACLE = """
+WITH facts AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN '0' ELSE o_orderstatus END AS species,
+         CASE WHEN o_orderkey % 13 = 0 THEN 0.0 ELSE o_totalprice END AS total_value,
+         l_quantity AS n_units
+  FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+), agg AS (
+  SELECT o_orderkey,
+         min(species) AS species,
+         min(abs(CAST(total_value AS DOUBLE))) AS total_value,
+         coalesce(sum(abs(CAST(n_units AS DOUBLE))), 0.0) AS n_units
+  FROM facts GROUP BY o_orderkey
+), flagged AS (
+  SELECT *,
+         CASE WHEN (species = '0' AND n_units > 0)
+                OR (species = '0' AND total_value > 0)
+                OR (species <> '0' AND n_units <= 0)
+                OR (species <> '0' AND total_value <= 0)
+                OR (total_value <= 0 AND n_units > 0)
+                OR (total_value > 0 AND n_units <= 0)
+              THEN 22 END AS alert_number
+  FROM agg
+)
+SELECT o_orderkey, species,
+       CASE WHEN alert_number IS NULL THEN total_value END AS total_value,
+       CASE WHEN alert_number IS NULL THEN n_units END AS n_units,
+       alert_number
+FROM flagged
+"""
+
+QUERIES["v_regularity"] = (v_regularity, V_REGULARITY_ORACLE)

@@ -47,20 +47,28 @@ def connected_components(
             edges.join(labels, edges.dst == labels.node)
             .select(edges.src.alias("node"), F.col("component"))
         )
+        # the convergence flag rides along into the checkpointed frame, so
+        # the per-round cost is ONE shuffle job (the eager checkpoint) plus
+        # a near-free scan of checkpointed partitions for the flag
         new_labels = (
-            labels.unionByName(nbr)
+            labels.select(
+                "node", "component", F.col("component").alias("__old__")
+            )
+            .unionByName(
+                nbr.withColumn(
+                    "__old__", F.lit(None).cast(nbr.schema["component"].dataType)
+                )
+            )
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("__old__").alias("__old__"),
+            )
+            .withColumn("__changed__", F.col("component") != F.col("__old__"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed__")).limit(1).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels

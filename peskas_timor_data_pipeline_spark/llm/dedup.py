@@ -52,6 +52,9 @@ def exact_dedup(
     return survivors.join(hashed, [id_col, "__h__"]).drop("__h__")
 
 
+MINHASH_WIDTH = 8  # hex chars per sub-hash (32 bits)
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
@@ -59,16 +62,26 @@ def minhash_signature(
     n_hashes: int = 6,
     k_shingle: int = 5,
 ) -> DataFrame:
-    """MinHash signature per document: h_j = min(md5(shingle || '#' || j)).
+    """MinHash signature per document: h_j = min over shingles of the j-th
+    8-hex-char slice of a concatenated md5 digest chain
+    (md5(sh||'#0') || md5(sh||'#1') || ...).
 
-    String-min over md5 hex digests is a valid permutation-min (md5 is the
-    "random permutation"); identical in any engine with md5. One explode +
-    one groupBy(doc)."""
-    shingled = _spread(df).select(
-        F.col(id_col), F.explode(char_shingles(text_col, k_shingle)).alias("sh")
+    String-min over hex slices is a valid permutation-min (the slice is the
+    "random permutation"); slicing one digest chain into ``n_hashes``
+    32-bit sub-hashes needs ceil(n_hashes/4) md5 calls per shingle instead
+    of n_hashes — the md5 in the post-explode hot path is the dominant
+    CPU cost at scale. Identical in any engine with md5 (the oracle slices
+    the same chain). One explode + one groupBy(doc)."""
+    n_md5 = -(-n_hashes * MINHASH_WIDTH // 32)  # ceil
+    digest = F.concat(
+        *[F.md5(F.concat(F.col("sh"), F.lit(f"#{j}"))) for j in range(n_md5)]
     )
+    shingled = _spread(df).select(
+        F.col(id_col),
+        F.explode(char_shingles(text_col, k_shingle)).alias("sh"),
+    ).withColumn("dig", digest)
     aggs = [
-        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{j}")))).alias(f"h{j}")
+        F.min(F.substring("dig", 1 + MINHASH_WIDTH * j, MINHASH_WIDTH)).alias(f"h{j}")
         for j in range(n_hashes)
     ]
     return shingled.groupBy(id_col).agg(*aggs)

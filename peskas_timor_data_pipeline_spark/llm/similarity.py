@@ -42,15 +42,23 @@ def cosine_topk_bruteforce(
     dim: int = 64,
 ) -> DataFrame:
     """Exact top-k by cosine per query (tie-broken by candidate id)."""
+    # norms are per-row: compute them BEFORE the join (once per vector, not
+    # once per pair) — also keeps the join-stage codegen method under the
+    # JVM's 64 KB limit (dot+2 norms inlined in the BHJ consume overflows it
+    # and falls back to interpreted eval). Same float op order as computing
+    # them inside: sqrt(sum a_i^2) then multiply — oracle-identical.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col, dim).alias("qn"),
     )
     c = candidates.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col, dim).alias("cn"),
     )
     scored = q.crossJoin(c).withColumn(
-        "cosine",
-        dot_expr("qv", "cv", dim) / (norm_expr("qv", dim) * norm_expr("cv", dim)),
+        "cosine", dot_expr("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -83,16 +91,17 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm_expr(vec_col, dim).alias("qn"),
         hyperplane_bucket(vec_col, n_bits).alias("bucket"),
     )
     c = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
+        norm_expr(vec_col, dim).alias("cn"),
         hyperplane_bucket(vec_col, n_bits).alias("bucket"),
     )
     scored = q.join(c, "bucket").withColumn(
-        "cosine",
-        dot_expr("qv", "cv", dim) / (norm_expr("qv", dim) * norm_expr("cv", dim)),
+        "cosine", dot_expr("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -115,14 +124,18 @@ def embedding_near_dup_pairs(
     v = df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
+        norm_expr(vec_col, dim).alias("n"),
         hyperplane_bucket(vec_col, n_bits).alias("bucket"),
     )
-    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "bucket"
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "bucket"
+    )
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.withColumn(
-        "cosine",
-        dot_expr("va", "vb", dim) / (norm_expr("va", dim) * norm_expr("vb", dim)),
+        "cosine", dot_expr("va", "vb", dim) / (F.col("na") * F.col("nb"))
     )
     return scored.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")

@@ -125,6 +125,52 @@ def validate_unit_conversion(
     )
 
 
+def validate_regularity(
+    df: DataFrame,
+    id_col: str,
+    species_col: str,
+    value_col: str,
+    n_col: str,
+    alert_number: int = 22,
+) -> DataFrame:
+    """Catch-regularity consistency validator (alert 22,
+    R/validation-functions.R:115-184): per submission, the no-catch marker
+    (species == "0"), total catch value and summed individual counts must
+    agree — a no-catch trip with positive value/count, or a catch trip with
+    a non-positive one, is internally inconsistent.
+
+    Input is the unnested long frame (one row per catch row); species and
+    value are submission-level constants repeated by the unnest, so
+    ``min`` reproduces dplyr's order-dependent ``first`` deterministically.
+    ``sum`` is wrapped in ``coalesce(.., 0)`` to match R's
+    ``sum(na.rm=TRUE)`` returning 0 on all-NA groups (SURVEY.md §7.4)."""
+    agg = df.groupBy(id_col).agg(
+        F.min(F.col(species_col)).alias("species"),
+        F.min(F.abs(F.col(value_col).cast("double"))).alias("total_value"),
+        F.coalesce(
+            F.sum(F.abs(F.col(n_col).cast("double"))), F.lit(0.0)
+        ).alias("n_units"),
+    )
+    is_zero = F.col("species") == "0"
+    v, n = F.col("total_value"), F.col("n_units")
+    alert = F.when(
+        (is_zero & (n > 0))
+        | (is_zero & (v > 0))
+        | (~is_zero & (n <= 0))
+        | (~is_zero & (v <= 0))
+        | ((v <= 0) & (n > 0))
+        | ((v > 0) & (n <= 0)),
+        F.lit(alert_number),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("species"),
+        _cleaned(v, alert).alias("total_value"),
+        _cleaned(n, alert).alias("n_units"),
+        alert.alias(f"alert_{alert_number}"),
+    )
+
+
 def combine_validators(
     base: DataFrame,
     validator_outputs: Sequence[DataFrame],

@@ -149,33 +149,83 @@ def merge_consecutive_trips(
 def validate_trips(
     trips: DataFrame,
     max_duration_h: float = 96.0,
+    min_duration_h: float = 0.0,
     max_km: float = 200.0,
+    se_km: float = 3.0,
+    max_outliers: float = 0.1,
+    max_dispersion: float = 500.0,
 ) -> DataFrame:
-    """Alerts 8 (duration), 9 (distance), 13 (quality) + ontology rename
-    (R/validate-pds-trips.R:75-94,149-204). Input: merged sessions with
-    start/end coordinates joined."""
+    """Alerts 8 (duration bounds), 9 (distance), 12 (one-way trip), 13
+    (track quality) + ontology rename (R/validate-pds-trips.R:75-94,149-204).
+    Input: merged sessions with start/end coordinates + descriptor columns
+    (``start_end_distance``, ``outliers_proportion``,
+    ``timetrace_dispersion``) joined; alerts 12/13 are skipped when their
+    descriptor columns are absent.
+
+    Semantics notes vs the reference:
+    - alert 8 checks BOTH duration bounds (`> max_hrs` OR `< min_hrs`,
+      R/validate-pds-trips.R:161-163).
+    - alert 12: the reference's ``case_when(dist > km*1000 ~ 9, TRUE ~ NA,
+      se_dist > se_km*100 ~ 12, TRUE ~ NA)`` places a catch-all TRUE arm
+      *before* the one-way condition, so alert 12 is dead code there
+      (R/validate-pds-trips.R:176-180). We implement the documented intent
+      (one-way trip: start->end distance above threshold) with alert 9
+      taking precedence, matching the reference's first-match-wins order.
+      The reference's ``se_km * 100`` (not *1000) scale is preserved.
+    - alert 13 nulls distance + timestamps when track quality is poor
+      (outlier share or trace dispersion above threshold,
+      R/validate-pds-trips.R:187-201)."""
     deduped = distinct_except(trips, ["trip"]) if "trip" in trips.columns else trips
     sane = deduped.filter(
         F.col("last_seen").isNull()
         | (F.col("last_seen") >= F.col("ended"))
     )
-    alert_8 = F.when(F.col("duration_s") > max_duration_h * 3600, 8)
+    alert_8 = F.when(
+        (F.col("duration_s") > max_duration_h * 3600)
+        | (F.col("duration_s") < min_duration_h * 3600),
+        8,
+    )
+    has_se = "start_end_distance" in sane.columns
     alert_9 = F.when(F.col("distance_m") > max_km * 1000, 9)
-    out = sane.withColumn("alert_8", alert_8).withColumn("alert_9", alert_9)
+    if has_se:
+        alert_9 = alert_9.when(F.col("start_end_distance") > se_km * 100, 12)
+    has_quality = {"outliers_proportion", "timetrace_dispersion"} <= set(sane.columns)
+    alert_13 = (
+        F.when(
+            (F.col("outliers_proportion") > max_outliers)
+            | (F.col("timetrace_dispersion") > max_dispersion),
+            13,
+        )
+        if has_quality
+        else F.lit(None).cast("int")
+    )
+    out = (
+        sane.withColumn("alert_8", alert_8)
+        .withColumn("alert_9", alert_9)
+        .withColumn("alert_13", alert_13)
+    )
+    quality_ok = F.col("alert_13").isNull()
     return out.select(
         F.col("trip").alias("tracker_trip_id"),
-        F.col("started").alias("tracker_trip_start"),
-        F.col("ended").alias("tracker_trip_end"),
+        F.when(F.col("alert_8").isNull() & quality_ok, F.col("started")).alias(
+            "tracker_trip_start"
+        ),
+        F.when(F.col("alert_8").isNull() & quality_ok, F.col("ended")).alias(
+            "tracker_trip_end"
+        ),
         F.when(F.col("alert_8").isNull(), F.col("duration_s")).alias(
             "tracker_trip_duration"
         ),
-        F.when(F.col("alert_9").isNull(), F.col("distance_m")).alias(
-            "tracker_trip_distance"
-        ),
+        # distance is nulled by alert 9 (too long) and alert 13 (poor track);
+        # alert 12 (one-way) flags but keeps the distance, as the reference's
+        # distance-cleaning condition only tests the >km branch
+        F.when((F.col("alert_9") == 9) | F.col("alert_13").isNotNull(), F.lit(None))
+        .otherwise(F.col("distance_m"))
+        .alias("tracker_trip_distance"),
         F.col("imei").alias("tracker_imei"),
         F.col("device_id").alias("tracker_device_id"),
         F.col("last_seen").alias("tracker_last_seen"),
-        F.concat_ws("-", "alert_8", "alert_9").alias("alert"),
+        F.concat_ws("-", "alert_8", "alert_9", "alert_13").alias("alert"),
     )
 
 

@@ -55,7 +55,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", timezone)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] is a single JVM: "driver" memory is the whole executor
+        # heap shared by N task threads — size it like an executor, not a
+        # driver (the box has 128 GiB; 24g keeps GC pressure off the
+        # shuffle-heavy dedup/LSH queries without risking the host)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

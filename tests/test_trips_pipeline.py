@@ -128,3 +128,44 @@ def test_merge_trips_one_to_one(spark):
     assert merged.filter(F.col("landing_id").isin(12, 13)).filter(
         F.col("tracker_trip_id").isNotNull()
     ).count() == 0
+
+
+def test_validate_trips_quality_and_oneway_alerts(spark):
+    # descriptor columns present -> alerts 12 (one-way) and 13 (quality) live;
+    # alert 8 lower bound fires on the too-short trip
+    rows = [
+        # trip, started, ended, duration_s, distance_m, se_dist, outl, disp
+        (1, "2023-05-01 06:00:00", "2023-05-01 10:00:00", 4 * 3600.0, 5000.0, 100.0, 0.0, 10.0),
+        (2, "2023-05-02 06:00:00", "2023-05-02 10:00:00", 4 * 3600.0, 5000.0, 900.0, 0.0, 10.0),   # one-way: 900 > 3*100
+        (3, "2023-05-03 06:00:00", "2023-05-03 10:00:00", 4 * 3600.0, 5000.0, 100.0, 0.5, 10.0),   # poor quality
+        (4, "2023-05-04 06:00:00", "2023-05-04 06:00:30", 30.0, 100.0, 10.0, 0.0, 1.0),            # too short (<0.25h)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "trip int, started string, ended string, duration_s double, "
+        "distance_m double, start_end_distance double, "
+        "outliers_proportion double, timetrace_dispersion double",
+    )
+    df = (
+        df.withColumn("started", F.to_timestamp("started"))
+        .withColumn("ended", F.to_timestamp("ended"))
+        .withColumn("imei", F.lit("867452048"))
+        .withColumn("device_id", F.lit("d1"))
+        .withColumn("last_seen", F.lit(None).cast("timestamp"))
+    )
+    out = {
+        r.tracker_trip_id: r
+        for r in validate_trips(df, min_duration_h=0.25, se_km=3.0).collect()
+    }
+    assert out[1].alert == ""
+    # alert 12 flags but KEEPS the distance (reference's distance-cleaning
+    # condition only tests the >km branch)
+    assert out[2].alert == "12" and out[2].tracker_trip_distance == 5000.0
+    # alert 13 nulls distance and timestamps
+    assert out[3].alert == "13"
+    assert out[3].tracker_trip_distance is None
+    assert out[3].tracker_trip_start is None
+    # alert 8 lower bound nulls duration + timestamps
+    assert out[4].alert == "8"
+    assert out[4].tracker_trip_duration is None
+    assert out[4].tracker_trip_end is None
