@@ -581,3 +581,42 @@ FROM events GROUP BY 1, 2
 """
 
 QUERIES["a17_tumbling_window"] = (a17_tumbling_window, A17_ORACLE)
+
+
+# --- A18: single-pass rollup (grouping sets) -----------------------------------------
+
+def a18_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The municipal->national re-aggregation (A13, R/estimate-catch.R:487-532)
+    as ONE pass with ``rollup``: Spark's grouping-sets expansion computes the
+    detail level and the grand total in a single shuffle (partial aggregation
+    on both levels), where the reference aggregates twice. ``grouping_id``
+    labels the level so sum-of-sums and grand totals stay distinguishable."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    return (
+        joined.rollup("n_regionkey", "n_name")
+        .agg(
+            F.grouping_id().alias("level"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 0).alias("total"),
+        )
+        .select("n_regionkey", "n_name", "level", "n_orders", "total")
+    )
+
+
+A18_ORACLE = """
+SELECT n_regionkey, n_name,
+       CAST(grouping(n_regionkey) * 2 + grouping(n_name) AS BIGINT) AS level,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 0) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_regionkey, n_name)
+"""
+
+QUERIES["a18_grouping_rollup"] = (a18_grouping_rollup, A18_ORACLE)

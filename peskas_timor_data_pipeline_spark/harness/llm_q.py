@@ -85,10 +85,21 @@ N_HASHES, BAND_SIZE, K_SHINGLE = 16, 8, 5
 
 
 def d2_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from peskas_timor_data_pipeline_spark.llm.dedup import shingle_rows
+
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
+    # the explode is the widest intermediate — one checkpointed pass feeds
+    # both the signature mins and the Jaccard sets
+    shingled = shingle_rows(docs, "doc_id", "text", K_SHINGLE).localCheckpoint(
+        eager=True
+    )
+    sigs = minhash_signature(
+        docs, "doc_id", "text", N_HASHES, K_SHINGLE, shingles=shingled
+    )
     pairs = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BAND_SIZE)
-    verified = ngram_jaccard(docs, pairs, "doc_id", "text", K_SHINGLE)
+    verified = ngram_jaccard(
+        docs, pairs, "doc_id", "text", K_SHINGLE, shingles=shingled
+    )
     high = verified.filter(F.col("jaccard") >= 0.5)
     return high.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")

@@ -55,12 +55,25 @@ def exact_dedup(
 MINHASH_WIDTH = 8  # hex chars per sub-hash (32 bits)
 
 
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, k_shingle: int = 5
+) -> DataFrame:
+    """(id, sh) long frame of character k-grams — the shared upstream of
+    MinHash signatures and Jaccard verification. Callers running both should
+    compute this ONCE (and localCheckpoint it) so the explode — the widest
+    intermediate in the dedup pipeline — is a single pass over the corpus."""
+    return _spread(df).select(
+        F.col(id_col), F.explode(char_shingles(text_col, k_shingle)).alias("sh")
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_hashes: int = 6,
     k_shingle: int = 5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: h_j = min over shingles of the j-th
     8-hex-char slice of a concatenated md5 digest chain
@@ -76,9 +89,10 @@ def minhash_signature(
     digest = F.concat(
         *[F.md5(F.concat(F.col("sh"), F.lit(f"#{j}"))) for j in range(n_md5)]
     )
-    shingled = _spread(df).select(
-        F.col(id_col),
-        F.explode(char_shingles(text_col, k_shingle)).alias("sh"),
+    shingled = (
+        shingles
+        if shingles is not None
+        else shingle_rows(df, id_col, text_col, k_shingle)
     ).withColumn("dig", digest)
     aggs = [
         F.min(F.substring("dig", 1 + MINHASH_WIDTH * j, MINHASH_WIDTH)).alias(f"h{j}")
@@ -131,6 +145,7 @@ def ngram_jaccard(
     id_col: str,
     text_col: str,
     k_shingle: int = 5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """True Jaccard similarity over distinct char k-gram sets for the given
     candidate pairs: |A ∩ B| / |A ∪ B|. Joins shingle sets only for
@@ -141,8 +156,11 @@ def ngram_jaccard(
     explode, MinHash, LSH banding — is computed once, not per reference."""
     pairs = pairs.localCheckpoint(eager=True)
     sets = (
-        _spread(docs)
-        .select(F.col(id_col), F.explode(char_shingles(text_col, k_shingle)).alias("sh"))
+        (
+            shingles
+            if shingles is not None
+            else shingle_rows(docs, id_col, text_col, k_shingle)
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
