@@ -39,22 +39,31 @@ def redistribute_shares(
     )
 
 
-def poisson_glm_per_group(
+def glm_per_group(
     df: DataFrame,
     keys: Sequence[str],
     y_col: str,
     x_cols: Sequence[str],
+    family: str = "poisson",
     max_iter: int = 25,
     tol: float = 1e-10,
 ) -> DataFrame:
-    """Per-group Poisson GLM (log link) via IRLS on numpy — the GLMM
-    analogue (M4, R/model-catch.R:80-138) as `applyInPandas` at
-    group granularity (groups are months x regions — driver-sized).
+    """Per-group GLM (log link) via IRLS on numpy — the GLMM analogue
+    (M4) as `applyInPandas` at group granularity (groups are
+    months x regions — driver-sized).
 
-    Returns (keys..., term, coef, n_obs) — deterministic (IRLS from zero
-    start, fixed iteration cap/tolerance, no sampling)."""
+    Families mirror the reference's glmmTMB calls: ``poisson`` for landing
+    counts (R/model-catch.R:80-138) and ``gamma`` for strictly-positive
+    catch/value models (R/model-catch.R:140-189). Under the log link the
+    IRLS weights are w=mu (poisson) and w=1 (gamma, constant dispersion);
+    both use z = eta + (y-mu)/mu.
+
+    Returns (keys..., term, coef, n_obs) — deterministic (log-link
+    least-squares start, fixed iteration cap/tolerance, no sampling)."""
     import numpy as np
 
+    if family not in ("poisson", "gamma"):
+        raise ValueError(f"unsupported family: {family}")
     x_cols = list(x_cols)
     out_fields = ", ".join(f"{k} string" for k in keys)
     schema = f"{out_fields}, term string, coef double, n_obs long"
@@ -62,11 +71,14 @@ def poisson_glm_per_group(
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         X = np.column_stack([np.ones(len(pdf))] + [pdf[c].to_numpy(float) for c in x_cols])
         y = pdf[y_col].to_numpy(float)
-        beta = np.zeros(X.shape[1])
+        # glm.fit-style start: eta0 = log(y + 0.1); a zero start diverges
+        # under the log link whenever y spans orders of magnitude
+        eta0 = np.log(np.maximum(y, 0.0) + 0.1)
+        beta = np.linalg.lstsq(X, eta0, rcond=None)[0]
         for _ in range(max_iter):
             eta = X @ beta
             mu = np.exp(np.clip(eta, -30, 30))
-            W = mu
+            W = mu if family == "poisson" else np.ones_like(mu)
             z = eta + (y - mu) / np.maximum(mu, 1e-12)
             XtW = X.T * W
             try:
@@ -84,6 +96,21 @@ def poisson_glm_per_group(
         return out[[*keys, "term", "coef", "n_obs"]]
 
     return df.groupBy(*keys).applyInPandas(fit, schema=schema)
+
+
+def poisson_glm_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    y_col: str,
+    x_cols: Sequence[str],
+    max_iter: int = 25,
+    tol: float = 1e-10,
+) -> DataFrame:
+    """Poisson specialization of :func:`glm_per_group` (kept as the named
+    entry point the harness/m4 query uses)."""
+    return glm_per_group(
+        df, keys, y_col, x_cols, family="poisson", max_iter=max_iter, tol=tol
+    )
 
 
 def impute_mean_replicates(

@@ -97,3 +97,21 @@ def test_periodic_summary_and_nutrients(spark):
     ).collect()[0]
     # 100 kg x 1.0 mu x1000 /30d /RDI(50)
     assert abs(sel.people_rdi - 100 * 1000 / 30 / 50) < 1e-6
+
+
+def test_glm_per_group_families_recover_exact_fit(spark):
+    import math
+
+    from peskas_timor_data_pipeline_spark.operators.estimate import glm_per_group
+
+    # y lies exactly on exp(1 + 0.5x): IRLS must recover the coefficients
+    # for BOTH families (weights differ, fixed point is identical)
+    rows = [("g", float(x), math.exp(1.0 + 0.5 * x)) for x in range(8)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    for fam in ("poisson", "gamma"):
+        out = {
+            r.term: r.coef
+            for r in glm_per_group(df, ["grp"], "y", ["x"], family=fam).collect()
+        }
+        assert abs(out["intercept"] - 1.0) < 1e-6, fam
+        assert abs(out["x"] - 0.5) < 1e-6, fam
