@@ -68,6 +68,41 @@ def write_append_sink(
     return writer
 
 
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    value_col: str | None = None,
+    keys: tuple[str, ...] = (),
+    window: str = "7 days",
+    watermark: str = "28 days",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming form of the
+    batch time-binned summaries (A14, R/format-public-data.R:363-457): one
+    row per (window, keys...) with an event count and optional value sum.
+
+    In append mode a window emits exactly once, when the watermark (event
+    time minus the late-data allowance — the reference's 28-day submission
+    delay) passes its end; state is bounded by watermark x keys, so the
+    operator runs indefinitely at constant memory."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "n",
+            *([f"sum_{value_col}"] if value_col is not None else []),
+        )
+    )
+
+
 def compact_sink(spark: SparkSession, path: str, target_partitions: int = 32) -> None:
     """Periodic small-file compaction for the append sink (the reference
     resyncs its single tracks file after 1000 new trips; at scale this is

@@ -88,3 +88,61 @@ def test_nested_json_source(spark, tmp_path):
     # same downstream unnest path as the wide-export route
     flat = unnest_catches(typed.select("_id", "species_group"), ["_id"])
     assert flat.count() == 2
+
+
+def test_windowed_counts_append_emits_closed_windows(spark, tmp_path):
+    from peskas_timor_data_pipeline_spark.streaming.ingest import windowed_counts
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    landing = tmp_path / "wevents"
+    landing.mkdir()
+    # two daily windows with data + one far-future event that pushes the
+    # watermark (1h allowance) past both, so append mode emits exactly them
+    # daily tumbling windows are epoch-aligned in UTC, so with a non-UTC
+    # session TZ the local boundary sits mid-day; events 30 min apart are in
+    # one window for any whole/half-hour TZ offset
+    rows = [
+        ("2024-01-01T10:00:00", "a", 1.0),
+        ("2024-01-01T10:30:00", "a", 2.0),
+        ("2024-01-02T10:00:00", "b", 5.0),
+        ("2024-02-01T00:00:00", "z", 0.0),
+    ]
+    with open(landing / "a.jsonl", "w") as f:
+        for ts, k, v in rows:
+            f.write(json.dumps({"ts": ts, "k": k, "value": v}) + "\n")
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("k", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(landing))
+    agg = windowed_counts(
+        stream, "ts", value_col="value", keys=("k",), window="1 day", watermark="1 hour"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM win_out").collect()
+    got = {r.k: (r.n, r.sum_value) for r in out}
+    assert got["a"] == (2, 3.0)
+    assert got["b"] == (1, 5.0)
+    # the watermark-pushing window itself is still open -> not emitted
+    assert "z" not in got
+    # windows are exactly one day wide and distinct per key
+    assert all((r.window_end - r.window_start).total_seconds() == 86400 for r in out)
+    assert len(out) == 2
