@@ -333,7 +333,12 @@ SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
 def a12_two_level_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # species_group/length_individuals analogue: order -> supplier ->
     # line-items, nested two levels deep then fully unnested and aggregated.
-    li = load(spark, sf_dir, "lineitem")
+    # Pre-partitioning on the COARSEST nest key makes both nest levels
+    # shuffle-free: HashPartitioning(l_orderkey) satisfies the clustering
+    # for groupBy(l_orderkey, l_suppkey) AND groupBy(l_orderkey) — one
+    # exchange total instead of two (the pattern for multi-level nesting
+    # at 100 TB: shuffle once on the trip key, nest all levels in place).
+    li = load(spark, sf_dir, "lineitem").repartition("l_orderkey")
     level1 = nest(
         li,
         keys=["l_orderkey", "l_suppkey"],

@@ -42,6 +42,11 @@ def nest(
     ``order_by`` pins the intra-array order (dplyr preserves input order,
     which is not reproducible under distribution — we sort explicitly, see
     SURVEY.md §7.4 on order-dependence).
+
+    Multi-level nesting tip: ``df.repartition(coarsest_key)`` first — hash
+    partitioning on the coarsest key satisfies the clustering requirement
+    of every finer ``groupBy(coarsest_key, ...)``, so all nest levels share
+    ONE exchange (asserted in tests/test_plans.py).
     """
     value_cols = list(value_cols or [c for c in df.columns if c not in keys])
     packed = F.collect_list(F.struct(*[F.col(c) for c in value_cols]))

@@ -87,3 +87,18 @@ def test_validators_stay_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in p
     df.collect()
     assert "*(1)" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_two_level_nest_single_exchange(spark, sf_dir):
+    """Pre-partitioning on the coarsest nest key makes BOTH nest levels
+    reuse one exchange: HashPartitioning(k1) satisfies the clustering of
+    groupBy(k1, k2) and groupBy(k1)."""
+    from peskas_timor_data_pipeline_spark.operators.restructure import nest
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition("l_orderkey")
+    lvl1 = nest(li, keys=["l_orderkey", "l_suppkey"], nested_col="li2",
+                value_cols=["l_linenumber"])
+    lvl2 = nest(lvl1, keys=["l_orderkey"], nested_col="sg",
+                value_cols=["l_suppkey", "li2"])
+    plan = lvl2._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
