@@ -55,6 +55,31 @@ def fetch_kobo_paginated(
         next_url, params = payload.get("next"), None
 
 
+def fetch_pds_trips_csv(
+    http_get: HttpGet,
+    base_url: str,
+    secret: str,
+    token: str,
+    start_date: str,
+    end_date: str,
+    max_retries: int = 3,
+) -> str:
+    """PDS trips CSV over REST (S13, R/retrieve-pds-data.R:16-33): the
+    date range rides in the path, auth in ``X-API-SECRET``/token headers.
+    Returns the CSV body to land for a typed Spark read (S4)."""
+    url = f"{base_url}/trips/{start_date}/{end_date}"
+    headers = {"X-API-SECRET": secret, "Authorization": token}
+    for attempt in range(max_retries):
+        try:
+            resp = http_get(url, headers=headers)
+            return resp.text if hasattr(resp, "text") else str(resp)
+        except Exception:
+            if attempt == max_retries - 1:
+                raise
+            time.sleep(2**attempt)
+    raise RuntimeError("unreachable")
+
+
 def incremental_trip_ids(all_ids: list[int], landed_ids: set[int]) -> list[int]:
     """Ids still to fetch (S14's anti-join, R/ingest-pds-data.R:181)."""
     return [t for t in all_ids if t not in landed_ids]

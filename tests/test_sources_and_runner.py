@@ -135,3 +135,42 @@ def test_streaming_dedup_available_now(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 2
     assert {r._id for r in out.collect()} == {"1", "2"}
+
+
+def test_pds_trips_fetch_retry_and_headers():
+    from peskas_timor_data_pipeline_spark.sources.rest import fetch_pds_trips_csv
+
+    calls = []
+
+    class Resp:
+        text = "Trip,Started,Ended\n1,2024-01-01,2024-01-02\n"
+
+    def flaky_get(url, headers=None):
+        calls.append((url, headers))
+        if len(calls) == 1:
+            raise ConnectionError("transient")
+        return Resp()
+
+    body = fetch_pds_trips_csv(
+        flaky_get, "https://api.example", "s3cret", "tok", "2024-01-01", "2024-02-01"
+    )
+    assert body.startswith("Trip,")
+    assert len(calls) == 2  # one failure, one success
+    url, headers = calls[-1]
+    assert url.endswith("/trips/2024-01-01/2024-02-01")
+    assert headers["X-API-SECRET"] == "s3cret"
+
+
+def test_write_public_tsv_roundtrip(spark, tmp_path):
+    from peskas_timor_data_pipeline_spark.sources.io import write_public_tsv
+
+    df = spark.createDataFrame(
+        [(1, "Dili", 3.5), (2, "Baucau", None)], "id int, site string, catch double"
+    )
+    out = str(tmp_path / "public_tsv")
+    write_public_tsv(df, out)
+    back = (
+        spark.read.option("header", True).option("sep", "\t").csv(out)
+    )
+    rows = {r.id: r for r in back.collect()}
+    assert rows["1"].site == "Dili" and rows["2"].catch is None
