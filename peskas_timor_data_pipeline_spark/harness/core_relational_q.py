@@ -767,3 +767,44 @@ QUERIES.update({
     "j2_inner_join": (j2_inner_join, J2_ORACLE),
     "j7_join_nested": (j7_join_nested, J7_ORACLE),
 })
+
+
+# --- J10: as-of join (backward, union+window rewrite) --------------------------------
+
+def j10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach to each purchase the user's most recent prior-or-same-time
+    view (backward as-of). The oracle is DuckDB's NATIVE ASOF JOIN, so the
+    one-shuffle union+window rewrite is value-checked against a reference
+    implementation of the real operator semantics."""
+    from peskas_timor_data_pipeline_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        purchases, views, keys=["user_id"], ts_col="ts",
+        payload_cols=["view_id", "view_value"], right_ts_out="view_ts",
+    )
+    return out.select(
+        "user_id", "purchase_id", "view_ts", "view_id",
+        F.round("view_value", 6).alias("view_value"),
+    )
+
+
+J10_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, event_id AS view_id, value AS view_value
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.user_id, p.purchase_id, v.ts AS view_ts, v.view_id,
+       round(v.view_value, 6) AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+QUERIES["j10_asof_join"] = (j10_asof_join, J10_ORACLE)

@@ -156,3 +156,70 @@ def join_nested(
     renested = nest(joined, keys, nested_col, value_cols, order_by=order_by)
     scalars = df.drop(nested_col)
     return scalars.join(renested, on=list(keys), how="left")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    right_ts_out: str = "matched_ts",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the LATEST right row
+    with ``right.ts <= left.ts`` sharing ``keys`` (ties match the right
+    row). The canonical trip-track/time-series alignment operator the
+    reference approximates with its per-day 1:1 match (J5).
+
+    Spark has no native as-of join; a naive range join is O(n*m) per key.
+    This is the union+window rewrite: tag both sides, sort within each key
+    partition by (ts, side), forward-fill the right payload with
+    ``last(ignorenulls)``, keep left rows. ONE shuffle (the window
+    partition), no join node at all — at 100 TB this is the difference
+    between a sort within partitions and an exploding range join.
+    """
+    keys = list(keys)
+    payload_cols = list(payload_cols)
+    # side 0 sorts before side 1 at equal ts => ties match the right row
+    overlap = set(payload_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"payload_cols collide with left columns: {overlap}")
+    l_tagged = left.withColumn("__side__", F.lit(1)).withColumn(
+        "__rts__", F.lit(None).cast(right.schema[ts_col].dataType)
+    )
+    for c in payload_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("__side__"),
+        F.col(ts_col).alias("__rts__"),
+        *payload_cols,
+    )
+    l_cols = [c for c in l_tagged.columns if c not in r_tagged.columns]
+    r_aligned = r_tagged
+    for c in l_cols:
+        r_aligned = r_aligned.withColumn(c, F.lit(None).cast(l_tagged.schema[c].dataType))
+    unioned = l_tagged.unionByName(r_aligned.select(l_tagged.columns))
+
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("__side__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        F.last("__rts__", ignorenulls=True).over(w).alias(right_ts_out),
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"__m_{c}__")
+            for c in payload_cols
+        ],
+    )
+    out = filled.filter(F.col("__side__") == 1).drop(
+        "__side__", "__rts__", *payload_cols
+    )
+    for c in payload_cols:
+        out = out.withColumnRenamed(f"__m_{c}__", c)
+    return out
