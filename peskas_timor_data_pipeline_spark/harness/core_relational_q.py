@@ -808,3 +808,43 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 """
 
 QUERIES["j10_asof_join"] = (j10_asof_join, J10_ORACLE)
+
+
+# --- J11: interval containment join (binned equi-join rewrite) ------------------------
+
+def j11_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks landing inside the hour before each purchase, as a binned
+    equi-join (no range-join explosion). Oracle = the plain inequality
+    join, so the rewrite's exactness is value-checked."""
+    from peskas_timor_data_pipeline_spark.operators.joins import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = interval_join(
+        clicks, windows, keys=["user_id"], ts_col="ts",
+        start_col="w_start", end_col="w_end", bin_seconds=3600,
+    )
+    return out.select("user_id", "click_id", "purchase_id")
+
+
+J11_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+), w AS (
+  SELECT user_id, ts - INTERVAL 1 HOUR AS w_start, ts AS w_end,
+         event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id, w.purchase_id
+FROM c JOIN w ON c.user_id = w.user_id AND c.ts >= w.w_start AND c.ts <= w.w_end
+"""
+
+QUERIES["j11_interval_join"] = (j11_interval_join, J11_ORACLE)

@@ -223,3 +223,39 @@ def asof_join(
     for c in payload_cols:
         out = out.withColumnRenamed(f"__m_{c}__", c)
     return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join (GPS fix -> trip window containment,
+    R/merge-trips.R:71-151's time alignment) without a range join.
+
+    A raw ``ON p.ts BETWEEN i.start AND i.end`` is a broadcast-nested-loop
+    at scale. Instead both sides discretize to ``bin_seconds`` time bins:
+    intervals explode to the bins they cover, points compute one bin, and
+    the match is an EQUI-join on (keys, bin) + a residual containment
+    filter. Each point matches an interval exactly once (its single bin hits
+    one exploded row per interval). Shuffle is on (keys, bin) — the
+    explode factor is interval_length/bin_seconds, so pick a bin near the
+    typical interval length."""
+    keys = list(keys)
+    binned_pts = points.withColumn(
+        "__bin__", F.floor(F.col(ts_col).cast("double") / bin_seconds).cast("long")
+    )
+    s_bin = F.floor(F.col(start_col).cast("double") / bin_seconds).cast("long")
+    e_bin = F.floor(F.col(end_col).cast("double") / bin_seconds).cast("long")
+    exploded = intervals.withColumn("__bin__", F.explode(F.sequence(s_bin, e_bin)))
+    return (
+        binned_pts.join(exploded, [*keys, "__bin__"])
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("__bin__")
+    )

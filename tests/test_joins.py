@@ -36,3 +36,21 @@ def test_asof_join_single_shuffle(spark):
     # union + window => one exchange on the key, and NO join node at all
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_interval_join_bins_and_boundaries(spark):
+    from peskas_timor_data_pipeline_spark.operators.joins import interval_join
+
+    # interval spans many bins; points on both boundaries included exactly once
+    pts = spark.createDataFrame(
+        [(1, 1000.0, "p1"), (1, 9999.0, "p2"), (1, 10000.0, "p3"), (1, 10001.0, "p4")],
+        "k int, ts double, pid string",
+    )
+    iv = spark.createDataFrame(
+        [(1, 1000.0, 10000.0, "trip1")], "k int, s double, e double, trip string"
+    )
+    out = interval_join(pts, iv, ["k"], "ts", "s", "e", bin_seconds=60)
+    got = sorted(r.pid for r in out.collect())
+    assert got == ["p1", "p2", "p3"]
+    # no duplicate matches despite the interval covering ~150 bins
+    assert out.count() == out.dropDuplicates(["pid", "trip"]).count()
