@@ -194,3 +194,51 @@ QUERIES = {
     "w4_spine_completion": (w4_spine_completion, W4_ORACLE),
     "w5_proration": (w5_proration, W5_ORACLE),
 }
+
+
+# --- W6: time-grain downsampling with deterministic first ---------------------------
+
+def w6_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 1 s -> 1 min GPS downsample shape
+    (R/merge-trips.R:135-151) on events: per (user, minute) keep the
+    earliest event's value (deterministic first via min(struct)) and the
+    mean value. One shuffle; partial aggregation does the 60x reduction
+    map-side."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(
+        F.min(F.struct("ts", "event_id", "value")).alias("__first__"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.count(F.lit(1)).alias("n_fixes"),
+    )
+    return agg.select(
+        "user_id",
+        "minute",
+        F.col("__first__.event_id").alias("first_event_id"),
+        F.round(F.col("__first__.value"), 6).alias("first_value"),
+        "mean_value",
+        "n_fixes",
+    )
+
+
+W6_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute, event_id, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), firsts AS (
+  SELECT user_id, minute, event_id AS first_event_id,
+         round(value, 6) AS first_value
+  FROM ranked WHERE rn = 1
+), means AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute,
+         round(avg(value), 6) AS mean_value, count(*) AS n_fixes
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, minute, first_event_id, first_value, mean_value, n_fixes
+FROM firsts JOIN means USING (user_id, minute)
+"""
+
+QUERIES["w6_downsample"] = (w6_downsample, W6_ORACLE)

@@ -241,3 +241,28 @@ def merge_trips(landings: DataFrame, validated_trips: DataFrame) -> DataFrame:
     return one_to_one_day_match(
         landings, trips_dated, ["landing_date", "tracker_imei"]
     )
+
+
+def downsample_tracks(
+    tracks: DataFrame, unit: str = "minute", first_cols: tuple[str, ...] = ("Lat", "Lng"),
+    mean_cols: tuple[str, ...] = ("`Speed (M/S)`",),
+) -> DataFrame:
+    """1 s GPS fixes -> per-minute track (R/merge-trips.R:135-151): truncate
+    Time, per (Trip, minute) keep the FIRST fix's position fields and the
+    mean speed. dplyr's first is input-order-dependent; here it is pinned to
+    the earliest Time via a min(struct) — one shuffle, map-side partial
+    aggregation (60x data reduction before it)."""
+    def clean(c: str) -> str:
+        return c.strip("`")
+
+    tcol = F.date_trunc(unit, F.col("Time")).alias("Time")
+    by_time = F.struct(F.col("Time"), *[F.col(c) for c in first_cols])
+    firsts = F.min(by_time).alias("__first__")
+    means = [F.avg(F.col(c)).alias(clean(c) + "_mean") for c in mean_cols]
+    agg = tracks.groupBy(F.col("Trip"), tcol).agg(firsts, *means)
+    return agg.select(
+        "Trip",
+        "Time",
+        *[F.col("__first__").getField(clean(c)).alias(clean(c)) for c in first_cols],
+        *[F.col("`" + clean(c) + "_mean`") for c in mean_cols],
+    )

@@ -9,6 +9,7 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from peskas_timor_data_pipeline_spark.pipeline.trips import (
+    downsample_tracks,
     merge_consecutive_trips,
     merge_trips,
     track_descriptors,
@@ -169,3 +170,22 @@ def test_validate_trips_quality_and_oneway_alerts(spark):
     assert out[4].alert == "8"
     assert out[4].tracker_trip_duration is None
     assert out[4].tracker_trip_end is None
+
+
+def test_downsample_tracks_minute_grain(spark):
+    rows = [
+        (_t("2023-05-01 06:00:05"), 1, -8.55, 125.56, 2.0),
+        (_t("2023-05-01 06:00:45"), 1, -8.56, 125.57, 4.0),
+        (_t("2023-05-01 06:01:10"), 1, -8.57, 125.58, 6.0),
+    ]
+    tracks = spark.createDataFrame(
+        rows, ["Time", "Trip", "Lat", "Lng", "Speed (M/S)"]
+    )
+    out = {
+        r.Time.isoformat(): r
+        for r in downsample_tracks(tracks, mean_cols=("`Speed (M/S)`",)).collect()
+    }
+    m0 = out["2023-05-01T06:00:00"]
+    # first fix (earliest Time) wins the position; speed is the minute mean
+    assert m0.Lat == -8.55 and abs(m0["Speed (M/S)_mean"] - 3.0) < 1e-9
+    assert out["2023-05-01T06:01:00"].Lat == -8.57
