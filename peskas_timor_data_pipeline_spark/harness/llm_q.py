@@ -545,3 +545,61 @@ FROM comp GROUP BY component
 """
 
 QUERIES["d5_dup_clusters"] = (d5_dup_clusters, D5_ORACLE)
+
+
+# --- T7: PII redaction ---------------------------------------------------------------
+
+def t7_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone masking over synthesized PII-bearing text (the documents
+    corpus has none, so it is injected deterministically from doc ids —
+    both engines build identical inputs)."""
+    from peskas_timor_data_pipeline_spark.llm.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with_pii = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.org")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" call +670 7", ), F.col("doc_id") % 1000, F.lit("-1234")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = redact_pii(with_pii, "text")
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+T7_ORACLE = """
+WITH with_pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.org' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +670 7' || (doc_id % 1000) || '-1234' ELSE '' END
+         AS text
+  FROM documents
+), masked AS (
+  SELECT doc_id,
+         length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM with_pii
+)
+SELECT doc_id,
+       CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(length(regexp_extract_all(t1, '\\+?[0-9]{3}[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}')) AS INTEGER) AS n_phones,
+       md5(regexp_replace(t1, '\\+?[0-9]{3}[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}', '<PHONE>', 'g')) AS redacted_md5
+FROM masked
+"""
+
+QUERIES["t7_redact"] = (t7_redact, T7_ORACLE)

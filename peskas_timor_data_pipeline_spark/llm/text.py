@@ -105,3 +105,32 @@ def bottom_k_fingerprint(
         F.col(id_col),
         F.md5(F.concat_ws("", "bottom")).alias("fingerprint"),
     )
+
+
+# conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+# no backreferences, no lookaround
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9]{3}[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "redacted",
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """Training-data hygiene: mask email addresses and phone-shaped number
+    runs, and count the redactions per document. Pure regexp_replace /
+    regexp_count column expressions — JVM-side, codegen-friendly, and the
+    patterns are dialect-portable so the oracle applies the same strings."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE))
+    masked_email = F.regexp_replace(t, EMAIL_RE, email_token)
+    n_phones = F.regexp_count(masked_email, F.lit(PHONE_RE))
+    return df.select(
+        "*",
+        F.regexp_replace(masked_email, PHONE_RE, phone_token).alias(out_col),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )

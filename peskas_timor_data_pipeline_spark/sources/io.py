@@ -84,3 +84,31 @@ def write_public_json(df: DataFrame, path: str) -> None:
     """JSON export (S19, R/export.R:386-404); one JSON object per line
     (portal files are small — coalesce keeps a single part)."""
     df.coalesce(1).write.mode("overwrite").json(path)
+
+
+def upsert_stage(
+    spark: SparkSession,
+    batch: DataFrame,
+    directory: str,
+    prefix: str,
+    key_cols: list[str],
+) -> str:
+    """MERGE-style upsert onto a versioned parquet stage: rows in the
+    incoming batch replace same-key rows in the latest artifact; everything
+    else carries over; the result is written as a NEW versioned artifact
+    (immutable lineage, like the reference's versioned GCS objects S7/S8 +
+    its new-vs-old flags merge, R/validate-landings.R:294-296).
+
+    The survivor set is ``latest LEFT ANTI batch`` (one shuffle on the key,
+    or a broadcast anti-join when the batch is small) unioned with the
+    batch — the plain-parquet equivalent of Delta's MERGE WHEN MATCHED
+    UPDATE / WHEN NOT MATCHED INSERT for append-mostly pipelines."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    try:
+        current = read_stage(spark, directory, prefix)
+    except FileNotFoundError:
+        return write_stage(batch, directory, prefix)
+    carried = current.join(batch.select(*key_cols), on=key_cols, how="left_anti")
+    merged = carried.unionByName(batch)
+    return write_stage(merged, directory, prefix)

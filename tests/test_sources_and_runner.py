@@ -174,3 +174,26 @@ def test_write_public_tsv_roundtrip(spark, tmp_path):
     )
     rows = {r.id: r for r in back.collect()}
     assert rows["1"].site == "Dili" and rows["2"].catch is None
+
+
+def test_upsert_stage_merge_semantics(spark, tmp_path):
+    import time as _time
+
+    from peskas_timor_data_pipeline_spark.sources.io import (
+        read_stage,
+        upsert_stage,
+        write_stage,
+    )
+
+    d = str(tmp_path / "stages")
+    base = spark.createDataFrame(
+        [(1, "old"), (2, "keep")], "id int, v string"
+    )
+    write_stage(base, d, "tbl")
+    _time.sleep(1.1)  # version names are second-granular
+    batch = spark.createDataFrame(
+        [(1, "new"), (3, "ins")], "id int, v string"
+    )
+    upsert_stage(spark, batch, d, "tbl", ["id"])
+    got = {r.id: r.v for r in read_stage(spark, d, "tbl").collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
