@@ -603,3 +603,69 @@ FROM masked
 """
 
 QUERIES["t7_redact"] = (t7_redact, T7_ORACLE)
+
+
+# --- E3: IVF (inverted-file) ANN --------------------------------------------------------
+
+def e3_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded-sample centroids (md5 order — no k-means iterations,
+    so the oracle replays centroid choice exactly), broadcast assignment to
+    nearest cell, queries probe their 4 nearest of 16 cells. The scale
+    path where hyperplane LSH's fixed-bit recall is insufficient."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import cosine_topk_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    candidates = emb.filter(F.col("vec_id") >= 50)
+    return cosine_topk_ivf(
+        queries, candidates, "vec_id", "embedding",
+        k=3, dim=DIM, n_cells=16, n_probe=4,
+    )
+
+
+E3_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cvec
+  FROM embeddings WHERE vec_id >= 50
+  ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 50),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 50),
+assign AS (
+  SELECT cand_id, cell_id, cv,
+         row_number() OVER (
+           PARTITION BY cand_id
+           ORDER BY ({_dot_sql('cv', 'cvec')})
+                    / (sqrt({_dot_sql('cv', 'cv')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
+                    cell_id
+         ) AS rn
+  FROM c CROSS JOIN cents
+),
+inv AS (SELECT cell_id, cand_id, cv FROM assign WHERE rn = 1),
+probe AS (
+  SELECT query_id, qv, cell_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY ({_dot_sql('qv', 'cvec')})
+                    / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
+                    cell_id
+         ) AS rn
+  FROM q CROSS JOIN cents
+),
+probes AS (SELECT query_id, qv, cell_id FROM probe WHERE rn <= 4),
+scored AS (
+  SELECT query_id, cand_id,
+         ({_dot_sql('qv', 'cv')})
+         / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
+  FROM probes JOIN inv USING (cell_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 3
+"""
+
+QUERIES["e3_ivf_ann"] = (e3_ivf_ann, E3_ORACLE)

@@ -111,6 +111,97 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_centroids(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: the ``n_cells`` corpus vectors
+    with the smallest md5('cent#'||id) act as cell centroids (a seeded
+    uniform sample of the data — the standard k-means init, minus the
+    iterations, so the oracle can replay it exactly).
+
+    ``orderBy().limit()`` compiles to TakeOrderedAndProject: each partition
+    keeps its local top-``n_cells`` and the driver merges — no global sort
+    shuffle, so centroid selection is one cheap pass even at 100 TB."""
+    seed_key = F.md5(F.concat(F.lit("cent#"), F.col(id_col).cast("string")))
+    return (
+        candidates.select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).alias("cvec"),
+            norm_expr(vec_col, dim).alias("cnorm"),
+            seed_key.alias("__seed__"),
+        )
+        .orderBy("__seed__", "cell_id")
+        .limit(n_cells)
+        .drop("__seed__")
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: candidates are assigned to
+    their nearest centroid cell once (broadcast ×n_cells comparison, argmax
+    by window — the inverted lists); each query probes only its ``n_probe``
+    nearest cells and scores those lists. Per-query work drops from O(N) to
+    O(n_probe·N/n_cells); at scale n_cells ~ √N keeps both the centroid
+    broadcast (MBs) and the cell lists balanced. The recall/cost trade is
+    the probe count, not a hash-design constant like hyperplane LSH."""
+    cents = F.broadcast(ivf_centroids(candidates, id_col, vec_col, n_cells, dim))
+
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col, dim).alias("cn"),
+    )
+    w_assign = Window.partitionBy("cand_id").orderBy(
+        F.desc("cos_c"), F.asc("cell_id")
+    )
+    inverted = (
+        c.crossJoin(cents)
+        .withColumn("cos_c", dot_expr("cv", "cvec", dim) / (F.col("cn") * F.col("cnorm")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("cell_id", "cand_id", "cv", "cn")
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col, dim).alias("qn"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q"), F.asc("cell_id")
+    )
+    probes = (
+        q.crossJoin(cents)
+        .withColumn("cos_q", dot_expr("qv", "cvec", dim) / (F.col("qn") * F.col("cnorm")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "qn", "cell_id")
+    )
+
+    scored = probes.join(inverted, "cell_id").withColumn(
+        "cosine", dot_expr("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
