@@ -625,3 +625,75 @@ GROUP BY ROLLUP (n_regionkey, n_name)
 """
 
 QUERIES["a18_grouping_rollup"] = (a18_grouping_rollup, A18_ORACLE)
+
+
+# --- A19: KMV distinct-count sketch (deterministic, mergeable) -----------------------
+
+KMV_K = 64
+
+
+def a19_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per return flag via a KMV bottom-k sketch
+    (operators/sketches.py) — the engine-portable alternative to HLL++ for
+    cross-engine-auditable approximate distinct counts. Output carries the
+    estimate next to the exact count so the oracle value-checks the
+    estimator itself, not just the plumbing."""
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    sk = kmv_sketch(li, ["l_returnflag"], "l_suppkey", k=KMV_K)
+    est = sk.select(
+        "l_returnflag",
+        F.round(kmv_estimate(KMV_K), 4).alias("est_distinct"),
+        F.col("n_kept").alias("sketch_size"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("exact_distinct")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "est_distinct",
+        "sketch_size",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+_UNIT_HASH_SQL = (
+    "(('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 12))::BIGINT + 1.0)"
+    f" / {16 ** 12}.0"
+)
+
+A19_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT l_returnflag, {_UNIT_HASH_SQL} AS h FROM lineitem
+), kept AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM hashed
+), sk AS (
+  SELECT l_returnflag, count(*) AS n_kept, max(h) AS h_k
+  FROM kept WHERE rn <= {KMV_K} GROUP BY l_returnflag
+), est AS (
+  SELECT l_returnflag,
+         round(CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE)
+                    ELSE ({KMV_K} - 1) / h_k END, 4) AS est_distinct,
+         n_kept AS sketch_size
+  FROM sk
+), exact AS (
+  SELECT l_returnflag, count(DISTINCT l_suppkey) AS exact_distinct
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, est_distinct, sketch_size, exact_distinct,
+       round(abs(est_distinct - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM est JOIN exact USING (l_returnflag)
+"""
+
+QUERIES["a19_kmv_distinct"] = (a19_kmv_distinct, A19_ORACLE)

@@ -1,0 +1,93 @@
+"""Mergeable distinct-count sketches (KMV / bottom-k).
+
+Spark's production path for approximate distinct counting is the built-in
+HLL++ (``approx_count_distinct`` — partial-aggregated, bounded state). Its
+estimates, however, are engine-specific: no other system reproduces them
+bit-for-bit, so they can't be reconciled across engines or against an
+oracle. The KMV (k-minimum-values) sketch here fills that gap: every hash
+is md5, the sketch is the k smallest unit-interval hashes of the distinct
+values, and the estimator (k-1)/h_k is a deterministic closed form — any
+engine with md5 computes the identical estimate, which makes cross-engine
+audits (and the driver's DuckDB gate) possible.
+
+Mergeability is the scale property: the union sketch of two groups is just
+the bottom-k of their combined hash sets, so per-partition/per-source
+sketches roll up without rescanning the data — the same algebra
+Theta/KMV sketches use in Druid/DataSketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 12 hex chars = 48 bits: exactly representable in a double (2^53), uniform
+# on (0, 1] after the +1 offset that avoids a zero divisor.
+_HEX_CHARS = 12
+_SCALE = 16 ** _HEX_CHARS
+
+
+def unit_hash(col: Column) -> Column:
+    """md5-derived uniform hash in (0, 1], identical in any md5 engine."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, _HEX_CHARS), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(_SCALE))
+
+
+def kmv_sketch(
+    df: DataFrame, keys: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """Bottom-k sketch per group: (keys..., hs: array<double> ascending,
+    n_kept). ``hs`` holds the k smallest distinct unit hashes of
+    ``value_col`` — the whole sketch state, mergeable via ``merge_sketches``.
+
+    Shape: dedup on (keys, h) — map-side partial dedup, one shuffle — then a
+    per-group bottom-k via window row_number. Rows beyond k are dropped at
+    the filter, so downstream state is k doubles per group regardless of
+    group size."""
+    h = unit_hash(F.col(value_col)).alias("__h__")
+    hashed = df.select(*[F.col(c) for c in keys], h).dropDuplicates(
+        [*keys, "__h__"]
+    )
+    w = Window.partitionBy(*keys).orderBy("__h__")
+    kept = hashed.withColumn("__rn__", F.row_number().over(w)).filter(
+        F.col("__rn__") <= k
+    )
+    return kept.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("__h__")).alias("hs"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+def kmv_estimate(k: int) -> Column:
+    """Distinct-count estimate from a sketch row: exact ``n_kept`` while the
+    group has fewer than k distinct values (the sketch IS the value set),
+    else (k-1)/h_k."""
+    return F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise((k - 1) / F.element_at(F.col("hs"), k))
+
+
+def merge_sketches(sketches: DataFrame, k: int, keys: list[str] | None = None) -> DataFrame:
+    """Union-merge sketches (optionally regrouped onto coarser ``keys``,
+    e.g. per-source -> global): bottom-k of the combined hash arrays.
+    Never touches the original data — this is the rollup path that makes
+    per-partition sketching O(k) to combine at any fan-in."""
+    keys = keys or []
+    exploded = sketches.select(
+        *[F.col(c) for c in keys], F.explode("hs").alias("__h__")
+    ).dropDuplicates([*keys, "__h__"])
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("__h__")
+    else:
+        w = Window.partitionBy(F.lit(1)).orderBy("__h__")
+    kept = exploded.withColumn("__rn__", F.row_number().over(w)).filter(
+        F.col("__rn__") <= k
+    )
+    return kept.groupBy(*[F.col(c) for c in keys]).agg(
+        F.sort_array(F.collect_list("__h__")).alias("hs"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )

@@ -1,0 +1,52 @@
+"""KMV sketch: estimator accuracy and the union-merge algebra."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+K = 32
+
+
+def test_kmv_merge_equals_direct_global_sketch(spark):
+    """Rolling up per-group sketches must yield byte-identical state to
+    sketching the whole table directly — the property that makes
+    per-partition sketching composable at any fan-in."""
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        kmv_sketch,
+        merge_sketches,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    per_flag = kmv_sketch(li, ["l_returnflag"], "l_suppkey", k=K)
+    merged = merge_sketches(per_flag, k=K).collect()[0]
+    direct = kmv_sketch(li.withColumn("g", F.lit(1)), ["g"], "l_suppkey", k=K).collect()[0]
+    assert merged.hs == direct.hs
+    assert merged.n_kept == direct.n_kept
+
+
+def test_kmv_estimate_small_group_is_exact_large_group_close(spark):
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    est = (
+        kmv_sketch(li, ["l_returnflag"], "l_suppkey", k=K)
+        .select("l_returnflag", kmv_estimate(K).alias("est"), "n_kept")
+        .join(
+            li.groupBy("l_returnflag").agg(
+                F.countDistinct("l_suppkey").alias("exact")
+            ),
+            "l_returnflag",
+        )
+        .collect()
+    )
+    assert est
+    for r in est:
+        if r.n_kept < K:  # sketch holds the whole value set
+            assert r.est == r.exact
+        else:  # KMV standard error ~ 1/sqrt(k-1) ≈ 18% at k=32
+            assert abs(r.est - r.exact) / r.exact < 0.5
