@@ -103,6 +103,48 @@ def windowed_counts(
     )
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment (the streaming form of J1's
+    broadcast dim joins — landings ⋈ vessel_types/gear/stations). The static
+    side is re-resolved every micro-batch, so a refreshed metadata parquet
+    is picked up without restarting the query; broadcasting it keeps the
+    join stateless (no streaming state, no watermark needed)."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def upsert_sink(
+    stream: DataFrame,
+    directory: str,
+    prefix: str,
+    key_cols: list[str],
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> DataStreamWriter:
+    """foreachBatch MERGE sink: each micro-batch upserts onto the versioned
+    parquet stage (sources.io.upsert_stage — same-key rows replaced, rest
+    carried over, new immutable artifact). Checkpointed batch ids make the
+    upsert effectively-once on restart: a replayed batch rewrites the same
+    keys with the same rows, so the merge is idempotent."""
+    from peskas_timor_data_pipeline_spark.sources.io import upsert_stage
+
+    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        upsert_stage(batch.sparkSession, batch, directory, prefix, key_cols)
+
+    writer = stream.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
 def compact_sink(spark: SparkSession, path: str, target_partitions: int = 32) -> None:
     """Periodic small-file compaction for the append sink (the reference
     resyncs its single tracks file after 1000 new trips; at scale this is
