@@ -67,6 +67,26 @@ def write_stage(df: DataFrame, directory: str, prefix: str, mode: str = "overwri
     return path
 
 
+def write_stage_partitioned(
+    df: DataFrame,
+    directory: str,
+    prefix: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> str:
+    """Hive-partitioned parquet stage (``.../col=value/`` layout). The
+    physical layout IS the index at lake scale: a reader filtering on a
+    partition column scans only matching directories (PartitionFilters in
+    the plan — no file listing, no row groups, no IO for the rest). Use for
+    the big append-mostly facts (landings by month, tracks by trip-date);
+    keep partition cardinality in the hundreds-to-thousands so files stay
+    row-group sized."""
+    name = add_version(prefix, "parquet")
+    path = os.path.join(directory, name)
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    return path
+
+
 def read_stage(spark: SparkSession, directory: str, prefix: str) -> DataFrame:
     """Read the latest version of a stage artifact."""
     path = resolve_latest(directory, prefix, "parquet")

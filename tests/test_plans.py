@@ -102,3 +102,32 @@ def test_two_level_nest_single_exchange(spark, sf_dir):
                 value_cols=["l_suppkey", "li2"])
     plan = lvl2._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_partitioned_stage_prunes_at_scan(spark, sf_dir, tmp_path):
+    """A filter on a hive-partition column must become a PartitionFilter
+    (directory pruning — zero IO for other partitions), not a post-scan
+    Filter over the whole stage."""
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.sources.io import (
+        read_stage,
+        write_stage_partitioned,
+    )
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+    )
+    write_stage_partitioned(li, str(tmp_path), "li_by_month", ["ship_month"])
+
+    df = read_stage(spark, str(tmp_path), "li_by_month").filter(
+        F.col("ship_month") == "1994-01"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ship_month" in m.group(1), plan[:2000]
+    # and the pruned column is NOT re-checked as a data filter post-scan
+    dm = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert dm is None or "ship_month" not in dm.group(1)
