@@ -67,6 +67,41 @@ def extract_binary_meta(
     return df.select(id_col, content_col).mapInPandas(extract, schema=out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    target_w: int = 224,
+    target_h: int = 224,
+) -> DataFrame:
+    """Image-resize plumbing via mapInPandas: binary in, binary out, new
+    dims in typed metadata — the exact batch shape a PIL/libvips resize
+    would use (decode/re-encode STUBBED: the deterministic fake clamps the
+    payload to target_w*target_h bytes so output size tracks target dims).
+
+    Scale shape: binary columns ride Arrow batches partition-locally; the
+    output schema is declared up front so downstream stages plan against
+    typed columns, not a Python object blob."""
+    out_schema = (
+        f"{id_col} long, content binary, meta_width int, meta_height int"
+    )
+    cap = target_w * target_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    # STUB for PIL Image.resize((target_w, target_h))
+                    "content": pdf[content_col].map(lambda b: b[:cap]),
+                    "meta_width": target_w,
+                    "meta_height": target_h,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(resize, schema=out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame, id_col: str, every_n_seconds: float = 1.0
 ) -> DataFrame:
