@@ -85,21 +85,13 @@ N_HASHES, BAND_SIZE, K_SHINGLE = 16, 8, 5
 
 
 def d2_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from peskas_timor_data_pipeline_spark.llm.dedup import shingle_rows
-
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    # the explode is the widest intermediate — one checkpointed pass feeds
-    # both the signature mins and the Jaccard sets
-    shingled = shingle_rows(docs, "doc_id", "text", K_SHINGLE).localCheckpoint(
-        eager=True
-    )
-    sigs = minhash_signature(
-        docs, "doc_id", "text", N_HASHES, K_SHINGLE, shingles=shingled
-    )
+    # signatures are shuffle-free (narrow higher-order mins); the shingle
+    # explode happens only inside ngram_jaccard, semi-joined to the tiny
+    # candidate-pair population
+    sigs = minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
     pairs = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BAND_SIZE)
-    verified = ngram_jaccard(
-        docs, pairs, "doc_id", "text", K_SHINGLE, shingles=shingled
-    )
+    verified = ngram_jaccard(docs, pairs, "doc_id", "text", K_SHINGLE)
     high = verified.filter(F.col("jaccard") >= 0.5)
     return high.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
