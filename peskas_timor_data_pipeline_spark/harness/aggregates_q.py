@@ -697,3 +697,109 @@ FROM est JOIN exact USING (l_returnflag)
 """
 
 QUERIES["a19_kmv_distinct"] = (a19_kmv_distinct, A19_ORACLE)
+
+
+# --- A20: KMV set algebra (sketch-only union/intersection/Jaccard) -------------------
+
+def a20_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-set overlap between return flags estimated purely from KMV
+    sketches (no rescan of lineitem for the estimates), with the exact
+    Jaccard alongside so the oracle value-checks the estimator."""
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    sk = kmv_sketch(li, ["l_returnflag"], "l_suppkey", k=KMV_K)
+    pairs = (
+        sk.select(F.col("l_returnflag").alias("flag_a"), F.col("hs").alias("hs_a"))
+        .join(
+            sk.select(F.col("l_returnflag").alias("flag_b"), F.col("hs").alias("hs_b")),
+            F.col("flag_a") < F.col("flag_b"),
+        )
+    )
+    est = kmv_set_estimates(pairs, KMV_K)
+
+    membership = li.select("l_returnflag", "l_suppkey").distinct()
+    a = membership.select(F.col("l_returnflag").alias("flag_a"), "l_suppkey")
+    b = membership.select(F.col("l_returnflag").alias("flag_b"), "l_suppkey")
+    common = (
+        a.join(b, "l_suppkey")
+        .filter(F.col("flag_a") < F.col("flag_b"))
+        .groupBy("flag_a", "flag_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = membership.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    exact = (
+        common.join(
+            sizes.select(F.col("l_returnflag").alias("flag_a"), F.col("n_distinct").alias("na")),
+            "flag_a",
+        )
+        .join(
+            sizes.select(F.col("l_returnflag").alias("flag_b"), F.col("n_distinct").alias("nb")),
+            "flag_b",
+        )
+        .withColumn(
+            "exact_jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+    )
+    return (
+        est.join(exact, ["flag_a", "flag_b"])
+        .select(
+            "flag_a",
+            "flag_b",
+            F.round("est_union", 4).alias("est_union"),
+            F.round("est_inter", 4).alias("est_inter"),
+            F.round("est_jaccard", 4).alias("est_jaccard"),
+            F.round("exact_jaccard", 4).alias("exact_jaccard"),
+        )
+    )
+
+
+A20_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT l_returnflag, {_UNIT_HASH_SQL} AS h FROM lineitem
+), kept AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM hashed
+), sk AS (
+  SELECT l_returnflag, list(h ORDER BY h) AS hs
+  FROM kept WHERE rn <= {KMV_K} GROUP BY l_returnflag
+), pr AS (
+  SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+         a.hs AS hs_a, b.hs AS hs_b,
+         list_slice(list_sort(list_distinct(list_concat(a.hs, b.hs))), 1, {KMV_K}) AS u
+  FROM sk a JOIN sk b ON a.l_returnflag < b.l_returnflag
+), est AS (
+  SELECT flag_a, flag_b,
+         CASE WHEN len(u) < {KMV_K} THEN CAST(len(u) AS DOUBLE)
+              ELSE ({KMV_K} - 1) / u[len(u)] END AS est_union,
+         len(list_intersect(u, list_intersect(hs_a, hs_b))) * 1.0 / len(u) AS rho
+  FROM pr
+), membership AS (
+  SELECT DISTINCT l_returnflag, l_suppkey FROM lineitem
+), common AS (
+  SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b, count(*) AS n_common
+  FROM membership a JOIN membership b
+    ON a.l_suppkey = b.l_suppkey AND a.l_returnflag < b.l_returnflag
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT l_returnflag, count(*) AS n_distinct FROM membership GROUP BY 1
+)
+SELECT e.flag_a, e.flag_b,
+       round(e.est_union, 4) AS est_union,
+       round(e.rho * e.est_union, 4) AS est_inter,
+       round(e.rho, 4) AS est_jaccard,
+       round(c.n_common * 1.0 / (sa.n_distinct + sb.n_distinct - c.n_common), 4) AS exact_jaccard
+FROM est e
+JOIN common c ON c.flag_a = e.flag_a AND c.flag_b = e.flag_b
+JOIN sizes sa ON sa.l_returnflag = e.flag_a
+JOIN sizes sb ON sb.l_returnflag = e.flag_b
+"""
+
+QUERIES["a20_kmv_set_ops"] = (a20_kmv_set_ops, A20_ORACLE)

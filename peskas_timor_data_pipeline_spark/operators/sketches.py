@@ -71,6 +71,35 @@ def kmv_estimate(k: int) -> Column:
     ).otherwise((k - 1) / F.element_at(F.col("hs"), k))
 
 
+def kmv_set_estimates(pairs: DataFrame, k: int) -> DataFrame:
+    """Theta-sketch-style set algebra on two KMV sketches carried as
+    ``hs_a``/``hs_b`` array columns: adds ``est_union``, ``est_inter``,
+    ``est_jaccard``.
+
+    Estimator: the union sketch U = bottom-k of hs_a ∪ hs_b estimates
+    |A ∪ B| like any KMV; ρ = fraction of U's hashes present in BOTH input
+    sketches estimates Jaccard directly (U is a uniform sample of A ∪ B);
+    |A ∩ B| ≈ ρ·|A ∪ B|. Everything is closed-form array arithmetic on
+    2·k doubles per row — set overlap between 100 TB partitions compared
+    without rescanning either side."""
+    out = pairs.withColumn(
+        "__u__", F.slice(F.array_sort(F.array_union("hs_a", "hs_b")), 1, k)
+    )
+    kk = F.size("__u__")
+    tau = F.expr("element_at(__u__, size(__u__))")
+    est_union = F.when(kk < k, kk.cast("double")).otherwise((k - 1) / tau)
+    rho = (
+        F.size(F.array_intersect(F.col("__u__"), F.array_intersect("hs_a", "hs_b")))
+        / kk
+    )
+    return (
+        out.withColumn("est_union", est_union)
+        .withColumn("est_jaccard", rho)
+        .withColumn("est_inter", rho * F.col("est_union"))
+        .drop("__u__")
+    )
+
+
 def merge_sketches(sketches: DataFrame, k: int, keys: list[str] | None = None) -> DataFrame:
     """Union-merge sketches (optionally regrouped onto coarser ``keys``,
     e.g. per-source -> global): bottom-k of the combined hash arrays.

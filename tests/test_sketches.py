@@ -50,3 +50,35 @@ def test_kmv_estimate_small_group_is_exact_large_group_close(spark):
             assert r.est == r.exact
         else:  # KMV standard error ~ 1/sqrt(k-1) ≈ 18% at k=32
             assert abs(r.est - r.exact) / r.exact < 0.5
+
+
+def test_kmv_set_estimates_track_exact_jaccard(spark):
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    sk = kmv_sketch(li, ["l_returnflag"], "l_suppkey", k=K)
+    pairs = sk.select(
+        F.col("l_returnflag").alias("flag_a"), F.col("hs").alias("hs_a")
+    ).join(
+        sk.select(F.col("l_returnflag").alias("flag_b"), F.col("hs").alias("hs_b")),
+        F.col("flag_a") < F.col("flag_b"),
+    )
+    est = kmv_set_estimates(pairs, K).collect()
+    assert est  # at least one flag pair
+    membership = li.select("l_returnflag", "l_suppkey").distinct()
+    sets = {
+        r.l_returnflag: set()
+        for r in membership.select("l_returnflag").distinct().collect()
+    }
+    for r in membership.collect():
+        sets[r.l_returnflag].add(r.l_suppkey)
+    for r in est:
+        a, b = sets[r.flag_a], sets[r.flag_b]
+        exact_j = len(a & b) / len(a | b)
+        exact_u = len(a | b)
+        # KMV standard error ~1/sqrt(k-1); allow a generous band
+        assert abs(r.est_jaccard - exact_j) < 0.35
+        assert abs(r.est_union - exact_u) / exact_u < 0.5
