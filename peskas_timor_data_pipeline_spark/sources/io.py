@@ -58,11 +58,24 @@ def read_csv_typed(spark: SparkSession, path: str, schema: StructType, **options
     return spark.read.options(header=True, **options).schema(schema).csv(path)
 
 
+def _fresh_versioned_path(directory: str, prefix: str) -> str:
+    """Versioned path that does not collide with an existing artifact. The
+    version stamp has 1 s resolution, so two stage writes inside the same
+    second would otherwise target the SAME path — and an upsert lazily
+    reading the current artifact while overwriting that path loses rows.
+    Bump the stamp until unique (artifacts are immutable once written)."""
+    ts = _dt.datetime.now(_dt.timezone.utc)
+    while True:
+        path = os.path.join(directory, add_version(prefix, "parquet", ts=ts))
+        if not os.path.exists(path):
+            return path
+        ts += _dt.timedelta(seconds=1)
+
+
 def write_stage(df: DataFrame, directory: str, prefix: str, mode: str = "overwrite") -> str:
     """Parquet stage boundary with a versioned directory name (S6/S7/S8
     replacement: parquet+zstd instead of gz RDS)."""
-    name = add_version(prefix, "parquet")
-    path = os.path.join(directory, name)
+    path = _fresh_versioned_path(directory, prefix)
     df.write.mode(mode).parquet(path)
     return path
 
@@ -81,8 +94,7 @@ def write_stage_partitioned(
     the big append-mostly facts (landings by month, tracks by trip-date);
     keep partition cardinality in the hundreds-to-thousands so files stay
     row-group sized."""
-    name = add_version(prefix, "parquet")
-    path = os.path.join(directory, name)
+    path = _fresh_versioned_path(directory, prefix)
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
     return path
 
