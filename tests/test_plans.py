@@ -131,3 +131,41 @@ def test_partitioned_stage_prunes_at_scan(spark, sf_dir, tmp_path):
     # and the pruned column is NOT re-checked as a data filter post-scan
     dm = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert dm is None or "ship_month" not in dm.group(1)
+
+
+def test_runtime_bloom_filter_reduces_bigbig_join(spark, sf_dir):
+    """For a selective big-big join (neither side broadcastable at scale),
+    Catalyst must inject a runtime bloom filter built from the selective
+    side and applied at the big side's scan — the semi-join reduction that
+    keeps 100 TB probe scans from shipping non-matching rows into the
+    shuffle. Size thresholds are lowered to make the local fixture look
+    'big'; production defaults (10 GB app-side) engage it only where it
+    pays off."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
