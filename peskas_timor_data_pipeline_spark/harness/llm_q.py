@@ -661,3 +661,48 @@ FROM ranked WHERE rank <= 3
 """
 
 QUERIES["e3_ivf_ann"] = (e3_ivf_ann, E3_ORACLE)
+
+
+# --- T8: deterministic weighted sampling without replacement ---------------------------
+
+T8_N = 25
+
+
+def t8_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsampling via Efraimidis-Spirakis A-Res:
+    each doc gets key u^(1/w) (u = md5-derived uniform, w = its weight);
+    the global top-n by key IS a weighted sample without replacement. The
+    md5 uniform replaces the RNG, so the 'random' sample reproduces on any
+    engine — and orderBy+limit compiles to TakeOrderedAndProject (per-
+    partition top-n, driver merge of n·partitions rows), no global sort at
+    100 TB."""
+    from peskas_timor_data_pipeline_spark.operators.sketches import unit_hash
+
+    docs = load(spark, sf_dir, "documents")
+    w = (F.length("text") + 1).cast("double")  # weight: longer docs favored
+    key = F.pow(unit_hash(F.col("doc_id")), 1.0 / w)
+    return (
+        docs.select("doc_id", "lang", key.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(T8_N)
+        .select("doc_id", "lang", F.round("k", 10).alias("sample_key"))
+    )
+
+
+_UNIT_HASH_DOC_SQL = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1.0)"
+    f" / {16 ** 12}.0"
+)
+
+T8_ORACLE = f"""
+SELECT doc_id, lang, round(k, 10) AS sample_key
+FROM (
+  SELECT doc_id, lang,
+         pow({_UNIT_HASH_DOC_SQL}, 1.0 / (length(text) + 1)) AS k
+  FROM documents
+)
+ORDER BY k DESC, doc_id
+LIMIT {T8_N}
+"""
+
+QUERIES["t8_weighted_sample"] = (t8_weighted_sample, T8_ORACLE)
