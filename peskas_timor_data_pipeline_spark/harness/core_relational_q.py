@@ -743,7 +743,8 @@ def j7_join_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, ["l_orderkey"], "items", ["l_partkey", "l_quantity"]
     )
     joined = join_nested(
-        nested, "items", part, on="l_partkey", keys=["l_orderkey"]
+        nested, "items", part, on="l_partkey", keys=["l_orderkey"],
+        carry_scalars=True,  # one shuffle: no scalar re-attach join
     )
     flat = unnest(joined, "items")
     return flat.groupBy("p_brand").agg(

@@ -143,12 +143,29 @@ def join_nested(
     how: str = "left",
     order_by: Sequence[str] | None = None,
     reattach: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+    carry_scalars: bool = False,
 ) -> DataFrame:
     """Join a dimension into rows of a nested array<struct> column (J7,
     purrr::map(species_group, left_join, ...) R/calculate-weights.R:300-316):
-    explode -> broadcast join -> re-nest. The dim is broadcast so the only
-    shuffle is the final re-nest groupBy on ``keys``."""
+    explode -> broadcast join -> re-nest. The dim is broadcast so the
+    shuffles are the re-nest groupBy on ``keys`` plus the scalar re-attach
+    join.
+
+    ``carry_scalars=True`` threads ALL scalar columns through the explode
+    as extra group keys instead of re-joining them afterwards — ONE shuffle
+    total instead of two. Results are identical (the keys functionally
+    determine the scalars); prefer it whenever the scalar columns are plain
+    hashable types and narrow enough that duplicating them per nested row
+    is cheaper than a second shuffle of the whole table — at 100 TB that
+    trade almost always favors carrying."""
     from peskas_timor_data_pipeline_spark.operators.restructure import nest, unnest
+
+    if carry_scalars:
+        group_keys = [c for c in df.columns if c != nested_col]
+        flat = unnest(df, nested_col)
+        joined = flat.join(F.broadcast(dim), on=on, how=how)
+        value_cols = [c for c in joined.columns if c not in group_keys]
+        return nest(joined, group_keys, nested_col, value_cols, order_by=order_by)
 
     flat = unnest(df.select(*keys, nested_col), nested_col)
     joined = flat.join(F.broadcast(dim), on=on, how=how)

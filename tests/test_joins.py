@@ -54,3 +54,36 @@ def test_interval_join_bins_and_boundaries(spark):
     assert got == ["p1", "p2", "p3"]
     # no duplicate matches despite the interval covering ~150 bins
     assert out.count() == out.dropDuplicates(["pid", "trip"]).count()
+
+
+def test_join_nested_carry_scalars_equivalent_and_fewer_exchanges(spark, sf_dir):
+    """carry_scalars threads scalar cols through the explode instead of
+    re-joining them: identical rows, one shuffle instead of two."""
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.operators.joins import join_nested
+    from peskas_timor_data_pipeline_spark.operators.restructure import nest, unnest
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    nested = nest(li, ["l_orderkey", "l_returnflag"], "items", ["l_partkey", "l_quantity"])
+
+    def summarize(df):
+        return (
+            unnest(df, "items")
+            .groupBy("l_returnflag", "p_brand")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+        )
+
+    base = join_nested(nested, "items", part, on="l_partkey", keys=["l_orderkey", "l_returnflag"])
+    carry = join_nested(
+        nested, "items", part, on="l_partkey",
+        keys=["l_orderkey", "l_returnflag"], carry_scalars=True,
+    )
+    assert sorted(map(tuple, summarize(base).collect())) == sorted(
+        map(tuple, summarize(carry).collect())
+    )
+    n_ex = lambda df: df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    assert n_ex(carry) < n_ex(base)
