@@ -803,3 +803,52 @@ JOIN sizes sb ON sb.l_returnflag = e.flag_b
 """
 
 QUERIES["a20_kmv_set_ops"] = (a20_kmv_set_ops, A20_ORACLE)
+
+
+# --- A21: incremental rollup maintenance (continuous aggregate) -----------------------
+
+def a21_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate refresh: lineitem arrives as three deterministic
+    batches (orderkey mod 3); each batch's partial aggregate folds into the
+    rollup state. The oracle aggregates the whole table directly — the
+    incremental path must be indistinguishable from the batch path."""
+    from peskas_timor_data_pipeline_spark.operators.incremental import (
+        merge_rollup,
+        partial_rollup,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    measures = {
+        "sum_qty": ("sum", "l_quantity"),
+        "n": ("count", "l_quantity"),
+        "min_ship": ("min", "l_shipdate"),
+        "max_ship": ("max", "l_shipdate"),
+    }
+    state = None
+    for i in range(3):
+        batch = li.filter(F.col("l_orderkey") % 3 == i)
+        state = merge_rollup(state, partial_rollup(batch, keys, measures), keys, measures)
+    return state.select(
+        *keys,
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n",
+        "min_ship",
+        "max_ship",
+        # finalize mean from mergeable (sum, count) at read time
+        F.round(F.col("sum_qty") / F.col("n"), 6).alias("avg_qty"),
+    )
+
+
+A21_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(l_quantity) AS n,
+       min(l_shipdate) AS min_ship,
+       max(l_shipdate) AS max_ship,
+       round(sum(l_quantity) / count(l_quantity), 6) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+QUERIES["a21_incremental_rollup"] = (a21_incremental_rollup, A21_ORACLE)

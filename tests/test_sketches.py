@@ -82,3 +82,26 @@ def test_kmv_set_estimates_track_exact_jaccard(spark):
         # KMV standard error ~1/sqrt(k-1); allow a generous band
         assert abs(r.est_jaccard - exact_j) < 0.35
         assert abs(r.est_union - exact_u) / exact_u < 0.5
+
+
+def test_incremental_rollup_equals_direct(spark):
+    from peskas_timor_data_pipeline_spark.operators.incremental import (
+        merge_rollup,
+        partial_rollup,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    keys = ["l_returnflag"]
+    measures = {"s": ("sum", "l_quantity"), "n": ("count", "l_quantity"),
+                "lo": ("min", "l_discount"), "hi": ("max", "l_discount")}
+    state = None
+    for i in range(4):
+        batch = li.filter(F.col("l_orderkey") % 4 == i)
+        state = merge_rollup(state, partial_rollup(batch, keys, measures), keys, measures)
+    direct = li.groupBy(*keys).agg(
+        F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"),
+        F.min("l_discount").alias("lo"), F.max("l_discount").alias("hi"),
+    )
+    inc = {r.l_returnflag: (round(r.s, 6), r.n, r.lo, r.hi) for r in state.collect()}
+    ref = {r.l_returnflag: (round(r.s, 6), r.n, r.lo, r.hi) for r in direct.collect()}
+    assert inc == ref
