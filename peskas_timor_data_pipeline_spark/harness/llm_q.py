@@ -706,3 +706,54 @@ LIMIT {T8_N}
 """
 
 QUERIES["t8_weighted_sample"] = (t8_weighted_sample, T8_ORACLE)
+
+
+# --- T9: repetition features (Gopher-style corpus filter) ------------------------------
+
+def t9_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals used by production corpus filters
+    (duplicate-token ratio, most-frequent-token share): one explode +
+    per-(doc, token) count + per-doc re-aggregate — the count groupBy
+    partial-aggregates map-side so the shuffle carries (doc, distinct-token)
+    rows, not raw tokens."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import _spread
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        _spread(docs)
+        .select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 6).alias("dup_ratio"),
+            F.round(F.col("top_freq") / F.col("n_tokens"), 6).alias("top_token_share"),
+        )
+    )
+
+
+T9_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+), counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_ratio,
+       round(max(c) * 1.0 / sum(c), 6) AS top_token_share
+FROM counts GROUP BY doc_id
+"""
+
+QUERIES["t9_repetition"] = (t9_repetition, T9_ORACLE)
