@@ -852,3 +852,59 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 QUERIES["a21_incremental_rollup"] = (a21_incremental_rollup, A21_ORACLE)
+
+
+# --- A22: sampled quantile estimation (deterministic sample sketch) -------------------
+
+SAMPLE_K = 128
+
+
+def a22_sampled_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median extendedprice per return flag estimated from a deterministic
+    128-row uniform sample per group (md5-ranked — reproducible on any
+    engine), next to the exact median so the oracle value-checks the
+    estimator. The scale story: the sample path shuffles k rows per group;
+    the exact path shuffles every value."""
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        uniform_row_sample,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    row_key = F.concat_ws(
+        "#", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    sampled = uniform_row_sample(li, ["l_returnflag"], row_key, k=SAMPLE_K)
+    est = sampled.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("est_median"),
+        F.count(F.lit(1)).alias("sample_n"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("exact_median")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag", "est_median", "sample_n", "exact_median"
+    )
+
+
+A22_ORACLE = f"""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY (('0x' || substr(md5(concat_ws('#', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))), 1, 12))::BIGINT + 1.0) / {16 ** 12}.0
+         ) AS rn
+  FROM lineitem
+), est AS (
+  SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS est_median,
+         count(*) AS sample_n
+  FROM ranked WHERE rn <= {SAMPLE_K} GROUP BY l_returnflag
+), exact AS (
+  SELECT l_returnflag, round(median(l_extendedprice), 4) AS exact_median
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, est_median, sample_n, exact_median
+FROM est JOIN exact USING (l_returnflag)
+"""
+
+QUERIES["a22_sampled_quantile"] = (a22_sampled_quantile, A22_ORACLE)

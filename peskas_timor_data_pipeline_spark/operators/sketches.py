@@ -71,6 +71,29 @@ def kmv_estimate(k: int) -> Column:
     ).otherwise((k - 1) / F.element_at(F.col("hs"), k))
 
 
+def uniform_row_sample(
+    df: DataFrame, keys: list[str], row_key: Column, k: int = 128
+) -> DataFrame:
+    """Deterministic uniform sample of ``k`` rows per group: bottom-k by the
+    md5 unit hash of ``row_key`` (a unique row identifier). The hash plays
+    the RNG, so the 'random' sample is identical on any engine and stable
+    under repartitioning.
+
+    This is the quantile-sketch building block: percentile(sample) estimates
+    percentile(population) with error ~1/sqrt(k), and samples MERGE — the
+    bottom-k of a union of group samples is the union's sample — so
+    per-partition sampling rolls up without touching raw data again.
+    Standing alternative to shuffling every value into an exact
+    percentile (A8/A10) when the group is billions of rows."""
+    hashed = df.withColumn("__h__", unit_hash(row_key))
+    w = Window.partitionBy(*keys).orderBy("__h__")
+    return (
+        hashed.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__", "__h__")
+    )
+
+
 def kmv_set_estimates(pairs: DataFrame, k: int) -> DataFrame:
     """Theta-sketch-style set algebra on two KMV sketches carried as
     ``hs_a``/``hs_b`` array columns: adds ``est_union``, ``est_inter``,
