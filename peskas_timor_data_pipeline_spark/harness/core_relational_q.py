@@ -849,3 +849,60 @@ FROM c JOIN w ON c.user_id = w.user_id AND c.ts >= w.w_start AND c.ts <= w.w_end
 """
 
 QUERIES["j11_interval_join"] = (j11_interval_join, J11_ORACLE)
+
+
+# --- J12: SCD2 dimension build + point-in-time fact lookup ----------------------------
+
+def j12_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases as a per-user change log -> SCD2 validity intervals;
+    click/view facts resolved to the version valid at their timestamp via
+    the as-of union+window rewrite (no range join), then counted per
+    version. Oracle = the plain interval-containment LEFT JOIN, so both
+    the interval bounds and the as-of lookup are value-checked."""
+    from peskas_timor_data_pipeline_spark.operators.joins import (
+        asof_join,
+        scd2_intervals,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.round("value", 6).alias("status_value")
+    )
+    facts = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts"
+    )
+    dim = scd2_intervals(changes, ["user_id"], "ts", "event_id").drop("event_id")
+    matched = asof_join(
+        facts, changes.select("user_id", "ts"), ["user_id"], "ts", [],
+        right_ts_out="valid_from",
+    )
+    counts = (
+        matched.filter(F.col("valid_from").isNotNull())
+        .groupBy("user_id", "valid_from")
+        .agg(F.count(F.lit(1)).alias("n_facts"))
+    )
+    return dim.join(counts, ["user_id", "valid_from"], "left").select(
+        "user_id", "valid_from", "valid_to", "is_current", "status_value",
+        F.coalesce("n_facts", F.lit(0)).alias("n_facts"),
+    )
+
+
+J12_ORACLE = """
+WITH chg AS (
+  SELECT user_id, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         round(value, 6) AS status_value
+  FROM events WHERE event_type = 'purchase'
+), facts AS (
+  SELECT user_id, ts FROM events WHERE event_type IN ('click', 'view')
+)
+SELECT c.user_id, c.valid_from, c.valid_to,
+       c.valid_to IS NULL AS is_current, c.status_value,
+       count(f.ts) AS n_facts
+FROM chg c LEFT JOIN facts f
+  ON f.user_id = c.user_id AND f.ts >= c.valid_from
+ AND (c.valid_to IS NULL OR f.ts < c.valid_to)
+GROUP BY c.user_id, c.valid_from, c.valid_to, c.status_value
+"""
+
+QUERIES["j12_scd2_temporal"] = (j12_scd2_temporal, J12_ORACLE)

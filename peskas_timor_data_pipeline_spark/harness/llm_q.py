@@ -757,3 +757,41 @@ FROM counts GROUP BY doc_id
 """
 
 QUERIES["t9_repetition"] = (t9_repetition, T9_ORACLE)
+
+
+# --- T10: exact heavy hitters (corpus-level top-k frequent tokens) --------------------
+
+def t10_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most frequent tokens across the corpus, exact. The
+    groupBy(token) partial-aggregates map-side, so the shuffle carries one
+    (token, partial_count) pair per distinct token per partition — not raw
+    token occurrences — and the ordered limit compiles to
+    TakeOrderedAndProject (per-partition top-k, single-reduce merge), never
+    a global sort (tests/test_plans.py pins this). Ordering is total
+    (n DESC, token ASC), so the selected set is deterministic across
+    engines even at the count boundary."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+T10_ORACLE = """
+SELECT token, count(*) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
+QUERIES["t10_heavy_hitters"] = (t10_heavy_hitters, T10_ORACLE)

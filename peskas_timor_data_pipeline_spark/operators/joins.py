@@ -276,3 +276,41 @@ def interval_join(
         )
         .drop("__bin__")
     )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Build SCD2 (slowly-changing-dimension type 2) validity intervals
+    from a change log: each change row becomes a dimension version valid
+    over ``[ts, next change ts)``; the latest version per key has a null
+    ``valid_to`` and ``is_current=true``. This is the lake-side pattern
+    for the reference's mutable metadata dims (Google-Sheets tables,
+    device installs — R/validation-functions.R:3-6 joins devices to
+    installs by current state; SCD2 is the point-in-time-correct
+    generalization).
+
+    ONE shuffle (the window partition on ``keys``); the lead() is a
+    per-key sorted scan, so the build is O(changes) regardless of history
+    depth. Ordering is total via ``tiebreak_col``, so interval bounds are
+    deterministic under same-timestamp changes. Point-in-time lookups
+    against the result should use :func:`asof_join` on the change log (one
+    shuffle, no range join) rather than an inequality join on the
+    intervals.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    out = changes.withColumn(valid_to, F.lead(ts_col).over(w))
+    return out.withColumnRenamed(ts_col, valid_from).withColumn(
+        current_col, F.col(valid_to).isNull()
+    )

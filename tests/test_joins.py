@@ -87,3 +87,45 @@ def test_join_nested_carry_scalars_equivalent_and_fewer_exchanges(spark, sf_dir)
     )
     n_ex = lambda df: df._jdf.queryExecution().executedPlan().toString().count("Exchange")
     assert n_ex(carry) < n_ex(base)
+
+
+def test_scd2_intervals_chain_and_current(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.operators.joins import scd2_intervals
+
+    ts = lambda s: datetime.datetime.fromisoformat(s)
+    changes = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:00"), 10, "a"),
+            (1, ts("2024-03-01 00:00:00"), 11, "b"),
+            (1, ts("2024-02-01 00:00:00"), 12, "c"),
+            (2, ts("2024-05-01 00:00:00"), 20, "z"),
+        ],
+        "key int, ts timestamp, change_id int, status string",
+    )
+    out = scd2_intervals(changes, ["key"], "ts", "change_id").orderBy(
+        "key", "valid_from"
+    )
+    rows = out.collect()
+    # intervals chain: each valid_to equals the next valid_from per key
+    k1 = [r for r in rows if r.key == 1]
+    assert [r.status for r in k1] == ["a", "c", "b"]
+    assert k1[0].valid_to == k1[1].valid_from
+    assert k1[1].valid_to == k1[2].valid_from
+    assert k1[2].valid_to is None and k1[2].is_current
+    assert not k1[0].is_current and not k1[1].is_current
+    # singleton key: one open-ended current version
+    k2 = [r for r in rows if r.key == 2]
+    assert len(k2) == 1 and k2[0].is_current and k2[0].valid_to is None
+    # deterministic tiebreak: same-ts changes order by change_id
+    dup = spark.createDataFrame(
+        [(3, ts("2024-01-01 00:00:00"), 2, "late"), (3, ts("2024-01-01 00:00:00"), 1, "early")],
+        "key int, ts timestamp, change_id int, status string",
+    )
+    d = scd2_intervals(dup, ["key"], "ts", "change_id").orderBy("change_id").collect()
+    assert [r.status for r in d] == ["early", "late"]
+    assert d[0].valid_to == d[0].valid_from  # zero-length superseded version
+    assert d[1].is_current

@@ -169,3 +169,16 @@ def test_runtime_bloom_filter_reduces_bigbig_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_heavy_hitters_topk_no_global_sort(spark, sf_dir):
+    from peskas_timor_data_pipeline_spark.harness.llm_q import t10_heavy_hitters
+
+    p = plan_str(t10_heavy_hitters(spark, sf_dir))
+    # ordered limit must compile to per-partition top-k + merge...
+    assert "TakeOrderedAndProject" in p
+    # ...never a global Sort node (an Exchange rangepartitioning + Sort
+    # would materialize the full distinct-token set on one ordering)
+    assert "rangepartitioning" not in p
+    # and the count must partial-aggregate map-side before the shuffle
+    assert re.search(r"partial_count", p)
