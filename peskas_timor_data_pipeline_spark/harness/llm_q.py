@@ -795,3 +795,89 @@ LIMIT 50
 """
 
 QUERIES["t10_heavy_hitters"] = (t10_heavy_hitters, T10_ORACLE)
+
+
+# --- D6: train/eval decontamination (n-gram overlap against training corpus) ----------
+
+def d6_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """src0 documents as the eval set, everything else as the training
+    corpus; per eval doc, the share of its distinct 16-char grams found in
+    the train side. Both sides collapse to distinct grams before the join,
+    so the shuffle carries each gram once (see llm.dedup.decontaminate)."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    tr = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    return decontaminate(ev, tr, "doc_id", "text", k_shingle=16)
+
+
+D6_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INTEGER), 16) AS sh
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 15)) AS i
+        FROM documents WHERE source = 'src0' AND length(text) >= 16)
+), tr AS (
+  SELECT DISTINCT substr(lower(text), CAST(i AS INTEGER), 16) AS sh
+  FROM (SELECT text, unnest(generate_series(1, length(text) - 15)) AS i
+        FROM documents WHERE source <> 'src0' AND length(text) >= 16)
+), per_doc AS (
+  SELECT e.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM ev e LEFT JOIN tr t USING (sh)
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_hit, 0) AS n_hit,
+       round(CASE WHEN coalesce(p.n_grams, 0) > 0
+                  THEN coalesce(p.n_hit, 0) * 1.0 / p.n_grams
+                  ELSE 0.0 END, 6) AS contam_share,
+       coalesce(p.n_hit, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+QUERIES["d6_decontaminate"] = (d6_decontaminate, D6_ORACLE)
+
+
+# --- T11: deterministic shuffle-sharding for training export --------------------------
+
+N_SHARDS = 8
+
+
+def t11_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global shuffle for training-data export: every doc gets a
+    reproducible pseudo-random md5 key; shard = key prefix mod N (a pure
+    map — no shuffle to ASSIGN shards), position-in-shard = row_number
+    within the shard ordered by key (shuffles each row once, to its shard;
+    per-shard sort is shard-local, exactly the sort the shard writer needs
+    anyway). No global sort, no single-partition window, and the layout
+    reproduces bit-for-bit on any engine."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws("#", F.lit("seed42"), F.col("doc_id").cast("string")))
+    shard = F.conv(F.substring(key, 1, 12), 16, 10).cast("long") % N_SHARDS
+    w = Window.partitionBy("shard").orderBy(F.col("__key__").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", key.alias("__key__"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+T11_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(concat_ws('#', 'seed42', CAST(doc_id AS VARCHAR))) AS k,
+         ('0x' || substr(md5(concat_ws('#', 'seed42', CAST(doc_id AS VARCHAR))), 1, 12))::BIGINT % {N_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS INTEGER) AS pos
+FROM keyed
+"""
+
+QUERIES["t11_shuffle_shards"] = (t11_shuffle_shards, T11_ORACLE)

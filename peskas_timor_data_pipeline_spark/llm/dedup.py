@@ -249,3 +249,57 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> Data
         F.col(id_col),
         F.concat(*[F.col(f"b{i}") for i in range(n_bits)]).alias("simhash"),
     )
+
+
+def decontaminate(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 16,
+) -> DataFrame:
+    """Train->eval contamination check (the decontamination pass every
+    training-data pipeline runs before shipping an eval set): for each eval
+    doc, how many of its distinct character k-grams appear ANYWHERE in the
+    training corpus.
+
+    Scale shape: both sides reduce to distinct grams BEFORE the join — the
+    train side to a bare gram set, the eval side to (doc, gram) — so the
+    big-big equi-join on the gram shuffles each distinct gram once, with
+    map-side partial distinct; nothing is quadratic in corpus size. The
+    hit/total counts come out of the SAME join pass (left join + conditional
+    sum), not a second scan.
+
+    Returns (id, n_grams, n_hit, contam_share, contaminated).
+    """
+    ev = shingle_rows(eval_df, id_col, text_col, k_shingle).distinct()
+    train_grams = (
+        shingle_rows(train_df, id_col, text_col, k_shingle)
+        .select("sh")
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    per_doc = (
+        ev.join(train_grams, "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__hit__"), F.lit(0)).alias("n_hit"),
+        )
+    )
+    return (
+        eval_df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0, F.col("n_hit") / F.col("n_grams")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("contam_share"),
+            (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
