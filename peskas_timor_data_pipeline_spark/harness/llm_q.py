@@ -881,3 +881,35 @@ FROM keyed
 """
 
 QUERIES["t11_shuffle_shards"] = (t11_shuffle_shards, T11_ORACLE)
+
+
+# --- T12: token-window document chunking (shuffle-free narrow op) ---------------------
+
+def t12_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with stride 32 (50% overlap) over every document —
+    tokenize, generate starts, posexplode, slice, all inside whole-stage
+    codegen with no shuffle (tests/test_plans.py pins the no-Exchange
+    plan)."""
+    from peskas_timor_data_pipeline_spark.llm.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=32)
+
+
+T12_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), starts AS (
+  SELECT doc_id, tk, unnest(generate_series(0, (len(tk) - 1) // 32)) AS i
+  FROM toks WHERE len(tk) > 0
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_id,
+       len(list_slice(tk, CAST(i * 32 + 1 AS INTEGER), CAST(i * 32 + 64 AS INTEGER))) AS n_tokens,
+       array_to_string(list_slice(tk, CAST(i * 32 + 1 AS INTEGER), CAST(i * 32 + 64 AS INTEGER)), ' ') AS chunk_text
+FROM starts
+"""
+
+QUERIES["t12_chunking"] = (t12_chunking, T12_ORACLE)

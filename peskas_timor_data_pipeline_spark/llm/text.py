@@ -134,3 +134,47 @@ def redact_pii(
         n_emails.alias("n_emails"),
         n_phones.alias("n_phones"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Split documents into token-window chunks (the training/RAG context
+    prep step): chunk i covers tokens ``[i*stride, i*stride + chunk_tokens)``
+    over the whitespace tokenization; with ``stride < chunk_tokens``
+    consecutive chunks overlap by ``chunk_tokens - stride`` tokens. Starts
+    are generated while they land on a real token, so every token is covered
+    and trailing chunks may be short. Zero-token docs produce no chunks.
+
+    Scale shape: a pure narrow transformation — tokenize, generate starts,
+    posexplode, slice — entirely inside whole-stage codegen with NO shuffle;
+    the row expansion factor is bounded by n_tokens/stride. Requires
+    ``stride <= chunk_tokens`` (full coverage, no skipped tokens).
+
+    Returns (id, chunk_id, n_tokens, chunk_text).
+    """
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(toks, lambda t: t != "")
+    n = F.size(toks)
+    starts = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int")),
+        lambda i: i * stride,
+    )).otherwise(F.array().cast("array<int>"))
+    chunked = df.select(
+        F.col(id_col),
+        toks.alias("__toks__"),
+        F.posexplode(starts).alias("chunk_id", "__start__"),
+    )
+    piece = F.slice(F.col("__toks__"), F.col("__start__") + 1, chunk_tokens)
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

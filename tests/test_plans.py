@@ -182,3 +182,11 @@ def test_heavy_hitters_topk_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in p
     # and the count must partial-aggregate map-side before the shuffle
     assert re.search(r"partial_count", p)
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    from peskas_timor_data_pipeline_spark.harness.llm_q import t12_chunking
+
+    p = plan_str(t12_chunking(spark, sf_dir))
+    assert "Exchange" not in p  # tokenize+posexplode+slice is a narrow map
+    assert "Generate" in p  # the posexplode

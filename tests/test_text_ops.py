@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+
+def test_chunk_documents_overlap_tail_and_empty(spark):
+    from peskas_timor_data_pipeline_spark.llm.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "only three  tokens"),                  # short doc, 1 chunk
+            (3, "   "),                                 # whitespace-only: no chunks
+        ],
+        "doc_id int, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=4, stride=2)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 1: starts 0,2,4,6,8 -> 5 chunks; 50% overlap between neighbours
+    assert sorted(c for d, c in rows if d == 1) == [0, 1, 2, 3, 4]
+    assert rows[(1, 0)].chunk_text == "t0 t1 t2 t3"
+    assert rows[(1, 1)].chunk_text == "t2 t3 t4 t5"
+    # trailing chunk is short but covers the last token
+    assert rows[(1, 4)].chunk_text == "t8 t9" and rows[(1, 4)].n_tokens == 2
+    # doc 2: 3 tokens (double space collapses), starts 0,2
+    assert rows[(2, 0)].chunk_text == "only three tokens"
+    assert rows[(2, 1)].chunk_text == "tokens"
+    # doc 3: no chunks at all
+    assert not any(d == 3 for d, _ in rows)
+    # invalid config rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=2, stride=4)
