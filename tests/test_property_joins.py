@@ -1,0 +1,117 @@
+"""Property-based checks: the one-shuffle rewrites (asof_join, interval_join,
+scd2_intervals) must agree with brute-force reference implementations on
+arbitrary small inputs, not just the fixture corpus. Spark runs once per
+example batch (lists of rows), so each property executes a handful of plans,
+not hundreds."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+EPOCH = datetime.datetime(2024, 1, 1)
+
+
+def ts(seconds: int) -> datetime.datetime:
+    return EPOCH + datetime.timedelta(seconds=seconds)
+
+
+# keys drawn from a tiny alphabet so sides actually collide
+keys = st.integers(min_value=0, max_value=3)
+times = st.integers(min_value=0, max_value=50)
+
+left_rows = st.lists(st.tuples(keys, times), min_size=0, max_size=12)
+right_rows = st.lists(st.tuples(keys, times, st.integers(0, 99)), min_size=0, max_size=12)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=left_rows, right=right_rows)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from peskas_timor_data_pipeline_spark.operators.joins import asof_join
+
+    # dedup right on (key, ts): the operator contract (latest-at-ts) needs a
+    # unique change per instant, same as the SCD2 caller enforces
+    right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+    ldf = spark.createDataFrame(
+        [(k, ts(t), i) for i, (k, t) in enumerate(left)] or [(None, None, None)],
+        "k int, ts timestamp, row_id int",
+    ).filter("row_id is not null")
+    rdf = spark.createDataFrame(
+        [(k, ts(t), v) for k, t, v in right] or [(None, None, None)],
+        "k int, ts timestamp, payload int",
+    ).filter("payload is not null")
+
+    got = {
+        r.row_id: (r.matched_ts, r.payload)
+        for r in asof_join(ldf, rdf, ["k"], "ts", ["payload"]).collect()
+    }
+
+    for i, (k, t) in enumerate(left):
+        cand = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
+        want = max(cand, default=None)  # latest ts; (ts) unique per key
+        if want is None:
+            assert got[i] == (None, None)
+        else:
+            assert got[i] == (ts(want[0]), want[1])
+
+
+interval_rows = st.lists(
+    st.tuples(keys, times, st.integers(0, 20)), min_size=0, max_size=10
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(points=left_rows, intervals=interval_rows)
+def test_interval_join_matches_bruteforce(spark, points, intervals):
+    from peskas_timor_data_pipeline_spark.operators.joins import interval_join
+
+    pdf = spark.createDataFrame(
+        [(k, ts(t), i) for i, (k, t) in enumerate(points)] or [(None, None, None)],
+        "k int, ts timestamp, pid int",
+    ).filter("pid is not null")
+    idf = spark.createDataFrame(
+        [(k, ts(s), ts(s + d), j) for j, (k, s, d) in enumerate(intervals)]
+        or [(None, None, None, None)],
+        "k int, s timestamp, e timestamp, iid int",
+    ).filter("iid is not null")
+
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            pdf, idf, ["k"], "ts", "s", "e", bin_seconds=7
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (pk, t) in enumerate(points)
+        for j, (ik, s, d) in enumerate(intervals)
+        if pk == ik and s <= t <= s + d
+    }
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(changes=st.lists(st.tuples(keys, times), min_size=1, max_size=12, unique=True))
+def test_scd2_intervals_partition_the_timeline(spark, changes):
+    from peskas_timor_data_pipeline_spark.operators.joins import scd2_intervals
+
+    cdf = spark.createDataFrame(
+        [(k, ts(t), i) for i, (k, t) in enumerate(changes)],
+        "k int, ts timestamp, cid int",
+    )
+    rows = scd2_intervals(cdf, ["k"], "ts", "cid").collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: (r.valid_from, r.cid))
+        # intervals chain with no gaps/overlaps; exactly one open current
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from and not a.is_current
+        assert vs[-1].valid_to is None and vs[-1].is_current
+        assert len(vs) == sum(1 for ck, _ in changes if ck == k)
