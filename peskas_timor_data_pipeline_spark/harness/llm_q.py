@@ -913,3 +913,31 @@ FROM starts
 """
 
 QUERIES["t12_chunking"] = (t12_chunking, T12_ORACLE)
+
+
+# --- E4: per-group embedding centroids (element-wise mean, no explode) ----------------
+
+def e4_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per label via 64 scalar partial-sum aggregates —
+    shuffle state is (sum, count) per dimension per group, never raw
+    vectors or exploded rows (see llm.similarity.group_centroids)."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import group_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    return group_centroids(emb, "label", "embedding", dim=DIM)
+
+
+E4_ORACLE = f"""
+WITH long AS (
+  SELECT label, g.i AS i, round(avg(embedding[g.i]), 6) AS m
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i) g
+  GROUP BY label, g.i
+), n_per AS (
+  SELECT label, count(*) AS n FROM embeddings GROUP BY label
+)
+SELECT l.label, list(l.m ORDER BY l.i) AS centroid, any_value(np.n) AS n
+FROM long l JOIN n_per np USING (label)
+GROUP BY l.label
+"""
+
+QUERIES["e4_group_centroids"] = (e4_group_centroids, E4_ORACLE)

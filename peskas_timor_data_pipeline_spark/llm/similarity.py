@@ -231,3 +231,32 @@ def embedding_near_dup_pairs(
     return scored.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
+
+
+def group_centroids(
+    df: DataFrame, group_col: str, vec_col: str, dim: int, round_to: int = 6
+) -> DataFrame:
+    """Per-group centroid (element-wise mean) of an embedding column — the
+    aggregation behind IVF coarse quantizers, k-means steps, and per-class
+    mean-vector features.
+
+    Scale shape: ``dim`` scalar ``avg(vec[i])`` aggregates, NOT
+    posexplode (which would push a dim-fold row expansion through the
+    shuffle) and NOT collect_list+fold (whose partial state is the raw
+    vectors themselves). Scalar avgs partial-aggregate map-side, so the
+    shuffle carries dim running (sum,count) pairs per group per partition
+    regardless of row count — the smallest possible state for this
+    computation.
+
+    Returns (group, centroid array<double>, n).
+    """
+    means = [
+        F.round(F.avg(F.col(vec_col)[i]), round_to).alias(f"__c{i}__")
+        for i in range(dim)
+    ]
+    agg = df.groupBy(group_col).agg(*means, F.count(F.lit(1)).alias("n"))
+    return agg.select(
+        group_col,
+        F.array(*[F.col(f"__c{i}__") for i in range(dim)]).alias("centroid"),
+        "n",
+    )

@@ -190,3 +190,14 @@ def test_chunking_is_shuffle_free(spark, sf_dir):
     p = plan_str(t12_chunking(spark, sf_dir))
     assert "Exchange" not in p  # tokenize+posexplode+slice is a narrow map
     assert "Generate" in p  # the posexplode
+
+
+def test_group_centroids_partial_agg_no_explode(spark, sf_dir):
+    from peskas_timor_data_pipeline_spark.harness.llm_q import e4_group_centroids
+
+    p = plan_str(e4_group_centroids(spark, sf_dir))
+    # per-dim scalar aggregates must partial-aggregate map-side...
+    assert re.search(r"partial_avg|partial_average", p)
+    # ...and the vectors must NOT be exploded through the shuffle
+    assert "Generate" not in p
+    assert "collect_list" not in p
