@@ -260,3 +260,52 @@ def group_centroids(
         F.array(*[F.col(f"__c{i}__") for i in range(dim)]).alias("centroid"),
         "n",
     )
+
+
+def kmeans_refine(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """One Lloyd (k-means) iteration: assign every vector to its nearest
+    centroid by cosine (deterministic tie-break on smallest cell_id), then
+    recompute each cell's centroid as the element-wise mean. Iterating =
+    calling this in a loop on the returned frame; combined with
+    :func:`ivf_centroids` seeds this upgrades the IVF coarse quantizer
+    from a sampled to a trained one.
+
+    Scale shape per iteration: centroids broadcast (k rows); the nearest
+    cell comes from a ``max_by`` AGGREGATE over the xk comparison rows —
+    declarative, partial-aggregated map-side — not a per-vector
+    row_number window (which would sort n*k rows in a shuffle). Vector
+    norms are hoisted before the cross join so codegen evaluates each
+    once, and the recompute is dim-many scalar avgs (see
+    :func:`group_centroids`). Total: one broadcast + ONE shuffle carrying
+    (sum,count) x dim per cell.
+
+    ``centroids`` needs (cell_id, cvec); returns (cell_id, centroid, n).
+    """
+    v = vectors.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v__"),
+        norm_expr(vec_col, dim).alias("__vn__"),
+    )
+    c = centroids.select(
+        "cell_id", F.col("cvec"), norm_expr("cvec", dim).alias("__cn__")
+    )
+    sim = dot_expr("__v__", "cvec", dim) / (F.col("__vn__") * F.col("__cn__"))
+    best = (
+        v.crossJoin(F.broadcast(c))
+        .select(F.col(id_col), F.col("__v__"), F.col("cell_id"), sim.alias("__sim__"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "cell_id", F.struct(F.col("__sim__"), (-F.col("cell_id")).alias("nc"))
+            ).alias("cell_id"),
+            F.first("__v__").alias("__v__"),  # identical across the k rows
+        )
+    )
+    return group_centroids(best, "cell_id", "__v__", dim, round_to=round_to)
