@@ -995,3 +995,40 @@ GROUP BY l.cell_id
 """
 
 QUERIES["e5_kmeans_refine"] = (e5_kmeans_refine, E5_ORACLE)
+
+
+# --- MM2: multimodal resize plumbing, oracle-checked end to end -----------------------
+
+def mm2_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas binary->binary resize path (decode STUBBED as a
+    deterministic byte clamp) executed for real — Arrow batches in, typed
+    metadata out — then decoded back to text so DuckDB can value-check the
+    whole Python round trip, not just row counts. Docs are ASCII, so byte
+    and char offsets agree between the two engines."""
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        attach_binary,
+        resize_images,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_binary(docs, "text", "content")
+    resized = resize_images(media, "doc_id", "content", target_w=16, target_h=8)
+    return resized.select(
+        "doc_id",
+        F.length("content").alias("n_bytes"),
+        F.col("content").cast("string").alias("payload_str"),
+        "meta_width",
+        "meta_height",
+    )
+
+
+MM2_ORACLE = """
+SELECT doc_id,
+       least(strlen(text), 128) AS n_bytes,
+       substr(text, 1, 128) AS payload_str,
+       16 AS meta_width,
+       8 AS meta_height
+FROM documents
+"""
+
+QUERIES["mm2_resize_plumbing"] = (mm2_resize_plumbing, MM2_ORACLE)
