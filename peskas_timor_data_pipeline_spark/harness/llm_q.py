@@ -1032,3 +1032,39 @@ FROM documents
 """
 
 QUERIES["mm2_resize_plumbing"] = (mm2_resize_plumbing, MM2_ORACLE)
+
+
+# --- T13: per-source quality-percentile gate ------------------------------------------
+
+def t13_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents at or above their source's median quality score —
+    the per-domain corpus gate (each crawl source is filtered against its
+    OWN distribution, so a clean source doesn't crowd out a noisy one).
+
+    Scale shape: thresholds are a tiny per-source aggregate (exact
+    percentile over groups, partial-aggregated) broadcast back for the
+    filter — NOT a percent_rank window, which would total-sort every doc
+    within each source partition."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    q = quality_features(docs, "text").select("doc_id", "source", "quality_score")
+    thr = q.groupBy("source").agg(F.percentile("quality_score", 0.5).alias("thr"))
+    return (
+        q.join(F.broadcast(thr), "source")
+        .filter(F.col("quality_score") >= F.col("thr"))
+        .select("doc_id", "source", "quality_score")
+    )
+
+
+T13_ORACLE = f"""
+WITH scored AS (
+{T2_ORACLE.replace("SELECT doc_id,", "SELECT doc_id, source,")}
+), th AS (
+  SELECT source, quantile_cont(quality_score, 0.5) AS thr
+  FROM scored GROUP BY source
+)
+SELECT s.doc_id, s.source, s.quality_score
+FROM scored s JOIN th USING (source)
+WHERE s.quality_score >= th.thr
+"""
+
+QUERIES["t13_quality_gate"] = (t13_quality_gate, T13_ORACLE)

@@ -178,3 +178,29 @@ def chunk_documents(
         F.size(piece).alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str,
+    min_tokens: int = 3,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4-style line-level cleaning: drop lines with fewer than
+    ``min_tokens`` whitespace tokens or no terminal punctuation (.!?"),
+    re-join survivors with newlines. Boilerplate (nav menus, cookie
+    banners, footers) dies at the line level before any doc-level filter
+    sees the text.
+
+    Scale shape: split/filter/array_join higher-order expressions — a pure
+    narrow map, no shuffle, no Python."""
+    lines = F.split(F.col(text_col), r"\n")
+    keep = F.filter(
+        lines,
+        lambda ln: (
+            F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda t: t != ""))
+            >= min_tokens
+        )
+        & F.trim(ln).rlike(r'[.!?"]$'),
+    )
+    return df.withColumn(out_col, F.array_join(keep, "\n"))

@@ -30,3 +30,20 @@ def test_chunk_documents_overlap_tail_and_empty(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(docs, "doc_id", "text", chunk_tokens=2, stride=4)
+
+
+def test_clean_lines_c4_rules(spark):
+    from peskas_timor_data_pipeline_spark.llm.text import clean_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "This line survives the filter.\nHome | About | Contact\n"
+                'She said "stop".\nok?\nToo short.'),
+            (2, "no terminal punctuation here at all"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r.clean_text for r in clean_lines(docs, "text").collect()}
+    # menu line: no terminal punct; 'ok?': under 3 tokens; 'Too short.': 2 tokens
+    assert out[1] == 'This line survives the filter.\nShe said "stop".'
+    assert out[2] == ""
