@@ -151,3 +151,40 @@ def compact_sink(spark: SparkSession, path: str, target_partitions: int = 32) ->
     a rewrite to ``target_partitions`` zstd parquet files)."""
     df = spark.read.parquet(path)
     df.repartition(target_partitions).write.mode("overwrite").parquet(path + "__compact")
+
+
+def join_streams_windowed(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "10 minutes",
+    max_lag: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with bounded state: each side is
+    watermarked, and the join condition adds the event-time band
+    ``right_ts in [left_ts - max_lag, left_ts]`` (right events join the
+    left events they precede within the lag). The time band + watermark is
+    what lets Spark EVICT state — without it a stream-stream join buffers
+    both sides forever; with it, rows older than
+    ``watermark + max_lag`` drop out of the state store every trigger.
+
+    The batch analogue is :func:`operators.joins.interval_join`; this is
+    the live-ingestion form (landings arriving while PDS tracks stream in,
+    matched on imei within the reporting lag).
+    """
+    from pyspark.sql import functions as F
+
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = F.expr(
+        " AND ".join(
+            [f"l.{k} = r.{k}" for k in keys]
+            + [
+                f"r.{right_ts} >= l.{left_ts} - INTERVAL {max_lag}",
+                f"r.{right_ts} <= l.{left_ts}",
+            ]
+        )
+    )
+    return lw.alias("l").join(rw.alias("r"), cond, "inner")

@@ -98,3 +98,70 @@ def test_upsert_sink_merges_across_batches(spark, tmp_path):
 
     out = {r._id: r.catch for r in read_stage(spark, stage, "validated").collect()}
     assert out == {"1": 5, "2": 99, "3": 1}
+
+
+def test_join_streams_windowed_matches_band_and_keys(spark, tmp_path):
+    from peskas_timor_data_pipeline_spark.streaming.ingest import (
+        join_streams_windowed,
+        stream_landed_files,
+        write_append_sink,
+    )
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    l_schema = StructType(
+        [
+            StructField("imei", StringType()),
+            StructField("l_ts", TimestampType()),
+            StructField("landing_id", StringType()),
+        ]
+    )
+    r_schema = StructType(
+        [
+            StructField("imei", StringType()),
+            StructField("r_ts", TimestampType()),
+            StructField("track_id", StringType()),
+        ]
+    )
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(), rdir.mkdir()
+    _write_batch(
+        ldir,
+        "l1.jsonl",
+        [
+            {"imei": "A", "l_ts": "2023-05-01T10:00:00", "landing_id": "L1"},
+            {"imei": "B", "l_ts": "2023-05-01T10:00:00", "landing_id": "L2"},
+        ],
+    )
+    _write_batch(
+        rdir,
+        "r1.jsonl",
+        [
+            # in band for L1: within the hour before
+            {"imei": "A", "r_ts": "2023-05-01T09:30:00", "track_id": "T1"},
+            # out of band: after the landing
+            {"imei": "A", "r_ts": "2023-05-01T10:30:00", "track_id": "T2"},
+            # out of band: more than max_lag before
+            {"imei": "A", "r_ts": "2023-05-01T08:30:00", "track_id": "T3"},
+            # right key with no left partner
+            {"imei": "C", "r_ts": "2023-05-01T09:45:00", "track_id": "T4"},
+        ],
+    )
+    joined = join_streams_windowed(
+        stream_landed_files(spark, str(ldir), l_schema),
+        stream_landed_files(spark, str(rdir), r_schema),
+        keys=["imei"],
+        left_ts="l_ts",
+        right_ts="r_ts",
+        watermark="10 minutes",
+        max_lag="1 hour",
+    ).select("l.landing_id", "r.track_id")
+    sink = str(tmp_path / "sink")
+    q = write_append_sink(joined, sink, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(90)
+    got = {(r.landing_id, r.track_id) for r in spark.read.parquet(sink).collect()}
+    assert got == {("L1", "T1")}
