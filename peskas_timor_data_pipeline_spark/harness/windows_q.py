@@ -242,3 +242,43 @@ FROM firsts JOIN means USING (user_id, minute)
 """
 
 QUERIES["w6_downsample"] = (w6_downsample, W6_ORACLE)
+
+
+# --- W7: rolling event-time range window --------------------------------------------
+
+def w7_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour sum/count over event time via a
+    rangeBetween frame on epoch seconds — the event-time rolling metric
+    (rate limiting, burst detection, trailing revenue) that row-based
+    frames get WRONG under irregular event spacing. One shuffle on the
+    partition key; the frame scan is sort-local within each user."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("rolling_value_1h"),
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+    )
+
+
+W7_ORACLE = """
+SELECT user_id, event_id,
+       round(sum(value) OVER w, 6) AS rolling_value_1h,
+       count(*) OVER w AS n_events_1h
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY epoch(ts)
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+"""
+
+QUERIES["w7_rolling_range"] = (w7_rolling_range, W7_ORACLE)
