@@ -99,6 +99,35 @@ def write_stage_partitioned(
     return path
 
 
+def write_stage_clustered(
+    df: DataFrame,
+    directory: str,
+    prefix: str,
+    cluster_cols: list[str],
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> str:
+    """Range-clustered parquet stage: rows are range-partitioned on
+    ``cluster_cols`` (each output file owns a disjoint key range) and
+    sorted within each file. The complement to hive partitioning for
+    HIGH-cardinality keys (timestamps, ids) where a directory per value is
+    impossible: parquet row-group min/max statistics become selective, so
+    a range or point predicate reads a few files instead of all of them —
+    the same effect Z-ordering targets for the single-key case.
+
+    One range-exchange at write time buys every downstream range scan; the
+    in-file sort also makes the files maximally RLE/dictionary
+    compressible on the cluster key."""
+    path = _fresh_versioned_path(directory, prefix)
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return path
+
+
 def read_stage(spark: SparkSession, directory: str, prefix: str) -> DataFrame:
     """Read the latest version of a stage artifact."""
     path = resolve_latest(directory, prefix, "parquet")

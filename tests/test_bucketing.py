@@ -37,3 +37,34 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_clustered_stage_files_own_disjoint_ranges(spark, sf_dir, tmp_path):
+    import glob
+    import os
+
+    from peskas_timor_data_pipeline_spark.sources.io import write_stage_clustered
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    path = write_stage_clustered(
+        li, str(tmp_path), "li_by_date", ["l_shipdate"], n_files=8
+    )
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    assert len(files) > 1
+    # every file owns a disjoint l_shipdate range -> min/max stats prune
+    ranges = []
+    for f in files:
+        mm = (
+            spark.read.parquet(f)
+            .selectExpr("min(l_shipdate) AS lo", "max(l_shipdate) AS hi")
+            .first()
+        )
+        if mm.lo is not None:
+            ranges.append((mm.lo, mm.hi))
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b  # boundary value may repeat, ranges never interleave
+    # the full roundtrip preserves the data
+    assert spark.read.parquet(path).count() == li.count()
