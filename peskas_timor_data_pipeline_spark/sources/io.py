@@ -58,6 +58,38 @@ def read_csv_typed(spark: SparkSession, path: str, schema: StructType, **options
     return spark.read.options(header=True, **options).schema(schema).csv(path)
 
 
+def read_csv_quarantined(
+    spark: SparkSession, path: str, schema: StructType, **options
+) -> tuple[DataFrame, DataFrame]:
+    """Typed CSV read that QUARANTINES malformed rows instead of crashing
+    the job (PERMISSIVE) or silently dropping them (DROPMALFORMED): returns
+    (clean, quarantine) where quarantine holds the raw text of every row
+    that failed the schema. At lake scale a single bad row in TB of vendor
+    CSV must neither kill a 6-hour job nor vanish unaudited — the
+    quarantine frame is written next to the stage for triage (mirrors the
+    reference's human-review alert flow, R/validate-landings.R:209-337,
+    applied to ingest).
+
+    One scan serves both outputs (the corrupt-record column is populated
+    by the same parse), split by a null test."""
+    from pyspark.sql import functions as F
+
+    corrupt_col = "_corrupt_record"
+    full_schema = StructType(schema.fields + [StructField(corrupt_col, StringType())])
+    raw = (
+        spark.read.options(header=True, mode="PERMISSIVE", **options)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full_schema)
+        .csv(path)
+        .cache()
+    )
+    clean = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    return clean, quarantine
+
+
 def _fresh_versioned_path(directory: str, prefix: str) -> str:
     """Versioned path that does not collide with an existing artifact. The
     version stamp has 1 s resolution, so two stage writes inside the same

@@ -197,3 +197,35 @@ def test_upsert_stage_merge_semantics(spark, tmp_path):
     upsert_stage(spark, batch, d, "tbl", ["id"])
     got = {r.id: r.v for r in read_stage(spark, d, "tbl").collect()}
     assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_read_csv_quarantined_splits_bad_rows(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from peskas_timor_data_pipeline_spark.sources.io import read_csv_quarantined
+
+    p = tmp_path / "vendor.csv"
+    p.write_text(
+        "trip,boat,dist\n"
+        "1,B1,10.5\n"
+        "not_an_int,B2,3.0\n"   # trip fails the int cast
+        "3,B3,oops\n"           # dist fails the double cast
+        "4,B4,7.25\n"
+    )
+    schema = StructType(
+        [
+            StructField("trip", IntegerType()),
+            StructField("boat", StringType()),
+            StructField("dist", DoubleType()),
+        ]
+    )
+    clean, quarantine = read_csv_quarantined(spark, str(p), schema)
+    assert sorted(r.trip for r in clean.collect()) == [1, 4]
+    bad = sorted(r.raw_record for r in quarantine.collect())
+    assert bad == ["3,B3,oops", "not_an_int,B2,3.0"]
