@@ -5,18 +5,28 @@ resolution (replaces the reference's GitHub-Actions YAML + GCS artifacts,
 Within a stage everything is one lazy Catalyst plan; a stage boundary is a
 versioned parquet write (the same durability role the reference's GCS
 artifacts play). Stages re-read from parquet, so a failed run resumes from
-the last completed stage.
+the last completed stage. With ``incremental=True`` a stage whose inputs'
+artifact versions are unchanged since its last run is skipped entirely —
+the generalization of the reference's hand-rolled only-new-ids /
+descriptor-cache patterns (R/ingest-pds-data.R:181,
+R/preprocess-pds-trips.R:199-235) to every stage.
 """
 
 from __future__ import annotations
 
+import json
 import logging
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from peskas_timor_data_pipeline_spark.sources.io import read_stage, write_stage
+from peskas_timor_data_pipeline_spark.sources.io import (
+    read_stage,
+    resolve_latest,
+    write_stage,
+)
 
 log = logging.getLogger(__name__)
 
@@ -43,13 +53,45 @@ class Pipeline:
 
         return deco
 
-    def run(self, only: set[str] | None = None) -> dict[str, str]:
+    # --- incremental bookkeeping -------------------------------------------------
+    # Artifacts are immutable and versioned (sources.io.add_version), so the
+    # input artifact PATHS are a complete fingerprint of a stage's inputs:
+    # same paths => same bytes => the previous output is still current.
+
+    def _fingerprint(self, st: Stage) -> str:
+        parts = [
+            f"{name}={resolve_latest(self.artifact_dir, name, 'parquet')}"
+            for name in sorted(st.inputs)
+        ]
+        return ";".join(parts)
+
+    def _meta_path(self, st: Stage) -> str:
+        return os.path.join(self.artifact_dir, f"{st.name}__inputs__.json")
+
+    def run(
+        self, only: set[str] | None = None, incremental: bool = False
+    ) -> dict[str, str]:
         """Run stages in declaration order (a valid topological order by
-        construction); returns stage -> artifact path."""
+        construction); returns stage -> artifact path. ``incremental=True``
+        skips a stage when its recorded input fingerprint matches the
+        current latest input artifacts AND its own output artifact exists;
+        skipped stages resolve to their existing artifact, so downstream
+        fingerprints see the unchanged path and the skip propagates down
+        unchanged branches of the DAG."""
         paths: dict[str, str] = {}
         for st in self.stages:
             if only and st.name not in only:
                 continue
+            fp = self._fingerprint(st)
+            existing = resolve_latest(self.artifact_dir, st.name, "parquet")
+            if incremental and existing is not None and st.inputs:
+                meta = self._meta_path(st)
+                if os.path.exists(meta):
+                    with open(meta) as f:
+                        if json.load(f).get("inputs") == fp:
+                            paths[st.name] = existing
+                            log.info("stage %s: current, skipped", st.name)
+                            continue
             upstream = {
                 name: read_stage(self.spark, self.artifact_dir, name)
                 for name in st.inputs
@@ -57,5 +99,7 @@ class Pipeline:
             log.info("stage %s: running (inputs=%s)", st.name, st.inputs)
             out = st.fn(self.spark, **upstream)
             paths[st.name] = write_stage(out, self.artifact_dir, st.name)
+            with open(self._meta_path(st), "w") as f:
+                json.dump({"inputs": fp}, f)
             log.info("stage %s -> %s", st.name, paths[st.name])
         return paths

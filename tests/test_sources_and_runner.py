@@ -229,3 +229,34 @@ def test_read_csv_quarantined_splits_bad_rows(spark, tmp_path):
     assert sorted(r.trip for r in clean.collect()) == [1, 4]
     bad = sorted(r.raw_record for r in quarantine.collect())
     assert bad == ["3,B3,oops", "not_an_int,B2,3.0"]
+
+
+def test_pipeline_incremental_skip_and_invalidate(spark, tmp_path):
+    from peskas_timor_data_pipeline_spark.plans import Pipeline
+    from peskas_timor_data_pipeline_spark.sources.io import write_stage
+
+    # "base" is an externally-written versioned artifact (the source side
+    # handles its own incrementality, S14-style); the derived stage skips
+    # while base's latest version is unchanged
+    write_stage(spark.range(5).withColumn("v", F.col("id")), str(tmp_path), "base")
+    pipe = Pipeline(spark, str(tmp_path))
+    runs = {"n": 0}
+
+    @pipe.stage("derived", inputs=["base"])
+    def derived(spark, base):
+        runs["n"] += 1
+        return base.agg(F.sum("v").alias("total"))
+
+    p1 = pipe.run(incremental=True)
+    assert runs["n"] == 1
+    p2 = pipe.run(incremental=True)
+    assert runs["n"] == 1                      # skipped: inputs unchanged
+    assert p2["derived"] == p1["derived"]      # resolves to the same artifact
+    # a new base version invalidates the fingerprint -> recompute
+    write_stage(spark.range(7).withColumn("v", F.col("id")), str(tmp_path), "base")
+    p3 = pipe.run(incremental=True)
+    assert runs["n"] == 2
+    assert spark.read.parquet(p3["derived"]).collect()[0].total == 21
+    # non-incremental always recomputes
+    pipe.run()
+    assert runs["n"] == 3
