@@ -1068,3 +1068,48 @@ WHERE s.quality_score >= th.thr
 """
 
 QUERIES["t13_quality_gate"] = (t13_quality_gate, T13_ORACLE)
+
+
+# --- T14: leakage-aware train/val/test split ------------------------------------------
+
+def t14_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split assigned by md5 of the SOURCE, not the document —
+    every doc from one crawl source lands in the same split, so
+    near-duplicates within a source can never straddle train/eval (the
+    leakage mode a per-doc split invites; d6 measures exactly that
+    cross-source residual). Pure map over a hash of the group key: no
+    shuffle to assign, reproducible on any engine; output aggregates per
+    (source, split) for a bounded check."""
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split#"), F.col("source"))), 1, 12),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(16**12))
+    )
+    split = (
+        F.when(u < 0.8, F.lit("train"))
+        .when(u < 0.9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+T14_ORACLE = f"""
+WITH assigned AS (
+  SELECT source,
+         ('0x' || substr(md5('split#' || source), 1, 12))::BIGINT / {float(16 ** 12)} AS u
+  FROM documents
+)
+SELECT source,
+       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM assigned GROUP BY 1, 2
+"""
+
+QUERIES["t14_group_split"] = (t14_group_split, T14_ORACLE)
