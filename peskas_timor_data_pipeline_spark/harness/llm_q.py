@@ -1113,3 +1113,44 @@ FROM assigned GROUP BY 1, 2
 """
 
 QUERIES["t14_group_split"] = (t14_group_split, T14_ORACLE)
+
+
+# --- E6: int8 scalar quantization of embeddings ---------------------------------------
+
+def e6_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min/max calibration (2*dim scalar aggregates, one
+    broadcast row) + narrow per-row quantization to int8 — the 4x memory
+    lever for lake-scale vector stores; vectors never shuffle (see
+    llm.similarity.quantize_int8)."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import quantize_int8
+
+    emb = load(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "vec_id", "embedding", dim=DIM)
+
+
+def _e6_sql() -> str:
+    cal = ", ".join(
+        f"min(embedding[{i}]) AS lo{i}, max(embedding[{i}]) AS hi{i}"
+        for i in range(1, DIM + 1)
+    )
+    q = ", ".join(
+        f"CASE WHEN CAST(hi{i} AS DOUBLE) - CAST(lo{i} AS DOUBLE) > 0 "
+        f"THEN CAST(round((CAST(embedding[{i}] AS DOUBLE) - CAST(lo{i} AS DOUBLE))"
+        f" / (CAST(hi{i} AS DOUBLE) - CAST(lo{i} AS DOUBLE)) * 255) AS INTEGER) - 128 "
+        f"ELSE 0 END"
+        for i in range(1, DIM + 1)
+    )
+    s = ", ".join(
+        f"round(CASE WHEN CAST(hi{i} AS DOUBLE) - CAST(lo{i} AS DOUBLE) > 0 "
+        f"THEN (CAST(hi{i} AS DOUBLE) - CAST(lo{i} AS DOUBLE)) / 255 ELSE 0 END, 9)"
+        for i in range(1, DIM + 1)
+    )
+    return (
+        f"WITH cal AS (SELECT {cal} FROM embeddings) "
+        f"SELECT vec_id, [{q}] AS qvec, [{s}] AS scale FROM embeddings, cal"
+    )
+
+
+E6_ORACLE = _e6_sql()
+
+QUERIES["e6_quantize_int8"] = (e6_quantize_int8, E6_ORACLE)
