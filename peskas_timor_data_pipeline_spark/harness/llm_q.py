@@ -1154,3 +1154,59 @@ def _e6_sql() -> str:
 E6_ORACLE = _e6_sql()
 
 QUERIES["e6_quantize_int8"] = (e6_quantize_int8, E6_ORACLE)
+
+
+# --- T15: unigram log-probability scoring (perplexity-style quality signal) -----------
+
+def t15_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own token
+    distribution — the cheap stand-in for the LM-perplexity quality filter
+    (CCNet-style): word-salad scores low, repetitive text scores high.
+
+    Scale shape: the vocabulary is ONE groupBy over tokens (map-side
+    partial counts), and scoring is a token->logprob equi-join; the
+    per-doc mean partial-aggregates. No broadcast hint — the vocab can be
+    millions of types at corpus scale, so AQE picks the strategy from the
+    real sizes."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("token"),
+    ).filter(F.col("token") != "")
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .crossJoin(F.broadcast(total))
+        .select("token", (F.log(F.col("n_tok")) - F.log("n_total")).alias("logp"))
+    )
+    return (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("logp"), 6).alias("mean_logp"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+T15_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), total AS (SELECT count(*) AS n_total FROM toks),
+vocab AS (
+  SELECT token, ln(count(*)) - ln(any_value(t.n_total)) AS logp
+  FROM toks, total t GROUP BY token
+)
+SELECT doc_id,
+       round(avg(v.logp), 6) AS mean_logp,
+       count(*) AS n_tokens
+FROM toks JOIN vocab v USING (token)
+GROUP BY doc_id
+"""
+
+QUERIES["t15_unigram_logprob"] = (t15_unigram_logprob, T15_ORACLE)
