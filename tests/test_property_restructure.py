@@ -29,9 +29,10 @@ def test_nest_unnest_roundtrip(spark, data):
     )
     nested = nest(df, ["k"], "items", order_by=["seq", "a", "b"])
     back = unnest(nested, "items", keep_empty=True)
-    got = sorted((r.k, r.seq, r.a, r.b) for r in back.collect())
-    want = sorted((k, s, a, b) for (k, s, a, b) in data)
-    assert got == want
+    none_safe = lambda row: tuple((v is None, v) for v in row)
+    got = sorted(((r.k, r.seq, r.a, r.b) for r in back.collect()), key=none_safe)
+    want = sorted(data, key=none_safe)
+    assert got == [tuple(w) for w in want]
 
 
 wide_rows = st.lists(
