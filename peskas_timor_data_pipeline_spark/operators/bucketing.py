@@ -39,3 +39,31 @@ def bucketed_join(
     """Join two equally-bucketed tables; with matching bucket specs the
     plan contains no Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def morton_key(col_a, col_b, bits: int = 16):
+    """Z-order (Morton) interleave of two columns' bit patterns, each first
+    rank-normalized to ``bits`` bits by the caller (e.g. width_bucket /
+    floor-scaled ints). Clustering files on the interleaved key gives every
+    file a bounded extent in BOTH dimensions, so predicates on EITHER
+    column prune files — a plain range-cluster on (a, b) prunes only on
+    ``a`` (b's per-file extent stays the full domain). This is the layout
+    trick behind Delta/Iceberg Z-ordering, as a pure column expression.
+
+    Cost shape: the interleave is shift/or arithmetic (whole-stage
+    codegen); the clustered write (repartitionByRange on the key) is the
+    same single exchange any clustered write pays.
+    """
+    from pyspark.sql import functions as F
+
+    a = col_a.cast("long")
+    b = col_b.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        z = (
+            z.bitwiseOR(F.shiftleft(bit_a, 2 * i))
+            .bitwiseOR(F.shiftleft(bit_b, 2 * i + 1))
+        )
+    return z

@@ -68,3 +68,45 @@ def test_clustered_stage_files_own_disjoint_ranges(spark, sf_dir, tmp_path):
         assert hi_a <= lo_b  # boundary value may repeat, ranges never interleave
     # the full roundtrip preserves the data
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_morton_clustered_files_bound_both_dimensions(spark, tmp_path):
+    """Z-order vs plain range clustering: with the Morton key, every file's
+    extent shrinks in BOTH dimensions; range-clustering on x alone leaves
+    y's per-file extent at the full domain."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.operators.bucketing import morton_key
+    from peskas_timor_data_pipeline_spark.sources.io import write_stage_clustered
+
+    n = 64  # 4096 points on a 64x64 grid
+    grid = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).alias("x"),
+            F.floor(F.col("id") / n).alias("y"),
+        )
+    )
+    pts = grid.withColumn("z", morton_key(F.col("x"), F.col("y"), bits=6))
+
+    def max_extent(path, col):
+        exts = []
+        for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+            mm = spark.read.parquet(f).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).first()
+            if mm.lo is not None:
+                exts.append(mm.hi - mm.lo)
+        return max(exts)
+
+    zpath = write_stage_clustered(pts, str(tmp_path), "zorder", ["z"], n_files=16)
+    xpath = write_stage_clustered(pts, str(tmp_path), "xrange", ["x"], n_files=16)
+    # plain x-clustering: y extent per file is the whole domain
+    assert max_extent(xpath, "y") == n - 1
+    # z-order: BOTH dimensions bounded well below the domain (16 files on a
+    # 64x64 grid -> each file covers a 16x16 quadrant, extent 15)
+    assert max_extent(zpath, "x") <= n // 2
+    assert max_extent(zpath, "y") <= n // 2
