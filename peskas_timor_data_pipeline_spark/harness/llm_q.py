@@ -1121,7 +1121,9 @@ def e6_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension min/max calibration (2*dim scalar aggregates, one
     broadcast row) + narrow per-row quantization to int8 — the 4x memory
     lever for lake-scale vector stores; vectors never shuffle (see
-    llm.similarity.quantize_int8)."""
+    llm.similarity.quantize_int8). Like e5, fixture wall time (~4 s) is
+    Catalyst compile cost for the dim-wide trees — constant across scale
+    factors, amortizing to zero on real volumes."""
     from peskas_timor_data_pipeline_spark.llm.similarity import quantize_int8
 
     emb = load(spark, sf_dir, "embeddings")
