@@ -282,3 +282,69 @@ WINDOW w AS (
 """
 
 QUERIES["w7_rolling_range"] = (w7_rolling_range, W7_ORACLE)
+
+
+# --- TS1: time-series subsequence similarity search ---------------------------------
+
+TS_W = 8  # subsequence length
+TS_PATTERN = [100.0, 200.0, 300.0, 400.0, 400.0, 300.0, 200.0, 100.0]  # spike shape
+
+
+def ts1_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 per-user event-value subsequences closest (euclidean) to a
+    query pattern — the distributed form of time-series similarity search
+    (pattern scan over sensor/track streams, e.g. 'trips whose speed
+    profile looks like trawling').
+
+    Scale shape: sliding windows materialize per row via collect_list
+    over a ROWS frame (sort-local within each user after ONE shuffle);
+    the distance is a fixed-length fold entirely in codegen against the
+    broadcast-literal pattern; top-k is TakeOrderedAndProject, not a
+    global sort. The window array length is the pattern length — state
+    per row is w doubles, independent of series length."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-(TS_W - 1), 0)
+    )
+    pat = ", ".join(f"{v!r}D" for v in TS_PATTERN)
+    dist = F.expr(
+        f"round(sqrt(aggregate(zip_with(win, array({pat}),"
+        f" (x, y) -> (x - y) * (x - y)), 0D, (a, e) -> a + e)), 6)"
+    )
+    return (
+        ev.select(
+            "user_id", "event_id",
+            F.collect_list("value").over(w).alias("win"),
+        )
+        .filter(F.size("win") == TS_W)
+        .select("user_id", "event_id", dist.alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("user_id").asc(), F.col("event_id").asc())
+        .limit(10)
+    )
+
+
+_TS_PAT_SQL = "[" + ", ".join(str(v) for v in TS_PATTERN) + "]"
+
+TS1_ORACLE = f"""
+WITH wins AS (
+  SELECT user_id, event_id,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {TS_W - 1} PRECEDING AND CURRENT ROW
+         ) AS win
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id,
+       round(sqrt(list_sum(list_transform(win,
+             (x, i) -> (x - {_TS_PAT_SQL}[i]) * (x - {_TS_PAT_SQL}[i])))), 6) AS dist
+FROM wins
+WHERE len(win) = {TS_W}
+ORDER BY dist, user_id, event_id
+LIMIT 10
+"""
+
+QUERIES["ts1_subsequence_search"] = (ts1_subsequence_search, TS1_ORACLE)
