@@ -348,3 +348,24 @@ LIMIT 10
 """
 
 QUERIES["ts1_subsequence_search"] = (ts1_subsequence_search, TS1_ORACLE)
+
+
+# --- TS2: DTW pattern alignment (applyInPandas DP; rows-only check) -------------------
+
+def ts2_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user DTW distance to the ts1 spike pattern — alignment-tolerant
+    matching where ts1's rigid windows miss time-warped instances. The DP
+    recurrence is not SQL-expressible, hence applyInPandas (grouped map,
+    numpy per group) and a rows-only driver check; determinism and exact
+    values are pinned by tests/test_timeseries.py instead."""
+    from peskas_timor_data_pipeline_spark.operators.timeseries import dtw_to_pattern
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = dtw_to_pattern(
+        ev.select("user_id", "ts", "value"),
+        ["user_id"], "ts", "value", TS_PATTERN, band=16,
+    )
+    return out.select("user_id", F.round("dtw_dist", 6).alias("dtw_dist"), "n_points")
+
+
+QUERIES["ts2_dtw_alignment"] = (ts2_dtw_alignment, None)

@@ -1,0 +1,78 @@
+"""Time-series operators that need per-group imperative computation.
+
+The distributed-friendly similarity ops (sliding-window euclidean, rolling
+range windows) live in the harness as pure DataFrame plans; DTW below is
+the genuinely dynamic-programming-shaped one — O(n·m) state with
+data-dependent recurrence — which is exactly the applyInPandas niche:
+groups (one series per key) are small, the algorithm is not expressible as
+Catalyst expressions, and Arrow moves each group once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def dtw_distance_np(a: np.ndarray, b: np.ndarray, band: int | None = None) -> float:
+    """Classic DTW with optional Sakoe-Chiba band (abs distance).
+
+    Pure numpy reference implementation shared by the Spark op and its
+    tests; O(n*m) time, O(m) memory (two rolling rows).
+    """
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return float("nan")
+    inf = float("inf")
+    prev = np.full(m + 1, inf)
+    prev[0] = 0.0
+    for i in range(1, n + 1):
+        cur = np.full(m + 1, inf)
+        lo = 1 if band is None else max(1, i - band)
+        hi = m if band is None else min(m, i + band)
+        for j in range(lo, hi + 1):
+            cost = abs(a[i - 1] - b[j - 1])
+            cur[j] = cost + min(prev[j], cur[j - 1], prev[j - 1])
+        prev = cur
+    return float(prev[m])
+
+
+def dtw_to_pattern(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    pattern: Sequence[float],
+    band: int | None = None,
+    out_col: str = "dtw_dist",
+) -> DataFrame:
+    """Per-key DTW distance between the key's (ordered) value series and a
+    fixed query pattern — alignment-tolerant pattern matching where ts1's
+    rigid euclidean windows miss time-warped matches (a slow trawling pass
+    vs a fast one).
+
+    Scale shape: ONE shuffle groups each key's series; the DP runs in
+    numpy per group via applyInPandas (Arrow batches), bounded by
+    series_length x pattern_length — per-group cost, never corpus-wide.
+    Keys are assumed to have driver-irrelevant cardinality (millions of
+    groups fan out across executors; no group's series must exceed
+    executor memory, same contract as any grouped-map op).
+    """
+    keys = list(keys)
+    pat = np.asarray(list(pattern), dtype=float)
+    key_fields = df.select(*keys).schema.fields
+    key_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in key_fields)
+    schema = f"{key_schema}, {out_col} double, n_points int"
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        series = pdf[value_col].to_numpy(dtype=float)
+        out = pdf[keys].iloc[:1].copy()
+        out[out_col] = dtw_distance_np(series, pat, band=band)
+        out["n_points"] = len(series)
+        return out
+
+    return df.groupBy(*keys).applyInPandas(compute, schema=schema)

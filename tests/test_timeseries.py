@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def test_dtw_reference_known_values():
+    from peskas_timor_data_pipeline_spark.operators.timeseries import dtw_distance_np
+
+    a = np.array([1.0, 2.0, 3.0])
+    # identity alignment
+    assert dtw_distance_np(a, a) == 0.0
+    # classic warp: [1,2,3] vs [1,1,2,2,3,3] aligns perfectly under DTW
+    assert dtw_distance_np(a, np.array([1.0, 1.0, 2.0, 2.0, 3.0, 3.0])) == 0.0
+    # hand-computed: [1,2] vs [2,2] -> |1-2| + min-path 0 = 1
+    assert dtw_distance_np(np.array([1.0, 2.0]), np.array([2.0, 2.0])) == 1.0
+    # band constraint forbids the long warp and raises the cost
+    assert dtw_distance_np(a, np.array([1.0, 1.0, 1.0, 1.0, 2.0, 3.0]), band=1) > 0.0
+    assert math.isnan(dtw_distance_np(np.array([]), a))
+
+
+def test_dtw_to_pattern_groups(spark):
+    from peskas_timor_data_pipeline_spark.operators.timeseries import dtw_to_pattern
+
+    rows = [
+        # user 1: exactly the pattern, time-stretched -> distance 0
+        (1, 0, 10.0), (1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (1, 4, 30.0),
+        # user 2: constant series
+        (2, 0, 10.0), (2, 1, 10.0), (2, 2, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, t int, v double")
+    out = {
+        r.user_id: (r.dtw_dist, r.n_points)
+        for r in dtw_to_pattern(df, ["user_id"], "t", "v", [10.0, 20.0, 30.0]).collect()
+    }
+    assert out[1] == (0.0, 5)
+    # user 2 vs [10,20,30]: DP cost = |10-20| + |10-30| = 30
+    assert out[2] == (30.0, 3)
