@@ -1,0 +1,62 @@
+"""Empty-frame edges: every core operator must return a well-typed empty
+(or correctly-shaped) result on empty input rather than erroring — at
+lake scale an empty partition, an empty incremental batch, or a filter
+that matches nothing is the common case, not the exception."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty(spark, ddl):
+    return spark.createDataFrame([], ddl)
+
+
+def test_empty_frames_through_core_operators(spark):
+    from peskas_timor_data_pipeline_spark.llm.dedup import exact_dedup
+    from peskas_timor_data_pipeline_spark.llm.text import chunk_documents
+    from peskas_timor_data_pipeline_spark.operators.joins import (
+        asof_join,
+        interval_join,
+        scd2_intervals,
+    )
+    from peskas_timor_data_pipeline_spark.operators.outliers import loc_scale_bounds
+    from peskas_timor_data_pipeline_spark.operators.restructure import nest, unnest
+
+    docs = _empty(spark, "doc_id long, text string")
+    assert chunk_documents(docs, "doc_id", "text").count() == 0
+    assert exact_dedup(docs, "doc_id", ["text"]).count() == 0
+
+    ev = _empty(spark, "k int, ts timestamp, v double")
+    # empty left, empty right
+    assert asof_join(ev, ev.select("k", "ts"), ["k"], "ts", []).count() == 0
+    # non-empty left, empty right: left rows survive with null match
+    one = spark.createDataFrame([(1,)], "k int").select(
+        "k", F.timestamp_seconds(F.lit(100)).alias("ts"), F.lit(1.0).alias("v")
+    )
+    res = asof_join(one, ev.select("k", "ts", "v").withColumnRenamed("v", "rv"),
+                    ["k"], "ts", ["rv"]).collect()
+    assert len(res) == 1 and res[0].rv is None
+    assert interval_join(
+        ev, _empty(spark, "k int, s timestamp, e timestamp"), ["k"], "ts", "s", "e"
+    ).count() == 0
+    assert scd2_intervals(_empty(spark, "k int, ts timestamp, cid int"),
+                          ["k"], "ts", "cid").count() == 0
+
+    vals = _empty(spark, "g int, v double")
+    bounds = loc_scale_bounds(vals, "v", keys=["g"])
+    assert bounds.count() == 0
+
+    flat = _empty(spark, "k int, a int, b int")
+    nested = nest(flat, ["k"], "items", order_by=["a"])
+    assert nested.count() == 0
+    assert unnest(nested, "items").count() == 0
+
+
+def test_empty_group_split_and_sampling(spark):
+    from peskas_timor_data_pipeline_spark.operators.restructure import (
+        deterministic_sample_n,
+    )
+
+    df = _empty(spark, "g int, v int")
+    assert deterministic_sample_n(df, ["g"], n=1).count() == 0

@@ -115,3 +115,37 @@ def test_scd2_intervals_partition_the_timeline(spark, changes):
             assert a.valid_to == b.valid_from and not a.is_current
         assert vs[-1].valid_to is None and vs[-1].is_current
         assert len(vs) == sum(1 for ck, _ in changes if ck == k)
+
+
+digits = st.text(alphabet="0123456789", min_size=0, max_size=8)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    facts=st.lists(digits, min_size=1, max_size=10),
+    dim=st.lists(st.text(alphabet="0123456789", min_size=1, max_size=10),
+                 min_size=1, max_size=8, unique=True),
+)
+def test_suffix_regex_join_matches_bruteforce(spark, facts, dim):
+    from peskas_timor_data_pipeline_spark.operators.joins import suffix_regex_join
+
+    MIN_LEN = 3
+    fdf = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(facts)], "fid int, imei_digits string"
+    )
+    ddf = spark.createDataFrame([(d,) for d in dim], "imei string")
+    out = {
+        r["fid"]: (r["__matches__"], r["matched_value"])
+        for r in suffix_regex_join(
+            fdf, ddf, "imei_digits", "imei", min_len=MIN_LEN
+        ).collect()
+    }
+    assert set(out) == set(range(len(facts)))  # every fact row survives
+    for i, f in enumerate(facts):
+        cands = (
+            sorted(d for d in dim if d.endswith(f)) if len(f) >= MIN_LEN else []
+        )
+        n, matched = out[i]
+        assert n == len(cands), (f, cands)
+        assert matched == (cands[0] if len(cands) == 1 else None), (f, cands)
