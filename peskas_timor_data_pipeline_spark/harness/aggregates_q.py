@@ -908,3 +908,50 @@ FROM est JOIN exact USING (l_returnflag)
 """
 
 QUERIES["a22_sampled_quantile"] = (a22_sampled_quantile, A22_ORACLE)
+
+
+# --- A23: native session windows ------------------------------------------------------
+
+def a23_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session aggregation with a 10-minute inactivity gap using
+    Spark's NATIVE session_window (state-store-backed in streaming; here
+    the batch form). The oracle derives the identical sessions with the
+    portable lag + cumulative-flag rewrite (operators.windows.sessionize),
+    value-checking that the two formulations agree — session start/end,
+    event count, and value sum per session."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select("user_id", "n_events", "value_sum", "first_ts", "last_ts")
+    )
+
+
+A23_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 600
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE event_type = 'click'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), labeled AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM ordered
+)
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 6) AS value_sum,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM labeled
+GROUP BY user_id, sess
+"""
+
+QUERIES["a23_session_window"] = (a23_session_window, A23_ORACLE)
