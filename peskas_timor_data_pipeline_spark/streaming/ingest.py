@@ -188,3 +188,31 @@ def join_streams_windowed(
         )
     )
     return lw.alias("l").join(rw.alias("r"), cond, "inner")
+
+
+def session_counts(
+    stream: DataFrame,
+    ts_col: str,
+    keys: tuple[str, ...],
+    gap: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation (native session_window):
+    unlike tumbling windows, each window's end extends while events keep
+    arriving within ``gap`` — the streaming twin of the batch
+    sessionization (A6/a23). A session emits once in append mode, when
+    the watermark passes gap after its last event; state per key is one
+    open session, so memory is bounded by live keys, not history."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.session_window(ts_col, gap).alias("sess"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *keys,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n",
+        )
+    )

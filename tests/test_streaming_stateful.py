@@ -146,3 +146,54 @@ def test_windowed_counts_append_emits_closed_windows(spark, tmp_path):
     # windows are exactly one day wide and distinct per key
     assert all((r.window_end - r.window_start).total_seconds() == 86400 for r in out)
     assert len(out) == 2
+
+
+def test_session_counts_stream_merges_and_closes(spark, tmp_path):
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from peskas_timor_data_pipeline_spark.streaming.ingest import session_counts
+
+    landing = tmp_path / "sevents"
+    landing.mkdir()
+    rows = [
+        # user a: 3 events chained within the 10-min gap -> ONE session
+        ("2024-01-01T10:00:00", "a"),
+        ("2024-01-01T10:05:00", "a"),
+        ("2024-01-01T10:12:00", "a"),
+        # user a again after a >10-min silence -> second session
+        ("2024-01-01T11:00:00", "a"),
+        # watermark pusher
+        ("2024-01-02T00:00:00", "z"),
+    ]
+    with open(landing / "a.jsonl", "w") as f:
+        for ts, k in rows:
+            f.write(json.dumps({"ts": ts, "k": k}) + "\n")
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("k", StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(str(landing))
+    agg = session_counts(stream, "ts", keys=("k",), gap="10 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    a_rows = sorted(
+        (r for r in spark.sql("select * from sess_out").collect() if r.k == "a"),
+        key=lambda r: r.session_start,
+    )
+    # TZ-robust assertions (streaming sources and the session TZ disagree on
+    # rendering): the chained 3-event session comes first, the singleton an
+    # hour later; session_end = last event + gap
+    assert [r.n for r in a_rows] == [3, 1]
+    assert (a_rows[1].session_start - a_rows[0].session_start).total_seconds() == 3600
+    assert (a_rows[0].session_end - a_rows[0].session_start).total_seconds() == 22 * 60
+    assert (a_rows[1].session_end - a_rows[1].session_start).total_seconds() == 600
