@@ -55,6 +55,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", timezone)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Python DataSource scans (sources/kobo_source.py) push id-range
+        # predicates into the REST query; off by default in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # local[N] is a single JVM: "driver" memory is the whole executor
         # heap shared by N task threads — size it like an executor, not a
         # driver (the box has 128 GiB; 24g keeps GC pressure off the
