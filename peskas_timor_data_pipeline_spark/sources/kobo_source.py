@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -111,6 +112,50 @@ class KoboReader(DataSourceReader):
             yield (_id, sub.get("_submission_time", ""), json.dumps(sub))
 
 
+class KoboStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the source: the offset IS the last-seen ``_id`` —
+    the reference's since-id incremental fetch (S1) elevated to a real
+    Structured Streaming source with checkpointed offsets. Each micro-batch
+    reads ``(last_id, latest]``; a restart resumes from the checkpoint, so
+    re-ingestion is exactly-once without any anti-join against the sink
+    (the batch pattern S14 needs)."""
+
+    def __init__(self, options: dict):
+        self.options = options
+        self.transport = options.get("transport", "requests")
+
+    def initialOffset(self) -> dict:
+        return {"last_id": int(self.options.get("sinceid", "0"))}
+
+    def _rows_after(self, lo: int, hi: int | None) -> Iterator[tuple]:
+        if self.transport.startswith("fake:"):
+            yield from _fake_rows(int(self.transport.split(":", 1)[1]), lo, hi)
+            return
+        import requests
+
+        from peskas_timor_data_pipeline_spark.sources.rest import (
+            fetch_kobo_paginated,
+        )
+
+        for sub in fetch_kobo_paginated(
+            requests.get,
+            self.options["url"],
+            self.options["assetid"],
+            since_id=lo,
+        ):
+            _id = int(sub["_id"])
+            if hi is None or _id <= hi:
+                yield (_id, sub.get("_submission_time", ""), json.dumps(sub))
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        rows = list(self._rows_after(int(start["last_id"]), None))
+        last = max((r[0] for r in rows), default=int(start["last_id"]))
+        return iter(rows), {"last_id": last}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._rows_after(int(start["last_id"]), int(end["last_id"]))
+
+
 class KoboDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -121,6 +166,9 @@ class KoboDataSource(DataSource):
 
     def reader(self, schema: StructType) -> KoboReader:
         return KoboReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> KoboStreamReader:
+        return KoboStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -37,3 +37,36 @@ def test_kobo_source_pushes_id_range_into_rest_query(spark):
     assert not re.search(r"Filter \(", plan)  # no Filter NODE post-scan
     # unpushable filters still work (evaluated by Spark post-scan)
     assert df.filter(F.col("payload").contains('"catch": 3')).count() > 0
+
+
+def test_kobo_stream_resumes_from_checkpoint(spark, tmp_path):
+    """The streaming source's offset is the last-seen _id: run 1 ingests
+    ids 1..50; run 2 (same checkpoint, feed grown to 100) appends ONLY
+    51..100 — incremental exactly-once across restarts with no anti-join."""
+    from peskas_timor_data_pipeline_spark.sources.kobo_source import register
+
+    register(spark)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def drain(n):
+        stream = (
+            spark.readStream.format("kobo")
+            .option("transport", f"fake:{n}")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(90)
+
+    drain(50)
+    ids = sorted(r._id for r in spark.read.parquet(sink).collect())
+    assert ids == list(range(1, 51))
+    drain(100)  # feed grew; checkpointed offset skips 1..50
+    ids = sorted(r._id for r in spark.read.parquet(sink).collect())
+    assert ids == list(range(1, 101))  # no duplicates, no gaps
