@@ -32,3 +32,16 @@ from peskas_timor_data_pipeline_spark.operators.outliers import (  # noqa: F401
     loc_scale_bounds,
     mad_alert,
 )
+from peskas_timor_data_pipeline_spark.operators.joins import (  # noqa: F401
+    asof_join,
+    interval_join,
+    join_nested,
+    scd2_intervals,
+)
+from peskas_timor_data_pipeline_spark.operators.timeseries import (  # noqa: F401
+    dtw_to_pattern,
+)
+from peskas_timor_data_pipeline_spark.operators.weights import (  # noqa: F401
+    convert_length,
+    estimate_weights,
+)
