@@ -31,15 +31,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table; normalizes the session TZ first so
     timestamp->date derivations agree with the naive-timestamp oracle.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark has no native
-    type for: read it as long nanos (legacy conf) and floor-convert to a
-    microsecond TimestampType — integer division, because nanos exceed
-    double's 2^53 exact range."""
+    ``events.ts`` varies by testdata generation: TIMESTAMP(NANOS) parquet
+    (no native Spark type — read as long nanos via legacy conf, then
+    floor-convert with integer division because nanos exceed double's 2^53
+    exact range) or TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ).
+    Either way the column is normalized to a session-TZ TimestampType so
+    date derivations agree with the naive-timestamp DuckDB oracle."""
     prep_session(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

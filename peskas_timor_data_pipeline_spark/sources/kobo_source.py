@@ -103,12 +103,17 @@ class KoboReader(DataSourceReader):
         auth = None
         if "username" in self.options:
             auth = (self.options["username"], self.options.get("password", ""))
+        # Both range bounds ride in the REST query, so each partition
+        # downloads exactly its own id-range (no overlapping tails); the
+        # client-side check is belt-and-braces against a non-conforming
+        # server and stops the scan (break, not continue) past hi.
         for sub in fetch_kobo_paginated(
-            requests.get, url, asset, auth=auth, since_id=partition.lo
+            requests.get, url, asset, auth=auth,
+            since_id=partition.lo, until_id=partition.hi,
         ):
             _id = int(sub["_id"])
             if partition.hi is not None and _id > partition.hi:
-                continue
+                break
             yield (_id, sub.get("_submission_time", ""), json.dumps(sub))
 
 
@@ -142,6 +147,7 @@ class KoboStreamReader(SimpleDataSourceStreamReader):
             self.options["url"],
             self.options["assetid"],
             since_id=lo,
+            until_id=hi,
         ):
             _id = int(sub["_id"])
             if hi is None or _id <= hi:

@@ -30,15 +30,26 @@ def fetch_kobo_paginated(
     auth: tuple[str, str] | None = None,
     limit: int = 1000,
     since_id: int | None = None,
+    until_id: int | None = None,
     max_retries: int = 3,
 ) -> Iterator[dict]:
     """Paginated Kobo submission fetch (S1): ``limit``<=1000 per page,
     follow ``next`` links, ``_id > since_id`` incremental query, retry with
     backoff. Yields raw submission dicts (nested repeat groups intact —
-    the flattening step is optional in this engine, §2.1 S2)."""
-    query = {"limit": limit}
+    the flattening step is optional in this engine, §2.1 S2).
+
+    ``until_id`` (inclusive) also lands in the API-side query — a
+    partitioned scan over N disjoint id-ranges fetches each range exactly
+    once (``{"_id": {"$gt": lo, "$lte": hi}}``) instead of every partition
+    downloading the whole id-tail and discarding out-of-range rows."""
+    bounds: dict = {}
     if since_id is not None:
-        query["query"] = json.dumps({"_id": {"$gt": since_id}})
+        bounds["$gt"] = since_id
+    if until_id is not None:
+        bounds["$lte"] = until_id
+    query = {"limit": limit}
+    if bounds:
+        query["query"] = json.dumps({"_id": bounds})
     next_url = f"{url}/api/v2/assets/{asset_id}/data.json"
     params: dict | None = query
     while next_url:
