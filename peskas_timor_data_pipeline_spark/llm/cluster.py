@@ -2,15 +2,21 @@
 
 After MinHash-LSH (or embedding) pairing, duplicate GROUPS must be
 resolved so each cluster keeps one canonical document. Pairs form a graph;
-components are computed by iterative min-label propagation — each round
-every node adopts the smallest id reachable within one hop, doubling the
-propagation radius per round, so convergence takes O(log(diameter))
-rounds. Near-dup clusters are shallow (diameter rarely >8), so the default
-cap of 10 rounds covers diameters into the hundreds.
+components are computed by min-label propagation ACCELERATED with pointer
+jumping: each round every node first adopts the smallest label within one
+hop, then short-circuits through its label's label
+(``label <- label(label)``), which at least halves the depth of every
+label-forest path per round. Convergence is O(log(diameter)) rounds — a
+million-node duplicate chain resolves in ~20 — and the loop runs to an
+observed fixed point (a full round changing no label), raising instead of
+silently returning split components if the cap is ever hit.
 
 All rounds are shuffle-on-key joins — no driver-side graph, scales to
 billions of edges. (GraphFrames does the same thing; this avoids the
-dependency.)
+dependency.) Each round materializes ONE frame (eager checkpoint) and the
+convergence flag rides inside it, so checking costs a near-free scan of
+checkpointed partitions, not a recompute. Pass ``checkpoint_dir`` on
+cluster runs so a lost executor recomputes instead of aborting the job.
 """
 
 from __future__ import annotations
@@ -18,20 +24,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
 
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 10,
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = min node
-    id in the component. Converges when a full round changes no label."""
-    edges = (
+    id in the component. Runs until a full round changes no label; raises
+    ``RuntimeError`` if ``max_iter`` rounds don't reach that fixed point
+    (with pointer jumping the cap covers diameters ~2^max_iter, so hitting
+    it means something is genuinely wrong — never return wrong labels)."""
+    edges = materialize(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
     labels = (
         edges.groupBy("src")
@@ -42,18 +54,15 @@ def connected_components(
         )
     )
     for _ in range(max_iter):
-        # candidate = min over neighbors' current labels
-        nbr = (
-            edges.join(labels, edges.dst == labels.node)
-            .select(edges.src.alias("node"), F.col("component"))
+        # hop: min over neighbors' current labels
+        nbr = edges.join(labels, edges.dst == labels.node).select(
+            edges.src.alias("node"), F.col("component")
         )
-        # the convergence flag rides along into the checkpointed frame, so
-        # the per-round cost is ONE shuffle job (the eager checkpoint) plus
-        # a near-free scan of checkpointed partitions for the flag
-        new_labels = (
-            labels.select(
-                "node", "component", F.col("component").alias("__old__")
-            )
+        # min-ignores-nulls carries each node's previous label through the
+        # same aggregate that merges hop candidates — no extra join for the
+        # convergence check
+        prop = (
+            labels.select("node", "component", F.col("component").alias("__old__"))
             .unionByName(
                 nbr.withColumn(
                     "__old__", F.lit(None).cast(nbr.schema["component"].dataType)
@@ -64,23 +73,50 @@ def connected_components(
                 F.min("component").alias("component"),
                 F.min("__old__").alias("__old__"),
             )
-            .withColumn("__changed__", F.col("component") != F.col("__old__"))
-            .localCheckpoint(eager=True)
+        )
+        # jump: label <- min(label, label(label)) halves path depth; the
+        # left join keeps root nodes (whose label is themselves or a node
+        # with no better label) intact
+        tgt = prop.select(
+            F.col("node").alias("__t__"), F.col("component").alias("__tc__")
+        )
+        jumped = (
+            prop.join(tgt, prop.component == tgt.__t__, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__tc__"), F.col("component"))
+                ).alias("component"),
+                "__old__",
+            )
+        )
+        new_labels = materialize(
+            jumped.withColumn("__changed__", F.col("component") != F.col("__old__")),
+            checkpoint_dir,
         )
         changed = new_labels.filter(F.col("__changed__")).limit(1).count()
         labels = new_labels.select("node", "component")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the pair graph is deeper than 2^max_iter hops or labels are cycling "
+        "- refusing to return split components"
+    )
 
 
 def resolve_duplicates(
-    docs: DataFrame, pairs: DataFrame, id_col: str
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Keep one canonical doc per near-dup cluster (the min id), mark the
     rest. Docs in no pair are their own canonical. Adds ``canonical_id``
     and ``is_duplicate``."""
-    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    comp = connected_components(
+        pairs, checkpoint_dir=checkpoint_dir
+    ).withColumnRenamed("node", id_col)
     joined = docs.join(comp, id_col, "left")
     return joined.withColumn(
         "canonical_id", F.coalesce("component", F.col(id_col))

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's default parallelism before an
@@ -120,10 +122,12 @@ def lsh_candidate_pairs(
     id_col: str,
     n_hashes: int = 6,
     band_size: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Band the signature (rows of ``band_size`` hashes), bucket-join on
     band keys, emit distinct candidate pairs (a < b). Only bucket-mates
-    pair up — never an all-pairs product."""
+    pair up — never an all-pairs product. ``checkpoint_dir`` switches the
+    lineage cut to a reliable checkpoint for cluster runs (llm/ckpt.py)."""
     n_bands = n_hashes // band_size
     bands = [
         F.md5(
@@ -142,7 +146,7 @@ def lsh_candidate_pairs(
     )
     # the pair join is a self-join: without materialization the whole
     # signature lineage (shingle explode + n_hashes mins) computes twice
-    long = long.localCheckpoint(eager=True)
+    long = materialize(long, checkpoint_dir)
     a = long.select(F.col(id_col).alias("id_a"), "band_key")
     b = long.select(F.col(id_col).alias("id_b"), "band_key")
     return (
@@ -160,6 +164,7 @@ def ngram_jaccard(
     text_col: str,
     k_shingle: int = 5,
     shingles: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """True Jaccard similarity over distinct char k-gram sets for the given
     candidate pairs: |A ∩ B| / |A ∪ B|. Joins shingle sets only for
@@ -171,7 +176,7 @@ def ngram_jaccard(
     ``pairs`` and the shingle sets are each referenced several times in the
     join tree; persist them so the (expensive) upstream lineage — MinHash,
     LSH banding, the explode — is computed once, not per reference."""
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = materialize(pairs, checkpoint_dir)
     if shingles is None:
         pair_ids = (
             pairs.select(F.col("id_a").alias(id_col))
@@ -181,7 +186,7 @@ def ngram_jaccard(
         shingles = shingle_rows(
             docs.join(pair_ids, id_col, "left_semi"), id_col, text_col, k_shingle
         )
-    sets = shingles.distinct().localCheckpoint(eager=True)
+    sets = materialize(shingles.distinct(), checkpoint_dir)
     sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a_sets = sets.select(F.col(id_col).alias("id_a"), F.col("sh"))
     b_sets = sets.select(F.col(id_col).alias("id_b"), F.col("sh"))

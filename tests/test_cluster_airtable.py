@@ -26,6 +26,46 @@ def test_connected_components_chain_and_clique(spark):
     assert comp[20] == comp[21] == 20
 
 
+def test_connected_components_deep_chain_converges(spark):
+    """A 25-node pairwise chain (diameter 24) — the round-1 one-hop
+    propagation with max_iter=10 silently split this into several
+    components; pointer jumping must resolve it to ONE in O(log d) rounds
+    (8 rounds cover diameter 2^8)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 25)], "id_a long, id_b long"
+    )
+    comp = {r.node: r.component for r in connected_components(pairs, max_iter=8).collect()}
+    assert len(comp) == 25
+    assert set(comp.values()) == {1}
+
+
+def test_connected_components_raises_instead_of_splitting(spark):
+    """Exhausting max_iter before the fixed point must raise — never
+    return wrong (split) labels."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 25)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches lineage cuts to reliable checkpoint files
+    on shared storage (survive executor loss); same labels either way."""
+    ckpt = str(tmp_path / "ckpt")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert any((tmp_path / "ckpt").rglob("*"))  # checkpoint files landed
+
+
 def test_resolve_duplicates(spark):
     docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 9]], "doc_id long")
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
