@@ -266,14 +266,54 @@ def m4_poisson_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority", "term")
 
 
-# --- M5: seeded multiple-imputation analogue (rows-only check) --------------------------
+# --- M4b: GLMM with crossed random intercepts (rows-only check) -------------------------
 
-def m5_impute_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m4_glmm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's landing-rate model shape (R/model-catch.R:80-138):
+    counts per (priority, month) modeled as n ~ (1|month) + (1|year),
+    poisson log link, fitted per priority group via PQL."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        glmm_random_intercepts,
+    )
+
     orders = load(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         "o_orderpriority",
         F.trunc(F.to_date("o_orderdate"), "month").alias("period"),
-    ).agg(F.avg("o_totalprice").alias("avg_price"))
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    frame = monthly.select(
+        "o_orderpriority",
+        "n_orders",
+        F.date_format("period", "MM").alias("month"),
+        F.date_format("period", "yyyy").alias("year"),
+    )
+    fits = glmm_random_intercepts(
+        frame, ["o_orderpriority"], "n_orders", ["month", "year"],
+        family="poisson",
+    )
+    return fits.select(
+        "o_orderpriority", "kind", "term", "level",
+        F.round("estimate", 5).alias("estimate"), "n_obs",
+    ).orderBy("o_orderpriority", "kind", "term", "level")
+
+
+# --- M5: seeded multiple-imputation analogue (rows-only check) --------------------------
+
+def m5_impute_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked since round 2: the md5-derived replicate draws are
+    recomputed identically by the DuckDB oracle (see the operator's
+    redefinition note). Exact-cents monthly averages + floor-quantized
+    output, per the m7 float-tie discipline."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("period"),
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100)) / F.count(F.lit(1)) / 100.0,
+            6,
+        ).alias("avg_price")
+    )
     gappy = monthly.withColumn(
         "avg_price", F.when(F.month("period") % 4 != 0, F.col("avg_price"))
     )
@@ -281,8 +321,38 @@ def m5_impute_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         gappy, ["o_orderpriority"], "period", "avg_price", m=5, seed=666
     )
     return out.select(
-        "o_orderpriority", "period", F.round("avg_price", 6).alias("avg_price"), "is_imputed"
+        "o_orderpriority",
+        "period",
+        (F.floor(F.col("avg_price") * 1e4 + 0.5) / 1e4).alias("avg_price"),
+        "is_imputed",
     )
+
+
+M5_ORACLE = """
+WITH monthly AS (
+  SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+         round(sum(round(o_totalprice * 100)) / count(*) / 100.0, 6) AS avg_price
+  FROM orders GROUP BY 1, 2
+), gappy AS (
+  SELECT o_orderpriority, period,
+         CASE WHEN month(period) % 4 <> 0 THEN avg_price END AS v
+  FROM monthly
+), stats AS (
+  SELECT *,
+    coalesce(avg(v) OVER (PARTITION BY o_orderpriority), 0) AS base,
+    coalesce(stddev_pop(v) OVER (PARTITION BY o_orderpriority), 0) AS sd,
+    concat_ws(chr(31), '666', o_orderpriority, CAST(period AS VARCHAR)) AS ik
+  FROM gappy
+)
+SELECT o_orderpriority, period,
+  floor((CASE WHEN v IS NOT NULL THEN v ELSE
+    base + 2.0 * 0.1 * sd * (list_sum(list_transform(generate_series(0, 4),
+      r -> ('0x' || substr(md5(concat(ik, '#', CAST(r AS VARCHAR))), 1, 12))::BIGINT
+           / 281474976710656.0 - 0.5)) / 5)
+  END) * 1e4 + 0.5) / 1e4 AS avg_price,
+  v IS NULL AS is_imputed
+FROM stats
+"""
 
 
 QUERIES = {
@@ -291,5 +361,6 @@ QUERIES = {
     "m7_interpolation": (m7_interpolation, M7_ORACLE),
     "m9_share_redistribution": (m9_share_redistribution, M9_ORACLE),
     "m4_poisson_glm": (m4_poisson_glm, None),
-    "m5_impute_replicates": (m5_impute_replicates, None),
+    "m4_glmm": (m4_glmm, None),
+    "m5_impute_replicates": (m5_impute_replicates, M5_ORACLE),
 }

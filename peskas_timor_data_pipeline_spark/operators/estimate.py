@@ -113,6 +113,115 @@ def poisson_glm_per_group(
     )
 
 
+def glmm_random_intercepts(
+    df: DataFrame,
+    keys: Sequence[str],
+    y_col: str,
+    factor_cols: Sequence[str],
+    family: str = "poisson",
+    max_iter: int = 200,
+    tol: float = 1e-8,
+) -> DataFrame:
+    """Per-group GLMM with crossed random intercepts — the Spark analogue of
+    the reference's ``glmmTMB(n_landings ~ (1|month) + (1|period) +
+    (1|version), family=poisson|Gamma)`` (M4, R/model-catch.R:80-138).
+
+    Estimation is PQL (penalized quasi-likelihood): IRLS on the log-link
+    working response where each step solves Henderson's mixed-model
+    equations — a ridge-penalized weighted least squares with one penalty
+    ``1/sigma_f^2`` per random factor — and variance components update by
+    the EM step ``sigma_f^2 <- (||u_f||^2 + tr(C_ff)) / q_f`` (posterior
+    mean square plus posterior-covariance trace). Deterministic: no
+    sampling, fixed start, fixed tolerances. glmmTMB integrates the same
+    likelihood by Laplace approximation; PQL agrees closely when counts
+    aren't tiny and is the standard big-data fallback.
+
+    Runs as ``applyInPandas`` at group granularity — groups are
+    municipality-sized model frames (months x devices), never row-scale;
+    the heavy lifting upstream (the per-trip aggregation that BUILDS the
+    model frame) stays distributed.
+
+    Returns one long frame per group:
+      kind='fixed',    term='intercept', level=NULL, estimate=beta0
+      kind='variance', term=<factor>,    level=NULL, estimate=sigma_f^2
+      kind='blup',     term=<factor>,    level=<lvl>, estimate=u_f,lvl
+    """
+    import numpy as np
+
+    if family not in ("poisson", "gamma"):
+        raise ValueError(f"unsupported family: {family}")
+    factor_cols = list(factor_cols)
+    out_fields = ", ".join(f"{k} string" for k in keys)
+    schema = (
+        f"{out_fields}, kind string, term string, level string, "
+        "estimate double, n_obs long"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*factor_cols]).reset_index(drop=True)
+        y = pdf[y_col].to_numpy(float)
+        n = len(y)
+        blocks, qs = [], []
+        for fcol in factor_cols:
+            levels = sorted(pdf[fcol].astype(str).unique())
+            idx = pdf[fcol].astype(str).map({l: j for j, l in enumerate(levels)})
+            Zf = np.zeros((n, len(levels)))
+            Zf[np.arange(n), idx.to_numpy()] = 1.0
+            blocks.append((fcol, levels, Zf))
+            qs.append(len(levels))
+        C = np.column_stack([np.ones(n)] + [b[2] for b in blocks])
+        q_total = sum(qs)
+        sigma2 = np.ones(len(qs))
+        sol = np.zeros(1 + q_total)
+        sol[0] = np.log(np.maximum(y.mean(), 1e-8))
+        for _ in range(max_iter):
+            eta = C @ sol
+            mu = np.exp(np.clip(eta, -30, 30))
+            W = mu if family == "poisson" else np.ones_like(mu)
+            z = eta + (y - mu) / np.maximum(mu, 1e-12)
+            A = (C.T * W) @ C
+            pen = np.concatenate(
+                [[0.0]] + [np.full(q, 1.0 / s2) for q, s2 in zip(qs, sigma2)]
+            )
+            A[np.diag_indices_from(A)] += pen
+            try:
+                Ainv = np.linalg.inv(A)
+            except np.linalg.LinAlgError:
+                break
+            new_sol = Ainv @ ((C.T * W) @ z)
+            new_sigma2 = sigma2.copy()
+            off = 1
+            for i, q in enumerate(qs):
+                blk = slice(off, off + q)
+                u_f = new_sol[blk]
+                new_sigma2[i] = max(
+                    (u_f @ u_f + np.trace(Ainv[blk, blk])) / q, 1e-8
+                )
+                off += q
+            delta = max(
+                np.max(np.abs(new_sol - sol)), np.max(np.abs(new_sigma2 - sigma2))
+            )
+            sol, sigma2 = new_sol, new_sigma2
+            if delta < tol:
+                break
+        rows = [("fixed", "intercept", None, float(sol[0]))]
+        off = 1
+        for (fcol, levels, _), q, s2 in zip(blocks, qs, sigma2):
+            rows.append(("variance", fcol, None, float(s2)))
+            rows.extend(
+                ("blup", fcol, lvl, float(sol[off + j]))
+                for j, lvl in enumerate(levels)
+            )
+            off += q
+        out = pd.DataFrame(rows, columns=["kind", "term", "level", "estimate"])
+        out["n_obs"] = n
+        for k in keys:
+            out[k] = str(pdf[k].iloc[0])
+        return out[[*keys, "kind", "term", "level", "estimate", "n_obs"]]
+
+    return df.groupBy(*keys).applyInPandas(fit, schema=schema)
+
+
 def impute_mean_replicates(
     df: DataFrame,
     keys: Sequence[str],
@@ -123,34 +232,46 @@ def impute_mean_replicates(
     noise_sd_frac: float = 0.1,
 ) -> DataFrame:
     """Multiple-imputation analogue (M5/M6, Amelia m=40 / mice m=5 with
-    set.seed(666), R/estimate-catch.R:176-199): per series, missing values
-    are filled with the series mean plus seeded gaussian noise, averaged
-    over m replicates. Runs as applyInPandas over month-granularity groups;
-    seeded per-group so results are partition-stable."""
-    import numpy as np
+    set.seed(666), R/estimate-catch.R:176-199): per series, each missing
+    value is filled with the series mean plus the average of ``m``
+    replicate perturbations drawn uniformly from
+    ``±noise_sd_frac * sd(series)``.
 
-    schema_fields = df.select(*keys, order_col).schema.fields
-    key_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_fields)
-    schema = f"{key_schema}, {value_col} double, is_imputed boolean"
+    Redefinition vs the reference (sanctioned, SURVEY §2.8): Amelia's
+    bootstrap-EM posterior draws become DETERMINISTIC md5-derived draws —
+    replicate ``r``'s perturbation for a row is a pure function of
+    ``(seed, keys, order_col, r)`` — so the result is reproducible on any
+    engine and ORACLE-CHECKABLE (DuckDB recomputes identical draws), which
+    seeded RNG state never is. Pure column expressions: window stats +
+    higher-order array functions, no Python, no shuffle beyond the window.
 
-    def impute(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col).reset_index(drop=True)
-        vals = pdf[value_col].to_numpy(float)
-        missing = pd.isna(vals)
-        base = np.nanmean(vals) if (~missing).any() else 0.0
-        sd = np.nanstd(vals) if (~missing).sum() > 1 else 0.0
-        import hashlib
-
-        key_repr = "\x1f".join(str(pdf[k].iloc[0]) for k in keys)
-        digest = int(hashlib.md5(key_repr.encode()).hexdigest()[:8], 16)
-        group_seed = (seed + digest) % (2**31)  # process-stable, unlike hash()
-        rng = np.random.RandomState(group_seed)
-        draws = base + rng.normal(0.0, noise_sd_frac * sd, size=(m, int(missing.sum())))
-        filled = vals.copy()
-        filled[missing] = draws.mean(axis=0)
-        out = pdf[[*keys, order_col]].copy()
-        out[value_col] = filled
-        out["is_imputed"] = missing
-        return out
-
-    return df.groupBy(*keys).applyInPandas(impute, schema=schema)
+    Returns the input columns with ``value_col`` filled and ``is_imputed``
+    added."""
+    w = Window.partitionBy(*keys)
+    base = F.coalesce(F.avg(value_col).over(w), F.lit(0.0))
+    sd = F.coalesce(F.stddev_pop(value_col).over(w), F.lit(0.0))
+    draw_key = F.concat_ws(
+        "\x1f",
+        F.lit(str(seed)),
+        *[F.col(k).cast("string") for k in keys],
+        F.col(order_col).cast("string"),
+    )
+    # mean over m replicates of uniform(-0.5, 0.5): the first 12 hex chars
+    # of md5(key#r) as a 48-bit integer, scaled by 2^-48
+    noise_mean = F.expr(
+        f"aggregate(transform(sequence(0, {m - 1}), r -> "
+        f"cast(conv(substring(md5(concat(__ik__, '#', cast(r as string))), 1, 12), 16, 10) as double)"
+        f" / 281474976710656.0 - 0.5), "
+        f"cast(0.0 as double), (acc, x) -> acc + x) / {m}"
+    )
+    filled = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+        F.col("__base__") + 2.0 * noise_sd_frac * F.col("__sd__") * noise_mean
+    )
+    return (
+        df.withColumn("__ik__", draw_key)
+        .withColumn("__base__", base)
+        .withColumn("__sd__", sd)
+        .withColumn("is_imputed", F.col(value_col).isNull())
+        .withColumn(value_col, filled)
+        .drop("__ik__", "__base__", "__sd__")
+    )

@@ -99,6 +99,43 @@ def test_periodic_summary_and_nutrients(spark):
     assert abs(sel.people_rdi - 100 * 1000 / 30 / 50) < 1e-6
 
 
+def test_glmm_recovers_random_intercept_variance(spark):
+    """Simulate poisson counts with known crossed random intercepts
+    (sigma_month=0.7, sigma_version=0.3); the PQL fit must recover the
+    fixed intercept and both variance components within tolerance, and
+    BLUPs must correlate strongly with the true effects."""
+    import numpy as np
+
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        glmm_random_intercepts,
+    )
+
+    rng = np.random.RandomState(7)
+    n_months, n_reps = 40, 25
+    beta0 = 2.0
+    u_month = rng.normal(0.0, 0.7, n_months)
+    u_version = {"v1": rng.normal(0.0, 0.3), "v2": rng.normal(0.0, 0.3)}
+    rows = []
+    for mth in range(n_months):
+        for r in range(n_reps):
+            ver = "v1" if mth < n_months // 2 else "v2"
+            lam = np.exp(beta0 + u_month[mth] + u_version[ver])
+            rows.append(("tl", f"m{mth:02d}", ver, float(rng.poisson(lam))))
+    df = spark.createDataFrame(rows, "grp string, month string, version string, y double")
+    fit = glmm_random_intercepts(
+        df, ["grp"], "y", ["month", "version"], family="poisson"
+    ).collect()
+    fixed = [r for r in fit if r.kind == "fixed"][0]
+    var = {r.term: r.estimate for r in fit if r.kind == "variance"}
+    assert abs(fixed.estimate - beta0) < 0.5
+    assert 0.49 * 0.4 < var["month"] < 0.49 * 2.2  # sigma^2 = 0.49
+    blups = {r.level: r.estimate for r in fit if r.kind == "blup" and r.term == "month"}
+    est = np.array([blups[f"m{m:02d}"] for m in range(n_months)])
+    assert np.corrcoef(est, u_month)[0, 1] > 0.9
+    # output is complete: one blup per level of each factor
+    assert sum(1 for r in fit if r.kind == "blup") == n_months + 2
+
+
 def test_glm_per_group_families_recover_exact_fit(spark):
     import math
 
