@@ -78,6 +78,199 @@ FROM weights GROUP BY l_returnflag
 """
 
 
+# --- M2b: full LL-routed weight estimation (S17/M8 snapshot builder + M2) -----
+
+def m2b_length_weight_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end reference weight path: raw snapshot frame ->
+    morphometric_tables (incl. the TL-coefficient variant, quality filter,
+    and INVERTED reciprocal LL params) -> estimate_weights_ll (direct +
+    length-converted candidates, per-code quantile coefficients)."""
+    from peskas_timor_data_pipeline_spark.operators.weights import (
+        estimate_weights_ll,
+        morphometric_tables,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    catch = (
+        li.join(part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.col("p_brand").alias("code"),
+            F.col("l_quantity").alias("length"),
+            F.when(F.col("l_linenumber") % 2 == 0, "TL").otherwise("FL").alias("ltype"),
+            F.col("l_linenumber").cast("double").alias("n_ind"),
+        )
+        .distinct()
+    )
+    rfish = part.select(
+        F.col("p_brand").alias("interagency_code"),
+        F.col("p_type").alias("Species"),
+        F.lit(0.0).alias("LengthMin"),
+        F.lit(100.0).alias("LengthMax"),
+        F.when(F.col("p_size") % 2 == 0, "TL").otherwise("FL").alias("Type"),
+        (F.col("p_retailprice") / 10000.0).alias("a"),
+        (1.0 + (F.col("p_size") % 10) / 10.0).alias("b"),
+        F.when(F.col("p_size") % 3 == 0, F.col("p_retailprice") / 20000.0).alias("aTL"),
+        F.when(F.col("p_size") % 7 == 0, F.lit("yes")).alias("EsQ"),
+        F.when(F.col("p_size") % 4 == 0, F.lit("TL")).alias("Length1"),
+        F.when(F.col("p_size") % 4 == 0, F.lit("FL")).alias("Length2"),
+        F.when(F.col("p_size") % 4 == 0, (F.col("p_size") % 5) / 10.0).alias("aL"),
+        F.when(F.col("p_size") % 4 == 0, 1.0 + (F.col("p_size") % 3) / 10.0).alias("bL"),
+    )
+    lw, ll = morphometric_tables(rfish)
+    weights = estimate_weights_ll(
+        catch, lw, ll, "code", "length", "ltype", "n_ind",
+        ["l_orderkey", "l_linenumber", "l_returnflag"],
+        coeff_map={"Brand#11": 0.7, "Brand#21": 0.75},
+        default_coeff=0.9,
+    )
+    return weights.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("weight"), 6).alias("avg_weight"),
+        F.round(F.sum("weight"), 2).alias("total_weight"),
+        F.max("n_candidates").alias("max_candidates"),
+    )
+
+
+M2B_ORACLE = """
+WITH rfish AS (
+  SELECT p_brand AS code, p_type AS Species,
+         CASE WHEN p_size % 2 = 0 THEN 'TL' ELSE 'FL' END AS Type,
+         p_retailprice / 10000.0 AS a,
+         1.0 + (p_size % 10) / 10.0 AS b,
+         CASE WHEN p_size % 3 = 0 THEN p_retailprice / 20000.0 END AS aTL,
+         CASE WHEN p_size % 7 = 0 THEN 'yes' END AS EsQ,
+         CASE WHEN p_size % 4 = 0 THEN 'TL' END AS Length1,
+         CASE WHEN p_size % 4 = 0 THEN 'FL' END AS Length2,
+         CASE WHEN p_size % 4 = 0 THEN (p_size % 5) / 10.0 END AS aL,
+         CASE WHEN p_size % 4 = 0 THEN 1.0 + (p_size % 3) / 10.0 END AS bL
+  FROM part
+), lw AS (
+  SELECT DISTINCT code, Species, Type, a, b FROM (
+    SELECT code, Species, 'TL' AS Type, aTL AS a, b, EsQ FROM rfish
+    UNION ALL
+    SELECT code, Species, Type, a, b, EsQ FROM rfish
+  ) WHERE a IS NOT NULL AND NOT coalesce(lower(EsQ) = 'yes', FALSE)
+), ll AS (
+  SELECT DISTINCT code, Species, Length1, Length2, aL, bL FROM (
+    SELECT code, Species, Length2 AS Length1, Length1 AS Length2,
+           -aL / bL AS aL, 1.0 / bL AS bL FROM rfish
+    UNION ALL
+    SELECT code, Species, Length1, Length2, aL, bL FROM rfish
+  ) WHERE aL IS NOT NULL
+), catch AS (
+  SELECT DISTINCT l_orderkey, l_linenumber, l_returnflag, p_brand AS code,
+         l_quantity AS length,
+         CASE WHEN l_linenumber % 2 = 0 THEN 'TL' ELSE 'FL' END AS ltype,
+         CAST(l_linenumber AS DOUBLE) AS n_ind
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), domain AS (
+  SELECT DISTINCT code, ltype, length FROM catch
+  WHERE code IS NOT NULL AND code <> '0' AND ltype IS NOT NULL
+        AND length IS NOT NULL
+), cands AS (
+  SELECT d.code, d.ltype, d.length, lw.a * pow(d.length, lw.b) AS w
+  FROM domain d JOIN lw ON d.code = lw.code AND lw.Type = d.ltype
+  UNION ALL
+  SELECT d.code, d.ltype, d.length, lw.a * pow(ll.aL + d.length * ll.bL, lw.b) AS w
+  FROM domain d
+  JOIN ll ON d.code = ll.code AND ll.Length2 = d.ltype
+  JOIN lw ON ll.code = lw.code AND ll.Species = lw.Species AND lw.Type = ll.Length1
+), per_combo AS (
+  SELECT code, ltype, length,
+         quantile_cont(w, 0.7) AS p70, quantile_cont(w, 0.75) AS p75,
+         quantile_cont(w, 0.9) AS p90, count(*) AS n_candidates
+  FROM cands GROUP BY 1, 2, 3
+), weights AS (
+  SELECT c.l_returnflag,
+         CASE WHEN c.n_ind = 0 THEN 0.0 ELSE
+           (CASE c.code WHEN 'Brand#11' THEN p70 WHEN 'Brand#21' THEN p75
+                        ELSE p90 END) * c.n_ind END AS weight,
+         n_candidates
+  FROM catch c JOIN per_combo USING (code, ltype, length)
+)
+SELECT l_returnflag, count(*) AS n_rows,
+       round(avg(weight), 6) AS avg_weight,
+       round(sum(weight), 2) AS total_weight,
+       max(n_candidates) AS max_candidates
+FROM weights GROUP BY l_returnflag
+"""
+
+
+# --- M8: taxize/FishBase snapshot species resolution ---------------------------
+
+def m8_species_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-dispatched species lookup from a flattened snapshot dim with the
+    reference's country-filter-with-fallback semantics
+    (sources/fishbase.py::resolve_species)."""
+    from peskas_timor_data_pipeline_spark.sources.fishbase import resolve_species
+
+    part = load(spark, sf_dir, "part")
+    snapshot = part.select(
+        F.when(F.col("p_size") % 2 == 0, "Species").otherwise("Genus").alias("rank"),
+        F.when(F.col("p_size") % 2 == 0, F.col("p_type"))
+        .otherwise(F.expr("split_part(p_type, ' ', 1)"))
+        .alias("name"),
+        F.col("p_type").alias("species"),
+        F.col("p_size").alias("c_code"),
+    )
+    taxa = (
+        part.filter(F.col("p_size") % 3 == 0)
+        .select(
+            F.col("p_brand").alias("interagency_code"),
+            F.expr("split_part(p_type, ' ', 1)").alias("name"),
+            F.lit("Genus").alias("taxa_rank"),
+        )
+        .distinct()
+        .unionByName(
+            part.filter(F.col("p_size") % 11 == 0)
+            .select(
+                F.col("p_brand").alias("interagency_code"),
+                F.col("p_type").alias("name"),
+                F.lit("Species").alias("taxa_rank"),
+            )
+            .distinct()
+        )
+    )
+    resolved = resolve_species(snapshot, taxa, [33])
+    return resolved.groupBy("interagency_code").agg(
+        F.count(F.lit(1)).alias("n_species")
+    )
+
+
+M8_ORACLE = """
+WITH snapshot AS (
+  SELECT CASE WHEN p_size % 2 = 0 THEN 'Species' ELSE 'Genus' END AS rank,
+         CASE WHEN p_size % 2 = 0 THEN p_type
+              ELSE split_part(p_type, ' ', 1) END AS name,
+         p_type AS species, p_size AS c_code
+  FROM part
+), taxa AS (
+  SELECT DISTINCT p_brand AS code, split_part(p_type, ' ', 1) AS name,
+         'Genus' AS taxa_rank
+  FROM part WHERE p_size % 3 = 0
+  UNION
+  SELECT DISTINCT p_brand, p_type, 'Species' FROM part WHERE p_size % 11 = 0
+), cands AS (
+  SELECT t.code, s.species, s.c_code
+  FROM taxa t JOIN snapshot s ON t.name = s.name AND t.taxa_rank = s.rank
+), in_country AS (
+  SELECT code, species FROM cands WHERE c_code IN (33)
+), fallback AS (
+  SELECT code, species FROM cands
+  WHERE code NOT IN (SELECT DISTINCT code FROM in_country)
+), resolved AS (
+  SELECT DISTINCT code, species FROM (
+    SELECT * FROM in_country UNION ALL SELECT * FROM fallback)
+)
+SELECT code AS interagency_code, count(*) AS n_species
+FROM resolved GROUP BY 1
+"""
+
+
 # --- M3: OLS + Cook's distance in closed form -----------------------------------
 
 def m3_ols_cooks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,6 +550,8 @@ FROM stats
 
 QUERIES = {
     "m2_length_weight": (m2_length_weight, M2_ORACLE),
+    "m2b_length_weight_ll": (m2b_length_weight_ll, M2B_ORACLE),
+    "m8_species_resolution": (m8_species_resolution, M8_ORACLE),
     "m3_ols_cooks": (m3_ols_cooks, M3_ORACLE),
     "m7_interpolation": (m7_interpolation, M7_ORACLE),
     "m9_share_redistribution": (m9_share_redistribution, M9_ORACLE),

@@ -63,6 +63,178 @@ def estimate_weights(
     )
 
 
+# The reference's per-taxon quantile coefficients
+# (R/calculate-weights.R:559-564): flying fish / carangids 0.75,
+# emperors / clupeids 0.7, everything else 0.9.
+REFERENCE_COEFF_MAP = {"FLY": 0.75, "CGX": 0.75, "EMP": 0.7, "CLP": 0.7}
+
+
+def morphometric_tables(rfish: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Build the (length_weight, length_length) parameter tables from a raw
+    FishBase snapshot frame (S17/M8 loader,
+    R/calculate-weights.R:452-508 ``get_morphometric_tables``):
+
+    - length_weight: the base rows PLUS a ``Type='TL', a=aTL`` variant for
+      rows carrying the extra total-length coefficient; rows with null ``a``
+      or low-quality flag ``EsQ='yes'`` dropped; distinct.
+    - length_length: the base regressions PLUS their algebraic inverses —
+      swap Length1/Length2 with ``aL' = -aL/bL``, ``bL' = 1/bL`` — so a
+      conversion is usable in either direction; null-``aL`` rows dropped;
+      distinct.
+
+    Input columns: interagency_code, Species, LengthMin, LengthMax, Type,
+    a, b, aTL, EsQ, Length1, Length2, aL, bL. Both outputs are KB-scale
+    dimension tables meant to be broadcast.
+    """
+    tl_variant = rfish.withColumn("Type", F.lit("TL")).withColumn("a", F.col("aTL"))
+    lw = (
+        tl_variant.unionByName(rfish)
+        .filter(
+            F.col("a").isNotNull()
+            & ~F.coalesce(F.lower(F.col("EsQ")) == "yes", F.lit(False))
+        )
+        .select(
+            "interagency_code", "Species", "LengthMin", "LengthMax", "Type", "a", "b"
+        )
+        .distinct()
+    )
+    inverted = rfish.select(
+        "interagency_code",
+        "Species",
+        F.col("Length2").alias("Length1"),
+        F.col("Length1").alias("Length2"),
+        (-F.col("aL") / F.col("bL")).alias("aL"),
+        (F.lit(1.0) / F.col("bL")).alias("bL"),
+    )
+    ll = (
+        inverted.unionByName(
+            rfish.select(
+                "interagency_code", "Species", "Length1", "Length2", "aL", "bL"
+            )
+        )
+        .filter(F.col("aL").isNotNull())
+        .distinct()
+    )
+    return lw, ll
+
+
+def estimate_weights_ll(
+    catch: DataFrame,
+    lw: DataFrame,
+    ll: DataFrame,
+    code_col: str,
+    length_col: str,
+    type_col: str,
+    n_col: str,
+    row_keys: Sequence[str],
+    coeff_map: dict[str, float] | None = None,
+    default_coeff: float = 0.9,
+) -> DataFrame:
+    """Full reference weight estimation (``estimate_weight``,
+    R/calculate-weights.R:511-569) as one declarative plan, INCLUDING the
+    length-length conversion routing the round-1 implementation lacked:
+
+    candidate weights = a * length^b over
+      (a) every length_weight row of the species code whose ``Type`` equals
+          the observed length type (the direct path), UNION ALL
+      (b) every length_weight row reachable by FIRST converting the
+          observed length through a length_length regression
+          (``Length2 == observed type`` → converted ``aL + len*bL`` in type
+          ``Length1``) and matching on (Species, Length1);
+    weight = percentile(candidates, coeff(code)) * n_individuals, with the
+    reference's per-taxon quantile coefficients (:559-564).
+
+    Scale shape: both parameter tables broadcast; the candidate domain is
+    deduplicated to distinct (code, type, length) combos before the
+    percentile — O(combos x candidates), never O(rows x candidates) — and
+    rejoined to catch rows by broadcast. Spark's ``percentile`` needs a
+    foldable fraction, so each distinct coefficient in the map gets its own
+    aggregate and a chained ``when`` on the code picks the right one —
+    still a single aggregation pass."""
+    coeff_map = REFERENCE_COEFF_MAP if coeff_map is None else coeff_map
+    lw2 = F.broadcast(
+        lw.select(
+            F.col("interagency_code").alias(code_col),
+            "Species",
+            F.col("Type").alias("__lwt__"),
+            "a",
+            "b",
+        )
+    )
+    ll2 = F.broadcast(
+        ll.select(
+            F.col("interagency_code").alias(code_col),
+            "Species",
+            F.col("Length1").alias("__to__"),
+            F.col("Length2").alias("__from__"),
+            "aL",
+            "bL",
+        )
+    )
+    domain = (
+        catch.select(code_col, type_col, length_col)
+        .filter(
+            F.col(code_col).isNotNull()
+            & (F.col(code_col) != "0")
+            & F.col(type_col).isNotNull()
+            & F.col(length_col).isNotNull()
+        )
+        .distinct()
+    )
+    direct = (
+        domain.join(lw2, code_col)
+        .filter(F.col("__lwt__") == F.col(type_col))
+        .select(
+            code_col,
+            type_col,
+            length_col,
+            (F.col("a") * F.pow(F.col(length_col), F.col("b"))).alias("__w__"),
+        )
+    )
+    converted = (
+        domain.join(ll2, code_col)
+        .filter(F.col("__from__") == F.col(type_col))
+        .withColumn("__clen__", F.col("aL") + F.col(length_col) * F.col("bL"))
+        .join(lw2, [code_col, "Species"])
+        .filter(F.col("__lwt__") == F.col("__to__"))
+        .select(
+            code_col,
+            type_col,
+            length_col,
+            (F.col("a") * F.pow(F.col("__clen__"), F.col("b"))).alias("__w__"),
+        )
+    )
+    cands = direct.unionByName(converted)
+    coeffs = sorted({*coeff_map.values(), default_coeff})
+    aggs = [
+        F.percentile("__w__", F.lit(q)).alias(f"__p{round(q * 100)}__") for q in coeffs
+    ] + [F.count(F.lit(1)).alias("n_candidates")]
+    per_combo = cands.groupBy(code_col, type_col, length_col).agg(*aggs)
+    pick = F.lit(None).cast("double")
+    picked = None
+    for code_val, q in sorted(coeff_map.items()):
+        cond = F.col(code_col) == code_val
+        branch = F.col(f"__p{round(q * 100)}__")
+        picked = F.when(cond, branch) if picked is None else picked.when(cond, branch)
+    pick = (
+        picked.otherwise(F.col(f"__p{round(default_coeff * 100)}__"))
+        if picked is not None
+        else F.col(f"__p{round(default_coeff * 100)}__")
+    )
+    joined = catch.join(
+        F.broadcast(per_combo.withColumn("__pw__", pick)),
+        on=[code_col, type_col, length_col],
+        how="inner",
+    )
+    return joined.select(
+        *row_keys,
+        F.when(F.col(n_col) == 0, F.lit(0.0))
+        .otherwise(F.col("__pw__") * F.col(n_col))
+        .alias("weight"),
+        "n_candidates",
+    )
+
+
 def convert_length(
     df: DataFrame,
     length_col: str,
