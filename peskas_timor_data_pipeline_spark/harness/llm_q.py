@@ -1034,6 +1034,62 @@ FROM documents
 QUERIES["mm2_resize_plumbing"] = (mm2_resize_plumbing, MM2_ORACLE)
 
 
+# --- MM3: REAL image decode (pure-Python PPM codec) -----------------------------------
+
+def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL decode: synthesize a (doc_id-derived) P6 PPM image
+    per document — width = doc_id%13+1, height = doc_id%7+1, pixel(y,x,c)
+    = (doc_id+x+y+c)%256 — then recover width/height/channels/mean pixel
+    FROM THE BYTES with the pure-Python decoder (llm/multimodal.py). The
+    oracle recomputes the expected values from the generating formula, so
+    a header-parse or pixel-layout bug breaks the hash."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        decode_image_meta,
+        encode_ppm,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for did in pdf["doc_id"]:
+                w, h = int(did) % 13 + 1, int(did) % 7 + 1
+                y, x, c = np.indices((h, w, 3))
+                px = ((int(did) + x + y + c) % 256).astype(np.uint8)
+                contents.append(encode_ppm(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    meta = decode_image_meta(media, "doc_id")
+    return meta.select(
+        "doc_id", "width", "height", "channels",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
+MM3_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h FROM documents
+), flat AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h * 3 - 1)) AS t
+  FROM dims
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       3 AS channels,
+       round(avg(CAST((doc_id + (t % (w * 3)) // 3 + t // (w * 3) + t % 3) % 256
+                      AS DOUBLE)), 6) AS mean_pixel
+FROM flat GROUP BY doc_id, w, h
+"""
+
+QUERIES["mm3_image_decode"] = (mm3_image_decode, MM3_ORACLE)
+
+
 # --- T13: per-source quality-percentile gate ------------------------------------------
 
 def t13_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

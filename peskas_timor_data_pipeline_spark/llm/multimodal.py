@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas iterators.
 
-The container has no codec libraries, so the actual decode is STUBBED
-(clearly marked); everything Spark-side — schema, batch iteration,
-partitioning, UDF signatures — is real and tested. The reference's
-`_attachments` model (R/pt_nest_attachments.R:40-72: per-row array of
-{download_url, id}) generalizes to this column layout directly.
+The container has no codec libraries, so ``decode_image`` is a pure-Python
+/ numpy decoder for the formats specifiable from first principles (netpbm
+PGM/PPM and uncompressed BMP) — REAL bytes in, real pixel arrays out —
+and raises loudly on anything else (JPEG/PNG would need libjpeg/zlib).
+Everything Spark-side — schema, batch iteration, partitioning, UDF
+signatures — is real and tested. The reference's `_attachments` model
+(R/pt_nest_attachments.R:40-72: per-row array of {download_url, id})
+generalizes to this column layout directly.
 """
 
 from __future__ import annotations
@@ -29,13 +32,143 @@ def attach_binary(df: DataFrame, text_col: str, out_col: str = "content") -> Dat
     return df.withColumn(out_col, F.encode(F.col(text_col), "utf-8"))
 
 
-def decode_image(content: bytes) -> dict:
-    """STUB: real implementation would decode with PIL/libvips.
+def _ppm_tokens(content: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """First ``n`` whitespace-separated integer tokens after ``start``,
+    honoring ``#`` comments (netpbm header grammar). Returns (tokens, pos
+    just past the single whitespace byte that terminates the last one)."""
+    toks: list[int] = []
+    i, cur = start, b""
+    while len(toks) < n and i < len(content):
+        c = content[i : i + 1]
+        if c == b"#":
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            if cur:
+                toks.append(int(cur))
+                cur = b""
+            i += 1
+            if len(toks) == n:
+                return toks, i
+        else:
+            cur += c
+            i += 1
+    if cur and len(toks) < n:
+        toks.append(int(cur))
+    return toks, i
 
-    Raises NotImplementedError so callers fail loudly rather than silently
-    producing fake pixels; `extract_binary_meta` below is the deterministic
-    fake used for plumbing tests."""
-    raise NotImplementedError("image codecs not available in this environment")
+
+def decode_image(content: bytes) -> dict:
+    """Pure-Python image decode — no codec libraries needed. Supports the
+    two formats fully specifiable from first principles:
+
+    - netpbm **PGM/PPM** (P2/P3 ascii, P5/P6 binary), maxval <= 255,
+      with ``#`` comments anywhere in the header;
+    - **BMP** (BITMAPINFOHEADER, uncompressed BI_RGB, 8/24/32 bpp),
+      including 4-byte row padding, bottom-up (positive height) and
+      top-down (negative height) row order; 24/32 bpp byte order BGR(A)
+      is returned as RGB(A).
+
+    Returns ``{"width", "height", "channels", "pixels"}`` with pixels a
+    ``height x width x channels`` uint8 numpy array. Raises ``ValueError``
+    on anything else — loud failure, never fake pixels."""
+    import numpy as np
+
+    if content[:2] in (b"P2", b"P3", b"P5", b"P6"):
+        kind = content[:2].decode()
+        channels = 3 if kind in ("P3", "P6") else 1
+        (w, h, maxval), pos = _ppm_tokens(content, 3, 2)
+        if maxval > 255:
+            raise ValueError("maxval > 255 not supported")
+        n_vals = w * h * channels
+        if kind in ("P5", "P6"):
+            raw = content[pos : pos + n_vals]
+            if len(raw) < n_vals:
+                raise ValueError("truncated PPM pixel data")
+            flat = np.frombuffer(raw, dtype=np.uint8)
+        else:
+            vals, _ = _ppm_tokens(content, n_vals, pos)
+            if len(vals) < n_vals:
+                raise ValueError("truncated ascii PPM pixel data")
+            flat = np.asarray(vals, dtype=np.uint8)
+        return {
+            "width": w,
+            "height": h,
+            "channels": channels,
+            "pixels": flat.reshape(h, w, channels),
+        }
+    if content[:2] == b"BM":
+        import struct
+
+        if len(content) < 54:
+            raise ValueError("truncated BMP header")
+        data_offset = struct.unpack_from("<I", content, 10)[0]
+        header_size = struct.unpack_from("<I", content, 14)[0]
+        if header_size < 40:
+            raise ValueError("pre-BITMAPINFOHEADER BMP not supported")
+        w, h_signed = struct.unpack_from("<ii", content, 18)
+        bpp = struct.unpack_from("<H", content, 28)[0]
+        compression = struct.unpack_from("<I", content, 30)[0]
+        if compression != 0:
+            raise ValueError(f"compressed BMP (method {compression}) not supported")
+        if bpp not in (8, 24, 32):
+            raise ValueError(f"{bpp} bpp BMP not supported")
+        h = abs(h_signed)
+        top_down = h_signed < 0
+        channels = bpp // 8
+        row_bytes = (w * channels + 3) // 4 * 4
+        need = data_offset + row_bytes * h
+        if len(content) < need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(
+            content[data_offset : data_offset + row_bytes * h], dtype=np.uint8
+        ).reshape(h, row_bytes)[:, : w * channels].reshape(h, w, channels)
+        if not top_down:
+            rows = rows[::-1]
+        if channels >= 3:  # BGR(A) -> RGB(A)
+            rows = rows[:, :, [2, 1, 0, *range(3, channels)]]
+        return {"width": w, "height": h, "channels": channels, "pixels": rows}
+    raise ValueError(f"unsupported image magic: {content[:4]!r}")
+
+
+def encode_ppm(pixels) -> bytes:
+    """Binary PPM (P6) / PGM (P5) encoder for a uint8 HxWx{1,3} array —
+    the writer half of the pure-Python codec (test fixtures + sinks)."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError("encode_ppm needs 1 or 3 channels")
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_image_meta(
+    df: DataFrame, id_col: str, content_col: str = "content"
+) -> DataFrame:
+    """REAL decode over binary image columns via mapInPandas: width,
+    height, channels, and mean pixel value out of the actual bytes
+    (PPM/PGM/BMP). Arrow batches stream partition-locally; undecodable
+    payloads surface as an error (fail loudly), not as nulls."""
+    out_schema = (
+        f"{id_col} long, width int, height int, channels int, mean_pixel double"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_image(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "channels": [d["channels"] for d in decoded],
+                    "mean_pixel": [float(d["pixels"].mean()) for d in decoded],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema=out_schema)
 
 
 def extract_binary_meta(
