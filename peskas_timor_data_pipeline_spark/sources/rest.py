@@ -121,19 +121,53 @@ def fetch_tracks_parallel(
         return sum(1 for _ in pool.map(one, trip_ids))
 
 
-def sync_flags_frames(local_new, remote, id_col: str = "submission_id"):
-    """Two-way validation-flags sync merge logic (S10,
-    R/validate-landings.R:209-337) as pure DataFrame algebra: rows new
-    locally (anti-join) are appended; rows present remotely keep remote
-    decisions (validated, comments) via left join + coalesce precedence.
+def sync_flags_frames(
+    local_new, remote, id_col: str = "submission_id", strict: bool = True
+):
+    """Two-way validation-flags sync merge (S10,
+    R/validate-landings.R:295-331) as pure DataFrame algebra, with the
+    reference's exact precedence rules:
+
+    - ids only in the LOCAL frame (new submissions) are appended as-is;
+    - ids in both: the machine-derived columns (``alert``,
+      ``submission_date``) come from LOCAL; the human decisions
+      (``validated``, ``validated_when_ymd``, ``comments``) come from
+      REMOTE; ``flag_date`` keeps the remote date when the alert is
+      unchanged and takes the fresh local date when the alert CHANGED
+      (:305-309 case_when) — so "how long has this flag been open" survives
+      re-runs but resets when the alert itself moves;
+    - ``strict``: ids present remotely but missing locally raise (the
+      reference's "table is shorter than remote" stop(), :301-303) — a
+      shrunken local frame means upstream data loss, not validation.
+
     Returns the frame to write back to the sheet."""
     from pyspark.sql import functions as F
 
+    if strict:
+        orphans = remote.join(local_new, id_col, "left_anti").limit(1).count()
+        if orphans:
+            raise ValueError(
+                "remote flags contain submission ids missing from the local "
+                "frame - refusing to drop remote validation decisions"
+            )
     new_rows = local_new.join(remote, id_col, "left_anti")
-    fresh = local_new.select(id_col, F.col("alert").alias("__alert_new__"))
-    kept = (
-        remote.join(fresh, id_col, "left")
-        .withColumn("alert", F.coalesce("alert", "__alert_new__"))
-        .drop("__alert_new__")
+    both = local_new.alias("l").join(remote.alias("r"), id_col, "inner")
+    kept = both.select(
+        F.col(f"l.{id_col}").alias(id_col),
+        F.col("l.submission_date").alias("submission_date"),
+        F.when(
+            F.col("l.alert").eqNullSafe(F.col("r.alert")), F.col("r.flag_date")
+        )
+        .otherwise(F.col("l.flag_date"))
+        .alias("flag_date"),
+        F.col("l.alert").alias("alert"),
+        F.col("r.validated").alias("validated"),
+        F.col("r.validated_when_ymd").alias("validated_when_ymd"),
+        F.col("r.comments").alias("comments"),
     )
-    return kept.unionByName(new_rows, allowMissingColumns=True)
+    return kept.unionByName(
+        new_rows.select(
+            id_col, "submission_date", "flag_date", "alert", "validated",
+            "validated_when_ymd", "comments",
+        )
+    )

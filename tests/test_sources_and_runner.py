@@ -85,19 +85,117 @@ def test_incremental_ids():
     assert incremental_trip_ids([1, 2, 3, 4], {2, 4}) == [1, 3]
 
 
-def test_sync_flags(spark):
+FLAGS_DDL = (
+    "submission_id int, submission_date date, flag_date date, alert string, "
+    "validated boolean, validated_when_ymd date, comments string"
+)
+
+
+def _flags_row(sid, sub_d, flag_d, alert, validated=False, when=None, comments=None):
+    import datetime as dt
+
+    d = lambda s: dt.date.fromisoformat(s) if s else None  # noqa: E731
+    return (sid, d(sub_d), d(flag_d), alert, validated, d(when), comments)
+
+
+def test_sync_flags_reference_precedence(spark):
+    """R/validate-landings.R:295-331: local alert wins, remote decisions
+    win, flag_date persists iff the alert is unchanged, new ids append,
+    remote-only ids raise."""
+    import pytest
+
     local = spark.createDataFrame(
-        [(1, "6"), (2, "11"), (3, None)], "submission_id int, alert string"
+        [
+            _flags_row(1, "2023-01-05", "2023-03-01", "6"),     # alert changed
+            _flags_row(2, "2023-01-06", "2023-03-01", "11"),    # alert same
+            _flags_row(3, "2023-01-07", "2023-03-01", "0"),     # new id
+        ],
+        FLAGS_DDL,
     )
     remote = spark.createDataFrame(
-        [(1, None, True, "checked ok")],
-        "submission_id int, alert string, validated boolean, comments string",
+        [
+            _flags_row(1, "2023-01-05", "2023-02-01", "0", True, "2023-02-02", "checked ok"),
+            _flags_row(2, "2023-01-06", "2023-02-01", "11", False, None, "pending"),
+        ],
+        FLAGS_DDL,
     )
-    synced = sync_flags_frames(local, remote)
-    rows = {r.submission_id: r for r in synced.collect()}
+    rows = {r.submission_id: r for r in sync_flags_frames(local, remote).collect()}
     assert len(rows) == 3
-    assert rows[1].validated is True and rows[1].alert == "6"  # remote kept, alert refreshed
-    assert rows[2].alert == "11" and rows[2].validated is None  # appended new
+    # id 1: alert changed "0"->"6": local alert, FRESH flag_date, remote decisions
+    assert rows[1].alert == "6" and str(rows[1].flag_date) == "2023-03-01"
+    assert rows[1].validated is True and rows[1].comments == "checked ok"
+    assert str(rows[1].validated_when_ymd) == "2023-02-02"
+    # id 2: alert unchanged: REMOTE flag_date survives the re-run
+    assert rows[2].alert == "11" and str(rows[2].flag_date) == "2023-02-01"
+    assert rows[2].validated is False and rows[2].comments == "pending"
+    # id 3: appended as-is
+    assert rows[3].alert == "0" and rows[3].validated is False
+    # remote id missing locally -> refuse (upstream data loss)
+    with pytest.raises(ValueError, match="missing from the local"):
+        sync_flags_frames(local.filter("submission_id <> 2"), remote).collect()
+
+
+def test_sheet_dir_roundtrip_and_flags_sync(spark, tmp_path):
+    """S9/S10 end to end on the dir: transport: seed a remote flags tab,
+    run the full read -> merge -> write-back workflow, re-read and assert
+    the published sheet carries the merged precedence result."""
+    from peskas_timor_data_pipeline_spark.sources.sheets import (
+        read_sheet,
+        sync_flags_sheet,
+        typed_flags,
+        unite_alerts,
+        write_sheet,
+    )
+
+    transport = f"dir:{tmp_path}"
+    remote = spark.createDataFrame(
+        [
+            _flags_row(1, "2023-01-05", "2023-02-01", "0", True, "2023-02-02", "ok"),
+            _flags_row(2, "2023-01-06", "2023-02-01", "4-8", False, None, None),
+        ],
+        FLAGS_DDL,
+    )
+    write_sheet(remote, transport, "sheet1", "flags")
+    # sheet reads back all-string (col_types="c"), then casts
+    raw = read_sheet(spark, transport, "sheet1", "flags")
+    assert dict(raw.dtypes) == {c: "string" for c in raw.columns}
+    assert typed_flags(raw).schema == remote.schema
+
+    # local run recomputes alerts: id 1 now alerts 4+12, id 3 is new
+    local = unite_alerts(
+        spark.createDataFrame(
+            [
+                (1, "2023-01-05", "2023-03-01", "4", "12"),
+                (2, "2023-01-06", "2023-03-01", "4", "8"),
+                (3, "2023-01-07", "2023-03-01", None, None),
+            ],
+            "submission_id int, submission_date string, flag_date string, a1 string, a2 string",
+        )
+        .selectExpr(
+            "submission_id", "cast(submission_date as date) submission_date",
+            "cast(flag_date as date) flag_date", "a1", "a2",
+        ),
+        ["a1", "a2"],
+    ).selectExpr(
+        "submission_id", "submission_date", "flag_date", "alert",
+        "false as validated", "cast(null as date) validated_when_ymd",
+        "cast(null as string) comments",
+    )
+    sync_flags_sheet(spark, transport, "sheet1", "flags", local)
+
+    published = {
+        r.submission_id: r
+        for r in typed_flags(
+            read_sheet(spark, transport, "sheet1", "flags")
+        ).collect()
+    }
+    assert len(published) == 3
+    assert published[1].alert == "4-12"                      # local alert wins
+    assert str(published[1].flag_date) == "2023-03-01"       # changed -> fresh date
+    assert published[1].validated is True                    # remote decision kept
+    assert published[2].alert == "4-8"
+    assert str(published[2].flag_date) == "2023-02-01"       # unchanged -> old date
+    assert published[3].alert == "0" and published[3].validated is False
 
 
 def test_streaming_dedup_available_now(spark, tmp_path):
