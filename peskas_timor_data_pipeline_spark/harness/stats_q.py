@@ -490,6 +490,37 @@ def m4_glmm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority", "kind", "term", "level")
 
 
+def m4zi_glmm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-inflated variant (ziformula analogue, R/model-catch.R:166-189):
+    structural zeros injected deterministically (every 5th month), the EM
+    mixture fit recovers both the count model and the logit zero model."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        glmm_random_intercepts,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("period"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    frame = monthly.select(
+        "o_orderpriority",
+        F.when(F.month("period") % 5 == 0, 0.0)
+        .otherwise(F.col("n_orders"))
+        .alias("n_orders"),
+        F.date_format("period", "MM").alias("month"),
+        F.date_format("period", "yyyy").alias("year"),
+    )
+    fits = glmm_random_intercepts(
+        frame, ["o_orderpriority"], "n_orders", ["month", "year"],
+        family="poisson", zero_inflated=True,
+    )
+    return fits.select(
+        "o_orderpriority", "kind", "term", "level",
+        F.round("estimate", 5).alias("estimate"), "n_obs",
+    ).orderBy("o_orderpriority", "kind", "term", "level")
+
+
 # --- M5: seeded multiple-imputation analogue (rows-only check) --------------------------
 
 def m5_impute_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,5 +588,6 @@ QUERIES = {
     "m9_share_redistribution": (m9_share_redistribution, M9_ORACLE),
     "m4_poisson_glm": (m4_poisson_glm, None),
     "m4_glmm": (m4_glmm, None),
+    "m4zi_glmm": (m4zi_glmm, None),
     "m5_impute_replicates": (m5_impute_replicates, M5_ORACLE),
 }

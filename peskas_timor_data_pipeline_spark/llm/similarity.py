@@ -334,21 +334,27 @@ def quantize_int8(
     lohi = df.agg(
         *[F.min(F.col(vec_col)[i]).alias(f"__lo{i}__") for i in range(dim)],
         *[F.max(F.col(vec_col)[i]).alias(f"__hi{i}__") for i in range(dim)],
+    ).select(
+        F.array(*[F.col(f"__lo{i}__").cast("double") for i in range(dim)]).alias("__lo__"),
+        F.array(*[F.col(f"__hi{i}__").cast("double") for i in range(dim)]).alias("__hi__"),
     )
-    q_terms = []
-    s_terms = []
-    for i in range(dim):
-        lo, hi = F.col(f"__lo{i}__").cast("double"), F.col(f"__hi{i}__").cast("double")
-        span = hi - lo
-        v = F.col(vec_col)[i].cast("double")
-        q = F.when(
-            span > 0,
-            F.round((v - lo) / span * 255).cast("int") - 128,
-        ).otherwise(F.lit(0))
-        q_terms.append(q)
-        s_terms.append(F.round(F.when(span > 0, span / 255).otherwise(0.0), 9))
+    # the per-row map is a single higher-order transform over the
+    # broadcast calibration arrays, not dim separate when/round trees —
+    # the expression tree (and Catalyst compile time) is constant in dim
+    q_expr = (
+        f"transform(sequence(0, {dim - 1}), i -> "
+        f"CASE WHEN __hi__[i] - __lo__[i] > 0 "
+        f"THEN cast(round((cast({vec_col}[i] as double) - __lo__[i])"
+        f" / (__hi__[i] - __lo__[i]) * 255) as int) - 128 "
+        f"ELSE 0 END)"
+    )
+    s_expr = (
+        f"transform(sequence(0, {dim - 1}), i -> "
+        f"round(CASE WHEN __hi__[i] - __lo__[i] > 0 "
+        f"THEN (__hi__[i] - __lo__[i]) / 255 ELSE cast(0.0 as double) END, 9))"
+    )
     return df.crossJoin(F.broadcast(lohi)).select(
         id_col,
-        F.array(*q_terms).alias("qvec"),
-        F.array(*s_terms).alias("scale"),
+        F.expr(q_expr).alias("qvec"),
+        F.expr(s_expr).alias("scale"),
     )

@@ -121,12 +121,15 @@ def glmm_random_intercepts(
     family: str = "poisson",
     max_iter: int = 200,
     tol: float = 1e-8,
+    zero_inflated: bool = False,
 ) -> DataFrame:
     """Per-group GLMM with crossed random intercepts — the Spark analogue of
     the reference's ``glmmTMB(n_landings ~ (1|month) + (1|period) +
-    (1|version), family=poisson|Gamma)`` (M4, R/model-catch.R:80-138).
+    (1|version), family=poisson|Gamma)`` (M4, R/model-catch.R:80-138), and,
+    with ``zero_inflated=True``, of the catch models' ``ziformula =
+    ~ (1|month) + (1|period) + (1|version)`` (:166-189).
 
-    Estimation is PQL (penalized quasi-likelihood): IRLS on the log-link
+    Estimation is PQL (penalized quasi-likelihood): IRLS on the link-scale
     working response where each step solves Henderson's mixed-model
     equations — a ridge-penalized weighted least squares with one penalty
     ``1/sigma_f^2`` per random factor — and variance components update by
@@ -135,6 +138,12 @@ def glmm_random_intercepts(
     sampling, fixed start, fixed tolerances. glmmTMB integrates the same
     likelihood by Laplace approximation; PQL agrees closely when counts
     aren't tiny and is the standard big-data fallback.
+
+    Zero inflation (poisson only) runs an outer EM: the E step splits each
+    observed zero into structural-vs-sampling responsibility ``zhat = pi /
+    (pi + (1-pi) exp(-mu))``; the M step refits the count model with prior
+    weights ``1 - zhat`` and a Bernoulli-logit GLMM (same random-intercept
+    structure, fractional working response) for the zero process.
 
     Runs as ``applyInPandas`` at group granularity — groups are
     municipality-sized model frames (months x devices), never row-scale;
@@ -145,11 +154,15 @@ def glmm_random_intercepts(
       kind='fixed',    term='intercept', level=NULL, estimate=beta0
       kind='variance', term=<factor>,    level=NULL, estimate=sigma_f^2
       kind='blup',     term=<factor>,    level=<lvl>, estimate=u_f,lvl
+    plus, when zero-inflated, the same three kinds prefixed ``zi_`` for the
+    logit zero model.
     """
     import numpy as np
 
     if family not in ("poisson", "gamma"):
         raise ValueError(f"unsupported family: {family}")
+    if zero_inflated and family != "poisson":
+        raise ValueError("zero_inflated requires family='poisson'")
     factor_cols = list(factor_cols)
     out_fields = ", ".join(f"{k} string" for k in keys)
     schema = (
@@ -157,28 +170,19 @@ def glmm_random_intercepts(
         "estimate double, n_obs long"
     )
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([*factor_cols]).reset_index(drop=True)
-        y = pdf[y_col].to_numpy(float)
-        n = len(y)
-        blocks, qs = [], []
-        for fcol in factor_cols:
-            levels = sorted(pdf[fcol].astype(str).unique())
-            idx = pdf[fcol].astype(str).map({l: j for j, l in enumerate(levels)})
-            Zf = np.zeros((n, len(levels)))
-            Zf[np.arange(n), idx.to_numpy()] = 1.0
-            blocks.append((fcol, levels, Zf))
-            qs.append(len(levels))
-        C = np.column_stack([np.ones(n)] + [b[2] for b in blocks])
-        q_total = sum(qs)
-        sigma2 = np.ones(len(qs))
-        sol = np.zeros(1 + q_total)
-        sol[0] = np.log(np.maximum(y.mean(), 1e-8))
-        for _ in range(max_iter):
-            eta = C @ sol
-            mu = np.exp(np.clip(eta, -30, 30))
-            W = mu if family == "poisson" else np.ones_like(mu)
-            z = eta + (y - mu) / np.maximum(mu, 1e-12)
+    def pql(C, qs, y, fam, weights, sol, sigma2, iters):
+        """Penalized IRLS + EM variance updates; returns (sol, sigma2)."""
+        for _ in range(iters):
+            eta = np.clip(C @ sol, -30, 30)
+            if fam == "binomial":
+                mu = 1.0 / (1.0 + np.exp(-eta))
+                V = np.maximum(mu * (1.0 - mu), 1e-8)
+                W, z = V, eta + (y - mu) / V
+            else:
+                mu = np.exp(eta)
+                W = mu if fam == "poisson" else np.ones_like(mu)
+                z = eta + (y - mu) / np.maximum(mu, 1e-12)
+            W = W * weights
             A = (C.T * W) @ C
             pen = np.concatenate(
                 [[0.0]] + [np.full(q, 1.0 / s2) for q, s2 in zip(qs, sigma2)]
@@ -204,7 +208,57 @@ def glmm_random_intercepts(
             sol, sigma2 = new_sol, new_sigma2
             if delta < tol:
                 break
-        rows = [("fixed", "intercept", None, float(sol[0]))]
+        return sol, sigma2
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([*factor_cols]).reset_index(drop=True)
+        y = pdf[y_col].to_numpy(float)
+        n = len(y)
+        blocks, qs = [], []
+        for fcol in factor_cols:
+            levels = sorted(pdf[fcol].astype(str).unique())
+            idx = pdf[fcol].astype(str).map({l: j for j, l in enumerate(levels)})
+            Zf = np.zeros((n, len(levels)))
+            Zf[np.arange(n), idx.to_numpy()] = 1.0
+            blocks.append((fcol, levels, Zf))
+            qs.append(len(levels))
+        C = np.column_stack([np.ones(n)] + [b[2] for b in blocks])
+        q_total = sum(qs)
+        sol = np.zeros(1 + q_total)
+        sol[0] = np.log(np.maximum(y.mean(), 1e-8))
+        sigma2 = np.ones(len(qs))
+        rows: list[tuple] = []
+        if not zero_inflated:
+            sol, sigma2 = pql(C, qs, y, family, np.ones(n), sol, sigma2, max_iter)
+        else:
+            zi_sol = np.zeros(1 + q_total)
+            zi_sol[0] = -1.0
+            zi_sigma2 = np.ones(len(qs))
+            zhat = np.where(y == 0, 0.5, 0.0)
+            for _ in range(40):  # outer EM
+                sol, sigma2 = pql(C, qs, y, family, 1.0 - zhat, sol, sigma2, 25)
+                zi_sol, zi_sigma2 = pql(
+                    C, qs, zhat, "binomial", np.ones(n), zi_sol, zi_sigma2, 25
+                )
+                mu = np.exp(np.clip(C @ sol, -30, 30))
+                pi = 1.0 / (1.0 + np.exp(-np.clip(C @ zi_sol, -30, 30)))
+                new_zhat = np.where(
+                    y == 0, pi / np.maximum(pi + (1 - pi) * np.exp(-mu), 1e-12), 0.0
+                )
+                if np.max(np.abs(new_zhat - zhat)) < 1e-7:
+                    zhat = new_zhat
+                    break
+                zhat = new_zhat
+            rows.append(("zi_fixed", "intercept", None, float(zi_sol[0])))
+            off = 1
+            for (fcol, levels, _), q, s2 in zip(blocks, qs, zi_sigma2):
+                rows.append(("zi_variance", fcol, None, float(s2)))
+                rows.extend(
+                    ("zi_blup", fcol, lvl, float(zi_sol[off + j]))
+                    for j, lvl in enumerate(levels)
+                )
+                off += q
+        rows.insert(0, ("fixed", "intercept", None, float(sol[0])))
         off = 1
         for (fcol, levels, _), q, s2 in zip(blocks, qs, sigma2):
             rows.append(("variance", fcol, None, float(s2)))

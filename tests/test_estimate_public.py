@@ -136,6 +136,46 @@ def test_glmm_recovers_random_intercept_variance(spark):
     assert sum(1 for r in fit if r.kind == "blup") == n_months + 2
 
 
+def test_zero_inflated_glmm_recovers_mixture(spark):
+    """Simulate zero-inflated poisson (structural-zero prob 0.3, count
+    intercept 2.0 with month random effects): the ZI fit must (a) recover
+    the count intercept that a plain poisson fit underestimates, and (b)
+    put the zi intercept near logit(0.3)."""
+    import numpy as np
+
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        glmm_random_intercepts,
+    )
+
+    rng = np.random.RandomState(11)
+    beta0, pi0 = 2.0, 0.3
+    u_month = rng.normal(0.0, 0.5, 30)
+    rows = []
+    for mth in range(30):
+        for _ in range(30):
+            structural = rng.rand() < pi0
+            lam = np.exp(beta0 + u_month[mth])
+            yv = 0.0 if structural else float(rng.poisson(lam))
+            rows.append(("tl", f"m{mth:02d}", yv))
+    df = spark.createDataFrame(rows, "grp string, month string, y double")
+    fit = glmm_random_intercepts(
+        df, ["grp"], "y", ["month"], family="poisson", zero_inflated=True
+    ).collect()
+    est = {(r.kind, r.term): r.estimate for r in fit}
+    assert abs(est[("fixed", "intercept")] - beta0) < 0.35
+    zi_logit = est[("zi_fixed", "intercept")]
+    pi_hat = 1.0 / (1.0 + np.exp(-zi_logit))
+    assert 0.15 < pi_hat < 0.45
+    # the plain fit (no zi) must be visibly biased DOWN vs the zi fit
+    plain = {
+        (r.kind, r.term): r.estimate
+        for r in glmm_random_intercepts(
+            df, ["grp"], "y", ["month"], family="poisson"
+        ).collect()
+    }
+    assert plain[("fixed", "intercept")] < est[("fixed", "intercept")] - 0.15
+
+
 def test_glm_per_group_families_recover_exact_fit(spark):
     import math
 
