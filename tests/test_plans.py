@@ -201,3 +201,58 @@ def test_group_centroids_partial_agg_no_explode(spark, sf_dir):
     # ...and the vectors must NOT be exploded through the shuffle
     assert "Generate" not in p
     assert "collect_list" not in p
+
+
+def test_ll_weights_broadcast_and_no_percentile_buffers(spark, sf_dir):
+    """m2b (estimate_weights_ll): both parameter tables and the per-combo
+    stats broadcast (no shuffle join against the big catch side), the
+    window sort is bounded by the combo domain, and there is NO
+    ObjectHashAggregate percentile buffer — the quantile is rank
+    arithmetic inside codegen (the 6x-slower aggregate form is banned)."""
+    from peskas_timor_data_pipeline_spark.harness.stats_q import (
+        m2b_length_weight_ll,
+    )
+
+    p = plan_str(m2b_length_weight_ll(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 4  # lw x2, ll, per_combo, part dim
+    assert "percentile" not in p.lower()
+    assert "SortMergeJoin" not in p
+
+
+def test_species_resolution_broadcasts_snapshot(spark, sf_dir):
+    """m8 (resolve_species): the flattened snapshot dim broadcasts for both
+    the candidate join and the fallback anti-join — the taxa side never
+    shuffles."""
+    from peskas_timor_data_pipeline_spark.harness.stats_q import (
+        m8_species_resolution,
+    )
+
+    p = plan_str(m8_species_resolution(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_imputation_is_pure_column_expressions(spark, sf_dir):
+    """m5: the md5-derived replicate draws run as column expressions —
+    no Python evaluation anywhere in the plan (the round-1 applyInPandas
+    form is gone)."""
+    from peskas_timor_data_pipeline_spark.harness.stats_q import (
+        m5_impute_replicates,
+    )
+
+    p = plan_str(m5_impute_replicates(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" not in p and "ArrowEvalPython" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_quantize_transform_constant_tree(spark, sf_dir):
+    """e6: the per-row quantization is a single higher-order transform
+    (constant expression-tree size in dim), and the calibration row joins
+    back by broadcast — vectors never shuffle."""
+    from peskas_timor_data_pipeline_spark.harness.llm_q import e6_quantize_int8
+
+    p = plan_str(e6_quantize_int8(spark, sf_dir))
+    # the index array constant-folds; the higher-order lambda remains
+    assert "transform(" in p and "lambdafunction" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning" not in p.split("BroadcastExchange")[0]
