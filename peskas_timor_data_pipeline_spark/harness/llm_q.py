@@ -1090,6 +1090,118 @@ FROM flat GROUP BY doc_id, w, h
 QUERIES["mm3_image_decode"] = (mm3_image_decode, MM3_ORACLE)
 
 
+# --- MM4: REAL audio decode (pure-Python PCM WAV codec) ---------------------------------
+
+def mm4_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a 16-bit PCM WAV per document — n = (doc_id%50+1)*80
+    samples at 8 kHz, sample[i] = ((doc_id+i)%256 - 128)*100 — then recover
+    rate/frames/duration/RMS FROM THE BYTES (RIFF chunk walk,
+    llm/multimodal.py::decode_audio). RMS stays hash-exact because the
+    normalized samples are dyadic rationals whose squares sum exactly in
+    double regardless of summation order."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        decode_audio_meta,
+        encode_wav,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for did in pdf["doc_id"]:
+                n = (int(did) % 50 + 1) * 80
+                i = np.arange(n)
+                sig = (((int(did) + i) % 256 - 128) * 100).astype("<i2")
+                contents.append(encode_wav(sig, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    meta = decode_audio_meta(media, "doc_id")
+    return meta.select(
+        "doc_id", "sample_rate", "n_channels", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+MM4_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, (doc_id % 50 + 1) * 80 AS n FROM documents
+), flat AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM dims
+), stats AS (
+  SELECT doc_id, n,
+         avg(pow((((doc_id + i) % 256 - 128) * 100) / 32768.0, 2)) AS msq
+  FROM flat GROUP BY doc_id, n
+)
+SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels, CAST(n AS BIGINT) AS n_samples,
+       round(n / 8000.0, 6) AS duration_s,
+       round(sqrt(msq), 6) AS rms
+FROM stats
+"""
+
+QUERIES["mm4_audio_decode"] = (mm4_audio_decode, MM4_ORACLE)
+
+
+# --- MM5: REAL video frame sampling (pure-Python Y4M codec) -----------------------------
+
+def mm5_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a Y4M clip per document — doc_id%5+1 frames of 8x6 luma
+    filled with (doc_id+frame)%256 — decode the actual bytes and keep every
+    2nd frame with its luma mean (llm/multimodal.py::sample_video_frames).
+    One row per sampled frame, hash-checked against the generating
+    formula."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        encode_y4m,
+        sample_video_frames,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for did in pdf["doc_id"]:
+                nf = int(did) % 5 + 1
+                frames = np.stack(
+                    [
+                        np.full((6, 8), (int(did) + f) % 256, dtype=np.uint8)
+                        for f in range(nf)
+                    ]
+                )
+                contents.append(encode_y4m(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    return sample_video_frames(media, "doc_id", every_n_frames=2).select(
+        "doc_id", "frame_idx", "width", "height",
+        F.round("y_mean", 6).alias("y_mean"),
+    )
+
+
+MM5_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 5 + 1 AS nf FROM documents
+)
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, 8 AS width, 6 AS height,
+       round(CAST((doc_id + f) % 256 AS DOUBLE), 6) AS y_mean
+FROM (SELECT doc_id, unnest(generate_series(0, nf - 1, 2)) AS f FROM dims)
+"""
+
+QUERIES["mm5_video_frame_sample"] = (mm5_video_frame_sample, MM5_ORACLE)
+
+
 # --- T13: per-source quality-percentile gate ------------------------------------------
 
 def t13_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

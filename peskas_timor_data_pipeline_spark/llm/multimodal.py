@@ -144,6 +144,202 @@ def encode_ppm(pixels) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
 
 
+def decode_audio(content: bytes) -> dict:
+    """Pure-Python PCM WAV decode (RIFF/WAVE, integer PCM 8/16-bit):
+    fmt + data chunk walk, returns ``{"sample_rate", "n_channels",
+    "n_samples", "duration_s", "samples"}`` with samples a float64 numpy
+    array in [-1, 1) (frames x channels flattened interleaved). Compressed
+    or float WAV raises ``ValueError`` — loud failure, never fake audio."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError(f"unsupported audio magic: {content[:4]!r}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"only integer PCM 8/16-bit supported (fmt={audio_format}, bits={bits})")
+    if bits == 16:
+        raw = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+        samples = raw.astype(np.float64) / 32768.0
+    else:  # 8-bit WAV is unsigned
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    n_samples = len(samples) // n_channels
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_samples": n_samples,
+        "duration_s": n_samples / sample_rate,
+        "samples": samples,
+    }
+
+
+def encode_wav(samples, sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+    """16-bit PCM WAV encoder for an int16 numpy array (interleaved)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    data = arr.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_video(content: bytes) -> dict:
+    """Pure-Python Y4M (YUV4MPEG2) decode, C420 planar: header tags
+    (W/H/F) + FRAME-delimited raw planes. Returns ``{"width", "height",
+    "fps", "n_frames", "y_planes"}`` with y_planes a ``n_frames x h x w``
+    uint8 array (luma only — chroma subplanes are parsed past but not
+    returned). Anything but YUV4MPEG2/C420 raises ``ValueError``."""
+    import numpy as np
+
+    if not content.startswith(b"YUV4MPEG2"):
+        raise ValueError(f"unsupported video magic: {content[:9]!r}")
+    nl = content.index(b"\n")
+    w = h = None
+    fps = 0.0
+    colorspace = "C420"
+    for tag in content[9:nl].split():
+        t, v = tag[:1], tag[1:]
+        if t == b"W":
+            w = int(v)
+        elif t == b"H":
+            h = int(v)
+        elif t == b"F":
+            num, den = v.split(b":")
+            fps = int(num) / int(den)
+        elif t == b"C":
+            colorspace = "C" + v.decode()
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W or H")
+    if not colorspace.startswith("C420"):
+        raise ValueError(f"only C420 supported, got {colorspace}")
+    frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    pos, y_planes = nl + 1, []
+    while pos < len(content):
+        fnl = content.index(b"\n", pos)
+        if content[pos : pos + 5] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        body = content[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(body) < frame_bytes:
+            raise ValueError("truncated Y4M frame")
+        y_planes.append(
+            np.frombuffer(body[: w * h], dtype=np.uint8).reshape(h, w)
+        )
+        pos = fnl + 1 + frame_bytes
+    return {
+        "width": w,
+        "height": h,
+        "fps": fps,
+        "n_frames": len(y_planes),
+        "y_planes": np.stack(y_planes) if y_planes else np.zeros((0, h, w), np.uint8),
+    }
+
+
+def encode_y4m(y_planes, fps_num: int = 25, fps_den: int = 1) -> bytes:
+    """Y4M C420 encoder for a uint8 ``n_frames x h x w`` luma array (chroma
+    planes written as neutral 128s)."""
+    import numpy as np
+
+    arr = np.asarray(y_planes, dtype=np.uint8)
+    n, h, w = arr.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C420jpeg\n".encode()
+    chroma = bytes([128]) * (2 * ((w // 2) * (h // 2)))
+    out = [head]
+    for f in range(n):
+        out.append(b"FRAME\n" + arr[f].tobytes() + chroma)
+    return b"".join(out)
+
+
+def decode_audio_meta(
+    df: DataFrame, id_col: str, content_col: str = "content"
+) -> DataFrame:
+    """REAL audio decode over binary WAV columns via mapInPandas:
+    sample rate, channels, duration, and RMS amplitude out of the actual
+    bytes."""
+    import numpy as np
+
+    out_schema = (
+        f"{id_col} long, sample_rate int, n_channels int, n_samples long, "
+        "duration_s double, rms double"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_audio(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": [d["sample_rate"] for d in decoded],
+                    "n_channels": [d["n_channels"] for d in decoded],
+                    "n_samples": [d["n_samples"] for d in decoded],
+                    "duration_s": [d["duration_s"] for d in decoded],
+                    "rms": [
+                        float(np.sqrt(np.mean(d["samples"] ** 2)))
+                        if len(d["samples"])
+                        else 0.0
+                        for d in decoded
+                    ],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema=out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    every_n_frames: int = 2,
+) -> DataFrame:
+    """REAL video frame sampling via mapInPandas: decode Y4M bytes, keep
+    every ``every_n_frames``-th frame, emit one row per sampled frame with
+    its luma mean — the actual decode-and-subsample a vision-training
+    pipeline runs (the plan shape ``frame_sample_plan`` models)."""
+    out_schema = (
+        f"{id_col} long, frame_idx int, width int, height int, y_mean double"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, ws, hs, means = [], [], [], [], []
+            for did, b in zip(pdf[id_col], pdf[content_col]):
+                d = decode_video(b)
+                for f in range(0, d["n_frames"], every_n_frames):
+                    ids.append(did)
+                    fidx.append(f)
+                    ws.append(d["width"])
+                    hs.append(d["height"])
+                    means.append(float(d["y_planes"][f].mean()))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": fidx,
+                    "width": ws,
+                    "height": hs,
+                    "y_mean": means,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema=out_schema)
+
+
 def decode_image_meta(
     df: DataFrame, id_col: str, content_col: str = "content"
 ) -> DataFrame:

@@ -106,6 +106,70 @@ def test_bmp_rejects_compressed():
         decode_image(bytes(raw))
 
 
+def test_wav_roundtrip_and_features():
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    t = np.arange(1600)
+    sig = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype("<i2")
+    d = decode_audio(encode_wav(sig, sample_rate=8000))
+    assert (d["sample_rate"], d["n_channels"], d["n_samples"]) == (8000, 1, 1600)
+    assert abs(d["duration_s"] - 0.2) < 1e-12
+    np.testing.assert_allclose(d["samples"], sig / 32768.0)
+    # stereo interleave: n_samples is per-channel frames
+    st = decode_audio(encode_wav(np.arange(8, dtype="<i2"), 8000, n_channels=2))
+    assert st["n_channels"] == 2 and st["n_samples"] == 4
+    with pytest.raises(ValueError, match="unsupported audio magic"):
+        decode_audio(b"OggS....")
+    # float WAV (format 3) rejected loudly
+    bad = bytearray(encode_wav(sig))
+    bad[20] = 3
+    with pytest.raises(ValueError, match="only integer PCM"):
+        decode_audio(bytes(bad))
+
+
+def test_y4m_roundtrip_and_frame_sampling(spark):
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        decode_video,
+        encode_y4m,
+        sample_video_frames,
+    )
+
+    frames = np.stack(
+        [np.full((4, 6), 10 * f, dtype=np.uint8) for f in range(5)]
+    )
+    d = decode_video(encode_y4m(frames, fps_num=30))
+    assert (d["width"], d["height"], d["n_frames"], d["fps"]) == (6, 4, 5, 30.0)
+    assert np.array_equal(d["y_planes"], frames)
+    with pytest.raises(ValueError, match="unsupported video magic"):
+        decode_video(b"\x00\x00\x00 ftypisom")
+
+    rows = [(1, bytearray(encode_y4m(frames)))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    sampled = sample_video_frames(df, "media_id", every_n_frames=2).collect()
+    assert [r.frame_idx for r in sorted(sampled, key=lambda r: r.frame_idx)] == [0, 2, 4]
+    assert all(r.y_mean == 10.0 * r.frame_idx for r in sampled)
+
+
+def test_decode_audio_meta_distributed(spark):
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        decode_audio_meta,
+        encode_wav,
+    )
+
+    rows = [
+        (i, bytearray(encode_wav(np.full(100 * i, 3277, dtype="<i2"), 8000)))
+        for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in decode_audio_meta(df, "media_id").collect()}
+    for i in range(1, 6):
+        assert got[i].n_samples == 100 * i
+        assert abs(got[i].rms - 3277 / 32768.0) < 1e-9
+
+
 def test_decode_image_meta_distributed(spark):
     from peskas_timor_data_pipeline_spark.llm.multimodal import (
         decode_image_meta,
