@@ -1380,3 +1380,54 @@ GROUP BY doc_id
 """
 
 QUERIES["t15_unigram_logprob"] = (t15_unigram_logprob, T15_ORACLE)
+
+
+# --- E7: product quantization encode (8x memory after int8) ---------------------------
+
+def e7_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes + reconstruction error per vector: one crossJoin against
+    the broadcast seeded codebook, all 8 subvector argmins in a single
+    aggregation pass (llm/similarity.py::pq_encode)."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import pq_encode
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = pq_encode(emb, "vec_id", "embedding", dim=DIM, m_sub=8, k=16)
+    return out.select(
+        "vec_id", "codes", F.round("recon_err", 6).alias("recon_err")
+    )
+
+
+def _e7_sql() -> str:
+    m_sub, sub, k = 8, DIM // 8, 16
+    dists = ", ".join(
+        " + ".join(
+            f"(CAST(e.embedding[{j}] AS DOUBLE) - CAST(c.cvec[{j}] AS DOUBLE))"
+            f" * (CAST(e.embedding[{j}] AS DOUBLE) - CAST(c.cvec[{j}] AS DOUBLE))"
+            for j in range(m * sub + 1, (m + 1) * sub + 1)
+        )
+        + f" AS d{m}"
+        for m in range(m_sub)
+    )
+    # lexicographic struct-min = Spark's min_by(cid, struct(dist, cid))
+    aggs = ", ".join(
+        f"min(struct_pack(d := d{m}, cid := cid)) AS s{m}" for m in range(m_sub)
+    )
+    codes = ", ".join(f"CAST(s{m}.cid AS INTEGER)" for m in range(m_sub))
+    errs = " + ".join(f"s{m}.d" for m in range(m_sub))
+    return f"""
+WITH ordv AS (
+  SELECT vec_id, embedding, md5(concat('pq#', CAST(vec_id AS VARCHAR))) AS o
+  FROM embeddings
+), cb AS (
+  SELECT row_number() OVER (ORDER BY o, vec_id) AS cid, embedding AS cvec
+  FROM ordv ORDER BY o, vec_id LIMIT {k}
+), pairs AS (
+  SELECT e.vec_id, c.cid, {dists} FROM embeddings e CROSS JOIN cb c
+), agg AS (
+  SELECT vec_id, {aggs} FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, [{codes}] AS codes, round({errs}, 6) AS recon_err FROM agg
+"""
+
+
+QUERIES["e7_pq_encode"] = (e7_pq_encode, _e7_sql())

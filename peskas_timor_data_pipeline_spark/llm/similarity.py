@@ -358,3 +358,72 @@ def quantize_int8(
         F.expr(q_expr).alias("qvec"),
         F.expr(s_expr).alias("scale"),
     )
+
+
+def pq_codebook(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    seed_prefix: str = "pq",
+) -> DataFrame:
+    """Deterministic PQ codebook: the ``k`` corpus vectors with the smallest
+    md5(seed_prefix#id) (same seeded-sample init as ``ivf_centroids``),
+    numbered 1..k by that order so codes are compact ints. One
+    TakeOrderedAndProject pass + a k-row window."""
+    picked = (
+        candidates.select(F.col(id_col).alias("__sid__"), F.col(vec_col).alias("cvec"))
+        .withColumn("__seed__", F.md5(F.concat(F.lit(f"{seed_prefix}#"), F.col("__sid__").cast("string"))))
+        .orderBy("__seed__", "__sid__")
+        .limit(k)
+    )
+    w = Window.orderBy("__seed__", "__sid__")
+    return picked.select(
+        F.row_number().over(w).alias("cid"), "cvec"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    m_sub: int = 8,
+    k: int = 16,
+) -> DataFrame:
+    """Product quantization: split each vector into ``m_sub`` contiguous
+    subvectors, encode each as the id of its nearest codebook subvector
+    (L2), emit the ``m_sub`` codes plus the total squared reconstruction
+    error. 64 float32 dims become 8 bytes — the memory lever AFTER scalar
+    int8 (8x further), the standard layout for billion-vector ANN serving.
+
+    Scale shape: ONE crossJoin against the broadcast k-row codebook (k
+    rows per vector, k ~ 16-256) and ONE aggregation computing all
+    ``m_sub`` argmins simultaneously (``min_by`` per subvector with
+    (distance, cid) tie-break) — vectors never shuffle, no per-subvector
+    passes. All subvector distances are generated flat expressions inside
+    whole-stage codegen."""
+    sub = dim // m_sub
+    cb = F.broadcast(pq_codebook(df, id_col, vec_col, k))
+    paired = df.select(id_col, F.col(vec_col).alias("__v__")).crossJoin(cb)
+    dists = [
+        sum(
+            (F.col("__v__")[i].cast("double") - F.col("cvec")[i].cast("double"))
+            * (F.col("__v__")[i].cast("double") - F.col("cvec")[i].cast("double"))
+            for i in range(m * sub, (m + 1) * sub)
+        ).alias(f"__d{m}__")
+        for m in range(m_sub)
+    ]
+    scored = paired.select(id_col, "cid", *dists)
+    aggs = []
+    for m in range(m_sub):
+        aggs.append(
+            F.min_by("cid", F.struct(F.col(f"__d{m}__"), F.col("cid"))).alias(f"__c{m}__")
+        )
+        aggs.append(F.min(f"__d{m}__").alias(f"__e{m}__"))
+    coded = scored.groupBy(id_col).agg(*aggs)
+    return coded.select(
+        id_col,
+        F.array(*[F.col(f"__c{m}__") for m in range(m_sub)]).alias("codes"),
+        sum(F.col(f"__e{m}__") for m in range(m_sub)).alias("recon_err"),
+    )

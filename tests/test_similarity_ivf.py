@@ -53,3 +53,30 @@ def test_ivf_cells_partition_candidates(spark):
     assert {r.cell_id for r in rows} <= cand_ids
     again = {r.cell_id for r in ivf_centroids(candidates, "vec_id", "embedding", 8, 64).collect()}
     assert again == {r.cell_id for r in rows}
+
+
+def test_pq_encode_codes_and_reconstruction(spark):
+    """PQ: codebook vectors encode to themselves with zero reconstruction
+    error; every code is a valid 1..k id; recon_err grows with distance
+    from the codebook."""
+    import numpy as np
+
+    from peskas_timor_data_pipeline_spark.llm.similarity import pq_encode
+
+    rng = np.random.RandomState(3)
+    base = [rng.uniform(-1, 1, 16).round(3).tolist() for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # one far-away outlier vector
+    rows.append((99, (np.ones(16) * 9.0).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in pq_encode(df, "vec_id", "embedding", dim=16, m_sub=4, k=8).collect()}
+    assert len(out) == 21
+    for r in out.values():
+        assert len(r.codes) == 4
+        assert all(1 <= c <= 8 for c in r.codes)
+        assert r.recon_err >= 0
+    # the 8 seeded codebook members reconstruct exactly (their own entry)
+    zero_err = [v for v in out.values() if abs(v.recon_err) < 1e-12]
+    assert len(zero_err) >= 8
+    # the outlier is far from every codebook entry
+    assert out[99].recon_err > max(v.recon_err for k, v in out.items() if k != 99)
