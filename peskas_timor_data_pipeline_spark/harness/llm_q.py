@@ -1431,3 +1431,75 @@ SELECT vec_id, [{codes}] AS codes, round({errs}, 6) AS recon_err FROM agg
 
 
 QUERIES["e7_pq_encode"] = (e7_pq_encode, _e7_sql())
+
+
+# --- E8: PQ asymmetric-distance top-k (the serving scan) ------------------------------
+
+def e8_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes: per-query distance tables to the codebook
+    (broadcast maps), candidate distance = 8 map lookups summed — no
+    float-vector scan (llm/similarity.py::pq_adc_topk)."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, "vec_id", "embedding", k=16)
+    enc = pq_encode(emb, "vec_id", "embedding", dim=DIM, m_sub=8, k=16)
+    qs = emb.filter(F.col("vec_id") % 97 == 0)
+    return pq_adc_topk(qs, enc, cb, "vec_id", "embedding", dim=DIM, m_sub=8, k_top=3)
+
+
+def _e8_sql() -> str:
+    m_sub, sub, k = 8, DIM // 8, 16
+
+    def dist_block(tbl: str, prefix: str) -> str:
+        return ", ".join(
+            " + ".join(
+                f"(CAST({tbl}.embedding[{j}] AS DOUBLE) - CAST(c.cvec[{j}] AS DOUBLE))"
+                f" * (CAST({tbl}.embedding[{j}] AS DOUBLE) - CAST(c.cvec[{j}] AS DOUBLE))"
+                for j in range(m * sub + 1, (m + 1) * sub + 1)
+            )
+            + f" AS {prefix}{m}"
+            for m in range(m_sub)
+        )
+
+    aggs = ", ".join(
+        f"min(struct_pack(d := d{m}, cid := cid)) AS s{m}" for m in range(m_sub)
+    )
+    joins = "\n  ".join(
+        f"JOIN dtab t{m} ON t{m}.cid = x.s{m}.cid"
+        + ("" if m == 0 else " AND t" + str(m) + ".query_id = t0.query_id")
+        for m in range(m_sub)
+    )
+    dist_sum = " + ".join(f"t{m}.qd{m}" for m in range(m_sub))
+    return f"""
+WITH ordv AS (
+  SELECT vec_id, embedding, md5(concat('pq#', CAST(vec_id AS VARCHAR))) AS o
+  FROM embeddings
+), cb AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY o, vec_id) AS cid, embedding AS cvec
+  FROM ordv ORDER BY o, vec_id LIMIT {k}
+), pairs AS (
+  SELECT e.vec_id, c.cid, {dist_block('e', 'd')} FROM embeddings e CROSS JOIN cb c
+), codes AS MATERIALIZED (
+  SELECT vec_id, {aggs} FROM pairs GROUP BY vec_id
+), dtab AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cid, {dist_block('q', 'qd')}
+  FROM embeddings q CROSS JOIN cb c WHERE q.vec_id % 97 = 0
+), adc AS (
+  SELECT t0.query_id, x.vec_id AS cand_id, {dist_sum} AS dist
+  FROM codes x
+  {joins}
+)
+SELECT query_id, cand_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS INTEGER) AS rank,
+       round(dist, 6) AS adc_dist
+FROM adc
+QUALIFY rank <= 3
+"""
+
+
+QUERIES["e8_pq_adc_topk"] = (e8_pq_adc_topk, _e8_sql())

@@ -427,3 +427,64 @@ def pq_encode(
         F.array(*[F.col(f"__c{m}__") for m in range(m_sub)]).alias("codes"),
         sum(F.col(f"__e{m}__") for m in range(m_sub)).alias("recon_err"),
     )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    m_sub: int = 8,
+    k_top: int = 3,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes its distance table to the codebook — per subvector, one
+    map cid -> partial squared distance — and every encoded vector's
+    distance is then ``m_sub`` MAP LOOKUPS summed, never a float-vector
+    scan. This is the serving path PQ exists for: the code table is 8
+    bytes/vector, the per-query tables are k x m_sub doubles (broadcast),
+    and the scan is a narrow crossJoin in whole-stage codegen.
+
+    ``encoded`` is ``pq_encode`` output (id, codes); ``codebook`` is
+    ``pq_codebook`` output. Distances are exact w.r.t. the quantized
+    representation (the PQ approximation is in the codes, not the scan).
+    """
+    sub = dim // m_sub
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    pairs = q.crossJoin(F.broadcast(codebook))
+    dcols = [
+        sum(
+            (F.col("qv")[j].cast("double") - F.col("cvec")[j].cast("double"))
+            * (F.col("qv")[j].cast("double") - F.col("cvec")[j].cast("double"))
+            for j in range(m * sub, (m + 1) * sub)
+        ).alias(f"__d{m}__")
+        for m in range(m_sub)
+    ]
+    dtab = pairs.select("query_id", "cid", *dcols)
+    # map order is irrelevant (lookup by key), so collect_list
+    # nondeterminism is harmless
+    per_q = dtab.groupBy("query_id").agg(
+        *[
+            F.map_from_arrays(
+                F.collect_list("cid"), F.collect_list(f"__d{m}__")
+            ).alias(f"__m{m}__")
+            for m in range(m_sub)
+        ]
+    )
+    joined = encoded.select(F.col(id_col).alias("cand_id"), "codes").crossJoin(
+        F.broadcast(per_q)
+    )
+    adc = F.element_at(F.col("__m0__"), F.col("codes")[0])
+    for m in range(1, m_sub):
+        adc = adc + F.element_at(F.col(f"__m{m}__"), F.col("codes")[m])
+    w = Window.partitionBy("query_id").orderBy(F.asc("__adc__"), F.asc("cand_id"))
+    return (
+        joined.withColumn("__adc__", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(
+            "query_id", "cand_id", "rank", F.round("__adc__", 6).alias("adc_dist")
+        )
+    )

@@ -80,3 +80,33 @@ def test_pq_encode_codes_and_reconstruction(spark):
     assert len(zero_err) >= 8
     # the outlier is far from every codebook entry
     assert out[99].recon_err > max(v.recon_err for k, v in out.items() if k != 99)
+
+
+def test_pq_adc_self_distance_equals_recon_err(spark):
+    """ADC(q, x) with q == x equals x's reconstruction error (the lookup
+    tables are exact w.r.t. the quantized representation), and the top-1
+    neighbor of a codebook member is itself at distance 0."""
+    import numpy as np
+
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.uniform(-1, 1, 16).round(3).tolist()) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_codebook(df, "vec_id", "embedding", k=8)
+    enc = pq_encode(df, "vec_id", "embedding", dim=16, m_sub=4, k=8)
+    recon = {r.vec_id: r.recon_err for r in enc.collect()}
+    out = pq_adc_topk(df, enc, cb, "vec_id", "embedding", dim=16, m_sub=4, k_top=24)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r.query_id, {})[r.cand_id] = r
+    for qid in recon:
+        assert abs(by_q[qid][qid].adc_dist - round(recon[qid], 6)) < 1e-6
+    # a zero-recon (codebook) member finds itself at rank 1, distance 0
+    member = min(k for k, v in recon.items() if abs(v) < 1e-12)
+    top1 = [r for r in by_q[member].values() if r.rank == 1][0]
+    assert top1.adc_dist == 0.0
