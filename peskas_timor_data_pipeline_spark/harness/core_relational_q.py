@@ -811,6 +811,90 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 QUERIES["j10_asof_join"] = (j10_asof_join, J10_ORACLE)
 
 
+def j10b_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase attaches the user's EARLIEST
+    same-or-later view — same one-shuffle union+window plan, following
+    window instead of preceding."""
+    from peskas_timor_data_pipeline_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    out = asof_join(
+        purchases, views, keys=["user_id"], ts_col="ts",
+        payload_cols=["view_id"], right_ts_out="view_ts",
+        direction="forward",
+    )
+    return out.select("user_id", "purchase_id", "view_ts", "view_id")
+
+
+J10B_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, event_id AS view_id FROM events WHERE event_type = 'view'
+)
+SELECT p.user_id, p.purchase_id, v.ts AS view_ts, v.view_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
+"""
+
+QUERIES["j10b_asof_forward"] = (j10b_asof_forward, J10B_ORACLE)
+
+
+def j10c_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of with a 1-hour tolerance (pandas merge_asof
+    semantics): both fills come from ONE sorted window pass; ties at equal
+    distance resolve backward; out-of-tolerance sides never block the
+    other."""
+    from peskas_timor_data_pipeline_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    out = asof_join(
+        purchases, views, keys=["user_id"], ts_col="ts",
+        payload_cols=["view_id"], right_ts_out="view_ts",
+        direction="nearest", tolerance=3600.0,
+    )
+    return out.select("user_id", "purchase_id", "view_ts", "view_id")
+
+
+J10C_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, event_id AS view_id FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT p.user_id, p.purchase_id, p.ts, v.ts AS b_ts, v.view_id AS b_id
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+), bf AS (
+  SELECT b.*, v.ts AS f_ts, v.view_id AS f_id
+  FROM b ASOF LEFT JOIN v ON b.user_id = v.user_id AND v.ts >= b.ts
+), scored AS (
+  SELECT *,
+    (epoch_us(ts) - epoch_us(b_ts)) / 1e6 AS db,
+    (epoch_us(f_ts) - epoch_us(ts)) / 1e6 AS df,
+    b_ts IS NOT NULL AND (epoch_us(ts) - epoch_us(b_ts)) / 1e6 <= 3600 AS b_ok,
+    f_ts IS NOT NULL AND (epoch_us(f_ts) - epoch_us(ts)) / 1e6 <= 3600 AS f_ok
+  FROM bf
+)
+SELECT user_id, purchase_id,
+  CASE WHEN b_ok AND (NOT f_ok OR db <= df) THEN b_ts WHEN f_ok THEN f_ts END AS view_ts,
+  CASE WHEN b_ok AND (NOT f_ok OR db <= df) THEN b_id WHEN f_ok THEN f_id END AS view_id
+FROM scored
+"""
+
+QUERIES["j10c_asof_nearest_tolerance"] = (j10c_asof_nearest_tolerance, J10C_ORACLE)
+
+
 # --- J11: interval containment join (binned equi-join rewrite) ------------------------
 
 def j11_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:

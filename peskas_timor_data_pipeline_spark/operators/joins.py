@@ -182,25 +182,40 @@ def asof_join(
     ts_col: str,
     payload_cols: Sequence[str],
     right_ts_out: str = "matched_ts",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the LATEST right row
-    with ``right.ts <= left.ts`` sharing ``keys`` (ties match the right
-    row). The canonical trip-track/time-series alignment operator the
-    reference approximates with its per-day 1:1 match (J5).
+    """As-of join: for each left row, attach the matching right row sharing
+    ``keys`` — ``backward`` = latest right with ``right.ts <= left.ts``
+    (default; ties match), ``forward`` = earliest right with ``right.ts >=
+    left.ts``, ``nearest`` = whichever side is closer (tie -> backward).
+    ``tolerance`` (seconds for time columns, same units for numerics)
+    nulls out matches farther than the bound — pandas ``merge_asof``
+    semantics: an out-of-tolerance side never blocks the other. The
+    canonical trip-track/time-series alignment operator the reference
+    approximates with its per-day 1:1 match (J5).
 
     Spark has no native as-of join; a naive range join is O(n*m) per key.
     This is the union+window rewrite: tag both sides, sort within each key
-    partition by (ts, side), forward-fill the right payload with
-    ``last(ignorenulls)``, keep left rows. ONE shuffle (the window
+    partition by (ts, side), fill the right payload with
+    ``last/first(ignorenulls)``, keep left rows. ONE shuffle (the window
     partition), no join node at all — at 100 TB this is the difference
     between a sort within partitions and an exploding range join.
+    ``nearest`` computes both fills over the SAME sorted window — still
+    one shuffle. (Equal-ts rights sort before left, so the backward fill
+    owns distance-0 matches; that is exactly the nearest tie rule.)
     """
     keys = list(keys)
     payload_cols = list(payload_cols)
-    # side 0 sorts before side 1 at equal ts => ties match the right row
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction}")
     overlap = set(payload_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"payload_cols collide with left columns: {overlap}")
+    # right side sorts BEFORE left at equal ts (tag 0) so the backward fill
+    # matches ties; for pure-forward semantics it must sort AFTER (tag 2)
+    # so the following-window still sees an equal-ts right row
+    r_side = 2 if direction == "forward" else 0
     l_tagged = left.withColumn("__side__", F.lit(1)).withColumn(
         "__rts__", F.lit(None).cast(right.schema[ts_col].dataType)
     )
@@ -209,7 +224,7 @@ def asof_join(
     r_tagged = right.select(
         *keys,
         F.col(ts_col),
-        F.lit(0).alias("__side__"),
+        F.lit(r_side).alias("__side__"),
         F.col(ts_col).alias("__rts__"),
         *payload_cols,
     )
@@ -219,27 +234,75 @@ def asof_join(
         r_aligned = r_aligned.withColumn(c, F.lit(None).cast(l_tagged.schema[c].dataType))
     unioned = l_tagged.unionByName(r_aligned.select(l_tagged.columns))
 
+    from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
-    w = (
+    def _num(col):
+        if isinstance(right.schema[ts_col].dataType, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            return col.cast("timestamp").cast("double")
+        return col.cast("double")
+
+    order = [F.col(ts_col).asc(), F.col("__side__").asc()]
+    wb = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), F.col("__side__").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        F.last("__rts__", ignorenulls=True).over(w).alias(right_ts_out),
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"__m_{c}__")
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills.append(F.last("__rts__", ignorenulls=True).over(wb).alias("__b_ts__"))
+        fills += [
+            F.last(c, ignorenulls=True).over(wb).alias(f"__b_{c}__")
             for c in payload_cols
-        ],
-    )
-    out = filled.filter(F.col("__side__") == 1).drop(
-        "__side__", "__rts__", *payload_cols
-    )
-    for c in payload_cols:
-        out = out.withColumnRenamed(f"__m_{c}__", c)
-    return out
+        ]
+    if direction in ("forward", "nearest"):
+        fills.append(F.first("__rts__", ignorenulls=True).over(wf).alias("__f_ts__"))
+        fills += [
+            F.first(c, ignorenulls=True).over(wf).alias(f"__f_{c}__")
+            for c in payload_cols
+        ]
+    filled = unioned.select("*", *fills).filter(F.col("__side__") == 1)
+
+    lt = _num(F.col(ts_col))
+    if direction == "nearest":
+        db = lt - _num(F.col("__b_ts__"))
+        df_ = _num(F.col("__f_ts__")) - lt
+        b_ok = F.col("__b_ts__").isNotNull() & (
+            F.lit(True) if tolerance is None else (db <= F.lit(float(tolerance)))
+        )
+        f_ok = F.col("__f_ts__").isNotNull() & (
+            F.lit(True) if tolerance is None else (df_ <= F.lit(float(tolerance)))
+        )
+        use_b = b_ok & (~f_ok | (db <= df_))
+        out = filled.withColumn(
+            right_ts_out,
+            F.when(use_b, F.col("__b_ts__")).when(f_ok, F.col("__f_ts__")),
+        )
+        for c in payload_cols:
+            out = out.withColumn(
+                c,
+                F.when(use_b, F.col(f"__b_{c}__")).when(f_ok, F.col(f"__f_{c}__")),
+            )
+        drop = ["__b_ts__", "__f_ts__"] + [
+            f"__{s}_{c}__" for s in "bf" for c in payload_cols
+        ]
+    else:
+        side = "b" if direction == "backward" else "f"
+        mts = F.col(f"__{side}_ts__")
+        dist = (lt - _num(mts)) if direction == "backward" else (_num(mts) - lt)
+        ok = mts.isNotNull() & (
+            F.lit(True) if tolerance is None else (dist <= F.lit(float(tolerance)))
+        )
+        out = filled.withColumn(right_ts_out, F.when(ok, mts))
+        for c in payload_cols:
+            out = out.withColumn(c, F.when(ok, F.col(f"__{side}_{c}__")))
+        drop = [f"__{side}_ts__"] + [f"__{side}_{c}__" for c in payload_cols]
+    return out.drop("__side__", "__rts__", *drop)
 
 
 def interval_join(
