@@ -1503,3 +1503,47 @@ QUALIFY rank <= 3
 
 
 QUERIES["e8_pq_adc_topk"] = (e8_pq_adc_topk, _e8_sql())
+
+
+# --- T16: sequence packing into fixed token budgets -----------------------------------
+
+def t16_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing of docs into 256-token context bins
+    (llm/text.py::pack_sequences): md5-sharded, md5-ordered, exact greedy
+    rule per shard. Token counts are a deterministic synthetic
+    (strlen%97+1) so the packing logic itself is what the oracle checks
+    (via a recursive CTE replaying the same walk)."""
+    from peskas_timor_data_pipeline_spark.llm.text import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.length("text") % 97 + 1).cast("long").alias("nt")
+    )
+    return pack_sequences(docs, "doc_id", "nt", budget=256)
+
+
+T16_ORACLE = """
+WITH RECURSIVE prepped AS (
+  SELECT ('0x' || substr(md5(concat_ws('#', 'pack42', CAST(doc_id AS VARCHAR))), 1, 12))::BIGINT % 64 AS shard,
+         doc_id,
+         CAST(length(text) % 97 + 1 AS BIGINT) AS nt,
+         md5(concat_ws('~', 'pack42', CAST(doc_id AS VARCHAR))) AS ord
+  FROM documents
+), ordered AS (
+  SELECT shard, doc_id, nt,
+         row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS rn
+  FROM prepped
+), walk AS (
+  SELECT shard, doc_id, nt, rn,
+         CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS offset_tokens, nt AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.doc_id, o.nt, o.rn,
+         CASE WHEN w.fill > 0 AND w.fill + o.nt > 256 THEN w.bin_id + 1 ELSE w.bin_id END,
+         CASE WHEN w.fill > 0 AND w.fill + o.nt > 256 THEN CAST(0 AS BIGINT) ELSE w.fill END,
+         CASE WHEN w.fill > 0 AND w.fill + o.nt > 256 THEN o.nt ELSE w.fill + o.nt END
+  FROM walk w JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1
+)
+SELECT shard, doc_id, bin_id, offset_tokens, nt AS n_tokens FROM walk
+"""
+
+QUERIES["t16_pack_sequences"] = (t16_pack_sequences, T16_ORACLE)

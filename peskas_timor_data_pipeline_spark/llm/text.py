@@ -204,3 +204,77 @@ def clean_lines(
         & F.trim(ln).rlike(r'[.!?"]$'),
     )
     return df.withColumn(out_col, F.array_join(keep, "\n"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    shard_col: str | None = None,
+    seed: str = "pack42",
+) -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed-budget
+    context-window bins (the step between chunking and batch export — a
+    packed bin becomes one training sequence with minimal padding).
+
+    Greedy sequential packing in document order: walk the (md5-shuffled)
+    docs, keep a running token total, open a new bin whenever the current
+    doc would overflow the budget. Oversized docs (> budget) get a bin of
+    their own. Expressed as window arithmetic: with the prefix sum ``S_i``
+    over ``ceil``-ordered docs, the bin boundary recurrence collapses to
+    ``bin_i = floor((S_i - 1) / budget)`` ONLY under exact fill, so instead
+    the exact greedy rule runs per shard via ``applyInPandas`` over
+    shard-bounded groups (shards are export-sized: thousands of docs), with
+    the shard assignment itself a pure md5 map — the corpus-wide work is
+    one shuffle on the shard key.
+
+    Returns (shard, id, bin_id, offset_tokens, n_tokens) where
+    ``offset_tokens`` is the doc's start inside its bin.
+    """
+    import pandas as pd
+
+    shard = (
+        F.col(shard_col)
+        if shard_col
+        else (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.lit(seed), F.col(id_col).cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        )
+    )
+    ordkey = F.md5(F.concat_ws("~", F.lit(seed), F.col(id_col).cast("string")))
+    prepped = df.select(
+        shard.alias("shard"),
+        F.col(id_col),
+        F.col(n_tokens_col).alias("__nt__"),
+        ordkey.alias("__ord__"),
+    )
+    schema = f"shard long, {id_col} long, bin_id long, offset_tokens long, n_tokens long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ord__", id_col]).reset_index(drop=True)
+        bins, offsets = [], []
+        cur_bin, cur_fill = 0, 0
+        for nt in pdf["__nt__"]:
+            nt = int(nt)
+            if cur_fill > 0 and cur_fill + nt > budget:
+                cur_bin += 1
+                cur_fill = 0
+            bins.append(cur_bin)
+            offsets.append(cur_fill)
+            cur_fill += nt
+        out = pdf[["shard", id_col]].copy()
+        out["bin_id"] = bins
+        out["offset_tokens"] = offsets
+        out["n_tokens"] = pdf["__nt__"].astype("int64")
+        return out
+
+    return prepped.groupBy("shard").applyInPandas(pack, schema=schema)

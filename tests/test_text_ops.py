@@ -47,3 +47,33 @@ def test_clean_lines_c4_rules(spark):
     # menu line: no terminal punct; 'ok?': under 3 tokens; 'Too short.': 2 tokens
     assert out[1] == 'This line survives the filter.\nShe said "stop".'
     assert out[2] == ""
+
+
+def test_pack_sequences_greedy_rule(spark):
+    """Greedy packing: bins never exceed the budget (except single
+    oversized docs, which get their own bin), offsets are running fills,
+    and every doc appears exactly once."""
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.llm.text import pack_sequences
+
+    rows = [(i, n) for i, n in enumerate([50, 60, 70, 200, 300, 10, 90, 255, 2, 256])]
+    df = spark.createDataFrame(rows, "doc_id long, nt long")
+    out = pack_sequences(df, "doc_id", "nt", budget=256, shard_col=None).collect()
+    assert len(out) == len(rows)
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault((r.shard, r.bin_id), []).append(r)
+    for (shard, b), members in by_bin.items():
+        total = sum(r.n_tokens for r in members)
+        if len(members) > 1:
+            assert total <= 256, (shard, b, total)
+        # offsets are the running prefix within the bin
+        members = sorted(members, key=lambda r: r.offset_tokens)
+        run = 0
+        for r in members:
+            assert r.offset_tokens == run
+            run += r.n_tokens
+    # oversized doc (300 > budget) is alone in its bin
+    big = [r for r in out if r.n_tokens == 300][0]
+    assert len(by_bin[(big.shard, big.bin_id)]) == 1
