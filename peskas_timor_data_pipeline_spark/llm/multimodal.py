@@ -341,28 +341,52 @@ def sample_video_frames(
 
 
 def decode_image_meta(
-    df: DataFrame, id_col: str, content_col: str = "content"
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    on_error: str = "raise",
 ) -> DataFrame:
     """REAL decode over binary image columns via mapInPandas: width,
     height, channels, and mean pixel value out of the actual bytes
-    (PPM/PGM/BMP). Arrow batches stream partition-locally; undecodable
-    payloads surface as an error (fail loudly), not as nulls."""
+    (PPM/PGM/BMP). Arrow batches stream partition-locally.
+
+    ``on_error``: ``raise`` (default) aborts on the first undecodable
+    payload — right for curated corpora; ``quarantine`` keeps every row,
+    nulls the metadata and records the decode error in ``decode_error``
+    (the S3 bad-row quarantine discipline applied to media: one pass
+    yields clean + auditable frames via a filter, no row is silently
+    dropped or silently faked)."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"unknown on_error: {on_error}")
     out_schema = (
         f"{id_col} long, width int, height int, channels int, mean_pixel double"
+        + (", decode_error string" if on_error == "quarantine" else "")
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [decode_image(b) for b in pdf[content_col]]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "width": [d["width"] for d in decoded],
-                    "height": [d["height"] for d in decoded],
-                    "channels": [d["channels"] for d in decoded],
-                    "mean_pixel": [float(d["pixels"].mean()) for d in decoded],
-                }
-            )
+            cols: dict = {
+                id_col: pdf[id_col],
+                "width": [], "height": [], "channels": [], "mean_pixel": [],
+            }
+            errors = []
+            for b in pdf[content_col]:
+                try:
+                    d = decode_image(b)
+                    cols["width"].append(d["width"])
+                    cols["height"].append(d["height"])
+                    cols["channels"].append(d["channels"])
+                    cols["mean_pixel"].append(float(d["pixels"].mean()))
+                    errors.append(None)
+                except ValueError as e:
+                    if on_error == "raise":
+                        raise
+                    for c in ("width", "height", "channels", "mean_pixel"):
+                        cols[c].append(None)
+                    errors.append(str(e))
+            if on_error == "quarantine":
+                cols["decode_error"] = errors
+            yield pd.DataFrame(cols)
 
     return df.select(id_col, content_col).mapInPandas(extract, schema=out_schema)
 

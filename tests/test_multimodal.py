@@ -212,3 +212,27 @@ def test_frame_sample_explodes_per_second(spark, media):
     # duration d seconds -> floor(d)+1 sampled timestamps (t=0..d)
     for media_id, n in counts.items():
         assert n == (media_id % 5) + 1
+
+
+def test_decode_image_meta_quarantine_mode(spark):
+    """on_error='quarantine': bad payloads keep their row with nulled
+    metadata and the decode error recorded; good rows decode normally; the
+    default mode still raises."""
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        decode_image_meta,
+        encode_ppm,
+    )
+
+    good = bytearray(encode_ppm(np.full((2, 3, 3), 7, dtype=np.uint8)))
+    rows = [
+        (1, good),
+        (2, bytearray(b"\x89PNG\r\n\x1a\nnotreallypng")),
+        (3, bytearray(b"P6\n4 4\n255\nshort")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in decode_image_meta(df, "media_id", on_error="quarantine").collect()}
+    assert out[1].width == 3 and out[1].decode_error is None
+    assert out[2].width is None and "unsupported image magic" in out[2].decode_error
+    assert out[3].width is None and "truncated PPM" in out[3].decode_error
+    with pytest.raises(Exception):
+        decode_image_meta(df, "media_id").collect()  # default raises
