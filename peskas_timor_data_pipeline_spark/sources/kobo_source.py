@@ -142,10 +142,14 @@ class KoboStreamReader(SimpleDataSourceStreamReader):
             fetch_kobo_paginated,
         )
 
+        auth = None
+        if "username" in self.options:
+            auth = (self.options["username"], self.options.get("password", ""))
         for sub in fetch_kobo_paginated(
             requests.get,
             self.options["url"],
             self.options["assetid"],
+            auth=auth,
             since_id=lo,
             until_id=hi,
         ):
