@@ -53,8 +53,6 @@ def test_pack_sequences_greedy_rule(spark):
     """Greedy packing: bins never exceed the budget (except single
     oversized docs, which get their own bin), offsets are running fills,
     and every doc appears exactly once."""
-    from pyspark.sql import functions as F
-
     from peskas_timor_data_pipeline_spark.llm.text import pack_sequences
 
     rows = [(i, n) for i, n in enumerate([50, 60, 70, 200, 300, 10, 90, 255, 2, 256])]
