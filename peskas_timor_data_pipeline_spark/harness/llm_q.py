@@ -1547,3 +1547,39 @@ SELECT shard, doc_id, bin_id, offset_tokens, nt AS n_tokens FROM walk
 """
 
 QUERIES["t16_pack_sequences"] = (t16_pack_sequences, T16_ORACLE)
+
+
+# --- D7: intra-corpus repeated-long-gram share ("exact substring dedup lite") ---------
+
+def d7_repeated_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each doc's distinct 32-grams appearing in at least one
+    OTHER document — the boilerplate/template gate
+    (llm/dedup.py::repeated_gram_share)."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import repeated_gram_share
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return repeated_gram_share(docs, "doc_id", "text", k_shingle=32)
+
+
+D7_ORACLE = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INTEGER), 32) AS sh
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 31)) AS i
+        FROM documents WHERE length(text) >= 32)
+), gd AS (
+  SELECT sh, count(*) AS docs FROM grams GROUP BY sh
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS n_shared
+  FROM grams JOIN gd USING (sh) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_shared, 0) AS n_shared,
+       round(CASE WHEN coalesce(n_grams, 0) > 0
+                  THEN coalesce(n_shared, 0) / CAST(n_grams AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_share
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+QUERIES["d7_repeated_grams"] = (d7_repeated_grams, D7_ORACLE)

@@ -308,3 +308,54 @@ def decontaminate(
             (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def repeated_gram_share(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 32,
+) -> DataFrame:
+    """Intra-corpus repeated-span detection — the cheap relative of exact
+    substring dedup (suffix-array style): a LONG character k-gram (k=32+)
+    appearing in more than one document almost certainly marks copied
+    boilerplate (headers, licenses, templated spans). Per document, report
+    how many of its distinct k-grams are shared with ANY other document.
+
+    Scale shape: one explode to distinct (doc, gram), ONE aggregation on
+    the gram computing both the document count and (via min) a witness
+    doc, then a gram-keyed join back — each distinct gram crosses the wire
+    twice, nothing pairwise, no per-document comparisons. Filtering rows
+    with ``dup_share`` above a threshold is the standard "drop templated
+    docs" gate; the gram join also yields the span positions if a masker
+    needs them.
+
+    Returns (id, n_grams, n_shared, dup_share).
+    """
+    grams = shingle_rows(df, id_col, text_col, k_shingle).distinct()
+    gram_docs = grams.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("__docs__")
+    )
+    per_doc = (
+        grams.join(gram_docs, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__docs__") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0, F.col("n_shared") / F.col("n_grams")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_share"),
+        )
+    )

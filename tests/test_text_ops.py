@@ -75,3 +75,23 @@ def test_pack_sequences_greedy_rule(spark):
     # oversized doc (300 > budget) is alone in its bin
     big = [r for r in out if r.n_tokens == 300][0]
     assert len(by_bin[(big.shard, big.bin_id)]) == 1
+
+
+def test_repeated_gram_share_flags_boilerplate(spark):
+    """Docs sharing a long copied span have dup_share > 0; a unique doc has
+    0; short docs (< k) report zero grams."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import repeated_gram_share
+
+    boiler = "COPYRIGHT NOTICE ALL RIGHTS RESERVED TEMPLATE HEADER v1"
+    rows = [
+        (1, boiler + " alpha unique tail one with extra words"),
+        (2, boiler + " totally different ending for document two"),
+        (3, "completely original text with no shared long spans anywhere in it"),
+        (4, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repeated_gram_share(df, "doc_id", "text", k_shingle=32).collect()}
+    assert out[1].n_shared > 0 and out[2].n_shared > 0
+    assert out[1].dup_share > 0.2 and out[2].dup_share > 0.2
+    assert out[3].n_shared == 0 and out[3].dup_share == 0.0
+    assert out[4].n_grams == 0 and out[4].dup_share == 0.0
