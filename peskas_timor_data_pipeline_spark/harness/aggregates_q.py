@@ -955,3 +955,56 @@ GROUP BY user_id, sess
 """
 
 QUERIES["a23_session_window"] = (a23_session_window, A23_ORACLE)
+
+
+# --- A24: exact weighted median per group ----------------------------------------------
+
+def a24_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag weighted median of unit price, weighted by quantity —
+    the lower weighted median (smallest value whose cumulative weight
+    reaches half the total). No built-in exists in either engine; the
+    rewrite is one sorted window for the running weight plus a min-over-
+    qualifying-values aggregate. Window width is bounded by the group, and
+    the pre-aggregation by (group, value) keeps it at distinct values, not
+    rows."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    # pre-aggregate identical prices: the window then runs over distinct
+    # (flag, price) combos — bounded domain, not the raw row count
+    by_val = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum("l_quantity").alias("w")
+    )
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    ranked = by_val.withColumn("cum_w", F.sum("w").over(win)).withColumn(
+        "tot_w", F.sum("w").over(tot)
+    )
+    return (
+        ranked.filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median_price"))
+    )
+
+
+A24_ORACLE = """
+WITH by_val AS (
+  SELECT l_returnflag, l_extendedprice, sum(l_quantity) AS w
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot_w
+  FROM by_val
+)
+SELECT l_returnflag, min(l_extendedprice) AS weighted_median_price
+FROM ranked WHERE cum_w * 2 >= tot_w
+GROUP BY l_returnflag
+"""
+
+QUERIES["a24_weighted_median"] = (a24_weighted_median, A24_ORACLE)

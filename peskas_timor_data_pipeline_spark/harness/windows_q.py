@@ -369,3 +369,49 @@ def ts2_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ts2_dtw_alignment"] = (ts2_dtw_alignment, None)
+
+
+# --- W8: cumulative distinct users (first-appearance rewrite) --------------------------
+
+def w8_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of distinct users ever seen, per day. The naive form
+    (COUNT(DISTINCT) over an expanding window) re-scans the whole prefix
+    per day — O(days x rows). Rewrite: a user contributes exactly once, on
+    their FIRST day — so cumulative distinct = cumulative sum of
+    first-appearance counts: one groupBy(user) for first days, one tiny
+    per-day count, one cumsum over the day spine. All partial-aggregated;
+    the expanding window runs over #days rows, not #events."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    per_day = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    # complete against the spine of days that actually have events, so days
+    # with no NEW users still appear with their running total
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(per_day, "day", "left")
+        .fillna(0, subset=["new_users"])
+        .withColumn("cum_distinct_users", F.sum("new_users").over(w))
+        .select("day", "new_users", "cum_distinct_users")
+    )
+
+
+W8_ORACLE = """
+WITH fd AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), per_day AS (
+  SELECT day, count(*) AS new_users FROM fd GROUP BY day
+), days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+)
+SELECT d.day, coalesce(p.new_users, 0) AS new_users,
+       sum(coalesce(p.new_users, 0)) OVER (ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_distinct_users
+FROM days d LEFT JOIN per_day p USING (day)
+"""
+
+QUERIES["w8_cumulative_distinct"] = (w8_cumulative_distinct, W8_ORACLE)
