@@ -21,30 +21,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Queries that already have a driver-verified green row in
-# CORRECTNESS_r01.json (the round-1 driver recorded exactly the first 50
-# registry entries in order).  Round 2 puts everything ELSE first so the
-# driver's per-run budget covers the queries that still lack a recorded
-# verification; these 50 keep their relative order at the tail.
-_DRIVER_VERIFIED_R01 = frozenset({
-    "flagship_cpue", "p2_filter_project", "p3_semi_join", "p4_anti_join",
-    "p6_coalesce_columns", "p7_case_when_recode", "p9_type_casts",
-    "p10_replicate_rows", "p11_sample_deterministic", "p12_distinct_except",
-    "j1_left_join_dims", "j3_right_join_spine", "j4_full_outer_coalesce",
-    "j5_one_to_one_day_match", "j6_reduce_join_unite",
-    "j8_complete_crossfill", "j9_suffix_match_join", "o1_sort_topn",
-    "o2_union_by_name", "o4_set_ops", "f_string_functions",
-    "f_date_functions", "f_math_hash_json", "p1_pattern_projection",
-    "p5_mutate_across", "j2_inner_join", "j7_join_nested", "j10_asof_join",
-    "j11_interval_join", "j12_scd2_temporal", "a1_groupby_stats",
-    "a2_summarise_across", "a3_add_count", "a4_conditional_agg",
-    "a5_mode_per_group", "a6_sessionization", "a7_grid_binning",
-    "a8_mad_bounds_grouped", "a9_mad_alert_global", "a10_quantile_group",
-    "a11_pivot_wider", "a11_pivot_longer", "a12_two_level_nest",
-    "a13_rollup_two_level", "a14_time_binned_multisource",
-    "a15_metric_unpivot", "a16_salted_agg", "a17_tumbling_window",
-    "a18_grouping_rollup", "a19_kmv_distinct",
-})
+# Registry front-of-line for round 3.  The driver records ~50 CORRECTNESS
+# rows per round in registry order; rounds 1+2 covered 100 of 123 queries
+# (zero overlap).  These 23 still lack a driver row, so they go FIRST,
+# followed by w8_cumulative_distinct (round 2's only red row — re-check
+# after the BIGINT cast fix) and the m4 family (m4_poisson_glm gained a
+# recursive-CTE oracle this round).  Everything else keeps its relative
+# order at the tail.
+_PRIORITY_R03 = (
+    "d5_dup_clusters", "d6_decontaminate", "d7_repeated_grams",
+    "e3_ivf_ann", "e4_group_centroids", "e5_kmeans_refine",
+    "e6_quantize_int8", "e7_pq_encode", "e8_pq_adc_topk",
+    "t7_redact", "t8_weighted_sample", "t9_repetition",
+    "t10_heavy_hitters", "t11_shuffle_shards", "t12_chunking",
+    "t13_quality_gate", "t14_group_split", "t15_unigram_logprob",
+    "t16_pack_sequences", "mm2_resize_plumbing", "mm3_image_decode",
+    "mm4_audio_decode", "mm5_video_frame_sample",
+    "w8_cumulative_distinct",
+    "m4_poisson_glm", "m4_glmm", "m4zi_glmm",
+)
 
 
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
@@ -65,11 +60,13 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = entry
+    missing = [n for n in _PRIORITY_R03 if n not in merged]
+    if missing:
+        raise ValueError(f"priority list names unknown queries: {missing}")
     out: dict[str, tuple[QueryFn, str | None]] = {}
+    for name in _PRIORITY_R03:
+        out[name] = merged[name]
     for name in merged:
-        if name not in _DRIVER_VERIFIED_R01:
-            out[name] = merged[name]
-    for name in merged:
-        if name in _DRIVER_VERIFIED_R01:
+        if name not in out:
             out[name] = merged[name]
     return out

@@ -180,10 +180,11 @@ WITH rfish AS (
   JOIN ll ON d.code = ll.code AND ll.Length2 = d.ltype
   JOIN lw ON ll.code = lw.code AND ll.Species = lw.Species AND lw.Type = ll.Length1
 ), per_combo AS (
+  -- mirror the engine's NA-weight drop (R/calculate-weights.R:556)
   SELECT code, ltype, length,
          quantile_cont(w, 0.7) AS p70, quantile_cont(w, 0.75) AS p75,
          quantile_cont(w, 0.9) AS p90, count(*) AS n_candidates
-  FROM cands GROUP BY 1, 2, 3
+  FROM cands WHERE w IS NOT NULL GROUP BY 1, 2, 3
 ), weights AS (
   SELECT c.l_returnflag,
          CASE WHEN c.n_ind = 0 THEN 0.0 ELSE
@@ -439,9 +440,25 @@ FROM monthly_flag JOIN totals USING (period)
 """
 
 
-# --- M4: per-group Poisson GLM via applyInPandas (rows-only check) ---------------------
+# --- M4: per-group Poisson GLM via applyInPandas (hash-checked since r03) --------------
+
+# Iteration count pinned IDENTICALLY in the Spark query (max_iter, tol=0 so
+# the early-convergence break never fires) and the unrolled DuckDB oracle.
+# Poisson IRLS from the log-link least-squares start converges quadratically
+# (machine precision by ~5 iterations on these monthly counts); running a
+# fixed 8 on both sides makes per-iteration float-path differences (numpy
+# lstsq/solve vs closed-form Cramer in SQL) irrelevant — both engines sit on
+# the same MLE fixed point long before iteration 8, and coefs are rounded to
+# 6 dp.
+_M4_ITERS = 8
+
 
 def m4_poisson_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority poisson GLM of monthly order counts on a month index —
+    the reference's landing-rate trend model shape (R/model-catch.R:80-138)
+    reduced to its fixed-effect core so DuckDB can replay it exactly: the
+    IRLS loop is unrolled as chained CTEs in the oracle, 8 pinned
+    iterations on both sides (see _M4_ITERS note)."""
     orders = load(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         "o_orderpriority",
@@ -452,11 +469,70 @@ def m4_poisson_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.months_between(F.col("period"), F.lit("1995-01-01").cast("date")),
     )
     fits = poisson_glm_per_group(
-        indexed, ["o_orderpriority"], "n_orders", ["month_idx"]
+        indexed, ["o_orderpriority"], "n_orders", ["month_idx"],
+        max_iter=_M4_ITERS, tol=0.0,
     )
     return fits.select(
         "o_orderpriority", "term", F.round("coef", 6).alias("coef"), "n_obs"
     ).orderBy("o_orderpriority", "term")
+
+
+def _m4_irls_sql(iters: int = _M4_ITERS) -> str:
+    """Unrolled fixed-iteration IRLS as chained CTEs (DuckDB 1.0 disallows
+    aggregates in a recursive CTE's recursive term, so the d5/t16 recursion
+    trick doesn't apply; with a pinned iteration count unrolling is exact).
+
+    Replays glm_per_group's poisson path step for step: start
+    beta = lstsq([1 x], ln(y + 0.1)) (closed form for the 2-param case —
+    initialization differences vanish at the fixed point), then per
+    iteration mu = exp(clip(eta, ±30)), z = eta + (y - mu)/max(mu, 1e-12),
+    and the 2x2 weighted normal equations solved by Cramer's rule."""
+    ctes = ["""data AS (
+  SELECT o_orderpriority AS grp,
+         CAST(count(*) AS DOUBLE) AS y,
+         CAST(datediff('month', DATE '1995-01-01',
+                       date_trunc('month', o_orderdate)) AS DOUBLE) AS x
+  FROM orders GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
+)""", """init AS (
+  SELECT grp, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+         sum(ln(y + 0.1)) AS se, sum(x * ln(y + 0.1)) AS sxe
+  FROM data GROUP BY grp
+)""", """beta0 AS (
+  SELECT grp,
+         (se - ((n * sxe - sx * se) / (n * sxx - sx * sx)) * sx) / n AS b0,
+         (n * sxe - sx * se) / (n * sxx - sx * sx) AS b1
+  FROM init
+)"""]
+    for i in range(iters):
+        ctes.append(f"""mu{i} AS (
+  SELECT grp, x, y, eta, exp(greatest(least(eta, 30.0), -30.0)) AS mu
+  FROM (SELECT d.grp, d.x, d.y, b.b0 + b.b1 * d.x AS eta
+        FROM data d JOIN beta{i} b USING (grp))
+)""")
+        ctes.append(f"""s{i} AS (
+  SELECT grp, sum(mu) AS s0, sum(mu * x) AS s1, sum(mu * x * x) AS s2,
+         sum(mu * z) AS t0, sum(mu * x * z) AS t1
+  FROM (SELECT grp, x, mu, eta + (y - mu) / greatest(mu, 1e-12) AS z
+        FROM mu{i})
+  GROUP BY grp
+)""")
+        ctes.append(f"""beta{i + 1} AS (
+  SELECT grp,
+         (s2 * t0 - s1 * t1) / (s0 * s2 - s1 * s1) AS b0,
+         (s0 * t1 - s1 * t0) / (s0 * s2 - s1 * s1) AS b1
+  FROM s{i}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+nobs AS (SELECT grp, count(*) AS n_obs FROM data GROUP BY grp)
+SELECT b.grp AS o_orderpriority, t.term,
+       round(CASE t.term WHEN 'intercept' THEN b.b0 ELSE b.b1 END, 6) AS coef,
+       nobs.n_obs
+FROM beta{iters} b
+CROSS JOIN (VALUES ('intercept'), ('month_idx')) t(term)
+JOIN nobs USING (grp)
+"""
+    )
 
 
 # --- M4b: GLMM with crossed random intercepts (rows-only check) -------------------------
@@ -586,7 +662,7 @@ QUERIES = {
     "m3_ols_cooks": (m3_ols_cooks, M3_ORACLE),
     "m7_interpolation": (m7_interpolation, M7_ORACLE),
     "m9_share_redistribution": (m9_share_redistribution, M9_ORACLE),
-    "m4_poisson_glm": (m4_poisson_glm, None),
+    "m4_poisson_glm": (m4_poisson_glm, _m4_irls_sql()),
     "m4_glmm": (m4_glmm, None),
     "m4zi_glmm": (m4zi_glmm, None),
     "m5_impute_replicates": (m5_impute_replicates, M5_ORACLE),

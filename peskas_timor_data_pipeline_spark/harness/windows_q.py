@@ -380,7 +380,13 @@ def w8_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     their FIRST day — so cumulative distinct = cumulative sum of
     first-appearance counts: one groupBy(user) for first days, one tiny
     per-day count, one cumsum over the day spine. All partial-aggregated;
-    the expanding window runs over #days rows, not #events."""
+    the expanding window runs over #days rows, not #events.
+
+    Types are pinned to long/BIGINT on BOTH sides: DuckDB's sum(BIGINT)
+    promotes to HUGEINT (int128), and round 2's driver run recorded a
+    hash mismatch (rows/schema green) consistent with the canonicalizer
+    stringifying HUGEINT differently from Spark's long — the only oracle
+    in the repo whose integer window-sum wasn't CAST back to BIGINT."""
     from pyspark.sql.window import Window
 
     ev = load(spark, sf_dir, "events")
@@ -395,8 +401,9 @@ def w8_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         days.join(per_day, "day", "left")
         .fillna(0, subset=["new_users"])
-        .withColumn("cum_distinct_users", F.sum("new_users").over(w))
-        .select("day", "new_users", "cum_distinct_users")
+        .withColumn("cum_distinct_users", F.sum("new_users").over(w).cast("long"))
+        .select("day", F.col("new_users").cast("long").alias("new_users"),
+                "cum_distinct_users")
     )
 
 
@@ -408,9 +415,10 @@ WITH fd AS (
 ), days AS (
   SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
 )
-SELECT d.day, coalesce(p.new_users, 0) AS new_users,
-       sum(coalesce(p.new_users, 0)) OVER (ORDER BY d.day
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_distinct_users
+SELECT d.day, CAST(coalesce(p.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(p.new_users, 0)) OVER (ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_distinct_users
 FROM days d LEFT JOIN per_day p USING (day)
 """
 

@@ -208,7 +208,12 @@ def estimate_weights_ll(
             (F.col("a") * F.pow(F.col("__clen__"), F.col("b"))).alias("__w__"),
         )
     )
-    cands = direct.unionByName(converted)
+    # The reference drops NA candidate weights before quantile()
+    # (R/calculate-weights.R:556 `weight[!is.na(weight)]`): lw rows only
+    # require non-null `a`, so a null `b` yields a null candidate that would
+    # otherwise sort first under the ascending rank window, inflate __n__,
+    # and shift every percentile position.
+    cands = direct.unionByName(converted).filter(F.col("__w__").isNotNull())
     picked = None
     for code_val, q in sorted(coeff_map.items()):
         cond = F.col(code_col) == code_val

@@ -129,6 +129,39 @@ def test_estimate_weights_ll_matches_rowwise_reference(spark, rfish, catch):
         )
 
 
+def test_estimate_weights_ll_drops_null_candidate_weights(spark):
+    """The reference filters !is.na(weight) before quantile()
+    (R/calculate-weights.R:556). An lw row with null b (the table builder
+    only requires non-null a, same as the reference) must not contribute a
+    null candidate: nulls sort first under the ascending rank window, so
+    an unfiltered null would inflate __n__ and shift every percentile
+    position. With one valid candidate the percentile IS that candidate
+    and n_candidates counts only it."""
+    from peskas_timor_data_pipeline_spark.operators.weights import (
+        estimate_weights_ll,
+    )
+
+    lw = spark.createDataFrame(
+        [("CLP", "s", "TL", 2.0, 1.0), ("CLP", "s", "TL", 3.0, None)],
+        "interagency_code string, Species string, Type string, a double, b double",
+    )
+    ll = spark.createDataFrame(
+        [], "interagency_code string, Species string, Length1 string, "
+            "Length2 string, aL double, bL double",
+    )
+    cdf = spark.createDataFrame(
+        [(1, "CLP", 10.0, "TL", 4)],
+        "row_id int, code string, length double, ltype string, n int",
+    )
+    rows = estimate_weights_ll(
+        cdf, lw, ll, "code", "length", "ltype", "n", ["row_id"],
+        coeff_map={}, default_coeff=0.9,
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].n_candidates == 1
+    assert math.isclose(rows[0].weight, 2.0 * 10.0 * 4, rel_tol=1e-12)
+
+
 def test_inverted_ll_params_roundtrip(spark):
     """The inverted reciprocal rows undo the base conversion exactly:
     FL->TL then TL->FL returns the original length."""
