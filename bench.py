@@ -59,17 +59,29 @@ def main() -> None:
 
     total = sum(timings.values())
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    print(line)
+    # Persist the FULL per-query map alongside the stdout line: the driver's
+    # BENCH_r{N}.json capture has twice stored only the tail of a long line,
+    # losing the leading timings. This file is the durable record a later
+    # round can diff query by query.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+    )
+    try:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"# bench: could not persist {out_path}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -438,6 +438,7 @@ def pq_adc_topk(
     dim: int = 64,
     m_sub: int = 8,
     k_top: int = 3,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each query
     precomputes its distance table to the codebook — per subvector, one
@@ -450,6 +451,22 @@ def pq_adc_topk(
     ``encoded`` is ``pq_encode`` output (id, codes); ``codebook`` is
     ``pq_codebook`` output. Distances are exact w.r.t. the quantized
     representation (the PQ approximation is in the codes, not the scan).
+
+    The final top-k does NOT rank the full candidates x queries frame
+    through one global window (that exchanges every scored row). Instead a
+    first map-side pass sketches each query's ~k-th smallest distance with
+    ``percentile_approx`` (bounded QuantileSummaries buffers, so the partial
+    aggregation reduces BEFORE the exchange — a window or collect_list
+    cannot), the thresholds broadcast back, and only candidates at or below
+    their query's threshold reach the exact rank window. percentile_approx's
+    rank-error bound (n/accuracy) makes the prefilter a guaranteed superset
+    of the true top-k: the fraction is chosen so the threshold's rank is at
+    least ``k_top`` even in the worst case. The scored scan is recomputed in
+    the second pass — two cheap in-codegen map passes in exchange for
+    shuffling ~k + 3n/accuracy rows per query instead of n.
+
+    ``encoded`` is read three times (count, sketch pass, final scan): pass
+    a stored/cached codes table, not an expensive unpersisted lineage.
     """
     sub = dim // m_sub
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -479,10 +496,28 @@ def pq_adc_topk(
     adc = F.element_at(F.col("__m0__"), F.col("codes")[0])
     for m in range(1, m_sub):
         adc = adc + F.element_at(F.col(f"__m{m}__"), F.col("codes")[m])
+    scored = joined.withColumn("__adc__", adc).select(
+        "query_id", "cand_id", "__adc__"
+    )
+    n_cand = encoded.count() if prefilter else 0
+    accuracy = 10000
+    if prefilter and n_cand > k_top * 50:
+        # fraction such that the sketch value's rank is >= k_top even at
+        # the worst rank error (n/accuracy), i.e. a guaranteed superset
+        frac = min(
+            1.0, (k_top + 2.0 * n_cand / accuracy + 1.0) / float(n_cand)
+        )
+        thr = scored.groupBy("query_id").agg(
+            F.percentile_approx("__adc__", F.lit(frac), F.lit(accuracy)).alias(
+                "__thr__"
+            )
+        )
+        scored = scored.join(F.broadcast(thr), "query_id").filter(
+            F.col("__adc__") <= F.col("__thr__")
+        )
     w = Window.partitionBy("query_id").orderBy(F.asc("__adc__"), F.asc("cand_id"))
     return (
-        joined.withColumn("__adc__", adc)
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k_top)
         .select(
             "query_id", "cand_id", "rank", F.round("__adc__", 6).alias("adc_dist")

@@ -129,6 +129,7 @@ def estimate_weights_ll(
     row_keys: Sequence[str],
     coeff_map: dict[str, float] | None = None,
     default_coeff: float = 0.9,
+    max_params_rows: int = 200_000,
 ) -> DataFrame:
     """Full reference weight estimation (``estimate_weight``,
     R/calculate-weights.R:511-569) as one declarative plan, INCLUDING the
@@ -154,7 +155,26 @@ def estimate_weights_ll(
     code) and its ObjectHashAggregate buffers fall out of whole-stage
     codegen — measured 6x slower than the window form on dense candidate
     sets. The window partitions by combo, so its width is bounded by the
-    parameter table, never the corpus."""
+    parameter table, never the corpus.
+
+    CONTRACT — parameter tables are dimension-scale. Both ``lw`` and
+    ``ll`` are broadcast, and the per-combo rank window's width is at most
+    |lw rows per code| + |ll rows per code| x |lw rows per (code,
+    species)|: it scales with the PARAMETER tables (the real FishBase
+    snapshot is KB-scale and fixed), never with catch volume. A params
+    table beyond ``max_params_rows`` would blow both the broadcast and the
+    window width, so the operator counts both tables up front (two cheap
+    aggregations on dimension-scale frames) and raises rather than
+    silently building a plan that dies on the executors at scale."""
+    for tbl_name, tbl in (("lw", lw), ("ll", ll)):
+        n = tbl.count()
+        if n > max_params_rows:
+            raise ValueError(
+                f"{tbl_name} parameter table has {n} rows, over the "
+                f"max_params_rows={max_params_rows} broadcast/window bound; "
+                "estimate_weights_ll is contractually a dimension-table "
+                "operator (see docstring)"
+            )
     coeff_map = REFERENCE_COEFF_MAP if coeff_map is None else coeff_map
     lw2 = F.broadcast(
         lw.select(

@@ -155,8 +155,12 @@ def sync_flags_frames(
     kept = both.select(
         F.col(f"l.{id_col}").alias(id_col),
         F.col("l.submission_date").alias("submission_date"),
+        # plain (null-propagating) equality, NOT eqNullSafe: the reference's
+        # case_when(alert.x == alert.y ~ flag_date.y, TRUE ~ flag_date.x)
+        # evaluates NA == NA to NA, falling through to the LOCAL flag_date —
+        # a both-null alert pair keeps the local date.
         F.when(
-            F.col("l.alert").eqNullSafe(F.col("r.alert")), F.col("r.flag_date")
+            F.col("l.alert") == F.col("r.alert"), F.col("r.flag_date")
         )
         .otherwise(F.col("l.flag_date"))
         .alias("flag_date"),

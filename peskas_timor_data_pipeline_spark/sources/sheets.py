@@ -62,8 +62,12 @@ def read_sheet(
     payload = http(url, params={"key": api_key} if api_key else None)
     values = (payload.json() if hasattr(payload, "json") else payload)["values"]
     header, rows = values[0], values[1:]
-    # ragged rows (sheets drop trailing empties) -> pad with nulls
-    padded = [r + [None] * (len(header) - len(r)) for r in rows]
+    # ragged rows: sheets drop trailing empties (pad with nulls) and can
+    # return stray cells beyond the header range (truncate) — an unhandled
+    # long row would fail createDataFrame with an opaque length error
+    padded = [
+        r[: len(header)] + [None] * (len(header) - len(r)) for r in rows
+    ]
     return spark.createDataFrame(padded, ", ".join(f"`{h}` string" for h in header))
 
 

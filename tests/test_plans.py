@@ -245,6 +245,48 @@ def test_imputation_is_pure_column_expressions(spark, sf_dir):
     assert "BatchEvalPython" not in p
 
 
+def test_pq_encode_broadcast_codebook_partial_argmin(spark, sf_dir):
+    """e7: the codebook rides a BroadcastNestedLoopJoin (tiny broadcast
+    crossJoin — vectors never shuffle for scoring), all subvector argmins
+    partial-aggregate map-side in ONE pass (min_by partials), and nothing
+    explodes the vectors through a Generate."""
+    from peskas_timor_data_pipeline_spark.harness.llm_q import e7_pq_encode
+
+    p = plan_str(e7_pq_encode(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "partial_min" in p
+    assert "Generate" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_pq_adc_prefilter_reduces_exchange(spark, sf_dir):
+    """e8: the top-k must NOT rank the full candidates x queries frame
+    through one global window. The threshold sketch partial-aggregates
+    map-side (partial_percentile_approx = bounded buffers BEFORE the
+    exchange), the per-query thresholds come back via broadcast, and the
+    per-query distance maps stay broadcast — no shuffle join anywhere."""
+    from peskas_timor_data_pipeline_spark.harness.llm_q import e8_pq_adc_topk
+
+    p = plan_str(e8_pq_adc_topk(spark, sf_dir))
+    assert "partial_percentile_approx" in p
+    assert "BroadcastHashJoin" in p  # threshold join back
+    assert "BroadcastNestedLoopJoin" in p  # broadcast distance maps
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_repeated_grams_single_explode_no_pairwise(spark, sf_dir):
+    """d7: exactly the explode-to-distinct -> gram-keyed agg -> join-back
+    shape — the gram counting partial-aggregates map-side, nothing is
+    pairwise (no cartesian), and no Python evaluation sneaks in."""
+    from peskas_timor_data_pipeline_spark.harness.llm_q import d7_repeated_grams
+
+    p = plan_str(d7_repeated_grams(spark, sf_dir))
+    assert "Generate" in p  # the one shingle explode
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_quantize_transform_constant_tree(spark, sf_dir):
     """e6: the per-row quantization is a single higher-order transform
     (constant expression-tree size in dim), and the calibration row joins

@@ -162,6 +162,41 @@ def test_estimate_weights_ll_drops_null_candidate_weights(spark):
     assert math.isclose(rows[0].weight, 2.0 * 10.0 * 4, rel_tol=1e-12)
 
 
+def test_estimate_weights_ll_rejects_oversized_params(spark):
+    """The params tables are contractually dimension-scale (broadcast +
+    combo-window width both bounded by them); an oversized table must fail
+    loudly at plan-build, not die on executors at scale."""
+    import pytest
+
+    from peskas_timor_data_pipeline_spark.operators.weights import (
+        estimate_weights_ll,
+    )
+
+    lw = spark.createDataFrame(
+        [("CLP", "s", "TL", 0.01 + i / 1000.0, 3.0) for i in range(20)],
+        "interagency_code string, Species string, Type string, a double, b double",
+    )
+    ll = spark.createDataFrame(
+        [], "interagency_code string, Species string, Length1 string, "
+            "Length2 string, aL double, bL double",
+    )
+    cdf = spark.createDataFrame(
+        [(1, "CLP", 10.0, "TL", 4)],
+        "row_id int, code string, length double, ltype string, n int",
+    )
+    with pytest.raises(ValueError, match="max_params_rows"):
+        estimate_weights_ll(
+            cdf, lw, ll, "code", "length", "ltype", "n", ["row_id"],
+            max_params_rows=10,
+        )
+    # at/below the bound the same call plans fine
+    out = estimate_weights_ll(
+        cdf, lw, ll, "code", "length", "ltype", "n", ["row_id"],
+        max_params_rows=20,
+    ).collect()
+    assert len(out) == 1 and out[0].n_candidates == 20
+
+
 def test_inverted_ll_params_roundtrip(spark):
     """The inverted reciprocal rows undo the base conversion exactly:
     FL->TL then TL->FL returns the original length."""

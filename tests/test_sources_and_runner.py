@@ -135,6 +135,45 @@ def test_sync_flags_reference_precedence(spark):
         sync_flags_frames(local.filter("submission_id <> 2"), remote).collect()
 
 
+def test_sync_flags_null_alert_pair_keeps_local_date(spark):
+    """The reference's case_when(alert.x == alert.y ~ flag_date.y, TRUE ~
+    flag_date.x) evaluates NA == NA to NA and falls through to the LOCAL
+    flag_date — a both-null alert pair must NOT keep the remote date
+    (eqNullSafe semantics would)."""
+    local = spark.createDataFrame(
+        [_flags_row(9, "2023-01-05", "2023-03-01", None)], FLAGS_DDL
+    )
+    remote = spark.createDataFrame(
+        [_flags_row(9, "2023-01-05", "2023-02-01", None, True, None, "c")],
+        FLAGS_DDL,
+    )
+    row = sync_flags_frames(local, remote).collect()[0]
+    assert str(row.flag_date) == "2023-03-01"  # local, not remote
+    assert row.validated is True  # remote decision still wins
+
+
+def test_read_sheet_api_truncates_long_rows(spark):
+    """The Sheets API can return stray cells beyond the header range; such
+    rows are truncated to the header width (short rows stay null-padded)
+    rather than failing createDataFrame with an opaque length error."""
+    from peskas_timor_data_pipeline_spark.sources.sheets import read_sheet
+
+    payload = {
+        "values": [
+            ["a", "b"],
+            ["1", "2", "STRAY"],
+            ["3"],
+        ]
+    }
+    df = read_sheet(
+        spark, "api", "sheet1", "flags", http=lambda url, params=None: payload
+    )
+    rows = df.collect()
+    assert df.columns == ["a", "b"]
+    assert (rows[0].a, rows[0].b) == ("1", "2")
+    assert (rows[1].a, rows[1].b) == ("3", None)
+
+
 def test_sheet_dir_roundtrip_and_flags_sync(spark, tmp_path):
     """S9/S10 end to end on the dir: transport: seed a remote flags tab,
     run the full read -> merge -> write-back workflow, re-read and assert
