@@ -39,6 +39,9 @@ _PRIORITY_R03 = (
     "mm4_audio_decode", "mm5_video_frame_sample",
     "w8_cumulative_distinct",
     "m4_poisson_glm", "m4_glmm", "m4zi_glmm",
+    # new in round 3 — no driver rows yet, keep inside the ~50-row window
+    "mm6_phash_neardup", "t17_mixture_sample", "t18_bigram_logprob",
+    "d8_cross_source_overlap", "e9_silhouette",
 )
 
 

@@ -1449,7 +1449,15 @@ def e8_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_codebook(emb, "vec_id", "embedding", k=16)
     enc = pq_encode(emb, "vec_id", "embedding", dim=DIM, m_sub=8, k=16)
     qs = emb.filter(F.col("vec_id") % 97 == 0)
-    return pq_adc_topk(qs, enc, cb, "vec_id", "embedding", dim=DIM, m_sub=8, k_top=3)
+    # prefilter=False: the fixture is thousands of candidates, far below
+    # the threshold pass's break-even (and `enc` here is an unpersisted
+    # aggregation lineage, which the prefilter's extra reads would re-run).
+    # The prefilter path is pinned by test_similarity_ivf (exactness vs the
+    # plain window) and test_plans (reduced-exchange shape).
+    return pq_adc_topk(
+        qs, enc, cb, "vec_id", "embedding", dim=DIM, m_sub=8, k_top=3,
+        prefilter=False,
+    )
 
 
 def _e8_sql() -> str:
@@ -1583,3 +1591,304 @@ FROM documents d LEFT JOIN per_doc USING (doc_id)
 """
 
 QUERIES["d7_repeated_grams"] = (d7_repeated_grams, D7_ORACLE)
+
+
+# --- MM6: image perceptual-hash near-dedup (dHash + banded hamming LSH) ---------------
+
+def mm6_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level near-dedup, end to end through REAL bytes: synthesize a
+    P6 PPM per document (every 10th doc re-renders doc_id-5's image — the
+    planted duplicates), dHash the decoded pixels (integer-exact 56-bit
+    difference hash, llm/multimodal.py::image_dhash), find near-dup
+    partners via banded hamming LSH + bit_count verify
+    (llm/dedup.py::hamming_neardup_pairs), and emit the per-image dedup
+    decision: partner count and whether the image survives
+    keep-smallest-id. The oracle recomputes hash, bands, and verify from
+    the generating formula, so a codec, sampling, bit-packing, or banding
+    bug breaks the hash."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    from peskas_timor_data_pipeline_spark.llm.dedup import hamming_neardup_pairs
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        encode_ppm,
+        image_dhash,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base = did - 5 if (did % 10 == 0 and did >= 5) else did
+                w, h = base % 13 + 1, base % 7 + 1
+                y, x, c = np.indices((h, w, 3))
+                px = ((base * base + 7 * base * x + 13 * y + c) % 256).astype(
+                    np.uint8
+                )
+                contents.append(encode_ppm(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    hashes = image_dhash(media, "doc_id", grid=8)
+    pairs = hamming_neardup_pairs(
+        hashes, "doc_id", "dhash", n_bits=56, n_bands=4, max_hamming=6
+    )
+    partners = pairs.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("partner")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("partner"))
+    )
+    per_doc = partners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_partners"),
+        F.min("partner").alias("__mp__"),
+    )
+    return (
+        hashes.select("doc_id", "dhash")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dhash",
+            F.coalesce("n_partners", F.lit(0)).alias("n_partners"),
+            F.when(
+                F.col("__mp__").isNull() | (F.col("__mp__") > F.col("doc_id")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        )
+    )
+
+
+def _mm6_sql() -> str:
+    grid, bands, width, maxham = 8, 4, 14, 6
+    # channel-sum luminance at nearest-neighbor sample points, from the
+    # generating formula (c contributes 0+1+2 with per-channel mod 256)
+    ssum = (
+        "((base * base + 7 * base * {x} + 13 * {y}) % 256"
+        " + (base * base + 7 * base * {x} + 13 * {y} + 1) % 256"
+        " + (base * base + 7 * base * {x} + 13 * {y} + 2) % 256)"
+    )
+    s0 = ssum.format(x="((j.j * w) // 8)", y="((i.i * h) // 8)")
+    s1 = ssum.format(x="(((j.j + 1) * w) // 8)", y="((i.i * h) // 8)")
+    band_vals = ", ".join(
+        f"(dhash >> {b * width}) & {(1 << width) - 1} AS band{b}"
+        for b in range(bands)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, dhash, {b} AS band_idx, band{b} AS band_val FROM hashed"
+        for b in range(bands)
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 AND doc_id >= 5 THEN doc_id - 5
+              ELSE doc_id END AS base
+  FROM documents
+), geo AS (
+  SELECT doc_id, base, base % 13 + 1 AS w, base % 7 + 1 AS h FROM dims
+), bits AS (
+  SELECT g.doc_id,
+         CASE WHEN {s1} > {s0} THEN CAST(1 AS BIGINT) << (i.i * 7 + j.j)
+              ELSE 0 END AS bit
+  FROM geo g,
+       (SELECT unnest(generate_series(0, {grid - 1})) AS i) i,
+       (SELECT unnest(generate_series(0, {grid - 2})) AS j) j
+), hashes AS (
+  SELECT doc_id, sum(bit) AS dhash FROM bits GROUP BY doc_id
+), hashed AS (
+  SELECT doc_id, dhash, {band_vals} FROM hashes
+), long AS (
+  {band_rows}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.dhash, b.dhash)) AS ham
+  FROM long a JOIN long b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {maxham}
+), partners AS (
+  SELECT id_a AS doc_id, id_b AS partner FROM pairs
+  UNION ALL
+  SELECT id_b AS doc_id, id_a AS partner FROM pairs
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_partners, min(partner) AS mp
+  FROM partners GROUP BY doc_id
+)
+SELECT h.doc_id, CAST(h.dhash AS BIGINT) AS dhash,
+       CAST(coalesce(p.n_partners, 0) AS BIGINT) AS n_partners,
+       CASE WHEN p.mp IS NULL OR p.mp > h.doc_id THEN 1 ELSE 0 END AS kept
+FROM hashes h LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+QUERIES["mm6_phash_neardup"] = (mm6_phash_neardup, _mm6_sql())
+
+
+# --- T17: designed-mixture resampling (domain reweighting) -----------------------------
+
+def t17_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain reweighting (llm/text.py::mixture_sample):
+    per-source quotas 3k+2 for srcK — small sources hit their quota, large
+    quotas clamp to the source size, and the 'random' draw is the md5
+    order both engines replay exactly."""
+    from peskas_timor_data_pipeline_spark.llm.text import mixture_sample
+
+    docs = load(spark, sf_dir, "documents")
+    targets = {f"src{k}": 3 * k + 2 for k in range(64)}
+    return mixture_sample(docs, "doc_id", "source", targets)
+
+
+T17_ORACLE = """
+SELECT doc_id, source, CAST(sample_rank AS INTEGER) AS sample_rank
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(concat('mix42#', CAST(doc_id AS VARCHAR))), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= 3 * CAST(substr(source, 4) AS INTEGER) + 2
+"""
+
+QUERIES["t17_mixture_sample"] = (t17_mixture_sample, T17_ORACLE)
+
+
+# --- T18: interpolated bigram log-probability (perplexity-filter proxy) ---------------
+
+def t18_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean interpolated bigram logprob under the corpus's own
+    counts (llm/text.py::bigram_logprob) — the order-aware upgrade of the
+    t15 unigram filter: word salad built from common words scores low
+    here."""
+    from peskas_timor_data_pipeline_spark.llm.text import bigram_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "doc_id", "text", lambda_interp=0.75)
+
+
+T18_ORACLE = """
+WITH prepped AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+  FROM documents
+), positions AS (
+  SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS pos FROM prepped
+), toks AS (
+  SELECT doc_id, pos, arr[pos] AS token FROM positions WHERE arr[pos] <> ''
+), bg AS (
+  SELECT doc_id, token,
+         lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM toks
+), uni AS (
+  SELECT token, count(*) AS c_w FROM toks GROUP BY token
+), total AS (SELECT count(*) AS t_total FROM toks),
+bi AS (
+  SELECT prev, token, count(*) AS c_bg FROM bg WHERE prev IS NOT NULL
+  GROUP BY prev, token
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(ln(
+         0.75 * bi.c_bg / pc.c_w + 0.25 * u.c_w / t.t_total
+       )), 6) AS mean_logp
+FROM bg b
+JOIN bi ON b.prev = bi.prev AND b.token = bi.token
+JOIN uni pc ON pc.token = b.prev
+JOIN uni u ON u.token = b.token
+CROSS JOIN total t
+WHERE b.prev IS NOT NULL
+GROUP BY b.doc_id
+"""
+
+QUERIES["t18_bigram_logprob"] = (t18_bigram_logprob, T18_ORACLE)
+
+
+# --- D8: cross-source exact-duplication matrix ----------------------------------------
+
+def d8_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication diagnostic (llm/dedup.py::
+    cross_source_overlap): shared distinct content fingerprints and the
+    overlap coefficient for every source pair, pair-complete. Fingerprint
+    = first-5-token prefix (the shared-template detector; full-text md5
+    catches only byte-exact duplication, which is zero across these
+    sources)."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import cross_source_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    return cross_source_overlap(docs, "doc_id", "text", "source", prefix_tokens=5)
+
+
+D8_ORACLE = """
+WITH hs AS (
+  SELECT DISTINCT
+         md5(array_to_string(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+')[1:5], ' ')) AS h,
+         source
+  FROM documents
+), sizes AS (
+  SELECT source, count(*) AS n FROM hs GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+       sa.n AS n_a, sb.n AS n_b,
+       round(coalesce(sh.n_shared, 0) / CAST(least(sa.n, sb.n) AS DOUBLE), 6)
+         AS overlap_coeff
+FROM sizes sa
+JOIN sizes sb ON sa.source < sb.source
+LEFT JOIN shared sh ON sh.source_a = sa.source AND sh.source_b = sb.source
+"""
+
+QUERIES["d8_cross_source_overlap"] = (d8_cross_source_overlap, D8_ORACLE)
+
+
+# --- E9: centroid-based silhouette (clustering QA) -------------------------------------
+
+def e9_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean centroid silhouette over the embeddings table
+    (llm/similarity.py::silhouette_by_centroid): one broadcast-centroid
+    scoring pass, conditional-min reduce, per-label mean."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        silhouette_by_centroid,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return silhouette_by_centroid(emb, "vec_id", "embedding", "label", dim=DIM)
+
+
+def _e9_sql() -> str:
+    return f"""
+WITH long AS (
+  SELECT label, g.i AS i, round(avg(embedding[g.i]), 6) AS m
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i) g
+  GROUP BY label, g.i
+), cents AS (
+  SELECT label AS clabel, list(m ORDER BY i) AS centroid
+  FROM long GROUP BY label
+), dists AS (
+  SELECT e.vec_id, e.label AS vlabel, c.clabel,
+         1.0 - ({_dot_sql('embedding', 'centroid')})
+             / (sqrt({_dot_sql('embedding', 'embedding')})
+                * sqrt({_dot_sql('centroid', 'centroid')})) AS dist
+  FROM embeddings e CROSS JOIN cents c
+), ab AS (
+  SELECT vec_id, vlabel,
+         min(CASE WHEN vlabel = clabel THEN dist END) AS a,
+         min(CASE WHEN vlabel <> clabel THEN dist END) AS b
+  FROM dists GROUP BY vec_id, vlabel
+)
+SELECT vlabel AS label, round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette,
+       count(*) AS n
+FROM ab GROUP BY vlabel
+"""
+
+
+QUERIES["e9_silhouette"] = (e9_silhouette, _e9_sql())

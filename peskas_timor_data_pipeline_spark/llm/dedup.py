@@ -359,3 +359,137 @@ def repeated_gram_share(
             ).alias("dup_share"),
         )
     )
+
+
+def hamming_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str = "dhash",
+    n_bits: int = 56,
+    n_bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs over a compact bit fingerprint (SimHash /
+    image dHash) via banded hamming LSH: split the ``n_bits`` hash into
+    ``n_bands`` contiguous bit bands, bucket-join ids sharing ANY exact
+    band, then verify candidates with the true hamming distance
+    (``bit_count(a XOR b)``). Pigeonhole guarantee: any pair within
+    ``n_bands - 1`` differing bits shares at least one identical band, so
+    recall is exact for distances < n_bands; beyond that it degrades
+    gracefully (the standard SimHash-dedup construction).
+
+    Scale shape: band bucketing is one narrow explode (n_bands rows per
+    id, each an int band value), candidates come from an equi-join on
+    (band index, band value) — never all-pairs — and the verify touches
+    candidates only. Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.shiftright(F.col(hash_col), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    ).alias("band")
+    long = hashes.select(id_col, hash_col, bands).select(
+        id_col, hash_col, "band.band_idx", "band.band_val"
+    )
+    a = long.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("__ha__"),
+        "band_idx", "band_val",
+    )
+    b = long.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("__hb__"),
+        "band_idx", "band_val",
+    )
+    cands = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha__", "__hb__")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    prefix_tokens: int | None = None,
+) -> DataFrame:
+    """Inter-source exact-duplication matrix — the dataset-curation
+    diagnostic run before mixing crawl dumps / snapshots: for every pair
+    of sources, how many distinct content fingerprints they share, and
+    the overlap coefficient |A ∩ B| / min(|A|, |B|).
+
+    Scale shape: content md5 per row (map-side), ONE distinct on (hash,
+    source), a hash-keyed self-join whose fan-out is bounded by the
+    number of sources carrying each hash (never all-pairs over rows), and
+    a pair-complete spine so absent overlap reports as 0 rather than a
+    missing row. Sources are dimension-scale; rows are not.
+
+    ``prefix_tokens``: fingerprint the first N tokens instead of the full
+    text — the leading-boilerplate / shared-template detector (full-text
+    md5 only catches byte-exact duplication).
+    """
+    if prefix_tokens is None:
+        fp = F.md5(F.lower(F.col(text_col)))
+    else:
+        fp = F.md5(
+            F.array_join(
+                F.slice(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    1,
+                    prefix_tokens,
+                ),
+                " ",
+            )
+        )
+    hs = (
+        df.select(fp.alias("__h__"), F.col(source_col).alias("__s__"))
+        .distinct()
+    )
+    sizes = hs.groupBy("__s__").agg(F.count(F.lit(1)).alias("__n__"))
+    a = hs.select(F.col("__h__"), F.col("__s__").alias("source_a"))
+    b = hs.select(F.col("__h__"), F.col("__s__").alias("source_b"))
+    shared = (
+        a.join(b, "__h__")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    srcs = sizes.select(F.col("__s__").alias("source_a"), F.col("__n__").alias("n_a"))
+    srcs_b = sizes.select(F.col("__s__").alias("source_b"), F.col("__n__").alias("n_b"))
+    spine = srcs.crossJoin(F.broadcast(srcs_b)).filter(
+        F.col("source_a") < F.col("source_b")
+    )
+    return (
+        spine.join(shared, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            "n_a",
+            "n_b",
+            F.round(
+                F.coalesce("n_shared", F.lit(0))
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("overlap_coeff"),
+        )
+    )

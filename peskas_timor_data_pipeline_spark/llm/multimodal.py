@@ -391,6 +391,57 @@ def decode_image_meta(
     return df.select(id_col, content_col).mapInPandas(extract, schema=out_schema)
 
 
+def image_dhash(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    grid: int = 8,
+) -> DataFrame:
+    """Difference hash (dHash) over decoded image bytes — the standard
+    cheap perceptual fingerprint for image near-dedup: sample the image to
+    a ``grid x grid`` luminance grid (nearest neighbor, integer index
+    arithmetic), then emit one bit per horizontal neighbor pair
+    (brighter-to-the-right = 1). ``grid=8`` gives 8 x 7 = 56 bits — inside
+    a signed 64-bit long.
+
+    Determinism: "luminance" is the integer CHANNEL SUM (no /3 division,
+    so no float rounding anywhere) and sampling uses floor(i*h/grid) —
+    every step is exact integer arithmetic an oracle can replay from the
+    generating formula.
+
+    Scale shape: one mapInPandas pass, numpy per Arrow batch; output is
+    (id, width, height, dhash) — 8 bytes of hash per image, the frame a
+    banded hamming join consumes (llm.dedup.hamming_neardup_pairs)."""
+    import numpy as np
+
+    out_schema = f"{id_col} long, width int, height int, dhash long"
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, hashes = [], [], []
+            for b in pdf[content_col]:
+                d = decode_image(b)
+                w, h = d["width"], d["height"]
+                g = d["pixels"].sum(axis=2, dtype=np.int64)  # channel sum
+                iy = (np.arange(grid) * h) // grid
+                ix = (np.arange(grid) * w) // grid
+                s = g[np.ix_(iy, ix)]
+                bits = (s[:, 1:] > s[:, :-1]).astype(np.int64).ravel()
+                hashes.append(int((bits << np.arange(grid * (grid - 1))).sum()))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": widths,
+                    "height": heights,
+                    "dhash": hashes,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(hash_batch, schema=out_schema)
+
+
 def extract_binary_meta(
     df: DataFrame, id_col: str, content_col: str = "content"
 ) -> DataFrame:

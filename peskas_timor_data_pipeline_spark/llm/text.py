@@ -278,3 +278,99 @@ def pack_sequences(
         return out
 
     return prepped.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    targets: dict[str, int],
+    salt: str = "mix42",
+) -> DataFrame:
+    """Deterministic mixture (re)sampling: draw at most ``targets[g]`` rows
+    from each group — the domain-reweighting step that turns raw crawl
+    proportions into a designed training mixture. The "random" draw is an
+    md5 order over (salt, id), identical on any engine, so the sampled set
+    reproduces bit-for-bit (the repo's seeded-draw discipline).
+
+    Scale shape: one rank window per group (the shuffle is by group; a
+    group's rank sort is the standard price of exact-count sampling —
+    for approximate quotas at extreme skew, a threshold prefilter over the
+    md5 key does the same job without the full sort, same trick as
+    pq_adc_topk). Groups absent from ``targets`` are dropped.
+
+    Returns the sampled rows (id, group, sample_rank).
+    """
+    from pyspark.sql.window import Window
+
+    tgt = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )[F.col(group_col)]
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return (
+        df.select(id_col, group_col)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.coalesce(tgt, F.lit(0)))
+        .select(id_col, group_col, "sample_rank")
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lambda_interp: float = 0.75,
+) -> DataFrame:
+    """Per-document mean interpolated bigram log-probability under the
+    corpus's own counts — the stronger stand-in for the LM-perplexity
+    quality filter (unigram ignores order; word salad with common words
+    fools it, bigrams don't):
+
+        p(w | prev) = λ · c(prev, w)/c(prev) + (1 − λ) · c(w)/T
+
+    Scale shape: ONE tokenize+posexplode, the previous token via a lag
+    window partitioned by document (bounded by doc length, no corpus-wide
+    sort), then bigram/unigram count tables built with map-side partial
+    aggregation and attached by equi-join — no broadcast hint, the vocab
+    can be millions of types at corpus scale so AQE picks the strategy.
+    Docs with fewer than 2 tokens drop (no bigram evidence).
+
+    Returns (id, n_bigrams, mean_logp).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        id_col,
+        F.posexplode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    bg = toks.withColumn("prev", F.lag("token").over(wd)).filter(
+        F.col("prev").isNotNull()
+    )
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_w"))
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("t_total"))
+    bi = bg.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c_bg"))
+    prev_c = uni.select(F.col("token").alias("prev"), F.col("c_w").alias("c_prev"))
+    lam = F.lit(float(lambda_interp))
+    scored = (
+        bg.join(bi, ["prev", "token"])
+        .join(prev_c, "prev")
+        .join(uni, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__lp__",
+            F.log(
+                lam * F.col("c_bg") / F.col("c_prev")
+                + (F.lit(1.0) - lam) * F.col("c_w") / F.col("t_total")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__lp__"), 6).alias("mean_logp"),
+    )

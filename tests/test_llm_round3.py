@@ -1,0 +1,164 @@
+"""Round-3 LLM-pipeline operators: image dHash + banded hamming dedup,
+mixture resampling, bigram logprob, cross-source overlap, silhouette.
+Each pinned against an independent hand/numpy computation."""
+
+from __future__ import annotations
+
+import math
+
+
+def _dhash_ref(px, grid=8):
+    """Independent numpy reference for the 56-bit dHash."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    g = px.sum(axis=2, dtype=np.int64)
+    iy = (np.arange(grid) * h) // grid
+    ix = (np.arange(grid) * w) // grid
+    s = g[np.ix_(iy, ix)]
+    bits = (s[:, 1:] > s[:, :-1]).astype(np.int64).ravel()
+    return int((bits << np.arange(grid * (grid - 1))).sum())
+
+
+def test_image_dhash_exact_and_invariance(spark):
+    """dHash equals the independent reference; re-encoding the same pixels
+    hashes identically; a brightness-shifted copy (monotone transform)
+    keeps the hash (dHash's point), and a transposed image does not."""
+    import numpy as np
+
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        encode_ppm,
+        image_dhash,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 200, size=(11, 13, 3)).astype(np.uint8)
+    brighter = np.clip(base.astype(int) + 40, 0, 255).astype(np.uint8)
+    rows = [
+        (0, bytearray(encode_ppm(base))),
+        (1, bytearray(encode_ppm(base))),
+        (2, bytearray(encode_ppm(brighter))),
+        (3, bytearray(encode_ppm(base.transpose(1, 0, 2)))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r.dhash for r in image_dhash(df, "doc_id").collect()}
+    assert got[0] == _dhash_ref(base)
+    assert got[0] == got[1]
+    assert got[2] == got[0]  # uniform brightness shift preserves ordering
+    assert got[3] != got[0]
+
+
+def test_hamming_neardup_pigeonhole_recall(spark):
+    """Any pair within n_bands - 1 differing bits shares a band and must be
+    found; a pair differing in every band with distance > max_hamming must
+    not appear."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import hamming_neardup_pairs
+
+    a = 0x00FF00FF00FF00
+    rows = [
+        (1, a),
+        (2, a ^ 0b111),            # hamming 3 < n_bands=4: guaranteed found
+        (3, a ^ ((1 << 1) | (1 << 15) | (1 << 29) | (1 << 43))),  # 4 bits,
+        # one per band: no shared band -> legitimately missable; distance 4
+        (4, (~a) & ((1 << 56) - 1)),  # hamming 56: must never pass verify
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dhash long")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_neardup_pairs(
+            df, "doc_id", "dhash", n_bits=56, n_bands=4, max_hamming=6
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 3
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    assert (1, 3) not in pairs  # differs in all 4 bands -> no bucket
+
+
+def test_mixture_sample_quotas_and_determinism(spark):
+    from peskas_timor_data_pipeline_spark.llm.text import mixture_sample
+
+    rows = [(i, "a" if i < 30 else "b") for i in range(40)] + [(99, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out1 = mixture_sample(df, "doc_id", "src", {"a": 5, "b": 100}).collect()
+    out2 = mixture_sample(df, "doc_id", "src", {"a": 5, "b": 100}).collect()
+    by_src: dict = {}
+    for r in out1:
+        by_src.setdefault(r.src, []).append(r.doc_id)
+    assert len(by_src["a"]) == 5          # quota met
+    assert len(by_src["b"]) == 10         # clamped to group size
+    assert "c" not in by_src              # absent from targets -> dropped
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Two docs, tiny vocabulary: every count is hand-checkable."""
+    from peskas_timor_data_pipeline_spark.llm.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a")], "doc_id long, text string"
+    )
+    # corpus: tokens = [a b a b a a]; T=6; c(a)=4 c(b)=2
+    # bigrams: doc1: (a,b)x2 (b,a)x1; doc2: (a,a)x1
+    # c(a,b)=2 c(b,a)=1 c(a,a)=1
+    lam = 0.75
+    p_ab = lam * 2 / 4 + (1 - lam) * 2 / 6
+    p_ba = lam * 1 / 2 + (1 - lam) * 4 / 6
+    p_aa = lam * 1 / 4 + (1 - lam) * 4 / 6
+    want1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    want2 = math.log(p_aa)
+    got = {r.doc_id: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+    assert got[1].n_bigrams == 3 and got[2].n_bigrams == 1
+    assert math.isclose(got[1].mean_logp, round(want1, 6), abs_tol=1e-6)
+    assert math.isclose(got[2].mean_logp, round(want2, 6), abs_tol=1e-6)
+
+
+def test_cross_source_overlap_counts(spark):
+    from peskas_timor_data_pipeline_spark.llm.dedup import cross_source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared one", "s1"),
+            (2, "shared one", "s2"),   # cross-source dup
+            (3, "only in s1", "s1"),
+            (4, "only in s2", "s2"),
+            (5, "SHARED ONE", "s3"),   # case-folds to the same fingerprint
+        ],
+        "doc_id long, text string, src string",
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in cross_source_overlap(df, "doc_id", "text", "src").collect()
+    }
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    assert out[("s1", "s2")].n_shared == 1
+    assert out[("s1", "s3")].n_shared == 1 and out[("s2", "s3")].n_shared == 1
+    assert out[("s1", "s2")].n_a == 2 and out[("s1", "s2")].n_b == 2
+    assert math.isclose(out[("s2", "s3")].overlap_coeff, 1.0)  # 1 / min(2,1)
+
+
+def test_silhouette_separated_vs_mislabeled(spark):
+    """Two tight, orthogonal clusters: mean silhouette near 1. Flip one
+    point's label and that label's mean drops below the clean one."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        silhouette_by_centroid,
+    )
+
+    dim = 8
+    def vec(axis, eps, i):
+        v = [0.001 * ((i * 7 + j) % 5) for j in range(dim)]
+        v[axis] = 1.0 + eps
+        return v
+
+    rows = [(i, vec(0, 0.01 * i, i), 0) for i in range(5)] + [
+        (10 + i, vec(3, 0.01 * i, i), 1) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    clean = {r.label: r.mean_silhouette
+             for r in silhouette_by_centroid(df, "vec_id", "embedding", "label", dim=dim).collect()}
+    assert clean[0] > 0.8 and clean[1] > 0.8
+
+    flipped = [(i, v, (1 if i == 0 else l)) for (i, v, l) in rows]
+    df2 = spark.createDataFrame(flipped, "vec_id long, embedding array<double>, label int")
+    noisy = {r.label: r.mean_silhouette
+             for r in silhouette_by_centroid(df2, "vec_id", "embedding", "label", dim=dim).collect()}
+    assert noisy[1] < clean[1]

@@ -260,14 +260,29 @@ def test_pq_encode_broadcast_codebook_partial_argmin(spark, sf_dir):
 
 
 def test_pq_adc_prefilter_reduces_exchange(spark, sf_dir):
-    """e8: the top-k must NOT rank the full candidates x queries frame
-    through one global window. The threshold sketch partial-aggregates
-    map-side (partial_percentile_approx = bounded buffers BEFORE the
-    exchange), the per-query thresholds come back via broadcast, and the
-    per-query distance maps stay broadcast — no shuffle join anywhere."""
-    from peskas_timor_data_pipeline_spark.harness.llm_q import e8_pq_adc_topk
+    """e8's scale path (prefilter forced on): the top-k must NOT rank the
+    full candidates x queries frame through one global window. The
+    threshold sketch partial-aggregates map-side
+    (partial_percentile_approx = bounded buffers BEFORE the exchange), the
+    per-query thresholds come back via broadcast, and the per-query
+    distance maps stay broadcast — no shuffle join anywhere."""
+    from pyspark.sql import functions as F
 
-    p = plan_str(e8_pq_adc_topk(spark, sf_dir))
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_codebook(emb, "vec_id", "embedding", k=16)
+    enc = pq_encode(emb, "vec_id", "embedding", dim=64, m_sub=8, k=16)
+    qs = emb.filter(F.col("vec_id") % 97 == 0)
+    df = pq_adc_topk(
+        qs, enc, cb, "vec_id", "embedding", dim=64, m_sub=8, k_top=3,
+        prefilter=True,
+    )
+    p = plan_str(df)
     assert "partial_percentile_approx" in p
     assert "BroadcastHashJoin" in p  # threshold join back
     assert "BroadcastNestedLoopJoin" in p  # broadcast distance maps

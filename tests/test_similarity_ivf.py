@@ -110,3 +110,29 @@ def test_pq_adc_self_distance_equals_recon_err(spark):
     member = min(k for k, v in recon.items() if abs(v) < 1e-12)
     top1 = [r for r in by_q[member].values() if r.rank == 1][0]
     assert top1.adc_dist == 0.0
+
+
+def test_pq_adc_prefilter_exact_vs_plain_window(spark):
+    """The threshold prefilter is a guaranteed superset of the true top-k:
+    forcing it on must reproduce the plain-window result row for row
+    (ranks, ids, distances) on a frame well below the auto threshold."""
+    import numpy as np
+
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.uniform(-1, 1, 16).round(3).tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_codebook(df, "vec_id", "embedding", k=8)
+    enc = pq_encode(df, "vec_id", "embedding", dim=16, m_sub=4, k=8).cache()
+    qs = df.filter("vec_id % 37 = 0")
+    kwargs = dict(id_col="vec_id", vec_col="embedding", dim=16, m_sub=4, k_top=5)
+    plain = pq_adc_topk(qs, enc, cb, **kwargs, prefilter=False).collect()
+    pre = pq_adc_topk(qs, enc, cb, **kwargs, prefilter=True).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, pre))
+    assert len({key(r) for r in pre}) == len(pre)
