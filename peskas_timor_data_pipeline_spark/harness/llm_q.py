@@ -1892,3 +1892,52 @@ FROM ab GROUP BY vlabel
 
 
 QUERIES["e9_silhouette"] = (e9_silhouette, _e9_sql())
+
+
+# --- D9: corpus-level exact segment dedup (the writer) ----------------------------------
+
+def d9_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at fixed 10-word-segment granularity: only the
+    globally first occurrence of each segment survives; documents are
+    reassembled from their surviving segments. Hash of the rebuilt text is
+    compared so a segmentation, ordering, or survivor-choice bug breaks the
+    oracle match."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import segment_dedup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = segment_dedup(docs, "doc_id", "text", seg_words=10)
+    return out.select(
+        "doc_id",
+        "n_segs",
+        "n_kept",
+        "kept_ratio",
+        F.md5("rebuilt").alias("rebuilt_hash"),
+    )
+
+
+D9_ORACLE = """
+WITH arr AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
+), words AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, ws[u.i] AS word
+  FROM arr, unnest(generate_series(1, len(ws))) AS u(i)
+), segs AS (
+  SELECT doc_id, CAST((i - 1) // 10 AS INTEGER) AS pos,
+         string_agg(word, ' ' ORDER BY i) AS seg
+  FROM words GROUP BY doc_id, (i - 1) // 10
+), marked AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS kept_ratio,
+       md5(coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (rn = 1), ''))
+           AS rebuilt_hash
+FROM marked GROUP BY doc_id
+"""
+
+QUERIES["d9_segment_dedup"] = (d9_segment_dedup, D9_ORACLE)

@@ -493,3 +493,75 @@ def cross_source_overlap(
             ).alias("overlap_coeff"),
         )
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 10,
+) -> DataFrame:
+    """Corpus-level exact segment dedup — the WRITER-side relative of
+    ``repeated_gram_share`` (which only scores): split every document into
+    consecutive ``seg_words``-word segments, keep only the globally FIRST
+    occurrence of each distinct segment (ordered by (id, position)), and
+    reassemble each document from its surviving segments. This is exact
+    substring dedup at fixed-window granularity (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") — the pass
+    that actually removes boilerplate/templated spans from the training
+    corpus rather than just flagging carrier documents.
+
+    Scale shape: segmentation is shuffle-free (split + slice inside one
+    projection, then a posexplode in the same stage); the first-occurrence
+    decision is ONE ``min(struct(id, pos))`` aggregation keyed by the
+    segment text — partial-aggregated map-side, so the shuffle carries one
+    (segment, min-claim) row per partition — rejoined on the same segment
+    key (AQE co-partitions the two sides, and a viral segment costs one
+    hot reduce key, never a pairwise expansion); the rebuild is one
+    groupBy on the id. Nothing pairwise, no corpus-wide windows.
+
+    Returns (id, n_segs, n_kept, kept_ratio, rebuilt) — ``rebuilt`` is the
+    text with every previously-seen segment dropped ('' if nothing
+    survives).
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    n = F.size(words)
+    seg_arr = F.when(n <= 0, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(n / F.lit(seg_words)).cast("int") - 1),
+            lambda p: F.array_join(
+                F.slice(words, p * seg_words + 1, seg_words), " "
+            ),
+        )
+    )
+    segs = _spread(df).select(
+        F.col(id_col), F.posexplode(seg_arr).alias("pos", "seg")
+    )
+    firsts = segs.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first__")
+    )
+    marked = segs.join(firsts, "seg").withColumn(
+        "__keep__",
+        (F.col(id_col) == F.col(f"__first__.{id_col}"))
+        & (F.col("pos") == F.col("__first__.pos")),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(F.col("__keep__"), 1).otherwise(0)).alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("__keep__"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("kept_ratio"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep__"), F.struct("pos", "seg"))
+                    )
+                ),
+                lambda s: s.seg,
+            ),
+            " ",
+        ).alias("rebuilt"),
+    )

@@ -162,3 +162,28 @@ def test_silhouette_separated_vs_mislabeled(spark):
     noisy = {r.label: r.mean_silhouette
              for r in silhouette_by_centroid(df2, "vec_id", "embedding", "label", dim=dim).collect()}
     assert noisy[1] < clean[1]
+
+
+def test_segment_dedup_first_occurrence_and_rebuild(spark):
+    """A segment copied into a later document survives only at its first
+    (doc, pos) occurrence; unique segments all survive; a fully-duplicated
+    document rebuilds to ''. Segments are 2 words here to keep the example
+    hand-checkable."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import segment_dedup
+
+    rows = [
+        (1, "a b c d"),          # segs: "a b", "c d" — both first
+        (2, "a b x y"),          # "a b" seen (doc1 pos0) -> only "x y" kept
+        (3, "a b c d"),          # both segs seen -> rebuilt ''
+        (4, "z z z"),            # segs: "z z", "z" — both first
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in segment_dedup(df, "doc_id", "text", seg_words=2).collect()
+    }
+    assert (got[1].n_segs, got[1].n_kept, got[1].rebuilt) == (2, 2, "a b c d")
+    assert (got[2].n_segs, got[2].n_kept, got[2].rebuilt) == (2, 1, "x y")
+    assert (got[3].n_segs, got[3].n_kept, got[3].rebuilt) == (2, 0, "")
+    assert (got[4].n_segs, got[4].n_kept, got[4].rebuilt) == (2, 2, "z z z")
+    assert abs(got[2].kept_ratio - 0.5) < 1e-9
