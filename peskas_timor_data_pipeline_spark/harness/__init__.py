@@ -42,7 +42,7 @@ _PRIORITY_R03 = (
     # new in round 3 — no driver rows yet, keep inside the ~50-row window
     "mm6_phash_neardup", "t17_mixture_sample", "t18_bigram_logprob",
     "d8_cross_source_overlap", "e9_silhouette",
-    "d9_segment_dedup",
+    "d9_segment_dedup", "t19_quality_buckets", "e10_ann_recall",
 )
 
 

@@ -1941,3 +1941,154 @@ FROM marked GROUP BY doc_id
 """
 
 QUERIES["d9_segment_dedup"] = (d9_segment_dedup, D9_ORACLE)
+
+
+# --- T19: CCNet-style per-source quality tiers ------------------------------------------
+
+def t19_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail tiers per source by integer common-token mass (the
+    CCNet bucket step with an engine-exact score). Aggregated per
+    (source, bucket) so the hash pins every document's tier assignment
+    through the counts and the integer score sums."""
+    from peskas_timor_data_pipeline_spark.llm.text import quality_buckets
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out = quality_buckets(docs, "doc_id", "text", "source")
+    return out.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score").alias("sum_score"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+
+
+T19_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, source, tok FROM toks WHERE tok <> ''
+), freq AS (
+  SELECT tok, count(*) AS f FROM nonempty GROUP BY tok
+), scored AS (
+  SELECT n.doc_id, n.source, CAST(sum(f.f) AS BIGINT) AS score
+  FROM nonempty n JOIN freq f USING (tok)
+  GROUP BY n.doc_id, n.source
+), base AS (
+  SELECT d.doc_id, d.source, coalesce(s.score, 0) AS score
+  FROM documents d LEFT JOIN scored s
+    ON d.doc_id = s.doc_id AND d.source = s.source
+), ranked AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM base
+), tiers AS (
+  SELECT source, score,
+         CASE WHEN rn <= 0.3 * n THEN 'head'
+              WHEN rn <= 0.7 * n THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM ranked
+)
+SELECT source, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(score) AS BIGINT) AS sum_score,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score
+FROM tiers GROUP BY source, bucket
+"""
+
+QUERIES["t19_quality_buckets"] = (t19_quality_buckets, T19_ORACLE)
+
+
+# --- E10: ANN recall@k evaluation (IVF vs exact) ----------------------------------------
+
+def e10_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index (16 cells, 4 probes) against exact
+    brute-force cosine — the eval loop run after every index-parameter
+    change. Exercises both search paths end-to-end plus the recall join."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        topk_recall,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    candidates = emb.filter(F.col("vec_id") >= 20)
+    exact = cosine_topk_bruteforce(
+        queries, candidates, "vec_id", "embedding", k=5, dim=DIM
+    )
+    approx = cosine_topk_ivf(
+        queries, candidates, "vec_id", "embedding",
+        k=5, dim=DIM, n_cells=16, n_probe=4,
+    )
+    return topk_recall(exact, approx)
+
+
+E10_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 20),
+exact_scored AS (
+  SELECT query_id, cand_id,
+         ({_dot_sql('qv', 'cv')})
+         / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
+  FROM q CROSS JOIN c
+),
+exact_ranked AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM exact_scored
+),
+exact_k AS (SELECT query_id, cand_id FROM exact_ranked WHERE rank <= 5),
+cents AS (
+  SELECT vec_id AS cell_id, embedding AS cvec
+  FROM embeddings WHERE vec_id >= 20
+  ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+),
+assign AS (
+  SELECT cand_id, cell_id, cv,
+         row_number() OVER (
+           PARTITION BY cand_id
+           ORDER BY ({_dot_sql('cv', 'cvec')})
+                    / (sqrt({_dot_sql('cv', 'cv')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
+                    cell_id
+         ) AS rn
+  FROM c CROSS JOIN cents
+),
+inv AS (SELECT cell_id, cand_id, cv FROM assign WHERE rn = 1),
+probe AS (
+  SELECT query_id, qv, cell_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY ({_dot_sql('qv', 'cvec')})
+                    / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
+                    cell_id
+         ) AS rn
+  FROM q CROSS JOIN cents
+),
+probes AS (SELECT query_id, qv, cell_id FROM probe WHERE rn <= 4),
+approx_scored AS (
+  SELECT query_id, cand_id,
+         ({_dot_sql('qv', 'cv')})
+         / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
+  FROM probes JOIN inv USING (cell_id)
+),
+approx_ranked AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM approx_scored
+),
+approx_k AS (SELECT query_id, cand_id, 1 AS hit FROM approx_ranked WHERE rank <= 5)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_hits,
+       round(sum(coalesce(a.hit, 0)) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact_k e LEFT JOIN approx_k a USING (query_id, cand_id)
+GROUP BY e.query_id
+"""
+
+QUERIES["e10_ann_recall"] = (e10_ann_recall, E10_ORACLE)

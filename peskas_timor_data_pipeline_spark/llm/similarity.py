@@ -595,3 +595,38 @@ def silhouette_by_centroid(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k against the exact top-k — the
+    standard ANN quality gauge (FAISS-style recall curves): per query, the
+    fraction of true neighbors the approximate index returned. Run it on a
+    held-out query sample whenever an index parameter changes (n_probe,
+    LSH bits, PQ codebook size); the recall/latency pair is the tuning
+    loop.
+
+    Both inputs are (query, cand[, ...]) top-k frames — k rows per query,
+    so corpus-scale never reaches this operator; the join is co-keyed on
+    (query, cand) and the aggregation partial. Denominator = the EXACT
+    list size, so truncated approximate lists lose recall rather than
+    silently shrinking the target set.
+
+    Returns (query, n_exact, n_hits, recall).
+    """
+    e = exact.select(query_col, cand_col)
+    a = approx.select(query_col, cand_col).withColumn("__hit__", F.lit(1))
+    joined = e.join(a, [query_col, cand_col], "left")
+    return joined.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce("__hit__", F.lit(0))).alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce("__hit__", F.lit(0)))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("recall"),
+    )

@@ -374,3 +374,64 @@ def bigram_logprob(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("__lp__"), 6).alias("mean_logp"),
     )
+
+
+def quality_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    head: float = 0.3,
+    middle: float = 0.7,
+) -> DataFrame:
+    """CCNet-style per-group quality tiers (Wenzek et al. 2020 bucket the
+    crawl into head/middle/tail thirds by language-model perplexity; the
+    head trains the model, the tail gets dropped). The score here is the
+    integer common-token mass — the sum over a document's tokens of each
+    token's corpus-wide frequency — a monotone stand-in for "how typical is
+    this document" that stays INTEGER-exact, so ranks can never flip on
+    float summation order between engines.
+
+    Tiering is by per-group rank: the top ``head`` fraction (ties broken
+    by id) is 'head', through ``middle`` is 'middle', the rest 'tail'.
+
+    Scale shape: the token frequency table is one groupBy on the token
+    (partial-aggregated); scoring joins the token long-frame back on the
+    same token key — two shuffles on a vocab-bounded key, never pairwise.
+    The rank is a window partitioned by group, i.e. a per-group sort: fine
+    while groups (crawl dumps, sources) are few and large; for extreme
+    group cardinality-with-skew, swap the rank for value thresholds from
+    exact/approx score percentiles — bucket semantics then follow score
+    values instead of rank positions.
+
+    Returns (id, group, score, bucket).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__tok__"),
+    ).filter(F.col("__tok__") != "")
+    freq = toks.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__freq__"))
+    scored = (
+        toks.join(freq, "__tok__")
+        .groupBy(id_col, group_col)
+        .agg(F.sum("__freq__").alias("score"))
+    )
+    # left join back so token-less documents still land in 'tail' with 0
+    base = df.select(id_col, group_col).join(scored, [id_col, group_col], "left")
+    base = base.withColumn("score", F.coalesce("score", F.lit(0)))
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc(id_col))
+    wn = Window.partitionBy(group_col)
+    ranked = base.withColumn("__rn__", F.row_number().over(w)).withColumn(
+        "__n__", F.count(F.lit(1)).over(wn)
+    )
+    bucket = (
+        F.when(F.col("__rn__") <= F.lit(float(head)) * F.col("__n__"), "head")
+        .when(F.col("__rn__") <= F.lit(float(middle)) * F.col("__n__"), "middle")
+        .otherwise("tail")
+    )
+    return ranked.select(
+        id_col, group_col, "score", bucket.alias("bucket")
+    )

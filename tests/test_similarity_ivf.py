@@ -136,3 +136,23 @@ def test_pq_adc_prefilter_exact_vs_plain_window(spark):
     key = lambda r: (r.query_id, r.rank)
     assert sorted(map(tuple, plain)) == sorted(map(tuple, pre))
     assert len({key(r) for r in pre}) == len(pre)
+
+
+def test_topk_recall_counts_hits_per_query(spark):
+    """Perfect agreement -> recall 1; disjoint lists -> 0; partial overlap
+    counts hits against the EXACT list size, so a truncated approximate
+    list can only lose recall."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "query_id long, cand_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 99), (2, 20), (3, 98)],
+        "query_id long, cand_id long",
+    )
+    got = {r.query_id: r for r in topk_recall(exact, approx).collect()}
+    assert (got[1].n_exact, got[1].n_hits, got[1].recall) == (2, 2, 1.0)
+    assert (got[2].n_exact, got[2].n_hits, got[2].recall) == (2, 1, 0.5)
+    assert (got[3].n_exact, got[3].n_hits, got[3].recall) == (1, 0, 0.0)

@@ -95,3 +95,27 @@ def test_repeated_gram_share_flags_boilerplate(spark):
     assert out[1].dup_share > 0.2 and out[2].dup_share > 0.2
     assert out[3].n_shared == 0 and out[3].dup_share == 0.0
     assert out[4].n_grams == 0 and out[4].dup_share == 0.0
+
+
+def test_quality_buckets_rank_tiers(spark):
+    """Documents made of frequent tokens rank head; rare-token documents
+    tail; tier boundaries follow the 30/70 rank fractions with id
+    tie-breaks; a group is tiered independently of other groups."""
+    from peskas_timor_data_pipeline_spark.llm.text import quality_buckets
+
+    # 'the' appears 16x corpus-wide, rare tokens once each
+    rows = [
+        (1, "the the the the", "s1"),   # score 4*16 = 64
+        (2, "the the rare1", "s1"),     # 2*16 + 1 = 33
+        (3, "rare2 rare3", "s1"),       # 2
+        (4, "the the the the the the", "s2"),  # 96
+        (5, "rare4", "s2"),             # 1
+        (6, "the the the the rare5", "s2"),    # 65
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r for r in quality_buckets(
+        df, "doc_id", "text", "source").collect()}
+    # s1: ranks 1,2,3 of n=3 -> rn<=0.9 head only rn=0? 0.3*3=0.9 -> no head
+    assert [got[i].bucket for i in (1, 2, 3)] == ["middle", "middle", "tail"]
+    assert [got[i].bucket for i in (4, 6, 5)] == ["middle", "middle", "tail"]
+    assert got[1].score == 64 and got[5].score == 1
