@@ -2092,3 +2092,122 @@ GROUP BY e.query_id
 """
 
 QUERIES["e10_ann_recall"] = (e10_ann_recall, E10_ORACLE)
+
+
+# --- E11: SemDeDup (centroid-blocked semantic dedup) ------------------------------------
+
+def e11_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup with cluster blocking: assign to 16 seeded centroids,
+    compare cosine within cells only, mark vectors with a higher-similarity
+    smaller-id cell-mate as duplicates. Hash pins every assignment AND
+    every keep/drop decision."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        centroid_blocked_near_dup,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return centroid_blocked_near_dup(
+        emb, "vec_id", "embedding", threshold=0.9, dim=DIM, n_cells=16
+    )
+
+
+E11_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cvec
+  FROM embeddings
+  ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+),
+v AS (SELECT vec_id, embedding AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cell_id, v,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY ({_dot_sql('v', 'cvec')})
+                    / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
+                    cell_id
+         ) AS rn
+  FROM v CROSS JOIN cents
+),
+cells AS (SELECT vec_id, cell_id, v FROM assign WHERE rn = 1),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE ({_dot_sql('a.v', 'b.v')})
+        / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})) >= 0.9
+)
+SELECT c.vec_id, c.cell_id, coalesce(d.vec_id IS NOT NULL, FALSE) AS is_dup
+FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id
+"""
+
+QUERIES["e11_semdedup"] = (e11_semdedup, E11_ORACLE)
+
+
+# --- MM7: silence-run detection over decoded PCM ----------------------------------------
+
+def mm7_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the mm4 WAVs (n = (doc_id%50+1)*80 samples, sample[i] =
+    ((doc_id+i)%256-128)*100), decode the actual bytes, and report silence
+    runs under |amplitude| < 1000 raw (1000/32768 normalized — dyadic, so
+    the comparison is engine-exact). The oracle replays runs from the
+    generating formula with gaps-and-islands SQL, so a decode, threshold,
+    or run-boundary bug breaks the hash."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        audio_silence_stats,
+        encode_wav,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for did in pdf["doc_id"]:
+                n = (int(did) % 50 + 1) * 80
+                i = np.arange(n)
+                sig = (((int(did) + i) % 256 - 128) * 100).astype("<i2")
+                contents.append(encode_wav(sig, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    return audio_silence_stats(
+        media, "doc_id", threshold=1000 / 32768, min_run=5
+    )
+
+
+MM7_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, (doc_id % 50 + 1) * 80 AS n FROM documents
+), flat AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM dims
+), sil AS (
+  SELECT doc_id, i FROM flat
+  WHERE abs(((doc_id + i) % 256 - 128) * 100) < 1000
+), islands AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM sil
+), runs AS (
+  SELECT doc_id, grp, count(*) AS len, min(i) AS start_i, max(i) AS end_i
+  FROM islands GROUP BY doc_id, grp
+)
+SELECT d.doc_id,
+       CAST(d.n AS BIGINT) AS n_samples,
+       CAST(coalesce(sum(r.len), 0) AS BIGINT) AS n_silent,
+       CAST(coalesce(sum(CASE WHEN r.len >= 5 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_runs,
+       CAST(coalesce(max(r.len), 0) AS BIGINT) AS longest_run,
+       CAST(coalesce(max(CASE WHEN r.start_i = 0 THEN r.len END), 0) AS BIGINT)
+           AS lead_trim,
+       CAST(coalesce(max(CASE WHEN r.end_i = d.n - 1 THEN r.len END), 0) AS BIGINT)
+           AS trail_trim
+FROM dims d LEFT JOIN runs r ON d.doc_id = r.doc_id
+GROUP BY d.doc_id, d.n
+"""
+
+QUERIES["mm7_silence_runs"] = (mm7_silence_runs, MM7_ORACLE)

@@ -521,3 +521,68 @@ def frame_sample_plan(
             )
         ),
     )
+
+
+def audio_silence_stats(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    threshold: float = 1000 / 32768,
+    min_run: int = 5,
+) -> DataFrame:
+    """Silence-run analysis over REAL decoded PCM — the VAD-style primitive
+    behind silence trimming and speech segmentation in audio-training
+    pipelines: per clip, the silent-sample count, the number of silent runs
+    at least ``min_run`` samples long, the longest run, and the
+    leading/trailing run lengths (the trim offsets an edit pass would cut).
+    ``threshold`` is in normalized [-1, 1) amplitude; the default is the
+    dyadic 1000/32768, exactly representable so comparisons can never
+    straddle an engine-specific rounding.
+
+    Scale shape: mapInPandas over Arrow batches, one pass per clip, output
+    one narrow row per clip — the decode is embarrassingly parallel and
+    nothing shuffles (the pattern shared by all mm decode operators).
+    """
+    import numpy as np
+
+    out_schema = (
+        f"{id_col} long, n_samples long, n_silent long, n_runs long, "
+        "longest_run long, lead_trim long, trail_trim long"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[content_col]):
+                s = decode_audio(bytes(b))["samples"]
+                m = np.abs(s) < threshold
+                n_silent = int(m.sum())
+                if n_silent == 0:
+                    rows.append((did, len(s), 0, 0, 0, 0, 0))
+                    continue
+                d = np.diff(m.astype(np.int8))
+                starts = np.where(d == 1)[0] + 1
+                ends = np.where(d == -1)[0] + 1
+                if m[0]:
+                    starts = np.r_[0, starts]
+                if m[-1]:
+                    ends = np.r_[ends, len(m)]
+                lens = ends - starts
+                rows.append((
+                    did,
+                    len(s),
+                    n_silent,
+                    int((lens >= min_run).sum()),
+                    int(lens.max()),
+                    int(lens[0]) if m[0] else 0,
+                    int(lens[-1]) if m[-1] else 0,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_samples", "n_silent", "n_runs",
+                    "longest_run", "lead_trim", "trail_trim",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(extract, schema=out_schema)

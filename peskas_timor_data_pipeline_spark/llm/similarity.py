@@ -630,3 +630,78 @@ def topk_recall(
             6,
         ).alias("recall"),
     )
+
+
+def centroid_blocked_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_cells: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): block by cluster
+    membership instead of an LSH code — assign every vector to its nearest
+    of ``n_cells`` seeded centroids, compare cosine only WITHIN a cell,
+    and mark every vector that has a cell-mate above ``threshold`` with a
+    smaller id as a duplicate (the keeper is the smallest id of each
+    near-dup neighborhood). The complementary scale path to
+    ``embedding_near_dup_pairs``: hyperplane LSH buckets split true
+    neighborhoods across codes, while cluster blocking follows the data's
+    own density — recall for semantic (non-near-identical) duplicates is
+    higher at the same compare budget.
+
+    Scale shape: assignment is one broadcast ×n_cells comparison + argmax
+    (row_number over a per-row n_cells frame); the pairwise compare is
+    cell-keyed self-join fan-out bounded by the cell population, never the
+    corpus; the keep decision is one bool_or aggregation per id. At 100 TB
+    pick n_cells ~ sqrt(N) (k-means-refined centroids slot in directly —
+    ``kmeans_refine`` shares the seeded init) so cells stay executor-sized;
+    a pathological cell would show up as one hot shuffle key, the standard
+    AQE skew-join case.
+
+    Returns (id, cell_id, is_dup) — filter ``~is_dup`` to keep survivors.
+    """
+    cents = F.broadcast(ivf_centroids(df, id_col, vec_col, n_cells, dim))
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        norm_expr(vec_col, dim).alias("n"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cell_id"))
+    assigned = (
+        v.crossJoin(cents)
+        .withColumn(
+            "cos_c", dot_expr("v", "cvec", dim) / (F.col("n") * F.col("cnorm"))
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", "n", "cell_id")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "cell_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "cell_id",
+    )
+    dup_ids = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", dot_expr("va", "vb", dim) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup__", F.lit(True))
+    )
+    return (
+        assigned.join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            "cell_id",
+            F.coalesce("__dup__", F.lit(False)).alias("is_dup"),
+        )
+    )

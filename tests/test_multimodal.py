@@ -236,3 +236,36 @@ def test_decode_image_meta_quarantine_mode(spark):
     assert out[3].width is None and "truncated PPM" in out[3].decode_error
     with pytest.raises(Exception):
         decode_image_meta(df, "media_id").collect()  # default raises
+
+
+def test_audio_silence_stats_runs_and_trims(spark):
+    """Hand-built signals: leading silence, an interior run shorter than
+    min_run (counted silent but not as a run), trailing silence, and an
+    all-loud clip."""
+    import numpy as np
+
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        audio_silence_stats,
+        encode_wav,
+    )
+
+    loud, quiet = 5000, 0
+    def sig(pattern):
+        return np.array(
+            [quiet if c == "s" else loud for c in pattern], dtype="<i2")
+
+    rows = [
+        # 6 leading silent, 4 loud, 3 silent (interior < min_run=5), 4 loud,
+        # 5 trailing silent
+        (1, bytearray(encode_wav(sig("ssssss" + "llll" + "sss" + "llll" + "sssss")))),
+        (2, bytearray(encode_wav(sig("llllllll")))),   # no silence at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in audio_silence_stats(
+        df, "doc_id", threshold=1000 / 32768, min_run=5).collect()}
+    r1 = got[1]
+    assert (r1.n_samples, r1.n_silent) == (22, 14)
+    assert (r1.n_runs, r1.longest_run) == (2, 6)      # runs >=5: lead 6, trail 5
+    assert (r1.lead_trim, r1.trail_trim) == (6, 5)
+    r2 = got[2]
+    assert (r2.n_silent, r2.n_runs, r2.lead_trim, r2.trail_trim) == (0, 0, 0, 0)

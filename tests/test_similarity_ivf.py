@@ -156,3 +156,28 @@ def test_topk_recall_counts_hits_per_query(spark):
     assert (got[1].n_exact, got[1].n_hits, got[1].recall) == (2, 2, 1.0)
     assert (got[2].n_exact, got[2].n_hits, got[2].recall) == (2, 1, 0.5)
     assert (got[3].n_exact, got[3].n_hits, got[3].recall) == (1, 0, 0.0)
+
+
+def test_centroid_blocked_near_dup_marks_copies(spark):
+    """With n_cells = N every vector is a centroid; exact copies tie at
+    cosine 1.0 with both their own and their twin's centroid, and the
+    ascending cell-id tie-break lands them in the SAME cell — so each
+    copy pair is compared and the larger id is marked duplicate, while
+    distinct vectors survive."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        centroid_blocked_near_dup,
+    )
+
+    dim = 4
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    c = [0.0, 0.0, 1.0, 1.0]
+    rows = [(1, a), (2, a), (3, b), (4, b), (5, c)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in centroid_blocked_near_dup(
+        df, "vec_id", "embedding", threshold=0.95, dim=dim, n_cells=5
+    ).collect()}
+    assert [got[i].is_dup for i in (1, 2, 3, 4, 5)] == [
+        False, True, False, True, False]
+    assert got[1].cell_id == got[2].cell_id
+    assert got[3].cell_id == got[4].cell_id
