@@ -43,7 +43,7 @@ _PRIORITY_R03 = (
     "mm6_phash_neardup", "t17_mixture_sample", "t18_bigram_logprob",
     "d8_cross_source_overlap", "e9_silhouette",
     "d9_segment_dedup", "t19_quality_buckets", "e10_ann_recall",
-    "e11_semdedup", "mm7_silence_runs",
+    "e11_semdedup", "mm7_silence_runs", "e12_mmr_topk",
 )
 
 

@@ -2211,3 +2211,111 @@ GROUP BY d.doc_id, d.n
 """
 
 QUERIES["mm7_silence_runs"] = (mm7_silence_runs, MM7_ORACLE)
+
+
+# --- E12: MMR diversified top-k ---------------------------------------------------------
+
+def e12_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-ranking: relevance top-10 pool per query, then 3 greedy picks
+    maximizing 0.7*rel - 0.3*max-sim-to-selected. The oracle unrolls the
+    greedy loop into one CTE chain per pick, so a pool, penalty, or
+    tie-break divergence breaks the hash. The hashed columns are the pick
+    SELECTION and order (full-precision comparisons, measure-zero ties) —
+    not the mmr score itself, whose pick-1 value ``0.7 * rel`` is a
+    finite-decimal product that lands exactly on 6-dp rounding half-way
+    boundaries where Spark (shortest-repr HALF_UP) and DuckDB (binary
+    value) legitimately disagree."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import mmr_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    candidates = emb.filter(F.col("vec_id") >= 10)
+    picks = mmr_topk(
+        queries, candidates, "vec_id", "embedding",
+        k=3, pool=10, lam=0.7, dim=DIM,
+    )
+    return picks.select("query_id", "cand_id", "pick_order")
+
+
+def _e12_sql() -> str:
+    # Python computes the diversity weight as 1.0 - 0.7 =
+    # 0.30000000000000004; the SQL literal must be THAT double, not 0.3,
+    # or ranking near-ties flip between engines.
+    lam, one_minus_lam = repr(0.7), repr(1.0 - 0.7)
+    head = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+scored AS (
+  SELECT query_id, cand_id,
+         ({_dot_sql('qv', 'cv')})
+         / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
+  FROM q CROSS JOIN c
+),
+pool AS (
+  SELECT query_id, cand_id, round(cosine, 6) AS rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+),
+pv AS (
+  SELECT p.query_id, p.cand_id, p.rel, c.cv
+  FROM pool p JOIN c ON p.cand_id = c.cand_id
+),
+sim AS (
+  SELECT a.query_id, a.cand_id AS id_a, b.cand_id AS id_b,
+         ({_dot_sql('a.cv', 'b.cv')})
+         / (sqrt({_dot_sql('a.cv', 'a.cv')}) * sqrt({_dot_sql('b.cv', 'b.cv')})) AS sim
+  FROM pv a JOIN pv b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+),
+p1 AS (
+  SELECT query_id, cand_id, rel, rel * {lam} AS mmr,
+         row_number() OVER (PARTITION BY query_id ORDER BY rel * {lam} DESC, cand_id) AS rn
+  FROM pool
+),
+sel1 AS (SELECT query_id, cand_id, mmr FROM p1 WHERE rn = 1),
+rem1 AS (
+  SELECT p.query_id, p.cand_id, p.rel FROM pool p
+  JOIN sel1 s ON p.query_id = s.query_id WHERE p.cand_id <> s.cand_id
+)"""
+    steps = []
+    for step in (2, 3):
+        prev_sel = "sel1" if step == 2 else "sel12"
+        prev_rem = f"rem{step - 1}"
+        union = (
+            ""
+            if step == 2
+            else ",\nsel12 AS (SELECT query_id, cand_id FROM sel1 "
+            "UNION ALL SELECT query_id, cand_id FROM sel2)"
+        )
+        steps.append(f"""{union},
+ms{step} AS (
+  SELECT r.query_id, r.cand_id, r.rel, max(coalesce(s.sim, -1.0)) AS ms
+  FROM {prev_rem} r
+  JOIN {prev_sel} e ON r.query_id = e.query_id
+  LEFT JOIN sim s ON s.query_id = r.query_id AND s.id_a = r.cand_id
+                 AND s.id_b = e.cand_id
+  GROUP BY r.query_id, r.cand_id, r.rel
+),
+p{step} AS (
+  SELECT query_id, cand_id, rel * {lam} - ms * {one_minus_lam} AS mmr,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel * {lam} - ms * {one_minus_lam} DESC,
+                                     cand_id) AS rn
+  FROM ms{step}
+),
+sel{step} AS (SELECT query_id, cand_id, mmr FROM p{step} WHERE rn = 1),
+rem{step} AS (
+  SELECT r.query_id, r.cand_id, r.rel FROM {prev_rem} r
+  JOIN sel{step} s ON r.query_id = s.query_id WHERE r.cand_id <> s.cand_id
+)""")
+    tail = """
+SELECT query_id, cand_id, 1 AS pick_order FROM sel1
+UNION ALL
+SELECT query_id, cand_id, 2 AS pick_order FROM sel2
+UNION ALL
+SELECT query_id, cand_id, 3 AS pick_order FROM sel3
+"""
+    return head + "".join(steps) + tail
+
+
+QUERIES["e12_mmr_topk"] = (e12_mmr_topk, _e12_sql())

@@ -705,3 +705,116 @@ def centroid_blocked_near_dup(
             F.coalesce("__dup__", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def mmr_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    pool: int = 10,
+    lam: float = 0.7,
+    dim: int = 64,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    from each query's relevance top-``pool``, greedily select ``k`` items
+    maximizing ``lam * rel(c) - (1 - lam) * max_{s in S} sim(c, s)`` — the
+    diversity-aware selection used to sample training data without taking
+    five near-copies of the best match. Pick 1 is the pure-relevance
+    winner; every later pick is penalized by its similarity to what's
+    already selected.
+
+    Scale shape: the greedy loop runs over the POOL (k, pool are
+    constants), not the corpus — stage one is the standard top-``pool``
+    retrieval (brute force here; swap in the IVF/PQ path at scale), after
+    which each of the k-1 refinement steps is a pool-bounded join +
+    argmax window per query. The loop unrolls into a linear plan of
+    constant depth; nothing iterates driver-side over data.
+
+    Returns (query_id, cand_id, pick_order, mmr_score). ``mmr_score`` is
+    the RAW double — pick 1's score is ``lam * rel`` over a 6-dp-rounded
+    rel, a finite-decimal product that lands exactly on rounding half-way
+    boundaries, so callers hashing output across engines should pin the
+    (query, cand, pick_order) selection, not a re-rounded score.
+    """
+    rel = cosine_topk_bruteforce(
+        queries, candidates, id_col, vec_col, k=pool, dim=dim
+    ).select("query_id", "cand_id", F.col("cosine").alias("rel"))
+    cv = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col, dim).alias("cn"),
+    )
+    pool_df = rel.join(cv, "cand_id")
+    # pairwise similarity among pool mates of the same query (pool^2 rows
+    # per query, pool is a small constant)
+    a = pool_df.select(
+        "query_id", F.col("cand_id").alias("id_a"),
+        F.col("cv").alias("va"), F.col("cn").alias("na"),
+    )
+    b = pool_df.select(
+        "query_id", F.col("cand_id").alias("id_b"),
+        F.col("cv").alias("vb"), F.col("cn").alias("nb"),
+    )
+    sim = (
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id", "id_a", "id_b",
+            (dot_expr("va", "vb", dim) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__mmr__"), F.asc("cand_id"))
+    # pick 1: pure relevance
+    first = (
+        pool_df.select("query_id", "cand_id", "rel")
+        .withColumn("__mmr__", F.col("rel") * F.lit(float(lam)))
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            "query_id", "cand_id", F.lit(1).alias("pick_order"),
+            F.col("__mmr__").alias("mmr_score"),
+        )
+    )
+    selected = first
+    remaining = pool_df.select("query_id", "cand_id", "rel").join(
+        first.select("query_id", F.col("cand_id").alias("__sel__")), "query_id"
+    ).filter(F.col("cand_id") != F.col("__sel__")).drop("__sel__")
+    for step in range(2, k + 1):
+        sel_ids = selected.select("query_id", F.col("cand_id").alias("__sid__"))
+        sim_r = sim.select(
+            F.col("query_id").alias("__sq__"), F.col("id_a").alias("__sa__"),
+            F.col("id_b").alias("__sb__"), "sim",
+        )
+        maxsim = (
+            remaining.join(sel_ids, "query_id")
+            .join(
+                sim_r,
+                (F.col("__sq__") == F.col("query_id"))
+                & (F.col("__sa__") == F.col("cand_id"))
+                & (F.col("__sb__") == F.col("__sid__")),
+                "left",
+            )
+            .groupBy("query_id", "cand_id", "rel")
+            .agg(F.max(F.coalesce("sim", F.lit(-1.0))).alias("__ms__"))
+        )
+        picked = (
+            maxsim.withColumn(
+                "__mmr__",
+                F.col("rel") * F.lit(float(lam))
+                - F.col("__ms__") * F.lit(float(1.0 - lam)),
+            )
+            .withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select(
+                "query_id", "cand_id", F.lit(step).alias("pick_order"),
+                F.col("__mmr__").alias("mmr_score"),
+            )
+        )
+        selected = selected.unionByName(picked)
+        remaining = remaining.join(
+            picked.select("query_id", F.col("cand_id").alias("__sel__")),
+            "query_id",
+        ).filter(F.col("cand_id") != F.col("__sel__")).drop("__sel__")
+    return selected.select("query_id", "cand_id", "pick_order", "mmr_score")

@@ -313,3 +313,42 @@ def test_quantize_transform_constant_tree(spark, sf_dir):
     assert "transform(" in p and "lambdafunction" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "Exchange hashpartitioning" not in p.split("BroadcastExchange")[0]
+
+
+def test_segment_dedup_partial_min_no_cartesian(spark, sf_dir):
+    """The first-occurrence decision must partial-aggregate min(struct)
+    map-side on the segment key and nothing in the plan may go pairwise
+    (no cartesian/nested-loop join) or through a python UDF."""
+    from peskas_timor_data_pipeline_spark.harness.llm_q import d9_segment_dedup
+
+    p = plan_str(d9_segment_dedup(spark, sf_dir))
+    assert "partial_min" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_quality_buckets_freq_join_partial_agg(spark, sf_dir):
+    """Token frequency and per-doc scores must both partial-aggregate; the
+    only windows are the per-group rank pair (one window exchange on the
+    group key), everything JVM-side."""
+    from peskas_timor_data_pipeline_spark.harness.llm_q import t19_quality_buckets
+
+    p = plan_str(t19_quality_buckets(spark, sf_dir))
+    assert "partial_count" in p and "partial_sum" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_semdedup_broadcast_assignment(spark, sf_dir):
+    """Centroid assignment must be a broadcast nested-loop over the 16-row
+    centroid frame (the one sanctioned cross join — dimension-size side
+    broadcast), and the within-cell compare must be a hash join on the
+    cell key, never a corpus-level cartesian."""
+    from peskas_timor_data_pipeline_spark.harness.llm_q import e11_semdedup
+
+    p = plan_str(e11_semdedup(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p  # x16 centroid broadcast
+    assert "CartesianProduct" not in p
+    # the cell-keyed self-join stays a hash join
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p

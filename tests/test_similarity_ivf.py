@@ -181,3 +181,56 @@ def test_centroid_blocked_near_dup_marks_copies(spark):
         False, True, False, True, False]
     assert got[1].cell_id == got[2].cell_id
     assert got[3].cell_id == got[4].cell_id
+
+
+def test_mmr_topk_matches_numpy_greedy(spark):
+    """The unrolled-plan MMR must equal an independent numpy greedy
+    implementation (pool by unrounded cosine, rel rounded to 6, diversity
+    penalty = max sim to the selected set, id tie-breaks) on random
+    vectors — and pick 1 must always be the pure-relevance winner."""
+    import numpy as np
+
+    from peskas_timor_data_pipeline_spark.llm.similarity import mmr_topk
+
+    rng = np.random.RandomState(7)
+    dim, lam, k, pool = 6, 0.7, 3, 5
+    vecs = {i: rng.randn(dim) for i in range(12)}
+    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # float32 storage: the reference must read back the same precision
+    stored = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+              for r in df.collect()}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    expected = {}
+    for q in (0, 1):
+        cands = [i for i in stored if i >= 2]
+        scored = sorted(
+            ((cos(stored[q], stored[c]), c) for c in cands),
+            key=lambda t: (-t[0], t[1]))[:pool]
+        rel = {c: round(s, 6) for s, c in scored}
+        selected = []
+        remaining = [c for _, c in scored]
+        for _ in range(k):
+            best = None
+            for c in remaining:
+                ms = max((cos(stored[c], stored[s]) for s in selected),
+                         default=None)
+                mmr = lam * rel[c] if ms is None else lam * rel[c] - (1 - lam) * ms
+                if best is None or mmr > best[0] or (mmr == best[0] and c < best[1]):
+                    best = (mmr, c)
+            selected.append(best[1])
+            remaining.remove(best[1])
+        expected[q] = selected
+
+    queries = df.filter(df.vec_id < 2)
+    candidates = df.filter(df.vec_id >= 2)
+    got = mmr_topk(queries, candidates, "vec_id", "embedding",
+                   k=k, pool=pool, lam=lam, dim=dim).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, {})[r.pick_order] = r.cand_id
+    for q in (0, 1):
+        assert [by_q[q][p] for p in (1, 2, 3)] == expected[q]
