@@ -1008,3 +1008,55 @@ GROUP BY l_returnflag
 """
 
 QUERIES["a24_weighted_median"] = (a24_weighted_median, A24_ORACLE)
+
+
+# --- A25: Count-Min sketch frequency estimation -----------------------------------------
+
+def a25_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over document tokens (4 hash rows x 256 hex-string
+    buckets), point-queried for the 20 most frequent tokens next to their
+    true counts. The oracle rebuilds the sketch from the same md5 bucket
+    formula, so a hashing, merge, or min-estimate bug breaks the hash; the
+    est >= true over-count invariant is pinned in the unit test."""
+    from peskas_timor_data_pipeline_spark.harness.tables import load
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    truec = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_c"))
+    top = truec.orderBy(F.desc("true_c"), F.asc("tok")).limit(20)
+    sketch = cms_sketch(toks, "tok", d=4, bucket_hex_chars=2)
+    return cms_estimate(top, sketch, "tok", d=4, bucket_hex_chars=2)
+
+
+A25_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+), ne AS (
+  SELECT tok FROM toks WHERE tok <> ''
+), truec AS (
+  SELECT tok, count(*) AS true_c FROM ne GROUP BY tok
+), top AS (
+  SELECT tok, true_c FROM truec ORDER BY true_c DESC, tok LIMIT 20
+), seeds AS (
+  SELECT unnest(generate_series(0, 3)) AS seed
+), sk AS (
+  SELECT seed, substring(md5('cms' || seed || '#' || tok), 1, 2) AS bucket,
+         count(*) AS c
+  FROM ne CROSS JOIN seeds
+  GROUP BY seed, substring(md5('cms' || seed || '#' || tok), 1, 2)
+)
+SELECT t.tok, CAST(t.true_c AS BIGINT) AS true_c,
+       CAST(min(coalesce(s.c, 0)) AS BIGINT) AS est_c
+FROM top t CROSS JOIN seeds j
+LEFT JOIN sk s ON s.seed = j.seed
+             AND s.bucket = substring(md5('cms' || j.seed || '#' || t.tok), 1, 2)
+GROUP BY t.tok, t.true_c
+"""
+
+QUERIES["a25_count_min"] = (a25_count_min, A25_ORACLE)

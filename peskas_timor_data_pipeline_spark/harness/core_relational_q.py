@@ -990,3 +990,74 @@ GROUP BY c.user_id, c.valid_from, c.valid_to, c.status_value
 """
 
 QUERIES["j12_scd2_temporal"] = (j12_scd2_temporal, J12_ORACLE)
+
+
+# --- P13: dataset-version snapshot diff -------------------------------------------------
+
+def p13_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release audit between two synthetic snapshots of orders (v1 drops
+    every 13th key, v2 drops every 11th, bumps totalprice on multiples of
+    7 and rewrites status on multiples of 17): classify every key
+    added/removed/changed/unchanged with the differing columns named,
+    aggregated per class with a key checksum so each row's classification
+    is pinned."""
+    from peskas_timor_data_pipeline_spark.operators.restructure import snapshot_diff
+
+    orders = load(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 13 != 5).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 11 != 3).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 17 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    diff = snapshot_diff(v1, v2, ["o_orderkey"])
+    return diff.groupBy("change", "changed_cols").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_checksum"),
+    )
+
+
+P13_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 5
+), v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 17 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 11 <> 3
+), j AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+         a.o_orderkey AS ak, b.o_orderkey AS bk,
+         a.o_orderstatus AS os1, b.o_orderstatus AS os2,
+         a.o_totalprice AS tp1, b.o_totalprice AS tp2
+  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+), cls AS (
+  SELECT k,
+         CASE WHEN ak IS NULL THEN 'added'
+              WHEN bk IS NULL THEN 'removed'
+              WHEN (os1 IS DISTINCT FROM os2) OR (tp1 IS DISTINCT FROM tp2)
+                THEN 'changed'
+              ELSE 'unchanged' END AS change,
+         CASE WHEN ak IS NOT NULL AND bk IS NOT NULL
+                   AND ((os1 IS DISTINCT FROM os2) OR (tp1 IS DISTINCT FROM tp2))
+              THEN array_to_string(list_sort(list_filter([
+                     CASE WHEN os1 IS DISTINCT FROM os2 THEN 'o_orderstatus' END,
+                     CASE WHEN tp1 IS DISTINCT FROM tp2 THEN 'o_totalprice' END
+                   ], x -> x IS NOT NULL)), ',')
+              ELSE '' END AS changed_cols
+  FROM j
+)
+SELECT change, changed_cols, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS key_checksum
+FROM cls GROUP BY change, changed_cols
+"""
+
+QUERIES["p13_snapshot_diff"] = (p13_snapshot_diff, P13_ORACLE)

@@ -183,3 +183,62 @@ def replicate_rows(df: DataFrame, times: int) -> DataFrame:
         df.withColumn("__rep__", F.explode(F.array_repeat(F.lit(1), times)))
         .drop("__rep__")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Dataset-version diff — the release audit run between two snapshots
+    of a curated table (the companion to the S7/S8 versioned-artifact
+    store): classify every key as ``added`` (new only), ``removed`` (old
+    only), ``changed`` (present in both, any compared column differs,
+    null-safely), or ``unchanged``, and name the differing columns.
+
+    One full-outer join on the version key — co-partitioned both sides,
+    nothing row-wise — then pure column expressions for the
+    classification; works at any scale the join works at.
+
+    Returns (keys..., change, changed_cols) where ``changed_cols`` is a
+    comma-joined sorted list ('' unless change = 'changed').
+    """
+    compare_cols = (
+        [c for c in old.columns if c not in keys]
+        if compare_cols is None
+        else list(compare_cols)
+    )
+    o = old.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(True).alias("__in_old__"),
+        *[F.col(c).alias(f"__o_{c}__") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(True).alias("__in_new__"),
+        *[F.col(c).alias(f"__n_{c}__") for c in compare_cols],
+    )
+    j = o.join(n, list(keys), "full_outer")
+    diffs = [
+        F.when(
+            ~F.col(f"__o_{c}__").eqNullSafe(F.col(f"__n_{c}__")), F.lit(c)
+        )
+        for c in compare_cols
+    ]
+    changed_arr = F.array_sort(
+        F.filter(F.array(*diffs), lambda x: x.isNotNull())
+    )
+    change = (
+        F.when(F.col("__in_old__").isNull(), "added")
+        .when(F.col("__in_new__").isNull(), "removed")
+        .when(F.size(changed_arr) > 0, "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        *keys,
+        change.alias("change"),
+        F.when(change == "changed", F.array_join(changed_arr, ","))
+        .otherwise(F.lit(""))
+        .alias("changed_cols"),
+    )

@@ -143,3 +143,90 @@ def merge_sketches(sketches: DataFrame, k: int, keys: list[str] | None = None) -
         F.sort_array(F.collect_list("__h__")).alias("hs"),
         F.count(F.lit(1)).alias("n_kept"),
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    item_col: str,
+    d: int = 4,
+    bucket_hex_chars: int = 2,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as pure column
+    expressions: ``d`` independent hash rows, each with ``16^chars``
+    buckets; a bucket key is the leading hex substring of
+    ``md5('cms<j>#' || item)`` — staying in hex-STRING space keeps the
+    bucketing identical in any engine with md5, no base conversion. Point
+    estimate = min over the d rows of the bucket count, which only ever
+    OVER-counts (collisions add), never under.
+
+    The companion to the exact heavy-hitters pass: the sketch is
+    ``d * 16^chars`` rows TOTAL regardless of corpus size or item
+    cardinality, partial-aggregates map-side, and merges across shards /
+    days / sources by summing bucket counts — the frequency analogue of
+    the KMV distinct sketch above.
+
+    Returns (seed, bucket, c) — the sketch table.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("seed"),
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{j}#"), F.col(item_col).cast("string"))),
+                    1,
+                    bucket_hex_chars,
+                ).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("r"))
+        .select("r.seed", "r.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    items: DataFrame,
+    sketch: DataFrame,
+    item_col: str,
+    d: int = 4,
+    bucket_hex_chars: int = 2,
+) -> DataFrame:
+    """Point-query the Count-Min sketch for each item: recompute the d
+    bucket keys, join the (tiny, broadcast) sketch table, take the min
+    bucket count. Missing buckets count 0 (the item was never seen).
+
+    Returns the items frame + ``est_c``.
+    """
+    keyed = items.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("seed"),
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"cms{j}#"),
+                                    F.col(item_col).cast("string"),
+                                )
+                            ),
+                            1,
+                            bucket_hex_chars,
+                        ).alias("bucket"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("r"),
+    ).select("*", "r.seed", "r.bucket").drop("r")
+    joined = keyed.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+    others = [c for c in items.columns]
+    return (
+        joined.groupBy(*others)
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_c"))
+    )

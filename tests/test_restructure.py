@@ -141,3 +141,32 @@ def test_convert_length(spark):
     rows = {r.species: r for r in out.collect()}
     assert abs(rows["CLP"].length - (1.5 + 20.0 * 1.1)) < 1e-9
     assert rows["TUN"].length == 30.0
+
+
+def test_snapshot_diff_classification_and_null_safety(spark):
+    """added/removed/changed/unchanged classes, changed column naming
+    (sorted, comma-joined), and null-safe comparison: null -> value is a
+    change, null == null is not."""
+    from peskas_timor_data_pipeline_spark.operators.restructure import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "d", None),
+         (5, "e", 5.0)],
+        "k long, s string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),        # unchanged
+         (2, "B", 2.5),        # changed: both cols
+         (3, None, 3.5),       # changed: x only (null s == null s)
+         (4, "D", None),       # changed: s only (null x == null x)
+         (6, "f", 6.0)],       # added; 5 removed
+        "k long, s string, x double",
+    )
+    got = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert (got[1].change, got[1].changed_cols) == ("unchanged", "")
+    assert (got[2].change, got[2].changed_cols) == ("changed", "s,x")
+    assert (got[3].change, got[3].changed_cols) == ("changed", "x")
+    assert (got[4].change, got[4].changed_cols) == ("changed", "s")
+    assert (got[5].change, got[6].change) == ("removed", "added")

@@ -105,3 +105,49 @@ def test_incremental_rollup_equals_direct(spark):
     inc = {r.l_returnflag: (round(r.s, 6), r.n, r.lo, r.hi) for r in state.collect()}
     ref = {r.l_returnflag: (round(r.s, 6), r.n, r.lo, r.hi) for r in direct.collect()}
     assert inc == ref
+
+
+def test_cms_sketch_matches_python_replica_and_overcounts(spark):
+    """The sketch must equal an exact hashlib replica (same md5 bucket
+    formula), and every point estimate must be >= the true count (Count-Min
+    only ever over-counts)."""
+    import hashlib
+    from collections import Counter
+
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    words = ("spark duck spark row table duck spark scan scan row "
+             "merge table spark row duck").split()
+    df = spark.createDataFrame([(w,) for w in words], "tok string")
+    true = Counter(words)
+
+    def bucket(j, tok):
+        return hashlib.md5(f"cms{j}#{tok}".encode()).hexdigest()[:2]
+
+    expect_sketch = Counter()
+    for w in words:
+        for j in range(4):
+            expect_sketch[(j, bucket(j, w))] += 1
+
+    got_sketch = {(r.seed, r.bucket): r.c
+                  for r in cms_sketch(df, "tok", d=4).collect()}
+    assert got_sketch == dict(expect_sketch)
+
+    items = spark.createDataFrame([(w,) for w in set(words)], "tok string")
+    est = {r.tok: r.est_c for r in cms_estimate(
+        items, cms_sketch(df, "tok", d=4), "tok", d=4).collect()}
+    for w, c in true.items():
+        assert est[w] >= c
+        expected_est = min(expect_sketch[(j, bucket(j, w))] for j in range(4))
+        assert est[w] == expected_est
+
+    # an item never inserted estimates 0 (all its buckets empty) unless it
+    # collides — verify via the replica
+    probe = spark.createDataFrame([("zzz-unseen",)], "tok string")
+    est0 = cms_estimate(
+        probe, cms_sketch(df, "tok", d=4), "tok", d=4).collect()[0].est_c
+    assert est0 == min(expect_sketch.get((j, bucket(j, "zzz-unseen")), 0)
+                       for j in range(4))

@@ -114,7 +114,19 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
+            try:
+                res = con.execute(oracles[name])
+            except duckdb.OutOfMemoryException:
+                # transient host memory pressure (observed failing 16 KB
+                # allocations with >100 GB free moments later): reconnect
+                # to drop the buffer pool and retry once
+                con.close()
+                con = duckdb.connect()
+                for t in TABLES:
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+                    )
+                res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception:
