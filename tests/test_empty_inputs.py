@@ -60,3 +60,51 @@ def test_empty_group_split_and_sampling(spark):
 
     df = _empty(spark, "g int, v int")
     assert deterministic_sample_n(df, ["g"], n=1).count() == 0
+
+
+def test_empty_frames_through_round3_operators(spark):
+    """The round-3 additions must also survive empty (and degenerate)
+    inputs: empty corpus for segment dedup / quality buckets / CMS /
+    snapshot diff, empty query set for MMR and recall, and a text with no
+    spaces (single segment) for segment dedup."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import segment_dedup
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        mmr_topk,
+        topk_recall,
+    )
+    from peskas_timor_data_pipeline_spark.llm.text import quality_buckets
+    from peskas_timor_data_pipeline_spark.operators.restructure import snapshot_diff
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    docs = _empty(spark, "doc_id long, text string, source string")
+    assert segment_dedup(docs, "doc_id", "text").count() == 0
+    assert quality_buckets(docs, "doc_id", "text", "source").count() == 0
+    toks = _empty(spark, "tok string")
+    sketch = cms_sketch(toks, "tok")
+    assert sketch.count() == 0
+    probe = spark.createDataFrame([("x",)], "tok string")
+    assert cms_estimate(probe, sketch, "tok").collect()[0].est_c == 0
+
+    kv = _empty(spark, "k long, v string")
+    assert snapshot_diff(kv, kv, ["k"]).count() == 0
+    one = spark.createDataFrame([(1, "a")], "k long, v string")
+    assert snapshot_diff(kv, one, ["k"]).collect()[0].change == "added"
+    assert snapshot_diff(one, kv, ["k"]).collect()[0].change == "removed"
+
+    emb = _empty(spark, "vec_id long, embedding array<float>")
+    some = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    assert mmr_topk(emb, some, "vec_id", "embedding", k=2, pool=3, dim=2).count() == 0
+    assert topk_recall(
+        _empty(spark, "query_id long, cand_id long"),
+        _empty(spark, "query_id long, cand_id long"),
+    ).count() == 0
+
+    # no-space text: one single segment, kept
+    single = spark.createDataFrame([(1, "lonelyword")], "doc_id long, text string")
+    r = segment_dedup(single, "doc_id", "text").collect()[0]
+    assert (r.n_segs, r.n_kept, r.rebuilt) == (1, 1, "lonelyword")
