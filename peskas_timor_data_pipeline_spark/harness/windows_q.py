@@ -423,3 +423,55 @@ FROM days d LEFT JOIN per_day p USING (day)
 """
 
 QUERIES["w8_cumulative_distinct"] = (w8_cumulative_distinct, W8_ORACLE)
+
+
+# --- TS3: classical seasonal decomposition ----------------------------------------------
+
+def ts3_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive decomposition of the daily per-event-type value series:
+    ±3-row centered moving-average trend (interior points only), weekly
+    seasonal means on the integer days-since-epoch phase, residual. Daily
+    sums are rounded BEFORE the windows so every downstream float op sees
+    identical inputs in both engines; the trend average then sums the
+    frame in the same order on both sides."""
+    from peskas_timor_data_pipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("value"))
+    return seasonal_decompose(
+        daily, "event_type", "day", "value", period=7, trend_window=3
+    )
+
+
+TS3_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 6) AS value
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), tr AS (
+  SELECT event_type, day, value,
+         CASE WHEN count(*) OVER w = 7
+              THEN round(avg(value) OVER w, 6) END AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT event_type, day, value, trend, value - trend AS detr,
+         (day - DATE '1970-01-01') % 7 AS phase
+  FROM tr
+), seas AS (
+  SELECT event_type, phase, round(avg(detr), 6) AS seasonal
+  FROM det WHERE detr IS NOT NULL GROUP BY event_type, phase
+)
+SELECT t.event_type, t.day, t.value, t.trend,
+       CASE WHEN t.trend IS NOT NULL THEN s.seasonal END AS seasonal,
+       CASE WHEN t.trend IS NOT NULL
+            THEN round(t.detr - s.seasonal, 6) END AS residual
+FROM det t LEFT JOIN seas s
+  ON t.event_type = s.event_type AND t.phase = s.phase
+"""
+
+QUERIES["ts3_seasonal_decompose"] = (ts3_seasonal_decompose, TS3_ORACLE)

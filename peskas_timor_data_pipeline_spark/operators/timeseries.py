@@ -15,6 +15,7 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def dtw_distance_np(a: np.ndarray, b: np.ndarray, band: int | None = None) -> float:
@@ -76,3 +77,68 @@ def dtw_to_pattern(
         return out
 
     return df.groupBy(*keys).applyInPandas(compute, schema=schema)
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    group_col: str,
+    date_col: str,
+    value_col: str,
+    period: int = 7,
+    trend_window: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (moving-average flavor,
+    the STL-lite every monitoring pipeline runs): per group,
+    ``trend`` = centered moving average over ±``trend_window`` rows,
+    ``seasonal`` = the per-phase mean of the detrended series (phase =
+    days-since-epoch mod ``period`` — an integer formula identical in any
+    engine, unlike locale-indexed day-of-week), ``residual`` = what's
+    left. Interior points only: rows whose trend window is truncated at
+    either series end keep a null trend/seasonal/residual rather than a
+    biased one.
+
+    Scale shape: one window (partitioned by group, ordered by date, ROWS
+    frame — width is the constant 2·w+1) + one partial-aggregated
+    per-(group, phase) mean broadcast back. Series length never bounds
+    memory; group cardinality is the parallelism.
+
+    Returns (group, date, value, trend, seasonal, residual).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(date_col)
+        .rowsBetween(-trend_window, trend_window)
+    )
+    full = 2 * trend_window + 1
+    trended = df.withColumn(
+        "trend",
+        F.when(
+            F.count(F.lit(1)).over(w) == full, F.round(F.avg(value_col).over(w), round_to)
+        ),
+    ).withColumn("__detr__", F.col(value_col) - F.col("trend"))
+    phase = (
+        F.datediff(F.col(date_col), F.to_date(F.lit("1970-01-01"))) % period
+    ).alias("__phase__")
+    phased = trended.select("*", phase)
+    seas = (
+        phased.filter(F.col("__detr__").isNotNull())
+        .groupBy(group_col, "__phase__")
+        .agg(F.round(F.avg("__detr__"), round_to).alias("seasonal"))
+    )
+    return (
+        phased.join(F.broadcast(seas), [group_col, "__phase__"], "left")
+        .select(
+            group_col,
+            date_col,
+            value_col,
+            "trend",
+            F.when(F.col("trend").isNotNull(), F.col("seasonal")).alias("seasonal"),
+            F.when(
+                F.col("trend").isNotNull(),
+                F.round(F.col("__detr__") - F.col("seasonal"), round_to),
+            ).alias("residual"),
+        )
+    )

@@ -37,3 +37,34 @@ def test_dtw_to_pattern_groups(spark):
     assert out[1] == (0.0, 5)
     # user 2 vs [10,20,30]: DP cost = |10-20| + |10-30| = 30
     assert out[2] == (30.0, 3)
+
+
+def test_seasonal_decompose_pure_weekly_signal(spark):
+    """A noiseless series value = 10 + e[phase] with zero-mean weekly
+    effects must decompose exactly: interior trend = 10, seasonal = the
+    phase effect, residual = 0; the 3 edge rows at each end (truncated
+    trend window) stay null."""
+    import datetime
+
+    from peskas_timor_data_pipeline_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    effects = [3.0, -3.0, 1.0, -1.0, 0.0, 2.0, -2.0]
+    rows = []
+    for i in range(21):
+        d = datetime.date(1970, 1, 1) + datetime.timedelta(days=i)
+        rows.append(("g", d, 10.0 + effects[i % 7]))
+    df = spark.createDataFrame(rows, "g string, day date, value double")
+    got = {r.day: r for r in seasonal_decompose(
+        df, "g", "day", "value", period=7, trend_window=3).collect()}
+    assert len(got) == 21
+    for i in range(21):
+        d = datetime.date(1970, 1, 1) + datetime.timedelta(days=i)
+        r = got[d]
+        if i < 3 or i > 17:
+            assert r.trend is None and r.seasonal is None and r.residual is None
+        else:
+            assert abs(r.trend - 10.0) < 1e-9
+            assert abs(r.seasonal - effects[i % 7]) < 1e-9
+            assert abs(r.residual) < 1e-9
