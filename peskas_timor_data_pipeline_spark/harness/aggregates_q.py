@@ -1060,3 +1060,54 @@ GROUP BY t.tok, t.true_c
 """
 
 QUERIES["a25_count_min"] = (a25_count_min, A25_ORACLE)
+
+
+# --- A26: per-group winsorization -------------------------------------------------------
+
+def a26_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize l_extendedprice into each return flag's [P5, P95] band and
+    report the clamp counts and clamped-series stats — pins the percentile
+    bounds, every clamp decision, and the rewritten values."""
+    from peskas_timor_data_pipeline_spark.harness.tables import load
+    from peskas_timor_data_pipeline_spark.operators.outliers import winsorize
+
+    li = load(spark, sf_dir, "lineitem")
+    w = winsorize(li, ["l_returnflag"], "l_extendedprice", 0.05, 0.95)
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("__lo__"), 1).otherwise(0)
+        ).alias("n_low"),
+        F.sum(
+            F.when(F.col("l_extendedprice") > F.col("__hi__"), 1).otherwise(0)
+        ).alias("n_high"),
+        F.round(F.min("__lo__"), 6).alias("p05"),
+        F.round(F.min("__hi__"), 6).alias("p95"),
+        F.round(F.avg("l_extendedprice_wins"), 6).alias("avg_wins"),
+        F.round(F.sum("l_extendedprice_wins"), 2).alias("sum_wins"),
+    )
+
+
+A26_ORACLE = """
+WITH bounds AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+), w AS (
+  SELECT l.l_returnflag, l.l_extendedprice, b.lo, b.hi,
+         least(greatest(l.l_extendedprice, b.lo), b.hi) AS wins
+  FROM lineitem l JOIN bounds b USING (l_returnflag)
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       round(min(lo), 6) AS p05,
+       round(min(hi), 6) AS p95,
+       round(avg(wins), 6) AS avg_wins,
+       round(sum(wins), 2) AS sum_wins
+FROM w GROUP BY l_returnflag
+"""
+
+QUERIES["a26_winsorize"] = (a26_winsorize, A26_ORACLE)

@@ -150,3 +150,34 @@ def ols_cooks_distance(
         .withColumn(f"{p}cooksd", F.when(valid, cooks))
         .drop("__n__", "__xbar__", "__ybar__", "__sxx_raw__", "__sxy_raw__", "__sxx__", "__sse__")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clamp values into the group's
+    [P(lower), P(upper)] percentile band — the tail-taming preprocessing
+    between raw outlier detection (MAD/LocScaleB above, which FLAG) and
+    modeling (this REWRITES, keeping row count intact).
+
+    Scale shape: the bounds frame is one partial-aggregated percentile per
+    group (rows = group cardinality), broadcast back onto the data — the
+    big table is never shuffled. Adds ``out_col`` (default
+    ``<value>_wins``) plus ``__lo__``/``__hi__`` bound columns the caller
+    may drop.
+    """
+    out_col = out_col or f"{value_col}_wins"
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, float(lower)).alias("__lo__"),
+        F.percentile(value_col, float(upper)).alias("__hi__"),
+    )
+    joined = df.join(F.broadcast(bounds), list(group_cols))
+    return joined.withColumn(
+        out_col,
+        F.least(F.greatest(F.col(value_col), F.col("__lo__")), F.col("__hi__")),
+    )

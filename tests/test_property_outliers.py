@@ -57,3 +57,23 @@ def test_loc_scale_bounds_matches_formula(spark, groups):
             lo, hi = got[g]
             assert math.isclose(lo, want[0], rel_tol=1e-9, abs_tol=1e-9), g
             assert math.isclose(hi, want[1], rel_tol=1e-9, abs_tol=1e-9), g
+
+
+def test_winsorize_clamps_to_group_band(spark):
+    """Clamped values sit inside [P5, P95] per group; interior values are
+    untouched; row count is preserved (winsorize rewrites, never drops)."""
+    from peskas_timor_data_pipeline_spark.operators.outliers import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 1000.0), ("b", 0.0),
+            ("b", 50.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, ["g"], "v", 0.05, 0.95).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        lo, hi = r["__lo__"], r["__hi__"]
+        assert lo <= r.v_wins <= hi
+        if lo <= r.v <= hi:
+            assert r.v_wins == r.v
+    # group a: P5 of 1..100 (type-7) = 5.95, P95 = 95.05
+    a = [r for r in out if r.g == "a"][0]
+    assert abs(a["__lo__"] - 5.95) < 1e-9 and abs(a["__hi__"] - 95.05) < 1e-9
