@@ -151,3 +151,24 @@ def test_cms_sketch_matches_python_replica_and_overcounts(spark):
         probe, cms_sketch(df, "tok", d=4), "tok", d=4).collect()[0].est_c
     assert est0 == min(expect_sketch.get((j, bucket(j, "zzz-unseen")), 0)
                        for j in range(4))
+
+
+def test_cms_sketch_merges_by_summing_buckets(spark):
+    """sketch(A) + sketch(B) (bucket-wise sum) must equal sketch(A ∪ B) —
+    the mergeability that lets shards/days/sources sketch independently
+    and combine later (same property the KMV sketch above relies on)."""
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.operators.sketches import cms_sketch
+
+    a = spark.createDataFrame([(w,) for w in "x y x z".split()], "tok string")
+    b = spark.createDataFrame([(w,) for w in "y y w x".split()], "tok string")
+    merged = (
+        cms_sketch(a, "tok").unionByName(cms_sketch(b, "tok"))
+        .groupBy("seed", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    full = cms_sketch(a.unionByName(b), "tok")
+    got_m = {(r.seed, r.bucket): r.c for r in merged.collect()}
+    got_f = {(r.seed, r.bucket): r.c for r in full.collect()}
+    assert got_m == got_f
