@@ -716,6 +716,7 @@ def mmr_topk(
     pool: int = 10,
     lam: float = 0.7,
     dim: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
     from each query's relevance top-``pool``, greedily select ``k`` items
@@ -738,6 +739,8 @@ def mmr_topk(
     boundaries, so callers hashing output across engines should pin the
     (query, cand, pick_order) selection, not a re-rounded score.
     """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
     rel = cosine_topk_bruteforce(
         queries, candidates, id_col, vec_col, k=pool, dim=dim
     ).select("query_id", "cand_id", F.col("cosine").alias("rel"))
@@ -746,7 +749,11 @@ def mmr_topk(
         F.col(vec_col).alias("cv"),
         norm_expr(vec_col, dim).alias("cn"),
     )
-    pool_df = rel.join(cv, "cand_id")
+    # The pool is referenced by every greedy step (and sim twice more):
+    # without a lineage cut the corpus-scale RETRIEVAL re-executes once per
+    # reference. Materialize the pool (k·|queries| rows — tiny) so the
+    # expensive stage runs exactly once.
+    pool_df = materialize(rel.join(cv, "cand_id"), checkpoint_dir)
     # pairwise similarity among pool mates of the same query (pool^2 rows
     # per query, pool is a small constant)
     a = pool_df.select(
@@ -757,13 +764,14 @@ def mmr_topk(
         "query_id", F.col("cand_id").alias("id_b"),
         F.col("cv").alias("vb"), F.col("cn").alias("nb"),
     )
-    sim = (
+    sim = materialize(
         a.join(b, "query_id")
         .filter(F.col("id_a") != F.col("id_b"))
         .select(
             "query_id", "id_a", "id_b",
             (dot_expr("va", "vb", dim) / (F.col("na") * F.col("nb"))).alias("sim"),
-        )
+        ),
+        checkpoint_dir,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__mmr__"), F.asc("cand_id"))
     # pick 1: pure relevance
