@@ -2319,3 +2319,66 @@ SELECT query_id, cand_id, 3 AS pick_order FROM sel3
 
 
 QUERIES["e12_mmr_topk"] = (e12_mmr_topk, _e12_sql())
+
+
+# --- T20: text normalization (NFKC-lite) ------------------------------------------------
+
+def t20_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap every document in deterministic dirt — leading tab+spaces,
+    curly-quoted doc-id suffix, a C0 control, trailing NBSP — then
+    normalize and hash. The dirt means the fold/strip/collapse rules all
+    fire on every row, so any divergence from the oracle's replay breaks
+    the hash (clean fixture text alone would reduce this to an identity
+    test)."""
+    from peskas_timor_data_pipeline_spark.llm.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("\t  "),
+            F.col("text"),
+            F.lit(" “ID"),
+            F.col("doc_id").cast("string"),
+            F.lit("”"),
+            F.expr("char(1)"),
+            F.lit("END  "),
+        ),
+    )
+    out = normalize_text(dirty, "text")
+    return out.select(
+        "doc_id",
+        F.length("text").alias("n_before"),
+        F.length("norm_text").alias("n_after"),
+        F.md5("norm_text").alias("norm_hash"),
+    )
+
+
+T20_ORACLE = """
+WITH dirty AS (
+  SELECT doc_id,
+         chr(9) || '  ' || text || ' “ID' || CAST(doc_id AS VARCHAR) || '”'
+           || chr(1) || 'END' || chr(160) || ' ' AS text
+  FROM documents
+), folded AS (
+  SELECT doc_id, text,
+         replace(replace(replace(replace(replace(replace(replace(
+           lower(text),
+           '“', '"'), '”', '"'), '‘', ''''), '’', ''''),
+           '–', '-'), '—', '-'), chr(160), ' ') AS f
+  FROM dirty
+), norm AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(f, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS n
+  FROM folded
+)
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_before,
+       CAST(length(n) AS INTEGER) AS n_after,
+       md5(n) AS norm_hash
+FROM norm
+"""
+
+QUERIES["t20_normalize"] = (t20_normalize, T20_ORACLE)

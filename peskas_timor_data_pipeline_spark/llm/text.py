@@ -435,3 +435,31 @@ def quality_buckets(
     return ranked.select(
         id_col, group_col, "score", bucket.alias("bucket")
     )
+
+
+# unicode punctuation folded to ASCII by normalize_text: curly quotes,
+# en/em dashes, NBSP. (source_char, replacement) — applied as replace()
+# chains so the exact same sequence is replayable in the SQL oracle.
+NORMALIZE_FOLD = (
+    ("“", '"'), ("”", '"'), ("‘", "'"), ("’", "'"),
+    ("–", "-"), ("—", "-"), (" ", " "),
+)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str, out_col: str = "norm_text"
+) -> DataFrame:
+    """Deterministic text normalization — the first pass of every corpus
+    pipeline (a library-free NFKC-lite): lowercase, fold curly
+    quotes/dashes/NBSP to ASCII, replace C0/DEL control characters with
+    spaces, collapse whitespace runs, trim. Pure column expressions
+    (replace chain + two regexes), shuffle-free, and byte-replayable in
+    any engine — run it BEFORE hashing/shingling so exact dedup catches
+    smart-quote variants of the same text.
+    """
+    c = F.lower(F.col(text_col))
+    for src, dst in NORMALIZE_FOLD:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
+    c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    return df.withColumn(out_col, c)

@@ -119,3 +119,20 @@ def test_quality_buckets_rank_tiers(spark):
     assert [got[i].bucket for i in (1, 2, 3)] == ["middle", "middle", "tail"]
     assert [got[i].bucket for i in (4, 6, 5)] == ["middle", "middle", "tail"]
     assert got[1].score == 64 and got[5].score == 1
+
+
+def test_normalize_text_folds_strips_collapses(spark):
+    """Curly quotes/dashes/NBSP fold to ASCII, control chars become
+    spaces, whitespace collapses, ends trim, case lowers — and clean text
+    passes through unchanged."""
+    from peskas_timor_data_pipeline_spark.llm.text import normalize_text
+
+    rows = [
+        (1, "\t  Hello“World” — it’s\x01fine  "),
+        (2, "already clean text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.norm_text
+           for r in normalize_text(df, "text").collect()}
+    assert got[1] == 'hello"world" - it\'s fine'
+    assert got[2] == "already clean text"
