@@ -149,3 +149,49 @@ def test_suffix_regex_join_matches_bruteforce(spark, facts, dim):
         n, matched = out[i]
         assert n == len(cands), (f, cands)
         assert matched == (cands[0] if len(cands) == 1 else None), (f, cands)
+
+
+# --- segment dedup vs pure-Python reference ---------------------------------------------
+
+# tiny token alphabet so segments collide across documents
+seg_tokens = st.lists(
+    st.sampled_from(["a", "b", "c"]), min_size=1, max_size=9
+)
+seg_corpus = st.lists(seg_tokens, min_size=1, max_size=8)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(corpus=seg_corpus, seg_words=st.integers(min_value=1, max_value=4))
+def test_segment_dedup_matches_bruteforce(spark, corpus, seg_words):
+    """On arbitrary tiny corpora, segment_dedup must agree with a direct
+    Python first-occurrence walk: same segment counts, same survivors, same
+    rebuilt text."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import segment_dedup
+
+    texts = {i: " ".join(toks) for i, toks in enumerate(corpus)}
+
+    # pure-Python reference: split into seg_words chunks, global
+    # first-occurrence by (doc, pos), rebuild
+    seen: set[str] = set()
+    expect = {}
+    segs_by_doc = {}
+    for did in sorted(texts):
+        toks = texts[did].split(" ")
+        segs = [" ".join(toks[p:p + seg_words])
+                for p in range(0, len(toks), seg_words)]
+        segs_by_doc[did] = segs
+    for did in sorted(segs_by_doc):
+        kept = []
+        for seg in segs_by_doc[did]:
+            if seg not in seen:
+                seen.add(seg)
+                kept.append(seg)
+        expect[did] = (len(segs_by_doc[did]), len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_segs, r.n_kept, r.rebuilt)
+           for r in segment_dedup(df, "doc_id", "text", seg_words).collect()}
+    assert got == expect
