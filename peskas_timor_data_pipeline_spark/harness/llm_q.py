@@ -2382,3 +2382,61 @@ FROM norm
 """
 
 QUERIES["t20_normalize"] = (t20_normalize, T20_ORACLE)
+
+
+# --- T21: BPE merge training ------------------------------------------------------------
+
+def t21_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 3 BPE merges on the document tokens (frequency-weighted
+    corpus-wide pair counts, deterministic tie-breaks). The oracle unrolls
+    all three count→pick→fuse iterations, so a pair-counting, weighting,
+    tie-break, or fuse bug at ANY step breaks the hash."""
+    from peskas_timor_data_pipeline_spark.llm.text import bpe_train_merges
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return bpe_train_merges(toks, "tok", n_merges=3)
+
+
+def _t21_sql() -> str:
+    head = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS w FROM toks WHERE tok <> '' GROUP BY tok
+), v0 AS (
+  SELECT w, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS sym FROM vocab
+)"""
+    steps = []
+    for s in (1, 2, 3):
+        prev = f"v{s - 1}"
+        steps.append(f""",
+p{s} AS (
+  SELECT pr.pair, CAST(sum(pr.w) AS BIGINT) AS c FROM (
+    SELECT a.w, a.arr[u.i] || ' ' || a.arr[u.i + 1] AS pair
+    FROM (SELECT w, string_split(sym, ' ') AS arr FROM {prev}) a,
+         unnest(generate_series(1, len(a.arr) - 1)) AS u(i)
+  ) pr GROUP BY pr.pair
+),
+t{s} AS (SELECT pair, c FROM p{s} ORDER BY c DESC, pair LIMIT 1),
+v{s} AS (
+  SELECT w,
+         trim(replace(' ' || sym || ' ',
+                      ' ' || (SELECT pair FROM t{s}) || ' ',
+                      ' ' || replace((SELECT pair FROM t{s}), ' ', '') || ' '))
+           AS sym
+  FROM {prev}
+)""")
+    tail = """
+SELECT 1 AS step, pair, replace(pair, ' ', '') AS merged, c AS pair_count FROM t1
+UNION ALL
+SELECT 2 AS step, pair, replace(pair, ' ', '') AS merged, c AS pair_count FROM t2
+UNION ALL
+SELECT 3 AS step, pair, replace(pair, ' ', '') AS merged, c AS pair_count FROM t3
+"""
+    return head + "".join(steps) + tail
+
+
+QUERIES["t21_bpe_merges"] = (t21_bpe_merges, _t21_sql())

@@ -463,3 +463,94 @@ def normalize_text(
     c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
     c = F.trim(F.regexp_replace(c, "\\s+", " "))
     return df.withColumn(out_col, c)
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    token_col: str,
+    n_merges: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Byte-pair-encoding merge training on the corpus (Sennrich et al.
+    2016): start from character symbols, repeat ``n_merges`` times: count
+    adjacent symbol pairs corpus-wide (frequency-weighted), pick the most
+    frequent pair (count desc, pair asc tie-break), fuse it everywhere.
+    This is the tokenizer-TRAINING loop — the part that actually needs the
+    cluster, since every step is a full-corpus weighted pair count.
+
+    Merge application detail (documented, engine-identical): fusing uses a
+    space-delimited scan-replace, which consumes the separator after each
+    match, so an odd run like ``a a a`` fuses to ``aa a`` and the scan
+    resumes AFTER the gap — canonical BPE would also fuse the next run
+    (``a a a a`` -> here ``aa a a``, canonical ``aa aa``). Both engines
+    implement the same non-overlapping scan, the choice is deterministic,
+    and merge RANKING (the trained artifact) is unaffected for the
+    dominant non-run pairs.
+
+    Scale shape: per step, ONE distinct-token pair explode (weighted by
+    token frequency, so corpus volume collapses to vocabulary size before
+    any per-step work), one partial-aggregated count, one
+    TakeOrderedAndProject top-1 broadcast back. The symbolized vocabulary
+    is materialized between steps so step k never recomputes steps 1..k-1.
+
+    Returns (step, pair, merged, pair_count) — the ranked merge table, the
+    artifact a tokenizer ships.
+    """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    vocab = df.groupBy(token_col).agg(F.count(F.lit(1)).alias("__w__"))
+    cur = vocab.select(
+        "__w__",
+        F.trim(F.regexp_replace(F.col(token_col), "(.)", "$1 ")).alias("__sym__"),
+    )
+    merge_rows = []
+    for step in range(1, n_merges + 1):
+        cur = materialize(cur, checkpoint_dir)
+        arr = F.split(F.col("__sym__"), " ")
+        pairs = (
+            cur.filter(F.size(arr) >= 2)
+            .select(
+                "__w__",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(arr) - 2),
+                        lambda i: F.concat(
+                            F.element_at(arr, i + 1),
+                            F.lit(" "),
+                            F.element_at(arr, i + 2),
+                        ),
+                    )
+                ).alias("pair"),
+            )
+        )
+        counts = pairs.groupBy("pair").agg(F.sum("__w__").alias("pair_count"))
+        top = materialize(
+            counts.orderBy(F.desc("pair_count"), F.asc("pair")).limit(1),
+            checkpoint_dir,
+        )
+        merge_rows.append(
+            top.select(
+                F.lit(step).alias("step"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                "pair_count",
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(top.select(F.col("pair").alias("__p__")))).select(
+            "__w__",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("__sym__"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("__p__"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("__p__"), F.lit(" "), F.lit("")),
+                        F.lit(" "),
+                    ),
+                )
+            ).alias("__sym__"),
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out

@@ -136,3 +136,17 @@ def test_normalize_text_folds_strips_collapses(spark):
            for r in normalize_text(df, "text").collect()}
     assert got[1] == 'hello"world" - it\'s fine'
     assert got[2] == "already clean text"
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    """Two merge steps on a tiny weighted vocabulary: step 1 sees the
+    3-3 tie between 'a b' and 'b c' and must take 'a b' (pair asc); step 2
+    must count pairs over the FUSED symbols ('ab c' etc.), not the
+    originals."""
+    from peskas_timor_data_pipeline_spark.llm.text import bpe_train_merges
+
+    toks = ["abc", "abc", "abd", "bc"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {r.step: r for r in bpe_train_merges(df, "tok", n_merges=2).collect()}
+    assert (got[1].pair, got[1].merged, got[1].pair_count) == ("a b", "ab", 3)
+    assert (got[2].pair, got[2].merged, got[2].pair_count) == ("ab c", "abc", 2)
