@@ -372,33 +372,42 @@ def a13_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
+    # money in integer cents end-to-end: double sums merge in partition
+    # order, which varies run to run — an unlucky schedule once flipped a
+    # rounded avg at the 1e-6 boundary (observed under CPU starvation).
+    # Integer sums are order-free; the only float ops left are single
+    # divisions of exact integers, identical everywhere.
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     municipal = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", F.trunc(F.to_date("o_orderdate"), "month").alias("period"))
-        .agg(F.sum("o_totalprice").alias("municipal_total"))
+        .agg(F.sum(cents).alias("municipal_cents"))
     )
     return municipal.groupBy("period").agg(
         F.count(F.lit(1)).alias("n_nations"),
-        F.round(F.sum("municipal_total"), 0).alias("national_total"),
-        F.round(F.avg("municipal_total"), 6).alias("avg_municipal"),
-        F.round(F.median("municipal_total"), 6).alias("median_municipal"),
+        F.round(F.sum("municipal_cents") / 100.0, 0).alias("national_total"),
+        F.round(
+            F.sum("municipal_cents") / 100.0 / F.count(F.lit(1)), 6
+        ).alias("avg_municipal"),
+        F.round(F.median("municipal_cents") / 100.0, 6).alias("median_municipal"),
     )
 
 
 A13_ORACLE = """
 WITH municipal AS (
   SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
-         sum(o_totalprice) AS municipal_total
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS municipal_cents
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
   GROUP BY 1, 2
 )
-SELECT period, count(*) AS n_nations,
-       round(sum(municipal_total), 0) AS national_total,
-       round(avg(municipal_total), 6) AS avg_municipal,
-       round(median(municipal_total), 6) AS median_municipal
+SELECT period, CAST(count(*) AS BIGINT) AS n_nations,
+       round(sum(municipal_cents) / 100.0, 0) AS national_total,
+       round(sum(municipal_cents) / 100.0 / count(*), 6) AS avg_municipal,
+       round(median(municipal_cents) / 100.0, 6) AS median_municipal
 FROM municipal GROUP BY period
 """
 

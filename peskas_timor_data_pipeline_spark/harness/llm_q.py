@@ -2440,3 +2440,58 @@ SELECT 3 AS step, pair, replace(pair, ' ', '') AS merged, c AS pair_count FROM t
 
 
 QUERIES["t21_bpe_merges"] = (t21_bpe_merges, _t21_sql())
+
+
+# --- E13: int8-quantized top-k (the quantized serving path) -----------------------------
+
+def e13_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized ANN end-to-end: corpus calibration, both sides quantized
+    into the same int8 grid, ranking by exact INTEGER dot product — the
+    one similarity path with zero float-divergence surface."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import int8_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    candidates = emb.filter(F.col("vec_id") >= 10)
+    return int8_topk(queries, candidates, "vec_id", "embedding", k=3, dim=DIM)
+
+
+def _e13_sql() -> str:
+    cal = ", ".join(
+        f"min(embedding[{i}]) AS lo{i}, max(embedding[{i}]) AS hi{i}"
+        for i in range(1, DIM + 1)
+    )
+    def qexpr(i: int) -> str:
+        return (
+            f"CASE WHEN CAST(hi{i} AS DOUBLE) - CAST(lo{i} AS DOUBLE) > 0 "
+            f"THEN CAST(round((CAST(embedding[{i}] AS DOUBLE) - CAST(lo{i} AS DOUBLE))"
+            f" / (CAST(hi{i} AS DOUBLE) - CAST(lo{i} AS DOUBLE)) * 255) AS BIGINT) - 128 "
+            f"ELSE 0 END"
+        )
+    qv = ", ".join(qexpr(i) for i in range(1, DIM + 1))
+    dot = " + ".join(f"q.qq[{i}] * c.cq[{i}]" for i in range(1, DIM + 1))
+    return f"""
+WITH cal AS (SELECT {cal} FROM embeddings WHERE vec_id >= 10),
+qq AS (
+  SELECT vec_id AS query_id, [{qv}] AS qq
+  FROM embeddings, cal WHERE vec_id < 10
+),
+cq AS (
+  SELECT vec_id AS cand_id, [{qv}] AS cq
+  FROM embeddings, cal WHERE vec_id >= 10
+),
+scored AS (
+  SELECT q.query_id, c.cand_id, CAST({dot} AS BIGINT) AS score
+  FROM qq q CROSS JOIN cq c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, score
+FROM ranked WHERE rank <= 3
+"""
+
+
+QUERIES["e13_int8_topk"] = (e13_int8_topk, _e13_sql())

@@ -234,3 +234,48 @@ def test_mmr_topk_matches_numpy_greedy(spark):
         by_q.setdefault(r.query_id, {})[r.pick_order] = r.cand_id
     for q in (0, 1):
         assert [by_q[q][p] for p in (1, 2, 3)] == expected[q]
+
+
+def test_int8_topk_matches_numpy_replica(spark):
+    """The quantized search must equal an exact numpy replica of the
+    calibration, quantization, and integer-dot ranking — integer scores
+    mean the comparison is exact, no tolerance."""
+    import numpy as np
+
+    from peskas_timor_data_pipeline_spark.llm.similarity import int8_topk
+
+    rng = np.random.RandomState(11)
+    dim = 5
+    rows = [(i, [float(x) for x in rng.randn(dim)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stored = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+              for r in df.collect()}
+    cands = {i: v for i, v in stored.items() if i >= 2}
+    lo = np.min(np.array(list(cands.values())), axis=0)
+    hi = np.max(np.array(list(cands.values())), axis=0)
+
+    def quant(v):
+        out = np.zeros(dim, dtype=np.int64)
+        for j in range(dim):
+            if hi[j] - lo[j] > 0:
+                # round-half-away like Spark/DuckDB round()
+                x = (v[j] - lo[j]) / (hi[j] - lo[j]) * 255
+                out[j] = int(np.floor(x + 0.5)) - 128
+        return out
+
+    expect = {}
+    for q in (0, 1):
+        qq = quant(stored[q])
+        scored = sorted(
+            ((int(np.dot(qq, quant(c))), i) for i, c in cands.items()),
+            key=lambda t: (-t[0], t[1]))
+        expect[q] = [(i, s) for s, i in scored[:3]]
+
+    got = int8_topk(df.filter(df.vec_id < 2), df.filter(df.vec_id >= 2),
+                    "vec_id", "embedding", k=3, dim=dim).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cand_id, r.score))
+    for q in (0, 1):
+        ordered = [(c, s) for _, c, s in sorted(by_q[q])]
+        assert ordered == expect[q]
