@@ -2495,3 +2495,103 @@ FROM ranked WHERE rank <= 3
 
 
 QUERIES["e13_int8_topk"] = (e13_int8_topk, _e13_sql())
+
+
+# --- E14: reciprocal-rank fusion across index variants ----------------------------------
+
+def e14_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble retrieval: fuse the exact-cosine, hyperplane-LSH, and
+    int8-quantized top-10 lists with reciprocal-rank fusion (k=60) and
+    keep the fused top-3 — the calibration-free way to combine index
+    variants. The oracle rebuilds all three rankings and the fusion."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+        int8_topk,
+        rrf_fuse,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    candidates = emb.filter(F.col("vec_id") >= 10)
+    exact = cosine_topk_bruteforce(queries, candidates, "vec_id", "embedding",
+                                   k=10, dim=DIM)
+    lsh = cosine_topk_lsh(queries, candidates, "vec_id", "embedding",
+                          k=10, dim=DIM, n_bits=8)
+    i8 = int8_topk(queries, candidates, "vec_id", "embedding", k=10, dim=DIM)
+    return rrf_fuse([exact, lsh, i8], k_const=60, topk=3)
+
+
+def _e14_sql() -> str:
+    cal = ", ".join(
+        f"min(embedding[{i}]) AS lo{i}, max(embedding[{i}]) AS hi{i}"
+        for i in range(1, DIM + 1)
+    )
+    def qexpr(i: int) -> str:
+        return (
+            f"CASE WHEN CAST(hi{i} AS DOUBLE) - CAST(lo{i} AS DOUBLE) > 0 "
+            f"THEN CAST(round((CAST(embedding[{i}] AS DOUBLE) - CAST(lo{i} AS DOUBLE))"
+            f" / (CAST(hi{i} AS DOUBLE) - CAST(lo{i} AS DOUBLE)) * 255) AS BIGINT) - 128 "
+            f"ELSE 0 END"
+        )
+    qv = ", ".join(qexpr(i) for i in range(1, DIM + 1))
+    idot = " + ".join(f"q.qq[{i}] * c.cq[{i}]" for i in range(1, DIM + 1))
+    bucket = "concat(" + ", ".join(
+        f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 9)
+    ) + ")"
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {bucket} AS bucket
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, embedding AS cv, {bucket} AS bucket
+      FROM embeddings WHERE vec_id >= 10),
+exact_r AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           ({_dot_sql('qv', 'cv')})
+           / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) DESC,
+           cand_id) AS rank
+  FROM q CROSS JOIN c
+),
+lsh_r AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           ({_dot_sql('qv', 'cv')})
+           / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) DESC,
+           cand_id) AS rank
+  FROM q JOIN c USING (bucket)
+),
+cal AS (SELECT {cal} FROM embeddings WHERE vec_id >= 10),
+qq AS (SELECT vec_id AS query_id, [{qv}] AS qq
+       FROM embeddings, cal WHERE vec_id < 10),
+cq AS (SELECT vec_id AS cand_id, [{qv}] AS cq
+       FROM embeddings, cal WHERE vec_id >= 10),
+i8_r AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST({idot} AS BIGINT) DESC, cand_id) AS rank
+  FROM qq q CROSS JOIN cq c
+),
+contrib AS (
+  SELECT query_id, cand_id, 1.0 / (60.0 + rank) AS cc FROM exact_r WHERE rank <= 10
+  UNION ALL
+  SELECT query_id, cand_id, 1.0 / (60.0 + rank) AS cc FROM lsh_r WHERE rank <= 10
+  UNION ALL
+  SELECT query_id, cand_id, 1.0 / (60.0 + rank) AS cc FROM i8_r WHERE rank <= 10
+),
+fused AS (
+  SELECT query_id, cand_id, sum(cc) AS s
+  FROM contrib GROUP BY query_id, cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id)
+           AS fused_rank
+  FROM fused
+)
+SELECT query_id, cand_id, CAST(fused_rank AS INTEGER) AS fused_rank,
+       round(s, 9) AS rrf_score
+FROM ranked WHERE fused_rank <= 3
+"""
+
+
+QUERIES["e14_rrf_fusion"] = (e14_rrf_fusion, _e14_sql())

@@ -884,3 +884,45 @@ def int8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "score")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    topk: int = 3,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) over N ranked lists:
+    fused(q, c) = sum over systems of 1 / (k + rank_i(q, c)), missing
+    entries contribute nothing. The standard way to ensemble
+    heterogeneous retrievers (keyword + dense, or exact + quantized +
+    LSH index variants) without score calibration — only RANKS enter, so
+    incomparable score scales never matter and the arithmetic is a short
+    fixed-order sum of exact reciprocals (engine-identical).
+
+    Each input frame carries (query_id, cand_id, rank). Scale shape: the
+    inputs are k-rows-per-query lists, unioned then one partial-aggregated
+    sum keyed on (query, cand) and one per-query top-k window — corpus
+    size never reaches this operator.
+
+    Returns (query_id, cand_id, fused_rank, rrf_score round 9).
+    """
+    parts = [
+        r.select(
+            "query_id", "cand_id",
+            (F.lit(1.0) / (F.lit(float(k_const)) + F.col("rank"))).alias("__c__"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "cand_id").agg(F.sum("__c__").alias("__s__"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("__s__"), F.asc("cand_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= topk)
+        .select(
+            "query_id", "cand_id", "fused_rank",
+            F.round("__s__", 9).alias("rrf_score"),
+        )
+    )

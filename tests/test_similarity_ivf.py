@@ -279,3 +279,25 @@ def test_int8_topk_matches_numpy_replica(spark):
     for q in (0, 1):
         ordered = [(c, s) for _, c, s in sorted(by_q[q])]
         assert ordered == expect[q]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Two systems in perfect disagreement tie (broken by cand id); a
+    third system's vote breaks the symmetry; candidates missing from a
+    list contribute nothing."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import rrf_fuse
+
+    ddl = "query_id long, cand_id long, rank int"
+    sys_a = spark.createDataFrame([(1, 101, 1), (1, 102, 2)], ddl)
+    sys_b = spark.createDataFrame([(1, 102, 1), (1, 101, 2)], ddl)
+    # symmetric: both get 1/61 + 1/62 -> tie -> cand 101 first
+    got = sorted((r.fused_rank, r.cand_id) for r in
+                 rrf_fuse([sys_a, sys_b], topk=2).collect())
+    assert got == [(1, 101), (2, 102)]
+
+    sys_c = spark.createDataFrame([(1, 102, 1)], ddl)
+    got3 = {r.cand_id: (r.fused_rank, r.rrf_score) for r in
+            rrf_fuse([sys_a, sys_b, sys_c], topk=2).collect()}
+    assert got3[102][0] == 1 and got3[101][0] == 2
+    expect_102 = round(1 / 61 + 1 / 62 + 1 / 61, 9)
+    assert abs(got3[102][1] - expect_102) < 1e-12
