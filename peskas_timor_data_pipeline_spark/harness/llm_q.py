@@ -2595,3 +2595,41 @@ FROM ranked WHERE fused_rank <= 3
 
 
 QUERIES["e14_rrf_fusion"] = (e14_rrf_fusion, _e14_sql())
+
+
+# --- E15: hard-negative mining ----------------------------------------------------------
+
+def e15_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per anchor (vec_id < 15): the 4 most-cosine-similar vectors with a
+    DIFFERENT label — the contrastive-pairs builder. Label predicate and
+    self-exclusion are part of the pinned semantics."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import hard_negatives
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 15)
+    return hard_negatives(
+        emb, "vec_id", "embedding", "label", k=4, dim=DIM, anchors=anchors
+    )
+
+
+E15_ORACLE = f"""
+WITH a AS (SELECT vec_id AS anchor_id, embedding AS av, label AS albl
+           FROM embeddings WHERE vec_id < 15),
+c AS (SELECT vec_id AS neg_id, embedding AS nv, label AS nlbl FROM embeddings),
+scored AS (
+  SELECT anchor_id, neg_id,
+         ({_dot_sql('av', 'nv')})
+         / (sqrt({_dot_sql('av', 'av')}) * sqrt({_dot_sql('nv', 'nv')})) AS cosine
+  FROM a CROSS JOIN c
+  WHERE albl <> nlbl AND anchor_id <> neg_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC, neg_id) AS rank
+  FROM scored
+)
+SELECT anchor_id, neg_id, CAST(rank AS INTEGER) AS rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 4
+"""
+
+QUERIES["e15_hard_negatives"] = (e15_hard_negatives, E15_ORACLE)

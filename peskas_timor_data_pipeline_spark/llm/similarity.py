@@ -926,3 +926,52 @@ def rrf_fuse(
             F.round("__s__", 9).alias("rrf_score"),
         )
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 4,
+    dim: int = 64,
+    anchors: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the k
+    most-similar vectors carrying a DIFFERENT label — the negatives that
+    actually move an embedding model, versus uniformly sampled ones that
+    are trivially separable. Exact scoring here; at corpus scale run the
+    same label-excluding top-k over an ANN candidate set (IVF cells or
+    LSH buckets) instead of the full cross — the ranking logic is
+    unchanged.
+
+    Returns (anchor_id, neg_id, rank, cosine).
+    """
+    anc = (anchors if anchors is not None else df).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("av"),
+        norm_expr(vec_col, dim).alias("an"),
+        F.col(label_col).alias("albl"),
+    )
+    cand = df.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("nv"),
+        norm_expr(vec_col, dim).alias("nn"),
+        F.col(label_col).alias("nlbl"),
+    )
+    scored = (
+        anc.crossJoin(cand)
+        .filter(
+            (F.col("albl") != F.col("nlbl"))
+            & (F.col("anchor_id") != F.col("neg_id"))
+        )
+        .withColumn(
+            "cosine", dot_expr("av", "nv", dim) / (F.col("an") * F.col("nn"))
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

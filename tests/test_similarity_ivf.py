@@ -301,3 +301,25 @@ def test_rrf_fuse_hand_computed(spark):
     assert got3[102][0] == 1 and got3[101][0] == 2
     expect_102 = round(1 / 61 + 1 / 62 + 1 / 61, 9)
     assert abs(got3[102][1] - expect_102) < 1e-12
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    """The nearest SAME-label vector (even an exact duplicate) must never
+    appear; the top negative is the most similar different-label one."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),   # anchor
+        (2, [1.0, 0.0, 0.0], 0),   # same label, identical -> excluded
+        (3, [0.9, 0.1, 0.0], 1),   # closest different-label -> rank 1
+        (4, [0.0, 1.0, 0.0], 1),   # farther
+        (5, [0.0, 0.0, 1.0], 2),   # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    anchors = df.filter(df.vec_id == 1)
+    got = sorted(
+        (r.rank, r.neg_id)
+        for r in hard_negatives(df, "vec_id", "embedding", "label",
+                                k=3, dim=3, anchors=anchors).collect()
+    )
+    assert got == [(1, 3), (2, 4), (3, 5)]
