@@ -2633,3 +2633,70 @@ FROM ranked WHERE rank <= 4
 """
 
 QUERIES["e15_hard_negatives"] = (e15_hard_negatives, E15_ORACLE)
+
+
+# --- T22: BM25 ranked retrieval ---------------------------------------------------------
+
+_T22_QUERIES = [
+    (1, ["hash", "join"]),
+    (2, ["window", "agg", "sort"]),
+    (3, ["vector", "stream", "spark"]),
+]
+
+
+def t22_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse ranked retrieval: Lucene-BM25 top-5 docs for three fixed
+    term-set queries. The oracle rebuilds postings, document lengths,
+    corpus stats, idf, and the rank window, so a bug anywhere in the
+    scoring chain breaks the hash."""
+    from peskas_timor_data_pipeline_spark.llm.text import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", _T22_QUERIES, k=5)
+
+
+def _t22_sql() -> str:
+    k1, b = 1.2, 0.75
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _T22_QUERIES for t in terms
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+qt(query_id, term) AS (VALUES {vals}),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term
+),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         sum(ln(1.0 + ((s.n_docs - d.df) + 0.5) / (d.df + 0.5))
+             * (t.tf * {k1 + 1.0!r}) / (t.tf + {k1!r} * ({1.0 - b!r} + ({b!r} * l.dl) / s.avgdl)))
+           AS s
+  FROM tf t
+  JOIN qt q USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id)
+           AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, round(s, 6) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
+QUERIES["t22_bm25_topk"] = (t22_bm25_topk, _t22_sql())

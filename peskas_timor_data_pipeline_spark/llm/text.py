@@ -554,3 +554,70 @@ def bpe_train_merges(
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[tuple[int, list[str]]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval: per query (a small fixed term set, the serving
+    shape), the top-k documents under Lucene-style BM25 —
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`` and
+    ``tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
+
+    The length-normalized ranked-retrieval complement to the flat TF-IDF
+    scoring pass; the ops a sparse-retrieval serving path needs.
+
+    Scale shape: ONE shuffle builds the (doc, term) term-frequency table;
+    doc lengths and corpus stats are aggregates over it (partial-agg +
+    1-row broadcast). The query-term list broadcasts and prunes the
+    postings BEFORE any scoring or ranking, so the ranked frame is
+    |queries| x |docs containing a query term| — never corpus x queries.
+    Ties rank by ascending doc id (stable across engines).
+    """
+    spark = docs.sparkSession
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in query_terms for t in terms],
+        schema="query_id long, term string",
+    )
+    dfreq = (
+        tf.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(idf * tf_norm).alias("__s__"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("__s__"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", F.round("__s__", 6).alias("score"))
+    )

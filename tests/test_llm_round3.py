@@ -187,3 +187,44 @@ def test_segment_dedup_first_occurrence_and_rebuild(spark):
     assert (got[3].n_segs, got[3].n_kept, got[3].rebuilt) == (2, 0, "")
     assert (got[4].n_segs, got[4].n_kept, got[4].rebuilt) == (2, 2, "z z z")
     assert abs(got[2].kept_ratio - 0.5) < 1e-9
+
+
+def test_bm25_topk_matches_pure_python(spark):
+    """BM25 scores and ranking agree with a hand-rolled replica on a tiny
+    corpus with known tf/dl variation."""
+    from peskas_timor_data_pipeline_spark.llm.text import bm25_topk
+
+    rows = [
+        (1, "hash join hash join hash"),
+        (2, "hash scan scan scan scan scan scan scan scan scan"),
+        (3, "join sort"),
+        (4, "scan sort filter"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(docs, "doc_id", "text", [(7, ["hash", "join"])], k=3)
+    got = {(r.query_id, r.doc_id): (r.rank, r.score) for r in out.collect()}
+
+    # pure-python replica
+    corpus = {d: t.split() for d, t in rows}
+    dl = {d: len(t) for d, t in corpus.items()}
+    avgdl = sum(dl.values()) / len(dl)
+    n = len(corpus)
+    k1, b = 1.2, 0.75
+    scores = {}
+    for term in ["hash", "join"]:
+        df = sum(1 for t in corpus.values() if term in t)
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for d, t in corpus.items():
+            tf = t.count(term)
+            if tf:
+                scores[d] = scores.get(d, 0.0) + idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * dl[d] / avgdl)
+                )
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert len(got) == 3
+    for rank, (d, s) in enumerate(expect, start=1):
+        assert got[(7, d)][0] == rank
+        assert abs(got[(7, d)][1] - s) < 1e-6
+    # doc 1 (dense in both query terms, short) must beat doc 2 (one hash in
+    # a long doc) and doc 3 (single join)
+    assert got[(7, 1)][0] == 1
