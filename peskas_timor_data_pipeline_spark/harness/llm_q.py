@@ -2700,3 +2700,80 @@ FROM ranked WHERE rank <= 5
 
 
 QUERIES["t22_bm25_topk"] = (t22_bm25_topk, _t22_sql())
+
+
+# --- T23: BPE encode (train-then-serve round trip) --------------------------------------
+
+def t23_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer serving path: train 3 BPE merges on the corpus, encode the
+    distinct-token vocabulary with them (same scan-replace semantics), join
+    back, and report per-source compression (tokens, BPE pieces, avg). The
+    oracle replays training AND encoding, so the round trip is hash-checked
+    end to end."""
+    from peskas_timor_data_pipeline_spark.llm.text import bpe_encode, bpe_train_merges
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    merges = bpe_train_merges(toks.select("tok"), "tok", n_merges=3)
+    enc = bpe_encode(toks.select("tok").distinct(), "tok", merges, n_merges=3)
+    return (
+        toks.join(enc.select("tok", "n_pieces"), "tok")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.round(F.sum("n_pieces") / F.count(F.lit(1)), 6).alias("avg_pieces"),
+        )
+    )
+
+
+def _t23_sql() -> str:
+    head = """
+WITH tokf AS (
+  SELECT source, tok FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), vocab AS (
+  SELECT tok, count(*) AS w FROM tokf GROUP BY tok
+), v0 AS (
+  SELECT tok, w, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS sym FROM vocab
+)"""
+    steps = []
+    for s in (1, 2, 3):
+        prev = f"v{s - 1}"
+        steps.append(f""",
+p{s} AS (
+  SELECT pr.pair, CAST(sum(pr.w) AS BIGINT) AS c FROM (
+    SELECT a.w, a.arr[u.i] || ' ' || a.arr[u.i + 1] AS pair
+    FROM (SELECT w, string_split(sym, ' ') AS arr FROM {prev}) a,
+         unnest(generate_series(1, len(a.arr) - 1)) AS u(i)
+  ) pr GROUP BY pr.pair
+),
+t{s} AS (SELECT pair, c FROM p{s} ORDER BY c DESC, pair LIMIT 1),
+v{s} AS (
+  SELECT tok, w,
+         trim(replace(' ' || sym || ' ',
+                      ' ' || (SELECT pair FROM t{s}) || ' ',
+                      ' ' || replace((SELECT pair FROM t{s}), ' ', '') || ' '))
+           AS sym
+  FROM {prev}
+)""")
+    tail = """,
+enc AS (
+  SELECT tok, CAST(len(string_split(sym, ' ')) AS INTEGER) AS n_pieces FROM v3
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       round(CAST(sum(n_pieces) AS BIGINT) / count(*), 6) AS avg_pieces
+FROM tokf JOIN enc USING (tok)
+GROUP BY source
+"""
+    return head + "".join(steps) + tail
+
+
+QUERIES["t23_bpe_encode"] = (t23_bpe_encode, _t23_sql())

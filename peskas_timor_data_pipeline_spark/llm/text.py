@@ -621,3 +621,59 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank", F.round("__s__", 6).alias("score"))
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    token_col: str,
+    merges: DataFrame,
+    n_merges: int,
+    out_col: str = "bpe_sym",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Apply a trained BPE merge table (``bpe_train_merges`` output) to
+    tokens, in rank order — the tokenizer's SERVING path. Each step fuses
+    that step's pair with the exact same space-delimited scan-replace the
+    training loop used, so train-then-encode round-trips are symbol-exact
+    (including the documented separator-consumption run behavior).
+
+    Scale shape: call this on the DISTINCT token vocabulary and join back
+    to the corpus (vocabulary-collapse — encode |V| strings, not |corpus|
+    tokens). The merge table is the shipped KB-scale artifact: it is
+    materialized once here (reliable checkpoint under ``checkpoint_dir``)
+    and each step's single-row pair broadcasts; nothing about the corpus
+    is shuffled by the encode itself.
+
+    Adds ``out_col`` (space-delimited symbol string) and ``n_pieces``.
+    """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    merges = materialize(merges, checkpoint_dir)
+    cur = df.withColumn(
+        out_col, F.trim(F.regexp_replace(F.col(token_col), "(.)", "$1 "))
+    )
+    for step in range(1, n_merges + 1):
+        p = merges.filter(F.col("step") == F.lit(step)).select(
+            F.col("pair").alias("__p__")
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(p))
+            .withColumn(
+                out_col,
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col(out_col), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("__p__"), F.lit(" ")),
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(F.col("__p__"), F.lit(" "), F.lit("")),
+                            F.lit(" "),
+                        ),
+                    )
+                ),
+            )
+            .drop("__p__")
+        )
+    return cur.withColumn(
+        "n_pieces", F.size(F.split(F.col(out_col), " ")).cast("int")
+    )

@@ -228,3 +228,26 @@ def test_bm25_topk_matches_pure_python(spark):
     # doc 1 (dense in both query terms, short) must beat doc 2 (one hash in
     # a long doc) and doc 3 (single join)
     assert got[(7, 1)][0] == 1
+
+
+def test_bpe_encode_round_trip_and_oov_runs(spark):
+    """Encoding with trained merges reproduces the training loop's final
+    vocabulary symbols, including the documented separator-consumption run
+    behavior on tokens the training never fully fused."""
+    from peskas_timor_data_pipeline_spark.llm.text import bpe_encode, bpe_train_merges
+
+    corpus = spark.createDataFrame(
+        [("aaab",), ("aaab",), ("ab",)], "tok string"
+    )
+    merges = bpe_train_merges(corpus, "tok", n_merges=3)
+    got_merges = {r.step: r.pair for r in merges.collect()}
+    assert got_merges == {1: "a a", 2: "a b", 3: "aa ab"}
+
+    to_encode = spark.createDataFrame([("aaab",), ("ab",), ("aab",)], "tok string")
+    enc = bpe_encode(to_encode, "tok", merges, n_merges=3)
+    got = {r.tok: (r.bpe_sym, r.n_pieces) for r in enc.collect()}
+    assert got["aaab"] == ("aaab", 1)
+    assert got["ab"] == ("ab", 1)
+    # 'aab' -> 'a a b' -> step1 fuses the leading pair -> 'aa b'; steps 2-3
+    # find no ' a b ' / ' aa ab ' windows -> stays 2 pieces
+    assert got["aab"] == ("aa b", 2)
