@@ -475,3 +475,64 @@ FROM det t LEFT JOIN seas s
 """
 
 QUERIES["ts3_seasonal_decompose"] = (ts3_seasonal_decompose, TS3_ORACLE)
+
+
+def ts4_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection on the daily event-count series per
+    event type. The ranking statistic is pure integer arithmetic
+    (n*run - i*tot = n*S_i), so the argmax position is engine-exact; the
+    oracle rebuilds the full scaled-deviation walk and the standardized
+    threshold decision."""
+    from peskas_timor_data_pipeline_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    out = cusum_changepoint(daily, "event_type", "day", "n_events")
+    return out.withColumnRenamed("cp_order", "cp_date")
+
+
+TS4_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), scored AS (
+  SELECT event_type, day, v,
+         CAST(sum(v) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+         CAST(sum(v) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+         CAST(sum(v * v) OVER (PARTITION BY event_type) AS BIGINT) AS ssq,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily
+), dev AS (
+  SELECT *, abs(n * run - i * tot) AS sabs FROM scored
+), picked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY sabs DESC, day) AS r
+  FROM dev
+)
+SELECT event_type,
+       n AS n_points,
+       day AS cp_date,
+       round(sabs / CAST(n AS DOUBLE), 6) AS cusum_abs,
+       round(CASE WHEN n * ssq - tot * tot > 0
+                  THEN sabs / (sqrt(CAST(n AS DOUBLE))
+                               * sqrt(CAST(n * ssq - tot * tot AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS cusum_stat,
+       (CASE WHEN n * ssq - tot * tot > 0
+             THEN sabs / (sqrt(CAST(n AS DOUBLE))
+                          * sqrt(CAST(n * ssq - tot * tot AS DOUBLE)))
+             ELSE 0.0 END) > 1.358 AS detected,
+       round(run / CAST(i AS DOUBLE), 6) AS mean_before,
+       round(CASE WHEN i < n THEN (tot - run) / CAST(n - i AS DOUBLE) END, 6)
+         AS mean_after,
+       round(CASE WHEN i < n THEN (tot - run) / CAST(n - i AS DOUBLE) END
+             - run / CAST(i AS DOUBLE), 6) AS shift
+FROM picked WHERE r = 1
+"""
+
+QUERIES["ts4_cusum_changepoint"] = (ts4_cusum_changepoint, TS4_ORACLE)

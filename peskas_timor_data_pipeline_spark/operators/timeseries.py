@@ -142,3 +142,87 @@ def seasonal_decompose(
             ).alias("residual"),
         )
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    stat_threshold: float = 1.358,
+    round_to: int = 6,
+) -> DataFrame:
+    """Offline CUSUM changepoint detection per group (Page's cumulative-sum
+    test, the monitoring-pipeline shift detector): over the ordered integer
+    series, the cumulative deviation-from-mean ``S_i = sum(x_j) - i*mu``
+    peaks at the most likely level-shift point; the standardized max
+    ``|S|/(sigma*sqrt(n))`` against the Kolmogorov-Smirnov 95% threshold
+    (1.358) decides whether a shift is flagged.
+
+    Engine-exactness: all ranking arithmetic is INTEGER — the scaled
+    deviation ``n*run_i - i*total`` equals ``n*S_i`` without ever computing
+    the float mean, so the argmax (and its tie-break on earliest order)
+    cannot flip between engines, unlike a float-cumsum formulation. Floats
+    appear only in the final reported magnitudes (single exact-integer
+    divisions, then rounded).
+
+    Scale shape: ONE shuffle partitions groups; everything else is two
+    window passes over each group (running sum + the argmax pick) and the
+    changepoint row itself already carries the prefix sums, so before/after
+    means need NO second scan of the series. Contract: ``value`` must be
+    integer-scaled (counts/cents) with ``n * sum(v^2) < 2^63`` per group —
+    cast money to cents upstream, as the repo's other integer-sum paths do.
+
+    Returns (group, n_points, cp_order, cusum_abs, cusum_stat, detected,
+    mean_before, mean_after, shift); ``mean_after``/``shift`` are null when
+    the peak lands on the last row (no post-segment).
+    """
+    from pyspark.sql.window import Window
+
+    w_ord = Window.partitionBy(group_col).orderBy(order_col)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(group_col)
+    base = df.select(
+        F.col(group_col),
+        F.col(order_col),
+        F.col(value_col).cast("long").alias("__v__"),
+    )
+    scored = base.select(
+        "*",
+        F.sum("__v__").over(w_run).alias("__run__"),
+        F.row_number().over(w_ord).cast("long").alias("__i__"),
+        F.sum("__v__").over(w_all).alias("__tot__"),
+        F.sum(F.col("__v__") * F.col("__v__")).over(w_all).alias("__ssq__"),
+        F.count(F.lit(1)).over(w_all).alias("__n__"),
+    ).withColumn(
+        "__abs__",
+        F.abs(F.col("__n__") * F.col("__run__") - F.col("__i__") * F.col("__tot__")),
+    )
+    w_pick = Window.partitionBy(group_col).orderBy(
+        F.desc("__abs__"), F.asc(order_col)
+    )
+    picked = (
+        scored.withColumn("__r__", F.row_number().over(w_pick))
+        .filter(F.col("__r__") == 1)
+    )
+    mean_before = F.col("__run__") / F.col("__i__")
+    mean_after = F.when(
+        F.col("__i__") < F.col("__n__"),
+        (F.col("__tot__") - F.col("__run__")) / (F.col("__n__") - F.col("__i__")),
+    )
+    var_num = F.col("__n__") * F.col("__ssq__") - F.col("__tot__") * F.col("__tot__")
+    stat = F.when(
+        var_num > 0,
+        F.col("__abs__") / (F.sqrt(F.col("__n__")) * F.sqrt(var_num)),
+    ).otherwise(F.lit(0.0))
+    return picked.select(
+        F.col(group_col),
+        F.col("__n__").alias("n_points"),
+        F.col(order_col).alias("cp_order"),
+        F.round(F.col("__abs__") / F.col("__n__"), round_to).alias("cusum_abs"),
+        F.round(stat, round_to).alias("cusum_stat"),
+        (stat > stat_threshold).alias("detected"),
+        F.round(mean_before, round_to).alias("mean_before"),
+        F.round(mean_after, round_to).alias("mean_after"),
+        F.round(mean_after - mean_before, round_to).alias("shift"),
+    )

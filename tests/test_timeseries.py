@@ -68,3 +68,36 @@ def test_seasonal_decompose_pure_weekly_signal(spark):
             assert abs(r.trend - 10.0) < 1e-9
             assert abs(r.seasonal - effects[i % 7]) < 1e-9
             assert abs(r.residual) < 1e-9
+
+
+def test_cusum_changepoint_detects_level_shift(spark):
+    """A clean 10->20 level shift at the series midpoint: peak lands on the
+    last pre-shift day, means/shift are exact, and the standardized stat
+    crosses the KS threshold. A constant series stays undetected with the
+    peak pinned (tie-break) to the first day."""
+    import datetime
+
+    from peskas_timor_data_pipeline_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = [("shift", d0 + datetime.timedelta(days=i), 10 if i < 5 else 20)
+            for i in range(10)]
+    rows += [("flat", d0 + datetime.timedelta(days=i), 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, day date, v long")
+    out = {r.g: r for r in cusum_changepoint(df, "g", "day", "v").collect()}
+
+    s = out["shift"]
+    assert s.cp_order == d0 + datetime.timedelta(days=4)
+    assert s.n_points == 10
+    assert s.mean_before == 10.0 and s.mean_after == 20.0 and s.shift == 10.0
+    # sabs = |10*50 - 5*150| = 250; stat = 250/(sqrt(10)*sqrt(2500)) ~ 1.5811
+    assert abs(s.cusum_abs - 25.0) < 1e-9
+    assert abs(s.cusum_stat - 1.581139) < 1e-6
+    assert s.detected is True
+
+    f = out["flat"]
+    assert f.cp_order == d0
+    assert f.cusum_stat == 0.0 and f.detected is False
+    assert f.mean_before == 7.0
