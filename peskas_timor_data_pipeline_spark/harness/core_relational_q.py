@@ -1061,3 +1061,41 @@ FROM cls GROUP BY change, changed_cols
 """
 
 QUERIES["p13_snapshot_diff"] = (p13_snapshot_diff, P13_ORACLE)
+
+
+# --- P14: one-pass column profile -------------------------------------------------------
+
+_P14_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"]
+
+
+def p14_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-QA dataset profile of the orders table: per column, rows /
+    nulls / exact distincts, min-max for numerics. Counts are integers and
+    min/max are untouched stored values, so the whole profile is
+    engine-exact."""
+    from peskas_timor_data_pipeline_spark.operators.restructure import (
+        profile_columns,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    return profile_columns(orders, _P14_COLS)
+
+
+def _p14_sql() -> str:
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    parts = []
+    for c in _P14_COLS:
+        mn = f"CAST(min({c}) AS DOUBLE)" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(max({c}) AS DOUBLE)" if c in numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {mn} AS min_value, {mx} AS max_value
+FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES["p14_profile_columns"] = (p14_profile_columns, _p14_sql())

@@ -242,3 +242,49 @@ def snapshot_diff(
         .otherwise(F.lit(""))
         .alias("changed_cols"),
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass data profile — the release-QA summary run before publishing
+    a dataset version: per column, row count, null count, exact distinct
+    count, and (numeric columns only) min/max as doubles. Non-numeric
+    columns report null min/max rather than a lexicographic one, and
+    distinct counts exclude nulls (the SQL COUNT(DISTINCT) contract).
+
+    Scale shape: ONE aggregation pass — the multiple exact distincts
+    compile to a single expand+partial-agg shuffle (rows x |cols| expand,
+    the standard exact-profiling cost; swap in approx_count_distinct when
+    a sketch is acceptable), and the (1 x wide) result unpivots to
+    (column, stats) rows driver-free with ``stack``.
+
+    Returns (column_name, n_rows, n_null, n_distinct, min_value, max_value).
+    """
+    from pyspark.sql.types import NumericType
+
+    cols = list(cols) if cols is not None else list(df.columns)
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}__"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}__"))
+        if c in numeric:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}__"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}__"))
+    row = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        mn = f"`__mn_{c}__`" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"`__mx_{c}__`" if c in numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"'{c}', __n__ - `__nn_{c}__`, `__nd_{c}__`, {mn}, {mx}"
+        )
+    stacked = row.selectExpr(
+        "__n__ AS n_rows",
+        f"stack({len(cols)}, {', '.join(parts)}) AS "
+        "(column_name, n_null, n_distinct, min_value, max_value)",
+    )
+    return stacked.select(
+        "column_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value"
+    )

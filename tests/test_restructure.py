@@ -170,3 +170,23 @@ def test_snapshot_diff_classification_and_null_safety(spark):
     assert (got[3].change, got[3].changed_cols) == ("changed", "x")
     assert (got[4].change, got[4].changed_cols) == ("changed", "s")
     assert (got[5].change, got[6].change) == ("removed", "added")
+
+
+def test_profile_columns_nulls_distincts_and_numeric_minmax(spark):
+    from peskas_timor_data_pipeline_spark.operators.restructure import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "a", None), (3, None, -1.0), (3, "b", 4.0)],
+        "k long, s string, v double",
+    )
+    got = {r.column_name: r for r in profile_columns(df).collect()}
+    assert set(got) == {"k", "s", "v"}
+    assert all(r.n_rows == 4 for r in got.values())
+    assert (got["k"].n_null, got["k"].n_distinct) == (0, 3)
+    assert (got["s"].n_null, got["s"].n_distinct) == (1, 2)
+    assert (got["v"].n_null, got["v"].n_distinct) == (1, 3)
+    assert (got["k"].min_value, got["k"].max_value) == (1.0, 3.0)
+    assert (got["v"].min_value, got["v"].max_value) == (-1.0, 4.0)
+    assert got["s"].min_value is None and got["s"].max_value is None
