@@ -536,3 +536,48 @@ FROM picked WHERE r = 1
 """
 
 QUERIES["ts4_cusum_changepoint"] = (ts4_cusum_changepoint, TS4_ORACLE)
+
+
+def w9_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day OLS slope of the daily event-count series per event
+    type (the drift gauge). x = integer days-since-epoch, y = integer
+    counts, so all five window sums are exact BIGINTs and the slope is one
+    exact division — no float-order surface anywhere."""
+    from peskas_timor_data_pipeline_spark.operators.windows import rolling_slope
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    daily = daily.withColumn(
+        "x", F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01"))).cast("long")
+    )
+    out = rolling_slope(daily, "event_type", "x", "n_events", window_rows=7)
+    return out.select("event_type", "day", "n_events", "slope")
+
+
+W9_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), sums AS (
+  SELECT event_type, day, n_events,
+         CAST(count(*) OVER w AS BIGINT) AS cnt,
+         CAST(sum(x) OVER w AS BIGINT) AS sx,
+         CAST(sum(n_events) OVER w AS BIGINT) AS sy,
+         CAST(sum(x * n_events) OVER w AS BIGINT) AS sxy,
+         CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY x
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, n_events,
+       CASE WHEN cnt = 7 AND cnt * sxx - sx * sx <> 0
+            THEN round((cnt * sxy - sx * sy) / CAST(cnt * sxx - sx * sx AS DOUBLE), 6)
+       END AS slope
+FROM sums
+"""
+
+QUERIES["w9_rolling_slope"] = (w9_rolling_slope, W9_ORACLE)

@@ -111,3 +111,60 @@ def group_share(
     `catch_taxa/sum(catch_taxa)` R/estimate-catch.R:593-603)."""
     w = Window.partitionBy(*keys)
     return df.withColumn(out_col, F.col(value) / F.sum(value).over(w))
+
+
+def rolling_slope(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    window_rows: int = 7,
+    out_col: str = "slope",
+    round_to: int = 6,
+) -> DataFrame:
+    """Rolling OLS trend per group: over the trailing ``window_rows`` rows
+    (ordered by ``x_col``), the least-squares slope
+    ``(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)`` — the monitoring-dashboard
+    "is this metric drifting" primitive.
+
+    Engine-exactness contract: ``x`` and ``y`` must be integer-scaled
+    (days / counts / cents). All five running sums are then exact BIGINT
+    window aggregates — no float summation-order surface — and the slope
+    is one exact-integer division, rounded. Rows whose trailing frame is
+    short (series head) report a null slope rather than a noisy one;
+    a degenerate frame (all x equal) also yields null.
+
+    Scale shape: ONE shuffle partitions groups, then a single constant-
+    width ROWS window pass computes every sum in whole-stage codegen.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(x_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    x = F.col("__x__")
+    y = F.col("__y__")
+    base = df.select(
+        "*",
+        F.col(x_col).cast("long").alias("__x__"),
+        F.col(y_col).cast("long").alias("__y__"),
+    )
+    sums = base.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("__cnt__"),
+        F.sum(x).over(w).alias("__sx__"),
+        F.sum(y).over(w).alias("__sy__"),
+        F.sum(x * y).over(w).alias("__sxy__"),
+        F.sum(x * x).over(w).alias("__sxx__"),
+    )
+    num = F.col("__cnt__") * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__")
+    den = F.col("__cnt__") * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__")
+    slope = F.when(
+        (F.col("__cnt__") == window_rows) & (den != 0),
+        F.round(num / den, round_to),
+    )
+    return sums.withColumn(out_col, slope).drop(
+        "__x__", "__y__", "__cnt__", "__sx__", "__sy__", "__sxy__", "__sxx__"
+    )

@@ -101,3 +101,24 @@ def test_cusum_changepoint_detects_level_shift(spark):
     assert f.cp_order == d0
     assert f.cusum_stat == 0.0 and f.detected is False
     assert f.mean_before == 7.0
+
+
+def test_rolling_slope_exact_on_linear_series(spark):
+    """y = 3x + noise-free line gives slope exactly 3 on every full frame;
+    short head frames and a flat series behave as documented."""
+    import datetime
+
+    from peskas_timor_data_pipeline_spark.operators.windows import rolling_slope
+
+    rows = [("lin", i, 3 * i + 10) for i in range(10)]
+    rows += [("flat", i, 5) for i in range(8)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = rolling_slope(df, "g", "x", "y", window_rows=7)
+    got = {(r.g, r.x): r.slope for r in out.collect()}
+    for i in range(10):
+        if i < 6:
+            assert got[("lin", i)] is None
+        else:
+            assert got[("lin", i)] == 3.0
+    assert got[("flat", 7)] == 0.0
+    assert got[("flat", 3)] is None
