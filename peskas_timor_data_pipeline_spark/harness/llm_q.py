@@ -2777,3 +2777,102 @@ GROUP BY source
 
 
 QUERIES["t23_bpe_encode"] = (t23_bpe_encode, _t23_sql())
+
+
+# --- D10: LSH tuning evaluation (precision/recall vs exact Jaccard) ---------------------
+
+def d10_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the d2 band configuration (16 hashes, bands of
+    8) against exact Jaccard>=0.5 truth on a sampled audit corpus: every
+    20th doc plus exact copies, tail-mutated copies (J just under 1), and
+    half-truncated copies (J near the threshold) — so both ratios have
+    room to miss.
+    The oracle rebuilds shingle sets, the inverted-index truth, the full
+    MinHash/banding chain, and both ratios."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import lsh_eval
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 20 == 0)
+    exact = base.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    tailed = base.filter(F.col("doc_id") % 40 == 20).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" slow fast value table")).alias("text"),
+    )
+    halved = base.filter(F.col("doc_id") % 60 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.expr(
+            "substr(text, 1, CAST(floor(length(text) / 2) AS INT))"
+        ).alias("text"),
+    )
+    corpus = base.unionByName(exact).unionByName(tailed).unionByName(halved)
+    return lsh_eval(
+        corpus, "doc_id", "text",
+        threshold=0.5, n_hashes=N_HASHES, band_size=BAND_SIZE,
+        k_shingle=K_SHINGLE,
+    )
+
+
+_D10_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 40 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' slow fast value table'
+  FROM documents WHERE doc_id % 40 = 20
+  UNION ALL
+  SELECT doc_id + 3000000,
+         substr(text, 1, CAST(floor(length(text) / 2) AS INTEGER))
+  FROM documents WHERE doc_id % 60 = 0
+)
+"""
+
+D10_ORACLE = f"""
+WITH {_D10_CORPUS},
+sh0 AS (
+  SELECT doc_id, substr(lower(text), CAST(i AS INTEGER), {K_SHINGLE}) AS sh
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {K_SHINGLE - 1})) AS i
+        FROM corpus)
+),
+sets AS (SELECT DISTINCT doc_id, sh FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sets a JOIN sets b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes za ON za.doc_id = id_a
+  JOIN sizes zb ON zb.doc_id = id_b
+  WHERE n_inter * 1.0 / (za.set_size + zb.set_size - n_inter) >= 0.5
+),
+shd AS (SELECT doc_id, sh, {_DIG_SQL} AS dig FROM sets),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM shd GROUP BY doc_id),
+long AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM long a JOIN long b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+flags AS (
+  SELECT coalesce(t.id_a, c.id_a) AS id_a, coalesce(t.id_b, c.id_b) AS id_b,
+         CASE WHEN t.id_a IS NOT NULL THEN 1 END AS tf,
+         CASE WHEN c.id_a IS NOT NULL THEN 1 END AS cf
+  FROM (SELECT id_a, id_b FROM truth) t
+  FULL OUTER JOIN (SELECT id_a, id_b FROM cand) c
+    ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS n_truth,
+       CAST(coalesce(sum(cf), 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(sum(tf * cf), 0) AS BIGINT) AS true_positives,
+       round(coalesce(sum(tf * cf), 0) / CAST(nullif(coalesce(sum(cf), 0), 0) AS DOUBLE), 6) AS precision,
+       round(coalesce(sum(tf * cf), 0) / CAST(nullif(coalesce(sum(tf), 0), 0) AS DOUBLE), 6) AS recall
+FROM flags
+"""
+
+QUERIES["d10_lsh_eval"] = (d10_lsh_eval, D10_ORACLE)

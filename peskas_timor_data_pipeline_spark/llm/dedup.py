@@ -565,3 +565,90 @@ def segment_dedup(
             " ",
         ).alias("rebuilt"),
     )
+
+
+def lsh_eval(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    band_size: int = 8,
+    k_shingle: int = 5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Index-tuning gauge for MinHash-LSH (the dedup-side twin of the ANN
+    ``topk_recall`` pass): candidate pairs at the given band configuration
+    vs the EXACT Jaccard>=threshold ground truth, reported as one
+    (n_truth, n_candidates, true_positives, precision, recall) row. Run it
+    after every (n_hashes, band_size) change — banding that misses real
+    near-dups shows up as recall, banding that floods the verifier shows
+    up as precision.
+
+    Ground truth is built from the inverted shingle index (pairs sharing
+    at least one k-gram — exact, since Jaccard > 0 requires a shared
+    gram), NOT an all-pairs product; its cost is sum(df^2) over shingle
+    document frequencies, which is the standard bound for exact
+    similarity self-joins. That makes this an EVALUATION harness: run it
+    on a sampled audit corpus (how index tuning works at 100 TB), not the
+    full crawl.
+
+    The shingle explode happens ONCE and feeds signatures, truth, and
+    set sizes (materialized against triple recompute).
+    """
+    shingles = materialize(
+        shingle_rows(docs, id_col, text_col, k_shingle).distinct(),
+        checkpoint_dir,
+    )
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "sh")
+    b = shingles.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("sb")),
+            "id_b",
+        )
+        .filter(
+            F.col("n_inter") / (F.col("sa") + F.col("sb") - F.col("n_inter"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    sigs = minhash_signature(
+        docs, id_col, text_col, n_hashes, k_shingle, shingles=shingles
+    )
+    cand = lsh_candidate_pairs(
+        sigs, id_col, n_hashes, band_size, checkpoint_dir=checkpoint_dir
+    )
+    t = truth.withColumn("__t__", F.lit(1))
+    c = cand.withColumn("__c__", F.lit(1))
+    j = t.join(c, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum("__t__").cast("long").alias("n_truth"),
+        F.sum("__c__").cast("long").alias("n_candidates"),
+        F.sum(F.col("__t__") * F.col("__c__")).cast("long").alias("true_positives"),
+    ).select(
+        F.coalesce("n_truth", F.lit(0)).alias("n_truth"),
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        F.coalesce("true_positives", F.lit(0)).alias("true_positives"),
+        F.round(
+            F.coalesce("true_positives", F.lit(0))
+            / F.nullif(F.col("n_candidates"), F.lit(0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.coalesce("true_positives", F.lit(0))
+            / F.nullif(F.col("n_truth"), F.lit(0)),
+            6,
+        ).alias("recall"),
+    )

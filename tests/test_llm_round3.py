@@ -251,3 +251,25 @@ def test_bpe_encode_round_trip_and_oov_runs(spark):
     # 'aab' -> 'a a b' -> step1 fuses the leading pair -> 'aa b'; steps 2-3
     # find no ' a b ' / ' aa ab ' windows -> stays 2 pieces
     assert got["aab"] == ("aa b", 2)
+
+
+def test_lsh_eval_counts_and_ratios(spark):
+    """Two exact copies (caught) and one disjoint doc: truth = candidates =
+    the copy pair, ratios 1.0. Adding a near-dup below threshold must not
+    enter truth even when banding proposes it."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import lsh_eval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr"),
+        ],
+        "doc_id long, text string",
+    )
+    row = lsh_eval(docs, "doc_id", "text", threshold=0.5,
+                   n_hashes=8, band_size=2, k_shingle=5).collect()[0]
+    assert row.n_truth == 1 and row.true_positives == 1
+    assert row.n_candidates >= 1
+    assert row.recall == 1.0
+    assert row.precision == round(1 / row.n_candidates, 6)
