@@ -2876,3 +2876,60 @@ FROM flags
 """
 
 QUERIES["d10_lsh_eval"] = (d10_lsh_eval, D10_ORACLE)
+
+
+# --- T24: DSIR importance selection -----------------------------------------------------
+
+def t24_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-targeted selection: treat source 'src0' as the target domain
+    and pick the 20 non-target docs whose token distribution looks most
+    src0-like under the smoothed unigram log-likelihood ratio. Scores are
+    rounded BEFORE ranking so the rank inputs are engine-identical; the
+    oracle rebuilds both LMs, the ratio, and the top-k."""
+    from peskas_timor_data_pipeline_spark.llm.text import dsir_select
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("source") == "src0"
+    )
+    return dsir_select(docs, "doc_id", "text", "is_target", k=20)
+
+
+T24_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source = 'src0' AS tgt, token FROM (
+    SELECT doc_id, source,
+           unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+),
+counts AS (
+  SELECT token,
+         CAST(count(*) AS BIGINT) AS c_raw,
+         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+  FROM toks GROUP BY token
+),
+totals AS (
+  SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+         CAST(sum(c_tgt) AS BIGINT) AS t_tgt,
+         CAST(count(*) AS BIGINT) AS v
+  FROM counts
+),
+scored AS (
+  SELECT k.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(ln((c.c_tgt + 1) / CAST(t.t_tgt + t.v AS DOUBLE))
+                   - ln((c.c_raw + 1) / CAST(t.t_raw + t.v AS DOUBLE)))
+               / count(*), 6) AS avg_logratio
+  FROM toks k JOIN counts c USING (token) CROSS JOIN totals t
+  WHERE NOT k.tgt
+  GROUP BY k.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY avg_logratio DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_tokens, avg_logratio
+FROM ranked WHERE rank <= 20
+"""
+
+QUERIES["t24_dsir_select"] = (t24_dsir_select, T24_ORACLE)

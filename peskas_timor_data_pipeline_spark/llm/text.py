@@ -677,3 +677,65 @@ def bpe_encode(
     return cur.withColumn(
         "n_pieces", F.size(F.split(F.col(out_col), " ")).cast("int")
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023, simplified to the
+    bag-of-words core): score every non-target document by the mean
+    per-token log-likelihood ratio between an add-1-smoothed unigram LM of
+    the TARGET slice (``target_col`` boolean) and one of the full corpus,
+    then keep the top-k — "find me more data that looks like my domain".
+
+    Scale shape: token counts are two partial-aggregated groupBys over ONE
+    tokenize pass; the two LM scalars (total tokens, vocab size) broadcast
+    as 1-row frames; scoring is a token-keyed equi-join (AQE-sized — the
+    vocab can be millions of types) followed by a per-doc partial
+    aggregate and one global top-k (TakeOrderedAndProject-shaped window).
+    Smoothed probabilities are exact integer ratios, so the only float
+    surface is the ln sum, rounded.
+
+    Returns (rank, id, n_tokens, avg_logratio) for the k selected docs.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(target_col).alias("__tgt__"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).filter(F.col("token") != "")
+    raw_counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("__tgt__"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = raw_counts.agg(
+        F.sum("c_raw").alias("t_raw"),
+        F.sum("c_tgt").alias("t_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    delta = (
+        F.log((F.col("c_tgt") + 1) / (F.col("t_tgt") + F.col("v")))
+        - F.log((F.col("c_raw") + 1) / (F.col("t_raw") + F.col("v")))
+    )
+    scored = (
+        toks.filter(~F.col("__tgt__"))
+        .join(raw_counts, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum(delta) / F.count(F.lit(1)), 6).alias("avg_logratio"),
+        )
+    )
+    # distributed partial top-k first (TakeOrderedAndProject), then the
+    # rank window runs over k rows only — never a corpus-wide single sort
+    top = scored.orderBy(F.desc("avg_logratio"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("avg_logratio"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", id_col, "n_tokens", "avg_logratio"
+    )

@@ -150,3 +150,26 @@ def test_bpe_train_merges_hand_computed(spark):
     got = {r.step: r for r in bpe_train_merges(df, "tok", n_merges=2).collect()}
     assert (got[1].pair, got[1].merged, got[1].pair_count) == ("a b", "ab", 3)
     assert (got[2].pair, got[2].merged, got[2].pair_count) == ("ab c", "abc", 2)
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Target domain speaks 'alpha'; among non-target docs, the alpha-heavy
+    one must outrank the beta-heavy one, and target docs never appear."""
+    from peskas_timor_data_pipeline_spark.llm.text import dsir_select
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha alpha", True),
+            (2, "alpha alpha beta alpha", True),
+            (3, "alpha alpha alpha beta", False),
+            (4, "beta beta beta beta", False),
+            (5, "alpha beta beta beta", False),
+        ],
+        "doc_id long, text string, tgt boolean",
+    )
+    out = dsir_select(docs, "doc_id", "text", "tgt", k=3).collect()
+    ranks = {r.doc_id: r.rank for r in out}
+    assert set(ranks) == {3, 4, 5}
+    assert ranks[3] == 1 and ranks[5] == 2 and ranks[4] == 3
+    by_rank = sorted(out, key=lambda r: r.rank)
+    assert by_rank[0].avg_logratio > by_rank[1].avg_logratio > by_rank[2].avg_logratio
