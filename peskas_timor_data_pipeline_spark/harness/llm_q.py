@@ -2933,3 +2933,67 @@ FROM ranked WHERE rank <= 20
 """
 
 QUERIES["t24_dsir_select"] = (t24_dsir_select, T24_ORACLE)
+
+
+# --- MM8: REAL nearest-neighbor image resize --------------------------------------------
+
+def mm8_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode -> NN-resize -> re-encode -> decode-again round trip:
+    synthesize the mm3 formula image per doc, resize to 8x6 with exact
+    integer index sampling, and verify BOTH a second real decode of the
+    re-encoded bytes (mean pixel) and a position-weighted checksum that a
+    transposed pixel would break. The oracle replays the NN index map
+    from the generating formula."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        decode_image_meta,
+        encode_ppm,
+        resize_images_real,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for did in pdf["doc_id"]:
+                w, h = int(did) % 13 + 1, int(did) % 7 + 1
+                y, x, c = np.indices((h, w, 3))
+                px = ((int(did) + x + y + c) % 256).astype(np.uint8)
+                contents.append(encode_ppm(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    resized = resize_images_real(media, "doc_id", "content", target_w=8, target_h=6)
+    meta = decode_image_meta(resized, "doc_id")
+    return resized.select("doc_id", "width", "height", "pix_checksum").join(
+        meta.select("doc_id", F.round("mean_pixel", 6).alias("mean_pixel")),
+        "doc_id",
+    )
+
+
+MM8_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h FROM documents
+), flat AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, 8 * 6 * 3 - 1)) AS t
+  FROM dims
+), px AS (
+  SELECT doc_id, t,
+         (doc_id
+          + (((t % 24) // 3) * w) // 8
+          + ((t // 24) * h) // 6
+          + t % 3) % 256 AS val
+  FROM flat
+)
+SELECT doc_id, 8 AS width, 6 AS height,
+       CAST(sum(val * (t + 1)) % 1000000007 AS BIGINT) AS pix_checksum,
+       round(avg(CAST(val AS DOUBLE)), 6) AS mean_pixel
+FROM px GROUP BY doc_id
+"""
+
+QUERIES["mm8_image_resize"] = (mm8_image_resize, MM8_ORACLE)

@@ -586,3 +586,59 @@ def audio_silence_stats(
             )
 
     return df.select(id_col, content_col).mapInPandas(extract, schema=out_schema)
+
+
+def resize_images_real(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    target_w: int = 224,
+    target_h: int = 224,
+) -> DataFrame:
+    """REAL nearest-neighbor image resize over binary columns: decode the
+    bytes (PPM/PGM/BMP), sample source pixel ``(y*h)//th, (x*w)//tw`` for
+    every target position — exact integer index arithmetic, no
+    interpolation floats — re-encode as P6 PPM, and emit a
+    position-weighted integer checksum ``sum(px[i]*(i+1)) mod 1e9+7`` so a
+    transposed or mis-mapped pixel (which a mean would forgive) breaks
+    verification. This retires the ``resize_images`` stub for supported
+    formats; unsupported codecs still raise loudly there.
+
+    Scale shape: one mapInPandas pass, numpy per Arrow batch; binary in,
+    binary out with typed dims — the distributed preprocessing shape a
+    vision-model pipeline feeds to its trainer.
+    """
+    import numpy as np
+
+    out_schema = (
+        f"{id_col} long, content binary, width int, height int, pix_checksum long"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, checks = [], []
+            for b in pdf[content_col]:
+                d = decode_image(b)
+                px = d["pixels"]
+                if px.ndim == 2:  # grayscale -> 3-channel for P6 output
+                    px = np.repeat(px[:, :, None], 3, axis=2)
+                h, w = px.shape[0], px.shape[1]
+                iy = (np.arange(target_h) * h) // target_h
+                ix = (np.arange(target_w) * w) // target_w
+                res = px[np.ix_(iy, ix)]
+                flat = res.astype(np.int64).ravel()
+                checks.append(
+                    int((flat * (np.arange(flat.size) + 1)).sum() % 1_000_000_007)
+                )
+                contents.append(encode_ppm(res.astype(np.uint8)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content": contents,
+                    "width": target_w,
+                    "height": target_h,
+                    "pix_checksum": checks,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(resize, schema=out_schema)

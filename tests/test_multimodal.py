@@ -269,3 +269,31 @@ def test_audio_silence_stats_runs_and_trims(spark):
     assert (r1.lead_trim, r1.trail_trim) == (6, 5)
     r2 = got[2]
     assert (r2.n_silent, r2.n_runs, r2.lead_trim, r2.trail_trim) == (0, 0, 0, 0)
+
+
+def test_resize_images_real_nn_exact_and_roundtrip(spark):
+    """NN resize of a known 2x2 image to 4x4 replicates each source pixel
+    into a 2x2 block (floor index map), the re-encoded PPM decodes to the
+    same pixels, and the checksum matches a hand computation."""
+    import numpy as np
+
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        decode_image,
+        encode_ppm,
+        resize_images_real,
+    )
+
+    src = np.array(
+        [[[10, 11, 12], [20, 21, 22]], [[30, 31, 32], [40, 41, 42]]],
+        dtype=np.uint8,
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(src)))], "doc_id long, content binary"
+    )
+    row = resize_images_real(df, "doc_id", "content", target_w=4, target_h=4).collect()[0]
+    assert (row.width, row.height) == (4, 4)
+    got = decode_image(bytes(row.content))["pixels"]
+    expect = src[np.ix_((np.arange(4) * 2) // 4, (np.arange(4) * 2) // 4)]
+    assert np.array_equal(got, expect)
+    flat = expect.astype(np.int64).ravel()
+    assert row.pix_checksum == int((flat * (np.arange(flat.size) + 1)).sum() % 1_000_000_007)
