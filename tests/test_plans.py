@@ -352,3 +352,35 @@ def test_semdedup_broadcast_assignment(spark, sf_dir):
     assert "CartesianProduct" not in p
     # the cell-keyed self-join stays a hash join
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_bm25_broadcast_terms_partial_agg_no_cartesian(spark, sf_dir):
+    from peskas_timor_data_pipeline_spark.harness.llm_q import t22_bm25_topk
+
+    p = plan_str(t22_bm25_topk(spark, sf_dir))
+    # query terms and corpus stats ride broadcast joins; postings never
+    # meet queries through a cartesian product
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # the (doc, term) tf table partial-aggregates map-side
+    assert re.search(r"partial_count", p)
+
+
+def test_dsir_topk_is_partial_sort(spark, sf_dir):
+    from peskas_timor_data_pipeline_spark.harness.llm_q import t24_dsir_select
+
+    p = plan_str(t24_dsir_select(spark, sf_dir))
+    # the global top-k must be a distributed partial sort, not a full
+    # range-partitioned ordering of the scored corpus
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_rolling_slope_single_window_pass(spark, sf_dir):
+    from peskas_timor_data_pipeline_spark.harness.windows_q import w9_rolling_slope
+
+    p = plan_str(w9_rolling_slope(spark, sf_dir), "simple")
+    # one Window node computes all five sums; no Python anywhere
+    assert p.count("Window") == 1
+    assert "Python" not in p
