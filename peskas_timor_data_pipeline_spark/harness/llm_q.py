@@ -2997,3 +2997,69 @@ FROM px GROUP BY doc_id
 """
 
 QUERIES["mm8_image_resize"] = (mm8_image_resize, MM8_ORACLE)
+
+
+# --- MM9: scene-cut detection over real decoded video -----------------------------------
+
+def mm9_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a Y4M clip per doc with scene structure — doc_id%6+4
+    frames of 8x6 luma, pixel = (doc_id + 40*(frame//3) + x + y) % 256, so
+    frames within a 3-frame scene are identical and scene boundaries jump
+    by 40 (with mod-256 wraparound making per-pixel diffs vary) — decode
+    the actual bytes and flag cuts where mean abs frame diff > 20. Oracle
+    replays the SAD arithmetic from the generating formula."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        encode_y4m,
+        scene_cuts,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for did in pdf["doc_id"]:
+                nf = int(did) % 6 + 4
+                y, x = np.indices((6, 8))
+                frames = np.stack(
+                    [
+                        ((int(did) + 40 * (f // 3) + x + y) % 256).astype(np.uint8)
+                        for f in range(nf)
+                    ]
+                )
+                contents.append(encode_y4m(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    out = scene_cuts(media, "doc_id", threshold=20.0)
+    return out.select(
+        "doc_id", "frame_idx", "sad", F.round("mad", 6).alias("mad"), "is_cut"
+    )
+
+
+MM9_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 6 + 4 AS nf FROM documents
+), pairs AS (
+  SELECT doc_id, unnest(generate_series(1, nf - 1)) AS f FROM dims
+), px AS (
+  SELECT doc_id, f, unnest(generate_series(0, 47)) AS t FROM pairs
+), vals AS (
+  SELECT doc_id, f,
+         (doc_id + 40 * (f // 3) + t % 8 + t // 8) % 256 AS cur,
+         (doc_id + 40 * ((f - 1) // 3) + t % 8 + t // 8) % 256 AS prev
+  FROM px
+)
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+       CAST(sum(abs(cur - prev)) AS BIGINT) AS sad,
+       round(CAST(sum(abs(cur - prev)) AS BIGINT) / 48.0, 6) AS mad,
+       CAST(sum(abs(cur - prev)) AS BIGINT) / 48.0 > 20.0 AS is_cut
+FROM vals GROUP BY doc_id, f
+"""
+
+QUERIES["mm9_scene_cuts"] = (mm9_scene_cuts, MM9_ORACLE)

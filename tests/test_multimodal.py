@@ -297,3 +297,28 @@ def test_resize_images_real_nn_exact_and_roundtrip(spark):
     assert np.array_equal(got, expect)
     flat = expect.astype(np.int64).ravel()
     assert row.pix_checksum == int((flat * (np.arange(flat.size) + 1)).sum() % 1_000_000_007)
+
+
+def test_scene_cuts_flags_only_scene_boundaries(spark):
+    """Three identical frames, then a +100 jump scene of two frames:
+    within-scene pairs have sad 0, the boundary pair flags a cut with the
+    exact SAD."""
+    import numpy as np
+
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        encode_y4m,
+        scene_cuts,
+    )
+
+    a = np.full((4, 4), 50, dtype=np.uint8)
+    b = np.full((4, 4), 150, dtype=np.uint8)
+    clip = np.stack([a, a, a, b, b])
+    df = spark.createDataFrame(
+        [(9, bytearray(encode_y4m(clip)))], "doc_id long, content binary"
+    )
+    rows = {r.frame_idx: r for r in scene_cuts(df, "doc_id", threshold=20.0).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for f in (1, 2, 4):
+        assert rows[f].sad == 0 and rows[f].is_cut is False
+    assert rows[3].sad == 100 * 16
+    assert rows[3].mad == 100.0 and rows[3].is_cut is True
