@@ -1120,3 +1120,87 @@ FROM w GROUP BY l_returnflag
 """
 
 QUERIES["a26_winsorize"] = (a26_winsorize, A26_ORACLE)
+
+
+# --- A27: ordered-sequence funnel -------------------------------------------------------
+
+def a27_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel over the event log: first
+    qualifying occurrence strictly after the previous step, per-step user
+    counts and conversion rates. The oracle chains the same conditional
+    min-aggregations, so an ordering or strictness bug breaks the hash."""
+    from peskas_timor_data_pipeline_spark.operators.funnel import funnel
+
+    ev = load(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts", "event_type",
+                  ["view", "click", "purchase"])
+
+
+A27_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+  GROUP BY e.user_id
+), counts AS (
+  SELECT 1 AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+)
+SELECT step, step_name, n_users,
+       round(n_users / CAST(lag(n_users) OVER (ORDER BY step) AS DOUBLE), 6)
+         AS conv_from_prev,
+       round(n_users / CAST(first_value(n_users) OVER (ORDER BY step) AS DOUBLE), 6)
+         AS conv_from_top
+FROM counts
+"""
+
+QUERIES["a27_funnel"] = (a27_funnel, A27_ORACLE)
+
+
+# --- A28: weekly retention cohorts ------------------------------------------------------
+
+def a28_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix on integer week indexes (floor(days/7) from a
+    fixed epoch — engine-exact, no locale week truncation): cohort = first
+    active week, cell = users active offset weeks later + share of
+    cohort."""
+    from peskas_timor_data_pipeline_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts", epoch="2024-01-01")
+
+
+A28_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) AS w
+  FROM events
+), first AS (
+  SELECT user_id, min(w) AS w0 FROM active GROUP BY user_id
+), cells AS (
+  SELECT f.w0 AS cohort_week, a.w - f.w0 AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM active a JOIN first f ON a.user_id = f.user_id
+  GROUP BY f.w0, a.w - f.w0
+), sizes AS (
+  SELECT cohort_week, n_active AS n_cohort FROM cells WHERE week_offset = 0
+)
+SELECT c.cohort_week, c.week_offset, c.n_active, s.n_cohort,
+       round(c.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+"""
+
+QUERIES["a28_retention_cohorts"] = (a28_retention_cohorts, A28_ORACLE)

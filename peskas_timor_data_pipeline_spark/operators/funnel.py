@@ -1,0 +1,137 @@
+"""Event-sequence product analytics: ordered funnels and retention
+cohorts — the two queries every event-log warehouse runs daily. Both are
+pure DataFrame aggregation chains (no collect_list of a user's history, so
+a heavy user's millions of events never materialize in one row).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Ordered-sequence funnel: a user reaches step k when an event of
+    ``steps[k]`` occurs STRICTLY AFTER their step-(k-1) timestamp (first
+    qualifying occurrence; the strict ``>`` is pinned semantics — an
+    equal-timestamp pair does not advance the funnel). Emits one row per
+    step with user counts and conversion rates from the previous step and
+    from the top.
+
+    Scale shape: step k is one filtered partial-aggregated groupBy joined
+    to the step-(k-1) user frame (user-keyed equi-join; AQE sizes it as
+    the funnel narrows) — |steps| passes over the filtered event stream,
+    NEVER a per-user collected history, so heavy users cost nothing
+    special. The final rate windows run over |steps| rows.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(user_col).alias("__u__"),
+        F.col(ts_col).alias("__ts__"),
+        F.col(type_col).alias("__ty__"),
+    )
+    reached = (
+        base.filter(F.col("__ty__") == steps[0])
+        .groupBy("__u__")
+        .agg(F.min("__ts__").alias("__t__"))
+    )
+    counts = [
+        reached.agg(
+            F.lit(1).alias("step"),
+            F.lit(steps[0]).alias("step_name"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+    ]
+    for k, st in enumerate(steps[1:], start=2):
+        reached = (
+            base.filter(F.col("__ty__") == st)
+            .join(reached.select("__u__", "__t__"), "__u__")
+            .filter(F.col("__ts__") > F.col("__t__"))
+            .groupBy("__u__")
+            .agg(F.min("__ts__").alias("__t__"))
+        )
+        counts.append(
+            reached.agg(
+                F.lit(k).alias("step"),
+                F.lit(st).alias("step_name"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    w = Window.orderBy("step")
+    return out.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.round(F.col("n_users") / F.lag("n_users").over(w), round_to).alias(
+            "conv_from_prev"
+        ),
+        F.round(
+            F.col("n_users") / F.first("n_users").over(w), round_to
+        ).alias("conv_from_top"),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    epoch: str = "2024-01-01",
+    round_to: int = 6,
+) -> DataFrame:
+    """Weekly retention-cohort matrix: cohort = a user's first active week
+    (integer week index ``floor(days_since_epoch / 7)`` — engine-exact,
+    unlike locale/ISO week truncation), cell (cohort, offset) = how many
+    of that cohort's users were active ``offset`` weeks later, as a count
+    and a share of the cohort.
+
+    Scale shape: (user, week) activity is ONE distinct over the event
+    scan; first-week is a partial-aggregated min over it; the matrix is a
+    groupBy over the (already user-week-deduped) join. Cohort sizes reuse
+    the offset-0 cells (every user is active in their first week), so no
+    extra pass.
+    """
+    week = F.floor(
+        F.datediff(F.to_date(F.col("__ts__")), F.to_date(F.lit(epoch))) / 7
+    ).cast("long")
+    active = (
+        df.select(F.col(user_col).alias("__u__"), F.col(ts_col).alias("__ts__"))
+        .select("__u__", week.alias("__w__"))
+        .distinct()
+    )
+    first = active.groupBy("__u__").agg(F.min("__w__").alias("__w0__"))
+    cells = (
+        active.join(first, "__u__")
+        .groupBy(
+            F.col("__w0__").alias("cohort_week"),
+            (F.col("__w__") - F.col("__w0__")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    sizes = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("n_cohort")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort"), round_to).alias(
+                "retention"
+            ),
+        )
+    )

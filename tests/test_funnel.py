@@ -1,0 +1,56 @@
+"""Funnel + retention-cohort operator tests (hand-computed fixtures)."""
+
+from __future__ import annotations
+
+import datetime
+
+
+def _ts(day, hour=0):
+    return datetime.datetime(2024, 1, day, hour)
+
+
+def test_funnel_strict_ordering_and_rates(spark):
+    """User 1 completes the funnel; user 2's click precedes their view
+    (does not advance); user 3's purchase is simultaneous with the click
+    (strict > rejects it); user 4 never views."""
+    from peskas_timor_data_pipeline_spark.operators.funnel import funnel
+
+    rows = [
+        (1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        (2, _ts(1), "click"), (2, _ts(2), "view"),
+        (3, _ts(1), "view"), (3, _ts(2, 5), "click"), (3, _ts(2, 5), "purchase"),
+        (4, _ts(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.step: r for r in funnel(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    assert got[1].n_users == 3          # users 1, 2, 3 viewed
+    assert got[2].n_users == 2          # 1 and 3 clicked after viewing
+    assert got[3].n_users == 1          # only 1 purchased after the click
+    assert got[1].conv_from_prev is None and got[1].conv_from_top == 1.0
+    assert got[2].conv_from_prev == round(2 / 3, 6)
+    assert got[3].conv_from_prev == 0.5
+    assert got[3].conv_from_top == round(1 / 3, 6)
+
+
+def test_retention_cohorts_matrix(spark):
+    """Two users start week 0 (one returns week 1), one starts week 1:
+    cohort sizes, offsets, and shares are exact."""
+    from peskas_timor_data_pipeline_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    rows = [
+        (1, _ts(1)), (1, _ts(9)),        # weeks 0 and 1
+        (2, _ts(2)),                     # week 0 only
+        (3, _ts(10)), (3, _ts(11)),      # week 1 (same week twice)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort_week, r.week_offset): r for r in retention_cohorts(
+        df, "user_id", "ts", epoch="2024-01-01"
+    ).collect()}
+    assert got[(0, 0)].n_active == 2 and got[(0, 0)].n_cohort == 2
+    assert got[(0, 1)].n_active == 1 and got[(0, 1)].retention == 0.5
+    assert got[(1, 0)].n_active == 1 and got[(1, 0)].retention == 1.0
+    assert set(got) == {(0, 0), (0, 1), (1, 0)}
