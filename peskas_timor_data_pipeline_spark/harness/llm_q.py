@@ -3063,3 +3063,66 @@ FROM vals GROUP BY doc_id, f
 """
 
 QUERIES["mm9_scene_cuts"] = (mm9_scene_cuts, MM9_ORACLE)
+
+
+# --- E16: Matryoshka truncated-dimension recall -----------------------------------------
+
+def e16_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of ranking by the FIRST 16 of 64 dimensions against the
+    full-dimension exact ranking — the evaluation a Matryoshka-style
+    truncated-serving deployment runs before shrinking its index 4x. Pure
+    reuse of the brute-force scorer at two dims plus the recall join."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        cosine_topk_bruteforce,
+        topk_recall,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    candidates = emb.filter(F.col("vec_id") >= 20)
+    exact = cosine_topk_bruteforce(
+        queries, candidates, "vec_id", "embedding", k=5, dim=DIM
+    )
+    truncated = cosine_topk_bruteforce(
+        queries, candidates, "vec_id", "embedding", k=5, dim=16
+    )
+    return topk_recall(exact, truncated)
+
+
+def _dot16(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, 17)
+    )
+
+
+E16_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 20),
+exact_ranked AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           ({_dot_sql('qv', 'cv')})
+           / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) DESC,
+           cand_id) AS rank
+  FROM q CROSS JOIN c
+),
+exact_k AS (SELECT query_id, cand_id FROM exact_ranked WHERE rank <= 5),
+trunc_ranked AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           ({_dot16('qv', 'cv')})
+           / (sqrt({_dot16('qv', 'qv')}) * sqrt({_dot16('cv', 'cv')})) DESC,
+           cand_id) AS rank
+  FROM q CROSS JOIN c
+),
+trunc_k AS (SELECT query_id, cand_id, 1 AS hit FROM trunc_ranked WHERE rank <= 5)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_hits,
+       round(sum(coalesce(a.hit, 0)) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact_k e LEFT JOIN trunc_k a USING (query_id, cand_id)
+GROUP BY e.query_id
+"""
+
+QUERIES["e16_mrl_recall"] = (e16_mrl_recall, E16_ORACLE)
