@@ -3126,3 +3126,97 @@ GROUP BY e.query_id
 """
 
 QUERIES["e16_mrl_recall"] = (e16_mrl_recall, E16_ORACLE)
+
+
+# --- D11: content-defined chunking (shift-tolerant dedup unit) --------------------------
+
+def d11_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC shift tolerance, measured: every 10th doc plus a prefix-edited
+    copy ('X ' + text). Content-defined boundaries re-align within one
+    window, so most distinct segment hashes survive the edit (the whole
+    point vs fixed-width segments). Output per doc: distinct segments on
+    each side, the intersection, and the surviving fraction. The oracle
+    rebuilds boundaries char-by-char with a running boundary count and
+    ordered string_agg."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import cdc_segments
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 10 == 0)
+    shifted = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("X "), F.col("text")).alias("text"),
+    )
+    segs = cdc_segments(base.unionByName(shifted), "doc_id", "text")
+    o = (
+        segs.filter(F.col("doc_id") < 1000000)
+        .select("doc_id", "seg_hash").distinct()
+    )
+    s = (
+        segs.filter(F.col("doc_id") >= 1000000)
+        .select((F.col("doc_id") - 1000000).alias("doc_id"), "seg_hash")
+        .distinct()
+    )
+    no = o.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_orig"))
+    ns = s.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_shift"))
+    nsh = (
+        o.join(s, ["doc_id", "seg_hash"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        no.join(ns, "doc_id")
+        .join(nsh, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_orig",
+            "n_shift",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0)) / F.col("n_orig"), 6
+            ).alias("shared_frac"),
+        )
+    )
+
+
+D11_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'X ' || text FROM documents WHERE doc_id % 10 = 0
+), chars AS (
+  SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 1) AS ch,
+         CASE WHEN i >= 8
+                   AND substr(md5(substr(text, CAST(i - 7 AS INTEGER), 8)), 32, 1) = '0'
+              THEN 1 ELSE 0 END AS b
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        FROM corpus)
+), assigned AS (
+  SELECT doc_id, i, ch,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS seg
+  FROM chars
+), segs AS (
+  SELECT doc_id, seg, md5(string_agg(ch, '' ORDER BY i)) AS seg_hash
+  FROM assigned GROUP BY doc_id, seg
+), o AS (
+  SELECT DISTINCT doc_id, seg_hash FROM segs WHERE doc_id < 1000000
+), s AS (
+  SELECT DISTINCT doc_id - 1000000 AS doc_id, seg_hash FROM segs
+  WHERE doc_id >= 1000000
+), no AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_orig FROM o GROUP BY doc_id),
+ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shift FROM s GROUP BY doc_id),
+nsh AS (
+  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM o JOIN s ON o.doc_id = s.doc_id AND o.seg_hash = s.seg_hash
+  GROUP BY o.doc_id
+)
+SELECT no.doc_id, no.n_orig, ns.n_shift,
+       coalesce(nsh.n_shared, 0) AS n_shared,
+       round(coalesce(nsh.n_shared, 0) / CAST(no.n_orig AS DOUBLE), 6)
+         AS shared_frac
+FROM no JOIN ns ON no.doc_id = ns.doc_id
+LEFT JOIN nsh ON no.doc_id = nsh.doc_id
+"""
+
+QUERIES["d11_cdc_segments"] = (d11_cdc_segments, D11_ORACLE)

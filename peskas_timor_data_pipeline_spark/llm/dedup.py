@@ -652,3 +652,66 @@ def lsh_eval(
             6,
         ).alias("recall"),
     )
+
+
+def cdc_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    mask_hex: int = 1,
+) -> DataFrame:
+    """Content-defined chunking: cut a document AFTER every position whose
+    trailing ``window``-char rolling fingerprint (md5 of the window)
+    ends in ``mask_hex`` zero hex digits — expected segment length
+    16^mask_hex. Because boundaries depend only on local CONTENT, an
+    insertion near the head re-aligns within one window and every
+    downstream segment hash survives — the shift tolerance that makes CDC
+    the dedup unit for storage/transfer systems (LBFS/rsync lineage),
+    where fixed-width segments (``segment_dedup``) all shift and match
+    nothing.
+
+    Scale shape: boundaries, bounds array, and segment slicing are ALL
+    higher-order array expressions on the row — a narrow, shuffle-free
+    map pinned JVM-side; the only post-explode column is the segment
+    itself. Emits (id, seg_idx, seg_len, seg_hash) — join/group on
+    seg_hash for cross-corpus dedup.
+    """
+    w1 = window - 1
+    zeros = "0" * mask_hex
+    boundaries = (
+        f"filter(sequence({window}, length({text_col})), "
+        f"i -> substr(md5(substr({text_col}, i - {w1}, {window})), "
+        f"{33 - mask_hex}, {mask_hex}) = '{zeros}')"
+    )
+    out = (
+        _spread(df)
+        .withColumn(
+            "__b__",
+            F.expr(
+                f"array_distinct(concat(array(0), {boundaries}, "
+                f"array(length({text_col}))))"
+            ),
+        )
+        .withColumn(
+            "__segs__",
+            F.expr(
+                # sequence(1, 0) would DESCEND in Spark; guard the
+                # empty-document case to an empty segment list instead
+                f"if(size(__b__) < 2, array(), "
+                f"transform(sequence(1, size(__b__) - 1), "
+                f"j -> substr({text_col}, element_at(__b__, j) + 1, "
+                f"element_at(__b__, j + 1) - element_at(__b__, j))))"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.posexplode("__segs__").alias("seg_idx", "__seg__"),
+        )
+    )
+    return out.select(
+        id_col,
+        "seg_idx",
+        F.length("__seg__").cast("int").alias("seg_len"),
+        F.md5("__seg__").alias("seg_hash"),
+    )

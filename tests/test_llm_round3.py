@@ -273,3 +273,25 @@ def test_lsh_eval_counts_and_ratios(spark):
     assert row.n_candidates >= 1
     assert row.recall == 1.0
     assert row.precision == round(1 / row.n_candidates, 6)
+
+
+def test_cdc_segments_shift_tolerance_and_reassembly(spark):
+    """Segments reassemble to the original text in order, empty docs chunk
+    to nothing, and a prefix edit leaves the tail segment hashes intact
+    (the property fixed-width chunking lacks)."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import cdc_segments
+
+    text = "the quick brown fox jumps over the lazy dog again and again " * 4
+    df = spark.createDataFrame(
+        [(1, text), (2, "XY " + text), (3, "")],
+        "doc_id long, text string",
+    )
+    segs = cdc_segments(df, "doc_id", "text")
+    rows = segs.collect()
+    assert not [r for r in rows if r.doc_id == 3]  # empty doc -> no segments
+    d1 = sorted((r for r in rows if r.doc_id == 1), key=lambda r: r.seg_idx)
+    assert sum(r.seg_len for r in d1) == len(text)
+    h1 = {r.seg_hash for r in d1}
+    h2 = {r.seg_hash for r in rows if r.doc_id == 2}
+    # all but the head segment survive the prefix edit
+    assert len(h1 & h2) >= len(h1) - 1 and len(h1) > 1
