@@ -1099,3 +1099,38 @@ FROM orders""")
 
 
 QUERIES["p14_profile_columns"] = (p14_profile_columns, _p14_sql())
+
+
+# --- J13: grid-blocked radius self-join -------------------------------------------------
+
+def j13_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor pairs within euclidean radius 5 over points derived from
+    events (x = value, y = event_id mod 97): 3x3 grid-cell blocking plus
+    exact-distance verify. The oracle computes the all-pairs truth, so any
+    blocking miss (or dup) breaks row count and hash."""
+    from peskas_timor_data_pipeline_spark.operators.joins import (
+        grid_neighbor_join,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    pts = ev.select(
+        "event_id",
+        F.col("value").alias("x"),
+        (F.col("event_id") % 97).cast("double").alias("y"),
+    )
+    return grid_neighbor_join(pts, "event_id", "x", "y", radius=5.0)
+
+
+J13_ORACLE = """
+WITH pts AS (
+  SELECT event_id, value AS x, CAST(event_id % 97 AS DOUBLE) AS y
+  FROM events WHERE event_id % 20 = 0
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       round(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6)
+         AS dist
+FROM pts a JOIN pts b ON a.event_id < b.event_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25.0
+"""
+
+QUERIES["j13_grid_neighbor_join"] = (j13_grid_neighbor_join, J13_ORACLE)

@@ -377,3 +377,75 @@ def scd2_intervals(
     return out.withColumnRenamed(ts_col, valid_from).withColumn(
         current_col, F.col(valid_to).isNull()
     )
+
+
+def grid_neighbor_join(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Radius self-join via grid blocking — the canonical scalable spatial
+    join: bucket points into ``radius``-sized cells, replicate each point
+    as a PROBE into its 3x3 cell neighborhood, equi-join probes against
+    build points in their own cell, then verify the exact euclidean
+    distance. Every true pair has cell offsets within +-1, so blocking is
+    exact (no misses), and the ``id_a < id_b`` gate emits each pair
+    exactly once (the probe-from-the-smaller-id copy survives; the mirror
+    match fails the gate).
+
+    Scale shape: ONE equi-join shuffle on the cell key after a constant
+    9x narrow replication of the probe side — candidate volume is bounded
+    by per-cell density, never |points|^2. Skewed hot cells are ordinary
+    join skew (AQE splits them). Contract: ids unique per point.
+
+    Returns (id_a, id_b, dist) for pairs with dist <= radius.
+    """
+    pts = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(x_col).cast("double").alias("__x__"),
+        F.col(y_col).cast("double").alias("__y__"),
+        F.floor(F.col(x_col) / radius).cast("long").alias("__cx__"),
+        F.floor(F.col(y_col) / radius).cast("long").alias("__cy__"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = pts.select(
+        F.col("__id__").alias("id_a"),
+        F.col("__x__").alias("xa"),
+        F.col("__y__").alias("ya"),
+        F.explode(offsets).alias("__o__"),
+        (F.col("__cx__")).alias("__pcx__"),
+        (F.col("__cy__")).alias("__pcy__"),
+    ).select(
+        "id_a", "xa", "ya",
+        (F.col("__pcx__") + F.col("__o__.dx")).alias("__cx__"),
+        (F.col("__pcy__") + F.col("__o__.dy")).alias("__cy__"),
+    )
+    build = pts.select(
+        F.col("__id__").alias("id_b"),
+        F.col("__x__").alias("xb"),
+        F.col("__y__").alias("yb"),
+        "__cx__", "__cy__",
+    )
+    # explicit products, not pow(x, 2): Math.pow is only 1-ulp accurate,
+    # multiplication is exact IEEE — keeps the verify predicate
+    # bit-identical to the oracle's (dx*dx + dy*dy)
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    d2 = dx * dx + dy * dy
+    return (
+        probes.join(build, ["__cx__", "__cy__"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(d2 <= radius * radius)
+        .select(
+            "id_a", "id_b", F.round(F.sqrt(d2), round_to).alias("dist")
+        )
+    )

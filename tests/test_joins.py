@@ -129,3 +129,30 @@ def test_scd2_intervals_chain_and_current(spark):
     assert [r.status for r in d] == ["early", "late"]
     assert d[0].valid_to == d[0].valid_from  # zero-length superseded version
     assert d[1].is_current
+
+
+def test_grid_neighbor_join_exact_vs_brute_force(spark):
+    """Grid blocking finds exactly the brute-force pair set — including
+    pairs straddling cell borders — and each pair exactly once."""
+    import itertools
+    import math
+    import random
+
+    from peskas_timor_data_pipeline_spark.operators.joins import (
+        grid_neighbor_join,
+    )
+
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(0, 30), rng.uniform(0, 30)) for i in range(80)]
+    # force border-straddling pairs around the cell edge at x=10, r=5
+    pts += [(100, 9.999, 5.0), (101, 10.001, 5.0), (102, 14.999, 5.0)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = sorted(
+        (r.id_a, r.id_b) for r in grid_neighbor_join(df, "id", "x", "y", 5.0).collect()
+    )
+    expect = sorted(
+        (a[0], b[0])
+        for a, b in itertools.combinations(pts, 2)
+        if math.dist(a[1:], b[1:]) <= 5.0
+    )
+    assert got == expect

@@ -384,3 +384,15 @@ def test_rolling_slope_single_window_pass(spark, sf_dir):
     # one Window node computes all five sums; no Python anywhere
     assert p.count("Window") == 1
     assert "Python" not in p
+
+
+def test_grid_neighbor_join_blocks_on_cells(spark, sf_dir):
+    from peskas_timor_data_pipeline_spark.harness.core_relational_q import (
+        j13_grid_neighbor_join,
+    )
+
+    p = plan_str(j13_grid_neighbor_join(spark, sf_dir))
+    # candidates come from a cell-key equi-join, never an all-pairs product
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # the 9x probe replication is the narrow Generate before the join
+    assert "Generate" in p
