@@ -1204,3 +1204,66 @@ FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
 """
 
 QUERIES["a28_retention_cohorts"] = (a28_retention_cohorts, A28_ORACLE)
+
+
+# --- A29: A/B two-proportion z-test -----------------------------------------------------
+
+def a29_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: variant = user_id parity, conversion = the user
+    ever made a high-value (>100) purchase; two-proportion pooled
+    z-statistic. All counts integer;
+    p-hats and z are exact single expressions over identical integers, so
+    the statistic is engine-exact at 6 dp."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(F.when((F.col("event_type") == "purchase") & (F.col("value") > 100), 1).otherwise(0)).alias(
+            "converted"
+        )
+    ).select(
+        (F.col("user_id") % 2).alias("variant"), "converted"
+    )
+    per = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    a = per.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("na"), F.col("n_conv").alias("ca")
+    )
+    b = per.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("nb"), F.col("n_conv").alias("cb")
+    )
+    j = a.crossJoin(b)
+    pa = F.col("ca") / F.col("na")
+    pb = F.col("cb") / F.col("nb")
+    pool = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
+    se = F.sqrt(pool * (1 - pool) * (1 / F.col("na") + 1 / F.col("nb")))
+    return j.select(
+        "na", "ca", "nb", "cb",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round((pa - pb) / se, 6).alias("z_stat"),
+    )
+
+
+A29_ORACLE = """
+WITH users AS (
+  SELECT user_id % 2 AS variant,
+         max(CASE WHEN event_type = 'purchase' AND value > 100 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), per AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_conv
+  FROM users GROUP BY variant
+), a AS (SELECT n_users AS na, n_conv AS ca FROM per WHERE variant = 0),
+b AS (SELECT n_users AS nb, n_conv AS cb FROM per WHERE variant = 1)
+SELECT na, ca, nb, cb,
+       round(ca / CAST(na AS DOUBLE), 6) AS rate_a,
+       round(cb / CAST(nb AS DOUBLE), 6) AS rate_b,
+       round((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+             / sqrt((ca + cb) / CAST(na + nb AS DOUBLE)
+                    * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                    * (1.0 / na + 1.0 / nb)), 6) AS z_stat
+FROM a CROSS JOIN b
+"""
+
+QUERIES["a29_ab_test"] = (a29_ab_test, A29_ORACLE)

@@ -3220,3 +3220,53 @@ LEFT JOIN nsh ON no.doc_id = nsh.doc_id
 """
 
 QUERIES["d11_cdc_segments"] = (d11_cdc_segments, D11_ORACLE)
+
+
+# --- T25: corpus novelty curve ----------------------------------------------------------
+
+def t25_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document (in doc_id arrival order): the fraction of its
+    distinct 8-char grams never seen in any EARLIER document — the
+    corpus-growth diagnostic that shows when additional crawl stops
+    adding new content. One explode + one gram-keyed min + a join back;
+    integer ratio, no float surface."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import shingle_rows
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = shingle_rows(docs, "doc_id", "text", k_shingle=8).distinct()
+    first = grams.groupBy("sh").agg(F.min("doc_id").alias("__first__"))
+    per_doc = (
+        grams.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first__") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_grams", "n_novel",
+        F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+    )
+
+
+T25_ORACLE = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INTEGER), 8) AS sh
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 7)) AS i
+        FROM documents)
+), first AS (
+  SELECT sh, min(doc_id) AS f FROM grams GROUP BY sh
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN f = g.doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM grams g JOIN first USING (sh)
+GROUP BY g.doc_id
+"""
+
+QUERIES["t25_ngram_novelty"] = (t25_ngram_novelty, T25_ORACLE)

@@ -581,3 +581,45 @@ FROM sums
 """
 
 QUERIES["w9_rolling_slope"] = (w9_rolling_slope, W9_ORACLE)
+
+
+def w10_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: per user
+    (ordered by ts with event_id as the deterministic tie-break), count
+    consecutive event-type pairs and normalize per source state. Counts
+    are integer; each probability is one exact division."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__prev__", F.lag("event_type").over(w))
+        .filter(F.col("__prev__").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("__prev__").alias("prev_type"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type", "event_type", "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("prob"),
+    )
+
+
+W10_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), counts AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+         AS prob
+FROM counts
+"""
+
+QUERIES["w10_event_transitions"] = (w10_event_transitions, W10_ORACLE)
