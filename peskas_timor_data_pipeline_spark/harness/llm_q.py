@@ -3146,7 +3146,13 @@ def d11_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.lit("X "), F.col("text")).alias("text"),
     )
-    segs = cdc_segments(base.unionByName(shifted), "doc_id", "text")
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    # the segment frame feeds o/s and three aggregates — cut the lineage so
+    # the boundary scan runs once, not per reference
+    segs = materialize(
+        cdc_segments(base.unionByName(shifted), "doc_id", "text")
+    )
     o = (
         segs.filter(F.col("doc_id") < 1000000)
         .select("doc_id", "seg_hash").distinct()

@@ -684,30 +684,26 @@ def cdc_segments(
         f"i -> substr(md5(substr({text_col}, i - {w1}, {window})), "
         f"{33 - mask_hex}, {mask_hex}) = '{zeros}')"
     )
-    out = (
-        _spread(df)
-        .withColumn(
-            "__b__",
-            F.expr(
-                f"array_distinct(concat(array(0), {boundaries}, "
-                f"array(length({text_col}))))"
-            ),
-        )
-        .withColumn(
-            "__segs__",
-            F.expr(
-                # sequence(1, 0) would DESCEND in Spark; guard the
-                # empty-document case to an empty segment list instead
-                f"if(size(__b__) < 2, array(), "
-                f"transform(sequence(1, size(__b__) - 1), "
-                f"j -> substr({text_col}, element_at(__b__, j) + 1, "
-                f"element_at(__b__, j + 1) - element_at(__b__, j))))"
-            ),
-        )
-        .select(
-            F.col(id_col),
-            F.posexplode("__segs__").alias("seg_idx", "__seg__"),
-        )
+    bounds = (
+        f"array_distinct(concat(array(0), {boundaries}, "
+        f"array(length({text_col}))))"
+    )
+    # The bounds array is LET-BOUND through a single-element transform so
+    # the rolling-fingerprint scan appears exactly ONCE in the plan. Naming
+    # it via withColumn instead lets CollapseProject inline the whole
+    # boundary filter into every element_at reference — measured 84 copies
+    # in the optimized plan and a 40x slowdown.
+    # (sequence(1, 0) would DESCEND in Spark; the if() guards empty docs.)
+    segs = (
+        f"flatten(transform(array({bounds}), "
+        f"b -> if(size(b) < 2, array(), "
+        f"transform(sequence(1, size(b) - 1), "
+        f"j -> substr({text_col}, element_at(b, j) + 1, "
+        f"element_at(b, j + 1) - element_at(b, j))))))"
+    )
+    out = _spread(df).select(
+        F.col(id_col),
+        F.posexplode(F.expr(segs)).alias("seg_idx", "__seg__"),
     )
     return out.select(
         id_col,
