@@ -1158,10 +1158,14 @@ WITH s1 AS (
   SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
 )
 SELECT step, step_name, n_users,
-       round(n_users / CAST(lag(n_users) OVER (ORDER BY step) AS DOUBLE), 6)
-         AS conv_from_prev,
-       round(n_users / CAST(first_value(n_users) OVER (ORDER BY step) AS DOUBLE), 6)
-         AS conv_from_top
+       CASE WHEN lag(n_users) OVER (ORDER BY step) > 0
+            THEN round(n_users
+                       / CAST(lag(n_users) OVER (ORDER BY step) AS DOUBLE), 6)
+       END AS conv_from_prev,
+       CASE WHEN first_value(n_users) OVER (ORDER BY step) > 0
+            THEN round(n_users
+                       / CAST(first_value(n_users) OVER (ORDER BY step) AS DOUBLE), 6)
+       END AS conv_from_top
 FROM counts
 """
 

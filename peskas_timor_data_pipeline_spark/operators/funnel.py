@@ -71,16 +71,20 @@ def funnel(
     for c in counts[1:]:
         out = out.unionByName(c)
     w = Window.orderBy("step")
+    prev = F.lag("n_users").over(w)
+    top = F.first("n_users").over(w)
+    # an empty (or viewless) step makes the denominator 0 — report a null
+    # rate instead of tripping ANSI divide-by-zero
     return out.select(
         "step",
         "step_name",
         "n_users",
-        F.round(F.col("n_users") / F.lag("n_users").over(w), round_to).alias(
+        F.when(prev > 0, F.round(F.col("n_users") / prev, round_to)).alias(
             "conv_from_prev"
         ),
-        F.round(
-            F.col("n_users") / F.first("n_users").over(w), round_to
-        ).alias("conv_from_top"),
+        F.when(top > 0, F.round(F.col("n_users") / top, round_to)).alias(
+            "conv_from_top"
+        ),
     )
 
 

@@ -108,3 +108,56 @@ def test_empty_frames_through_round3_operators(spark):
     single = spark.createDataFrame([(1, "lonelyword")], "doc_id long, text string")
     r = segment_dedup(single, "doc_id", "text").collect()[0]
     assert (r.n_segs, r.n_kept, r.rebuilt) == (1, 1, "lonelyword")
+
+
+def test_empty_frames_through_round3b_operators(spark):
+    """Empty and single-row degenerates through this round's additions:
+    nothing throws, shapes stay sane."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import cdc_segments, lsh_eval
+    from peskas_timor_data_pipeline_spark.llm.text import bm25_topk, dsir_select
+    from peskas_timor_data_pipeline_spark.operators.funnel import (
+        funnel,
+        retention_cohorts,
+    )
+    from peskas_timor_data_pipeline_spark.operators.joins import grid_neighbor_join
+    from peskas_timor_data_pipeline_spark.operators.restructure import profile_columns
+    from peskas_timor_data_pipeline_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+    from peskas_timor_data_pipeline_spark.operators.windows import rolling_slope
+
+    docs = _empty(spark, "doc_id long, text string")
+    assert bm25_topk(docs, "doc_id", "text", [(1, ["x"])], k=3).count() == 0
+    assert cdc_segments(docs, "doc_id", "text").count() == 0
+    row = lsh_eval(docs, "doc_id", "text").collect()[0]
+    assert (row.n_truth, row.n_candidates, row.true_positives) == (0, 0, 0)
+    assert row.precision is None and row.recall is None
+
+    tgt = _empty(spark, "doc_id long, text string, tgt boolean")
+    assert dsir_select(tgt, "doc_id", "text", "tgt", k=5).count() == 0
+
+    ev = _empty(spark, "user_id long, ts timestamp, event_type string")
+    steps = funnel(ev, "user_id", "ts", "event_type", ["a", "b"]).collect()
+    assert [r.n_users for r in sorted(steps, key=lambda r: r.step)] == [0, 0]
+    assert retention_cohorts(ev, "user_id", "ts").count() == 0
+
+    pts = _empty(spark, "id long, x double, y double")
+    assert grid_neighbor_join(pts, "id", "x", "y", 1.0).count() == 0
+    lone = spark.createDataFrame([(1, 0.0, 0.0)], "id long, x double, y double")
+    assert grid_neighbor_join(lone, "id", "x", "y", 1.0).count() == 0
+
+    kv = _empty(spark, "k long, v double")
+    prof = {r.column_name: r for r in profile_columns(kv).collect()}
+    assert prof["k"].n_rows == 0 and prof["k"].n_distinct == 0
+    assert prof["v"].min_value is None
+
+    series = _empty(spark, "g string, day date, v long")
+    assert cusum_changepoint(series, "g", "day", "v").count() == 0
+    xseries = _empty(spark, "g string, x long, v long")
+    assert rolling_slope(xseries, "g", "x", "v").count() == 0
+    one = spark.createDataFrame(
+        [("g", 1, 5)], "g string, day long, v long"
+    )
+    cp = cusum_changepoint(one, "g", "day", "v").collect()[0]
+    assert cp.n_points == 1 and cp.cusum_stat == 0.0 and cp.detected is False
+    assert cp.mean_after is None and cp.shift is None
