@@ -3276,3 +3276,58 @@ GROUP BY g.doc_id
 """
 
 QUERIES["t25_ngram_novelty"] = (t25_ngram_novelty, T25_ORACLE)
+
+
+# --- E17: power-iteration top eigenvector (PCA-lite) ------------------------------------
+
+def e17_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the first 8 embedding dims: one
+    moments pass over the corpus, covariance rounded before iterating,
+    three unrolled power-iteration steps with signed-pivot normalization.
+    The oracle replays moments, matrix, and all three iterations."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import top_eigenvector
+
+    emb = load(spark, sf_dir, "embeddings")
+    return top_eigenvector(emb, "embedding", dim=8, n_iter=3)
+
+
+def _e17_sql() -> str:
+    dim, r = 8, 6
+    sums = ", ".join(
+        f"sum(CAST(embedding[{i}] AS DOUBLE)) AS s{i}" for i in range(1, dim + 1)
+    )
+    prods = ", ".join(
+        f"sum(CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{j}] AS DOUBLE)) AS p{i}_{j}"
+        for i in range(1, dim + 1) for j in range(i, dim + 1)
+    )
+    cov_arms = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, "
+        f"round((p{min(i,j)}_{max(i,j)} - s{i} * s{j} / n) / n, {r}) AS c FROM m"
+        for i in range(1, dim + 1) for j in range(1, dim + 1)
+    )
+    v0 = ", ".join(f"({j}, 1.0)" for j in range(1, dim + 1))
+    iters = []
+    for k in (1, 2, 3):
+        prev = f"v{k - 1}"
+        iters.append(f""",
+cv{k} AS (
+  SELECT cov.i, round(sum(cov.c * {prev}.v), {r}) AS cv
+  FROM cov JOIN {prev} ON cov.j = {prev}.j GROUP BY cov.i
+),
+piv{k} AS (SELECT cv FROM cv{k} ORDER BY abs(cv) DESC, i LIMIT 1),
+v{k} AS (
+  SELECT i AS j, round(cv / (SELECT cv FROM piv{k}), {r}) AS v FROM cv{k}
+)""")
+    return f"""
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, {sums}, {prods} FROM embeddings
+),
+cov AS ({cov_arms}),
+v0(j, v) AS (VALUES {v0}){''.join(iters)}
+SELECT CAST(j AS BIGINT) AS i, v AS component,
+       (SELECT abs(cv) FROM piv3) AS eigenvalue
+FROM v3
+"""
+
+
+QUERIES["e17_top_eigenvector"] = (e17_top_eigenvector, _e17_sql())

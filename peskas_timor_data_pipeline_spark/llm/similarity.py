@@ -975,3 +975,97 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("anchor_id", "neg_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def top_eigenvector(
+    df: DataFrame,
+    vec_col: str,
+    dim: int = 8,
+    n_iter: int = 3,
+    round_to: int = 6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Top principal direction of the first ``dim`` embedding dimensions
+    by power iteration — the PCA-lite step before whitening or
+    low-rank compression of an embedding store.
+
+    Scale shape: the ONLY corpus-scale work is a single partial-aggregated
+    pass computing all raw moments (dim sums + dim*(dim+1)/2 cross sums in
+    one agg row); the covariance matrix, the all-ones start vector, and
+    every iteration live on KB frames joined broadcast-style — no driver
+    loop touches data. Determinism: covariance entries round to
+    ``round_to`` BEFORE iterating, each iterate renormalizes by its
+    largest-|.|-component (abs desc, index asc tie-break — the signed
+    pivot fixes the sign convention) and rounds, so both engines iterate
+    identical rationals.
+
+    Returns (i, component, eigenvalue) — eigenvalue is the pivot magnitude
+    of the LAST un-normalized iterate (the dominant-eigenvalue estimate).
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(1, dim + 1):
+        aggs.append(
+            F.sum(F.element_at(F.col(vec_col), i).cast("double")).alias(f"s{i}")
+        )
+    for i in range(1, dim + 1):
+        for j in range(i, dim + 1):
+            aggs.append(
+                F.sum(
+                    F.element_at(F.col(vec_col), i).cast("double")
+                    * F.element_at(F.col(vec_col), j).cast("double")
+                ).alias(f"p{i}_{j}")
+            )
+    moments = df.agg(*aggs)
+    entries = []
+    for i in range(1, dim + 1):
+        for j in range(1, dim + 1):
+            lo, hi = min(i, j), max(i, j)
+            entries.append(
+                f"{i}L, {j}L, round((p{lo}_{hi} - s{i} * s{j} / n) / n, {round_to})"
+            )
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    # every iteration references cov (and, transitively, the corpus-scale
+    # moments pass) several times; without a lineage cut the optimized plan
+    # carried 28 copies of the moments aggregate — materialize the 64-row
+    # matrix once and each KB-scale iterate, so the corpus is scanned ONCE
+    cov = materialize(
+        moments.selectExpr(
+            f"stack({dim * dim}, {', '.join(entries)}) AS (i, j, c)"
+        ),
+        checkpoint_dir,
+    )
+    v = spark.range(1, dim + 1).select(
+        F.col("id").alias("j"), F.lit(1.0).alias("v")
+    )
+    w = Window.orderBy(F.desc(F.abs(F.col("cv"))), F.asc("i"))
+    eig = None
+    for _ in range(n_iter):
+        cv = (
+            cov.join(F.broadcast(v), cov.j == v.j)
+            .groupBy("i")
+            .agg(F.round(F.sum(F.col("c") * F.col("v")), round_to).alias("cv"))
+        )
+        pivot = (
+            cv.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select(F.col("cv").alias("pivot"))
+        )
+        normed = cv.crossJoin(F.broadcast(pivot))
+        eig = F.abs(F.col("pivot"))
+        v = materialize(
+            normed.select(
+                F.col("i").alias("j"),
+                F.round(F.col("cv") / F.col("pivot"), round_to).alias("v"),
+                eig.alias("__eig__"),
+            ),
+            checkpoint_dir,
+        )
+    return v.select(
+        F.col("j").alias("i"),
+        F.col("v").alias("component"),
+        F.col("__eig__").alias("eigenvalue"),
+    )

@@ -323,3 +323,19 @@ def test_hard_negatives_excludes_same_label_and_self(spark):
                                 k=3, dim=3, anchors=anchors).collect()
     )
     assert got == [(1, 3), (2, 4), (3, 5)]
+
+
+def test_top_eigenvector_rank_one_structure(spark):
+    """Vectors spread along a single direction [1, 2, 0, ...]: the
+    covariance is rank-1, so power iteration must return that direction
+    normalized to its pivot (component 2 = 1.0) with zero elsewhere."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import top_eigenvector
+
+    rows = [(k, [float(k), 2.0 * k, 0.0, 0.0]) for k in (-2, -1, 0, 1, 2)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.i: r for r in top_eigenvector(df, "embedding", dim=4).collect()}
+    assert got[2].component == 1.0
+    assert got[1].component == 0.5
+    assert got[3].component == 0.0 and got[4].component == 0.0
+    # cov = 2*[1,2]^T[1,2]; dominant eigenvalue = 2*(1+4) = 10
+    assert abs(got[1].eigenvalue - 10.0) < 1e-5
