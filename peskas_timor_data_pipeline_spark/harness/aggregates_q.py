@@ -1271,3 +1271,46 @@ FROM a CROSS JOIN b
 """
 
 QUERIES["a29_ab_test"] = (a29_ab_test, A29_ORACLE)
+
+
+# --- A30: log-histogram quantiles -------------------------------------------------------
+
+def a30_log_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of event value per type from the base-2 cents
+    histogram: integer bucketing via binary string length (no float log at
+    a power-of-two boundary), geometric-midpoint estimates, cumulative
+    pick. Every step is integer or exact-rational, so the sketch is
+    engine-exact — unlike approx_percentile/HLL whose estimates no other
+    engine reproduces."""
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        log_histogram_quantiles,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return log_histogram_quantiles(ev, "event_type", "value")
+
+
+A30_ORACLE = """
+WITH cents AS (
+  SELECT event_type,
+         CAST(length(bin(CAST(round(value * 100) AS BIGINT))) - 1 AS INTEGER) AS b
+  FROM events
+), counts AS (
+  SELECT event_type, b, CAST(count(*) AS BIGINT) AS c
+  FROM cents GROUP BY event_type, b
+), cum AS (
+  SELECT event_type, b,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         round(3.0 * (CAST(1 AS BIGINT) << b) / 200.0, 6) AS est
+  FROM counts
+)
+SELECT event_type, max(n) AS n,
+       min(CASE WHEN cm >= CAST(ceil(0.5 * n) AS BIGINT) THEN est END) AS p5,
+       min(CASE WHEN cm >= CAST(ceil(0.9 * n) AS BIGINT) THEN est END) AS p9,
+       min(CASE WHEN cm >= CAST(ceil(0.99 * n) AS BIGINT) THEN est END) AS p99
+FROM cum GROUP BY event_type
+"""
+
+QUERIES["a30_log_histogram_quantiles"] = (a30_log_histogram_quantiles, A30_ORACLE)

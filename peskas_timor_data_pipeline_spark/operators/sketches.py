@@ -230,3 +230,63 @@ def cms_estimate(
         joined.groupBy(*others)
         .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_c"))
     )
+
+
+def log_histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate quantiles from a base-2 log histogram of integer cents —
+    the mergeable, ENGINE-EXACT alternative to percentile sketches
+    (HdrHistogram's idea): bucket = floor(log2(cents)) computed as
+    ``length(bin(cents)) - 1`` (pure integer/string arithmetic, no float
+    log at a power-of-two boundary to disagree on), estimate = the
+    bucket's geometric midpoint ``1.5 * 2^b`` cents. Relative error is
+    bounded by the bucket ratio (2x); buckets merge by adding counts, so
+    shards sketch independently — the property that matters at 100 TB.
+
+    Scale shape: one partial-aggregated (group, bucket) count — at most
+    ~64 buckets per group cross the shuffle regardless of row count —
+    then a cumulative window over the tiny bucket frame and one
+    conditional-min pick per quantile. Contract: values must be positive
+    money-scale doubles (cents >= 1 after rounding).
+
+    Returns (group, n, and one ``p{q}`` column per requested quantile).
+    """
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    bucket = (F.length(F.bin(cents)) - 1).cast("int")
+    counts = (
+        df.select(F.col(group_col), bucket.alias("__b__"))
+        .groupBy(group_col, "__b__")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c__"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__b__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(group_col)
+    cum = counts.select(
+        group_col,
+        "__b__",
+        F.sum("__c__").over(w).alias("__cum__"),
+        F.sum("__c__").over(wall).alias("__n__"),
+    )
+    # F.shiftleft requires a literal bit count; the SQL form takes a column
+    est = F.round(
+        3.0 * F.expr("shiftleft(CAST(1 AS BIGINT), __b__)") / 200.0, round_to
+    )
+    picked = cum.withColumn("__est__", est)
+    aggs = [F.max("__n__").alias("n")]
+    for q in quantiles:
+        name = f"p{str(q).replace('0.', '')}"
+        target = F.ceil(F.lit(q) * F.col("__n__")).cast("long")
+        aggs.append(
+            F.min(F.when(F.col("__cum__") >= target, F.col("__est__"))).alias(name)
+        )
+    return picked.groupBy(group_col).agg(*aggs)

