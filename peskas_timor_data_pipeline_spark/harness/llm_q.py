@@ -3331,3 +3331,108 @@ FROM v3
 
 
 QUERIES["e17_top_eigenvector"] = (e17_top_eigenvector, _e17_sql())
+
+
+# --- MM10: audio decimation (real decode -> every-3rd-sample -> re-encode) --------------
+
+def mm10_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the mm4 WAV per doc, decimate by 3 through the real
+    codec round trip, then decode the RE-ENCODED bytes again and report
+    rate/frames/duration/RMS of the result — two full codec passes
+    hash-checked against the generating formula on the kept indices."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        decimate_audio,
+        decode_audio_meta,
+        encode_wav,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for did in pdf["doc_id"]:
+                n = (int(did) % 50 + 1) * 80
+                i = np.arange(n)
+                samples = (((int(did) + i) % 256 - 128) * 100).astype("<i2")
+                contents.append(encode_wav(samples, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    dec = decimate_audio(media, "doc_id", factor=3)
+    meta = decode_audio_meta(dec, "doc_id")
+    return dec.select("doc_id", "n_in", "n_out").join(
+        meta.select(
+            "doc_id", "sample_rate", "n_samples",
+            F.round("duration_s", 6).alias("duration_s"),
+            F.round("rms", 6).alias("rms"),
+        ),
+        "doc_id",
+    )
+
+
+MM10_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, (doc_id % 50 + 1) * 80 AS n FROM documents
+), kept AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1, 3)) AS i FROM dims
+), stats AS (
+  SELECT doc_id, n, CAST(count(*) AS BIGINT) AS n_out,
+         avg(pow((((doc_id + i) % 256 - 128) * 100) / 32768.0, 2)) AS msq
+  FROM kept GROUP BY doc_id, n
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_in, n_out,
+       2666 AS sample_rate, n_out AS n_samples,
+       round(n_out / 2666.0, 6) AS duration_s,
+       round(sqrt(msq), 6) AS rms
+FROM stats
+"""
+
+QUERIES["mm10_audio_decimate"] = (mm10_audio_decimate, MM10_ORACLE)
+
+
+# --- T26: token frequency spectrum ------------------------------------------------------
+
+def t26_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies spectrum (the Zipf/Good-Turing corpus
+    diagnostic): how many token types occur exactly k times, plus each
+    row's share of the vocabulary. Two partial-aggregated groupBys —
+    corpus rows never meet the spectrum shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    spectrum = counts.groupBy("freq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    return spectrum.select(
+        "freq", "n_types",
+        F.round(F.col("n_types") / F.sum("n_types").over(w), 6).alias("vocab_share"),
+    )
+
+
+T26_ORACLE = """
+WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+  ) WHERE tok <> ''
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+), spectrum AS (
+  SELECT freq, CAST(count(*) AS BIGINT) AS n_types FROM counts GROUP BY freq
+)
+SELECT freq, n_types,
+       round(n_types / CAST(sum(n_types) OVER () AS DOUBLE), 6) AS vocab_share
+FROM spectrum
+"""
+
+QUERIES["t26_freq_spectrum"] = (t26_freq_spectrum, T26_ORACLE)

@@ -322,3 +322,36 @@ def test_scene_cuts_flags_only_scene_boundaries(spark):
         assert rows[f].sad == 0 and rows[f].is_cut is False
     assert rows[3].sad == 100 * 16
     assert rows[3].mad == 100.0 and rows[3].is_cut is True
+
+
+def test_decimate_audio_round_trip_and_rms(spark):
+    """Decimating a known ramp keeps exactly every 3rd sample (verified by
+    decoding the re-encoded bytes) and the RMS matches numpy; stereo
+    input raises."""
+    import numpy as np
+    import pytest
+
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        decimate_audio,
+        decode_audio,
+        encode_wav,
+    )
+
+    samples = (np.arange(10) * 1000 - 4000).astype("<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(samples, sample_rate=9000)))],
+        "doc_id long, content binary",
+    )
+    row = decimate_audio(df, "doc_id", factor=3).collect()[0]
+    assert (row.n_in, row.n_out, row.out_rate) == (10, 4, 3000)
+    d = decode_audio(bytes(row.content))
+    kept = samples[::3].astype(np.float64) / 32768.0
+    assert np.allclose(d["samples"], kept)
+    assert abs(row.rms_out - float(np.sqrt((kept * kept).mean()))) < 1e-12
+
+    stereo = spark.createDataFrame(
+        [(2, bytearray(encode_wav(samples, sample_rate=9000, n_channels=2)))],
+        "doc_id long, content binary",
+    )
+    with pytest.raises(Exception, match="mono"):
+        decimate_audio(stereo, "doc_id", factor=3).collect()
