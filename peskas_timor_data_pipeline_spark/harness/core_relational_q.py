@@ -1134,3 +1134,42 @@ WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25.0
 """
 
 QUERIES["j13_grid_neighbor_join"] = (j13_grid_neighbor_join, J13_ORACLE)
+
+
+# --- P15: k-anonymity audit -------------------------------------------------------------
+
+def p15_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance audit before publishing: equivalence classes over
+    the quasi-identifier pair (nation, market segment); classes smaller
+    than k=5 are re-identification risks. One partial-aggregated groupBy
+    plus a one-row rollup — all integer."""
+    k = 5
+    cust = load(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("n").alias("min_class_size"),
+        F.sum(F.when(F.col("n") < k, 1).otherwise(0)).cast("long").alias(
+            "n_risky_classes"
+        ),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)).cast("long").alias(
+            "n_risky_rows"
+        ),
+    )
+
+
+P15_ORACLE = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       min(n) AS min_class_size,
+       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
+       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows
+FROM classes
+"""
+
+QUERIES["p15_k_anonymity"] = (p15_k_anonymity, P15_ORACLE)

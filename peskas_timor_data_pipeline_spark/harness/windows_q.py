@@ -623,3 +623,54 @@ FROM counts
 """
 
 QUERIES["w10_event_transitions"] = (w10_event_transitions, W10_ORACLE)
+
+
+def w11_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day. A rolling COUNT
+    DISTINCT window would rescan each 7-day suffix per row; instead each
+    distinct (user, day) activation is exploded to the <=7 future days it
+    keeps the user 'weekly active' on, and WAU becomes a plain
+    partial-aggregated distinct count per day — the banned O(days x rows)
+    window rewritten as a bounded 7x row expansion. Days with no events
+    simply don't appear (spine completion is w4's job)."""
+    ev = load(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    dau = active.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    span = active.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("day"),
+    ).distinct()
+    wau = span.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day", "dau", "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+W11_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM active GROUP BY day
+), span AS (
+  SELECT DISTINCT user_id, day + CAST(o AS INTEGER) AS day
+  FROM active, unnest(generate_series(0, 6)) AS u(o)
+), wau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS wau FROM span GROUP BY day
+)
+SELECT d.day, d.dau, w.wau, round(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day
+"""
+
+QUERIES["w11_rolling_active_users"] = (w11_rolling_active_users, W11_ORACLE)
