@@ -396,3 +396,28 @@ def test_grid_neighbor_join_blocks_on_cells(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # the 9x probe replication is the narrow Generate before the join
     assert "Generate" in p
+
+
+def test_log_histogram_partial_agg_no_float_log(spark, sf_dir):
+    from peskas_timor_data_pipeline_spark.harness.aggregates_q import (
+        a30_log_histogram_quantiles,
+    )
+
+    p = plan_str(a30_log_histogram_quantiles(spark, sf_dir))
+    # the (group, bucket) count partial-aggregates map-side and bucketing
+    # is string/integer arithmetic — no LOG in the plan to disagree at a
+    # power-of-two boundary
+    assert re.search(r"partial_count", p)
+    assert "LOG" not in p and " log(" not in p
+
+
+def test_rolling_active_users_no_distinct_window(spark, sf_dir):
+    from peskas_timor_data_pipeline_spark.harness.windows_q import (
+        w11_rolling_active_users,
+    )
+
+    p = plan_str(w11_rolling_active_users(spark, sf_dir))
+    # the rolling distinct is an explode + plain counts: no Window node at
+    # all, and the 7x expansion shows as a Generate
+    assert "Window" not in p
+    assert "Generate" in p
