@@ -1314,3 +1314,53 @@ FROM cum GROUP BY event_type
 """
 
 QUERIES["a30_log_histogram_quantiles"] = (a30_log_histogram_quantiles, A30_ORACLE)
+
+
+# --- A31: weekly growth accounting ------------------------------------------------------
+
+def a31_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New / retained / resurrected / churned users per integer week —
+    the growth ledger. All set logic is user+week keyed joins over ONE
+    distinct activity frame; every output is an integer count."""
+    from peskas_timor_data_pipeline_spark.operators.funnel import (
+        growth_accounting,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return growth_accounting(ev, "user_id", "ts", epoch="2024-01-01")
+
+
+A31_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) AS w
+  FROM events
+), first AS (
+  SELECT user_id, min(w) AS w0 FROM active GROUP BY user_id
+), cur AS (
+  SELECT a.user_id, a.w, f.w0,
+         p.user_id IS NOT NULL AS prev
+  FROM active a
+  JOIN first f ON a.user_id = f.user_id
+  LEFT JOIN active p ON p.user_id = a.user_id AND p.w + 1 = a.w
+), per_week AS (
+  SELECT w AS week,
+         CAST(count(*) AS BIGINT) AS active,
+         CAST(sum(CASE WHEN w0 = w THEN 1 ELSE 0 END) AS BIGINT) AS new,
+         CAST(sum(CASE WHEN prev THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+         CAST(sum(CASE WHEN w0 < w AND NOT prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS resurrected
+  FROM cur GROUP BY w
+), gone AS (
+  SELECT n.week, CAST(count(*) AS BIGINT) AS churned
+  FROM (SELECT user_id, w + 1 AS week FROM active) n
+  LEFT JOIN active a ON a.user_id = n.user_id AND a.w = n.week
+  WHERE a.user_id IS NULL
+  GROUP BY n.week
+)
+SELECT p.week, p.active, p.new, p.retained, p.resurrected,
+       coalesce(g.churned, 0) AS churned
+FROM per_week p LEFT JOIN gone g ON p.week = g.week
+"""
+
+QUERIES["a31_growth_accounting"] = (a31_growth_accounting, A31_ORACLE)

@@ -139,3 +139,65 @@ def retention_cohorts(
             ),
         )
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """Weekly growth accounting — the new/retained/resurrected/churned
+    ledger every growth team reconciles: for week w, ``new`` = users whose
+    first active week is w, ``retained`` = also active in w-1,
+    ``resurrected`` = returning after a gap, ``churned`` = active in w-1
+    but not w (booked AT w, so new - churned + ... telescopes to the
+    active count). Integer week index from a fixed epoch (engine-exact).
+
+    Scale shape: ONE distinct over the event scan; first-week is a
+    partial-aggregated min; the prior-week presence test is a self-join of
+    the (user, week) frame against itself shifted one week (user+week
+    keyed equi-join, AQE-sized); counts partial-aggregate per week.
+    """
+    week = F.floor(
+        F.datediff(F.to_date(F.col("__ts__")), F.to_date(F.lit(epoch))) / 7
+    ).cast("long")
+    active = (
+        df.select(F.col(user_col).alias("__u__"), F.col(ts_col).alias("__ts__"))
+        .select("__u__", week.alias("__w__"))
+        .distinct()
+    )
+    first = active.groupBy("__u__").agg(F.min("__w__").alias("__w0__"))
+    prev = active.select("__u__", (F.col("__w__") + 1).alias("__w__"),
+                         F.lit(True).alias("__prev__"))
+    cur = (
+        active.join(first, "__u__")
+        .join(prev, ["__u__", "__w__"], "left")
+    )
+    per_week = cur.groupBy(F.col("__w__").alias("week")).agg(
+        F.count(F.lit(1)).cast("long").alias("active"),
+        F.sum(F.when(F.col("__w0__") == F.col("__w__"), 1).otherwise(0))
+        .cast("long").alias("new"),
+        F.sum(F.when(F.col("__prev__").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("retained"),
+        F.sum(
+            F.when(
+                (F.col("__w0__") < F.col("__w__")) & F.col("__prev__").isNull(), 1
+            ).otherwise(0)
+        ).cast("long").alias("resurrected"),
+    )
+    nxt = active.select((F.col("__w__") + 1).alias("week"),
+                        F.col("__u__").alias("__u__"))
+    gone = (
+        nxt.join(active.withColumnRenamed("__w__", "week"), ["__u__", "week"],
+                 "left_anti")
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("churned"))
+    )
+    return (
+        per_week.join(gone, "week", "left")
+        .select(
+            "week", "active", "new", "retained", "resurrected",
+            F.coalesce("churned", F.lit(0)).alias("churned"),
+        )
+    )

@@ -54,3 +54,26 @@ def test_retention_cohorts_matrix(spark):
     assert got[(0, 1)].n_active == 1 and got[(0, 1)].retention == 0.5
     assert got[(1, 0)].n_active == 1 and got[(1, 0)].retention == 1.0
     assert set(got) == {(0, 0), (0, 1), (1, 0)}
+
+
+def test_growth_accounting_ledger_reconciles(spark):
+    """Hand-built three-week scenario: the ledger classifies every user
+    correctly and active = new + retained + resurrected telescopes."""
+    from peskas_timor_data_pipeline_spark.operators.funnel import (
+        growth_accounting,
+    )
+
+    # week 0: u1, u2   week 1: u1, u3   week 2: u2 (resurrects), u3
+    rows = [
+        (1, _ts(1)), (2, _ts(2)),
+        (1, _ts(9)), (3, _ts(10)),
+        (2, _ts(16)), (3, _ts(17)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r.week: r for r in growth_accounting(df, "user_id", "ts").collect()}
+    w0, w1, w2 = got[0], got[1], got[2]
+    assert (w0.active, w0.new, w0.retained, w0.resurrected, w0.churned) == (2, 2, 0, 0, 0)
+    assert (w1.active, w1.new, w1.retained, w1.resurrected, w1.churned) == (2, 1, 1, 0, 1)
+    assert (w2.active, w2.new, w2.retained, w2.resurrected, w2.churned) == (2, 0, 1, 1, 1)
+    for r in got.values():
+        assert r.active == r.new + r.retained + r.resurrected
