@@ -674,3 +674,89 @@ FROM dau d JOIN wau w ON d.day = w.day
 """
 
 QUERIES["w11_rolling_active_users"] = (w11_rolling_active_users, W11_ORACLE)
+
+
+def w12_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session paths: 30-minute-gap sessionization per user (the A6
+    running-sum machinery), then each session's first 5 event types in
+    (ts, event_id) order joined into a path string, counted and ranked.
+    The per-session collect is bounded by the session definition itself
+    (a 30-min-gap session has bounded events), so the sort_array stays
+    KB-scale — the one place a collect_list is contractually safe."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(
+        F.lag("ts").over(w)
+    )
+    flagged = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "__new__", (gap.isNull()) | (gap > 1800)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum(F.when(F.col("__new__"), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda s: s["event_type"],
+                    ),
+                    1, 5,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    top = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(10)
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return top.withColumn("rank", F.row_number().over(wr).cast("int")).select(
+        "rank", "path", "n_sessions"
+    )
+
+
+W12_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS newf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_id
+  FROM flagged
+), ordered AS (
+  SELECT user_id, session_id, event_type,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS rn
+  FROM sess
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ordered WHERE rn <= 5
+  GROUP BY user_id, session_id
+), counts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM paths GROUP BY path
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+  FROM counts
+)
+SELECT CAST(rank AS INTEGER) AS rank, path, n_sessions
+FROM ranked WHERE rank <= 10
+"""
+
+QUERIES["w12_session_paths"] = (w12_session_paths, W12_ORACLE)
