@@ -23,11 +23,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Registry front-of-line for round 3.  The driver records ~50 CORRECTNESS
 # rows per round in registry order; rounds 1+2 covered 100 of 123 queries
-# (zero overlap).  These 23 still lack a driver row, so they go FIRST,
-# followed by w8_cumulative_distinct (round 2's only red row — re-check
-# after the BIGINT cast fix) and the m4 family (m4_poisson_glm gained a
-# recursive-CTE oracle this round).  Everything else keeps its relative
-# order at the tail.
+# (zero overlap).  The 23 from round 2 still lacking a driver row go
+# FIRST, followed by w8_cumulative_distinct (round 2's only red row —
+# re-check after the BIGINT cast fix), the m4 family (m4_poisson_glm
+# gained a recursive-CTE oracle), and then every query ADDED in round 3
+# in authorship order — all driver-unverified, so the ~50-row window
+# always lands on unverified queries; the overflow leads round 4.
 _PRIORITY_R03 = (
     "d5_dup_clusters", "d6_decontaminate", "d7_repeated_grams",
     "e3_ivf_ann", "e4_group_centroids", "e5_kmeans_refine",

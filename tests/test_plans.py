@@ -421,3 +421,27 @@ def test_rolling_active_users_no_distinct_window(spark, sf_dir):
     # all, and the 7x expansion shows as a Generate
     assert "Window" not in p
     assert "Generate" in p
+
+
+def test_growth_accounting_no_window_partial_counts(spark, sf_dir):
+    from peskas_timor_data_pipeline_spark.harness.aggregates_q import (
+        a31_growth_accounting,
+    )
+
+    p = plan_str(a31_growth_accounting(spark, sf_dir))
+    # set logic is equi-joins over the distinct activity frame — no window
+    # scans, no cartesian, counts partial-aggregate
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert re.search(r"partial_count|partial_sum", p)
+
+
+def test_session_paths_single_session_window_then_topk(spark, sf_dir):
+    from peskas_timor_data_pipeline_spark.harness.windows_q import (
+        w12_session_paths,
+    )
+
+    p = plan_str(w12_session_paths(spark, sf_dir), "simple")
+    # the top-10 must be a distributed partial sort over path counts
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
