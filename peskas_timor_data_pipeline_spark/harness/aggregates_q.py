@@ -1364,3 +1364,50 @@ FROM per_week p LEFT JOIN gone g ON p.week = g.week
 """
 
 QUERIES["a31_growth_accounting"] = (a31_growth_accounting, A31_ORACLE)
+
+
+# --- A32: Benford first-digit audit -----------------------------------------------------
+
+def a32_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud/no-fraud screening: first significant digit distribution of
+    order totals vs Benford's law, with the chi-square contribution per
+    digit. Digit extraction is string-based (first char of the integer
+    cents — no float log), counts are integer, and each expected value is
+    one ln expression over identical integers."""
+    orders = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    w = Window.partitionBy()
+    n = F.sum("observed").over(w)
+    expected = n * (F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)))
+    return counts.select(
+        "digit",
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.round((F.col("observed") - expected) * (F.col("observed") - expected)
+                / expected, 6).alias("chi2_term"),
+    )
+
+
+A32_ORACLE = """
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM orders GROUP BY 1
+)
+SELECT digit, observed,
+       round(sum(observed) OVER () * (ln(1.0 + 1.0 / digit) / ln(10.0)), 6)
+         AS expected,
+       round((observed - sum(observed) OVER () * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+             * (observed - sum(observed) OVER () * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+             / (sum(observed) OVER () * (ln(1.0 + 1.0 / digit) / ln(10.0))), 6)
+         AS chi2_term
+FROM counts
+"""
+
+QUERIES["a32_benford"] = (a32_benford, A32_ORACLE)

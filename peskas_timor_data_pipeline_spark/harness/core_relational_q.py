@@ -1173,3 +1173,57 @@ FROM classes
 """
 
 QUERIES["p15_k_anonymity"] = (p15_k_anonymity, P15_ORACLE)
+
+
+# --- P16: referential-integrity audit ---------------------------------------------------
+
+def p16_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-gate FK audit: orphan counts for the three core foreign
+    keys (lineitem->orders, orders->customer, customer->nation), each an
+    anti-join count — one row per relationship, all integer."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+
+    def audit(name, child, fk, parent, pk):
+        orphans = child.join(
+            parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+        )
+        return child.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+        ).crossJoin(
+            orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        )
+    out = audit("lineitem.l_orderkey -> orders", li, "l_orderkey", orders, "o_orderkey")
+    out = out.unionByName(
+        audit("orders.o_custkey -> customer", orders, "o_custkey", cust, "c_custkey")
+    )
+    return out.unionByName(
+        audit("customer.c_nationkey -> nation", cust, "c_nationkey", nation, "n_nationkey")
+    )
+
+
+P16_ORACLE = """
+SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       CAST((SELECT count(*) FROM customer) AS BIGINT),
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+"""
+
+QUERIES["p16_fk_audit"] = (p16_fk_audit, P16_ORACLE)
