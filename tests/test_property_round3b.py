@@ -77,3 +77,73 @@ def test_cusum_matches_numpy_argmax(spark, vals):
     assert row.n_points == n
     assert abs(row.cusum_abs - s[k] / n) < 1e-6
     assert row.mean_before == round(run[k] / (k + 1), 6)
+
+
+texts = st.lists(
+    st.text(alphabet="abc X", min_size=0, max_size=60), min_size=1, max_size=6
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=texts)
+def test_cdc_segments_match_pure_python(spark, docs):
+    """CDC boundaries/segments equal a hashlib-based replica on arbitrary
+    strings (including repeats, empties, and sub-window texts)."""
+    import hashlib
+
+    from peskas_timor_data_pipeline_spark.llm.dedup import cdc_segments
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {}
+    for r in cdc_segments(df, "doc_id", "text", window=8, mask_hex=1).collect():
+        got.setdefault(r.doc_id, []).append((r.seg_idx, r.seg_len, r.seg_hash))
+
+    for did, text in enumerate(docs):
+        bounds = [0]
+        for i in range(8, len(text) + 1):
+            h = hashlib.md5(text[i - 8:i].encode()).hexdigest()
+            if h[-1] == "0":
+                bounds.append(i)
+        if bounds[-1] != len(text):
+            bounds.append(len(text))
+        segs = [text[a:b] for a, b in zip(bounds, bounds[1:])]
+        expect = [
+            (i, len(s), hashlib.md5(s.encode()).hexdigest())
+            for i, s in enumerate(segs)
+        ]
+        assert sorted(got.get(did, [])) == sorted(expect)
+
+
+points = st.lists(
+    st.tuples(st.floats(min_value=0, max_value=20, allow_nan=False),
+              st.floats(min_value=0, max_value=20, allow_nan=False)),
+    min_size=0, max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pts=points)
+def test_grid_neighbor_join_property(spark, pts):
+    import itertools
+    import math
+
+    from peskas_timor_data_pipeline_spark.operators.joins import (
+        grid_neighbor_join,
+    )
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in grid_neighbor_join(df, "id", "x", "y", 3.0).collect()
+    )
+    expect = sorted(
+        (a[0], b[0])
+        for a, b in itertools.combinations(rows, 2)
+        if math.dist(a[1:], b[1:]) <= 3.0
+    )
+    assert got == expect
