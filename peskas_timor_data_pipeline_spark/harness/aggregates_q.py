@@ -1245,7 +1245,9 @@ def a29_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "na", "ca", "nb", "cb",
         F.round(pa, 6).alias("rate_a"),
         F.round(pb, 6).alias("rate_b"),
-        F.round((pa - pb) / se, 6).alias("z_stat"),
+        # a saturated pool (0% or 100% both variants) has se = 0: report a
+        # null statistic instead of tripping ANSI divide-by-zero
+        F.when(se > 0, F.round((pa - pb) / se, 6)).alias("z_stat"),
     )
 
 
@@ -1263,10 +1265,14 @@ b AS (SELECT n_users AS nb, n_conv AS cb FROM per WHERE variant = 1)
 SELECT na, ca, nb, cb,
        round(ca / CAST(na AS DOUBLE), 6) AS rate_a,
        round(cb / CAST(nb AS DOUBLE), 6) AS rate_b,
-       round((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
-             / sqrt((ca + cb) / CAST(na + nb AS DOUBLE)
-                    * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
-                    * (1.0 / na + 1.0 / nb)), 6) AS z_stat
+       CASE WHEN sqrt((ca + cb) / CAST(na + nb AS DOUBLE)
+                      * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                      * (1.0 / na + 1.0 / nb)) > 0
+            THEN round((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+                       / sqrt((ca + cb) / CAST(na + nb AS DOUBLE)
+                              * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                              * (1.0 / na + 1.0 / nb)), 6)
+       END AS z_stat
 FROM a CROSS JOIN b
 """
 
