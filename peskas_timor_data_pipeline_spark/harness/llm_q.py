@@ -3436,3 +3436,52 @@ FROM spectrum
 """
 
 QUERIES["t26_freq_spectrum"] = (t26_freq_spectrum, T26_ORACLE)
+
+
+# --- E18: IVF index health (cell-balance report) ----------------------------------------
+
+def e18_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list balance of the e3/e10 IVF configuration (16 seeded
+    cells over the candidate corpus): used cells, list-length extremes,
+    and the max/avg imbalance factor that predicts probe-latency skew.
+    Oracle replays seeding, assignment, and the rollup."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import ivf_cell_stats
+
+    emb = load(spark, sf_dir, "embeddings")
+    candidates = emb.filter(F.col("vec_id") >= 20)
+    return ivf_cell_stats(candidates, "vec_id", "embedding", n_cells=16, dim=DIM)
+
+
+E18_ORACLE = f"""
+WITH c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 20),
+cents AS (
+  SELECT vec_id AS cell_id, embedding AS cvec
+  FROM embeddings WHERE vec_id >= 20
+  ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+),
+assign AS (
+  SELECT cand_id, cell_id,
+         row_number() OVER (
+           PARTITION BY cand_id
+           ORDER BY ({_dot_sql('cv', 'cvec')})
+                    / (sqrt({_dot_sql('cv', 'cv')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
+                    cell_id
+         ) AS rn
+  FROM c CROSS JOIN cents
+),
+sizes AS (
+  SELECT cell_id, CAST(count(*) AS BIGINT) AS sz
+  FROM assign WHERE rn = 1 GROUP BY cell_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells_used,
+       CAST(sum(sz) AS BIGINT) AS n_vectors,
+       min(sz) AS min_cell,
+       max(sz) AS max_cell,
+       round(CAST(sum(sz) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS avg_cell,
+       round(max(sz) / (CAST(sum(sz) AS BIGINT) / CAST(count(*) AS DOUBLE)), 6)
+         AS imbalance
+FROM sizes
+"""
+
+QUERIES["e18_ivf_cell_stats"] = (e18_ivf_cell_stats, E18_ORACLE)

@@ -1069,3 +1069,55 @@ def top_eigenvector(
         F.col("v").alias("component"),
         F.col("__eig__").alias("eigenvalue"),
     )
+
+
+def ivf_cell_stats(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF index health report: assign the corpus to its cells (same
+    broadcast-centroid argmax as the search path) and summarize the
+    inverted-list size distribution — used cells, min/max/avg list length,
+    and the imbalance factor max/avg that predicts probe-latency skew.
+    Run it after building (or re-seeding) an index: a hot cell means a
+    probe hitting it scans that whole list.
+
+    Scale shape: the assignment is the standard x n_cells broadcast
+    comparison; the report is one partial-aggregated groupBy over cell
+    ids plus a one-row rollup — integers and two exact divisions.
+    """
+    cents = F.broadcast(ivf_centroids(candidates, id_col, vec_col, n_cells, dim))
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col, dim).alias("cn"),
+    )
+    w_assign = Window.partitionBy("cand_id").orderBy(
+        F.desc("cos_c"), F.asc("cell_id")
+    )
+    assigned = (
+        c.crossJoin(cents)
+        .withColumn(
+            "cos_c", dot_expr("cv", "cvec", dim) / (F.col("cn") * F.col("cnorm"))
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("cell_id", "cand_id")
+    )
+    sizes = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells_used"),
+        F.sum("sz").cast("long").alias("n_vectors"),
+        F.min("sz").alias("min_cell"),
+        F.max("sz").alias("max_cell"),
+        F.round(F.sum("sz") / F.count(F.lit(1)), round_to).alias("avg_cell"),
+        F.round(
+            F.max("sz") / (F.sum("sz") / F.count(F.lit(1))), round_to
+        ).alias("imbalance"),
+    )
