@@ -403,6 +403,8 @@ def grid_neighbor_join(
 
     Returns (id_a, id_b, dist) for pairs with dist <= radius.
     """
+    if not radius > 0:
+        raise ValueError(f"radius must be positive, got {radius}")
     pts = df.select(
         F.col(id_col).alias("__id__"),
         F.col(x_col).cast("double").alias("__x__"),

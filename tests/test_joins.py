@@ -156,3 +156,15 @@ def test_grid_neighbor_join_exact_vs_brute_force(spark):
         if math.dist(a[1:], b[1:]) <= 5.0
     )
     assert got == expect
+
+
+def test_grid_neighbor_join_rejects_nonpositive_radius(spark):
+    import pytest
+
+    from peskas_timor_data_pipeline_spark.operators.joins import (
+        grid_neighbor_join,
+    )
+
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, x double, y double")
+    with pytest.raises(ValueError, match="radius"):
+        grid_neighbor_join(df, "id", "x", "y", 0.0)
