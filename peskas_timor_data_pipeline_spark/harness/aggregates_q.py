@@ -879,8 +879,17 @@ def a22_sampled_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data (~20%
+    # deliberate dirty-data duplicates with DIFFERING prices) — a tied hash
+    # straddling the rank-k boundary let each engine keep a different
+    # physical row (caught by the sf0.1 sweep; sf0.01 passed by luck).
+    # Folding integer cents into the key makes any remaining tie
+    # value-identical in the measured column, so the pick is engine-free.
     row_key = F.concat_ws(
-        "#", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        "#",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
     )
     sampled = uniform_row_sample(li, ["l_returnflag"], row_key, k=SAMPLE_K)
     est = sampled.groupBy("l_returnflag").agg(
@@ -900,7 +909,7 @@ WITH ranked AS (
   SELECT l_returnflag, l_extendedprice,
          row_number() OVER (
            PARTITION BY l_returnflag
-           ORDER BY (('0x' || substr(md5(concat_ws('#', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))), 1, 12))::BIGINT + 1.0) / {16 ** 12}.0
+           ORDER BY (('0x' || substr(md5(concat_ws('#', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR))), 1, 12))::BIGINT + 1.0) / {16 ** 12}.0
          ) AS rn
   FROM lineitem
 ), est AS (

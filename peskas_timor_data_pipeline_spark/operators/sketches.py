@@ -79,6 +79,13 @@ def uniform_row_sample(
     the RNG, so the 'random' sample is identical on any engine and stable
     under repartitioning.
 
+    CONTRACT: ``row_key`` must be unique — or at least any rows sharing a
+    key must be value-identical in every column the sample feeds. A
+    duplicate key ties the hash; if the tie straddles the rank-k boundary,
+    each engine keeps an arbitrary one of the tied PHYSICAL rows (found in
+    real dirty data: ~20% duplicated ids with differing measures). Fold
+    the measured columns into the key when ids can repeat.
+
     This is the quantile-sketch building block: percentile(sample) estimates
     percentile(population) with error ~1/sqrt(k), and samples MERGE — the
     bottom-k of a union of group samples is the union's sample — so
