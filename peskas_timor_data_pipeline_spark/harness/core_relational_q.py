@@ -1227,3 +1227,45 @@ SELECT 'customer.c_nationkey -> nation',
 """
 
 QUERIES["p16_fk_audit"] = (p16_fk_audit, P16_ORACLE)
+
+
+# --- J14: fuzzy join (edit distance <= 1, deletion-neighborhood blocked) ----------------
+
+def j14_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: supplier names vs a deterministically mutated
+    copy (one char dropped at s_suppkey mod length) matched at edit
+    distance <= 1 through deletion-neighborhood blocking. Numeric-suffix
+    names also match their substitution neighbors, so the result
+    exercises all three edit kinds; the oracle is the all-pairs
+    levenshtein truth."""
+    from peskas_timor_data_pipeline_spark.operators.joins import fuzzy_join_1edit
+
+    sup = load(spark, sf_dir, "supplier")
+    clean = sup.select("s_name")
+    dirty = sup.select(
+        F.expr(
+            "concat(substr(s_name, 1, CAST(s_suppkey % length(s_name) AS INT)), "
+            "substr(s_name, CAST(s_suppkey % length(s_name) AS INT) + 2))"
+        ).alias("dirty_name")
+    )
+    out = fuzzy_join_1edit(dirty, clean, "dirty_name", "s_name")
+    return out.select(
+        F.col("left_value").alias("dirty_name"),
+        F.col("right_value").alias("s_name"),
+    )
+
+
+J14_ORACLE = """
+WITH clean AS (SELECT DISTINCT s_name FROM supplier),
+dirty AS (
+  SELECT DISTINCT
+         substr(s_name, 1, CAST(s_suppkey % length(s_name) AS INTEGER))
+         || substr(s_name, CAST(s_suppkey % length(s_name) AS INTEGER) + 2)
+           AS dirty_name
+  FROM supplier
+)
+SELECT d.dirty_name, c.s_name
+FROM dirty d JOIN clean c ON levenshtein(d.dirty_name, c.s_name) <= 1
+"""
+
+QUERIES["j14_fuzzy_join"] = (j14_fuzzy_join, J14_ORACLE)

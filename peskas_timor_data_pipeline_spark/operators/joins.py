@@ -451,3 +451,41 @@ def grid_neighbor_join(
             "id_a", "id_b", F.round(F.sqrt(d2), round_to).alias("dist")
         )
     )
+
+
+def fuzzy_join_1edit(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """Fuzzy equi-join at edit distance <= 1 via deletion-neighborhood
+    blocking (the FastSS/SymSpell trick): each side emits the string
+    itself plus every single-deletion variant; any pair within one edit
+    (substitution, insertion, or deletion) shares at least one variant,
+    so candidates come from a plain EQUI-join on the variant key — never
+    an all-pairs product — and an exact ``levenshtein <= 1`` verify prunes
+    the neighborhood's false candidates.
+
+    Scale shape: a (len+1)x narrow expansion per side (Generate), ONE
+    variant-keyed shuffle join, distinct pairs, then the Levenshtein
+    verify runs only on candidates. Blocking is provably complete for one
+    edit; for k edits, recurse the deletion depth (cost (len choose k)).
+    """
+    def variants(df: DataFrame, col: str, side: str) -> DataFrame:
+        v = (
+            f"array_union(array({col}), "
+            f"transform(sequence(1, length({col})), "
+            f"i -> concat(substr({col}, 1, i - 1), substr({col}, i + 1))))"
+        )
+        return df.select(
+            F.col(col).alias(f"{side}_value"),
+            F.explode(F.expr(v)).alias("__v__"),
+        ).distinct()
+
+    lv = variants(left, left_col, "left")
+    rv = variants(right, right_col, "right")
+    cands = lv.join(rv, "__v__").select("left_value", "right_value").distinct()
+    return cands.filter(
+        F.levenshtein(F.col("left_value"), F.col("right_value")) <= 1
+    )

@@ -168,3 +168,26 @@ def test_grid_neighbor_join_rejects_nonpositive_radius(spark):
     df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, x double, y double")
     with pytest.raises(ValueError, match="radius"):
         grid_neighbor_join(df, "id", "x", "y", 0.0)
+
+
+def test_fuzzy_join_1edit_covers_all_edit_kinds(spark):
+    """Equality, substitution, deletion, and insertion all match; distance-2
+    strings do not, even when they share a deletion variant."""
+    from peskas_timor_data_pipeline_spark.operators.joins import fuzzy_join_1edit
+
+    left = spark.createDataFrame(
+        [("cat",), ("ct",), ("cart",), ("bat",), ("dog",)], "a string"
+    )
+    right = spark.createDataFrame([("cat",)], "b string")
+    got = sorted(r.left_value for r in
+                 fuzzy_join_1edit(left, right, "a", "b").collect())
+    assert got == ["bat", "cart", "cat", "ct"]  # dog is distance 3
+
+    # 'ab' vs 'bc' SHARE the deletion variant 'b' (a false candidate the
+    # blocking generates) but are distance 2 — the verify must prune it;
+    # 'ac' vs 'bc' is a true substitution match
+    l2 = spark.createDataFrame([("ab",), ("ac",)], "a string")
+    r2 = spark.createDataFrame([("cd",), ("bc",)], "b string")
+    got2 = sorted((r.left_value, r.right_value) for r in
+                  fuzzy_join_1edit(l2, r2, "a", "b").collect())
+    assert got2 == [("ac", "bc")]
