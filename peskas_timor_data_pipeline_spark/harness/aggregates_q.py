@@ -1426,3 +1426,56 @@ FROM counts
 """
 
 QUERIES["a32_benford"] = (a32_benford, A32_ORACLE)
+
+
+# --- A33: funnel time-to-convert --------------------------------------------------------
+
+def a33_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency through the view->purchase funnel: per completing user, the
+    seconds from first view to the first strictly-later purchase; rolled
+    up as count plus exact p50/p90. Durations are integer seconds, so the
+    percentile interpolation is exact rational arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"), F.first("t_view").alias("t_view"))
+    )
+    # unix_timestamp FLOORS sub-seconds while DuckDB's epoch cast rounds —
+    # exact integer microseconds sidestep the truncation-semantics gap
+    secs = p.select(
+        ((F.unix_micros("t_buy") - F.unix_micros("t_view")) / 1000000.0)
+        .alias("secs")
+    )
+    return secs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.percentile("secs", 0.5), 6).alias("p50_secs"),
+        F.round(F.percentile("secs", 0.9), 6).alias("p90_secs"),
+    )
+
+
+A33_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_buy, min(v.t_view) AS t_view
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), secs AS (
+  SELECT (epoch_us(t_buy) - epoch_us(t_view)) / 1000000.0 AS secs
+  FROM p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(secs, 0.5), 6) AS p50_secs,
+       round(quantile_cont(secs, 0.9), 6) AS p90_secs
+FROM secs
+"""
+
+QUERIES["a33_time_to_convert"] = (a33_time_to_convert, A33_ORACLE)
