@@ -667,3 +667,73 @@ QUERIES = {
     "m4zi_glmm": (m4zi_glmm, None),
     "m5_impute_replicates": (m5_impute_replicates, M5_ORACLE),
 }
+
+
+# --- M10: Poisson bootstrap CI ----------------------------------------------------------
+
+def m10_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for mean discount cents per return flag via the
+    Poisson bootstrap — 32 md5-deterministic replicates riding one explode,
+    each a weighted partial-agg pass. The oracle replays every draw, every
+    replicate mean, and the percentile CI."""
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        poisson_bootstrap_ci,
+    )
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "disc_cents", F.round(F.col("l_discount") * 100).cast("long")
+    )
+    row_key = F.concat_ws(
+        "#",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+    )
+    return poisson_bootstrap_ci(
+        li, ["l_returnflag"], "disc_cents", row_key, n_resamples=32
+    )
+
+
+def _m10_sql() -> str:
+    cums = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+            0.9810118431238462, 0.9963401531726563)
+    wexpr = "5"
+    for k in range(len(cums) - 1, -1, -1):
+        wexpr = f"CASE WHEN u <= {cums[k]!r} THEN {k} ELSE {wexpr} END"
+    return f"""
+WITH rows_b AS (
+  SELECT l_returnflag,
+         CAST(round(l_discount * 100) AS BIGINT) AS v,
+         concat_ws('#', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                   CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)) AS rk,
+         unnest(generate_series(1, 32)) AS b
+  FROM lineitem
+), drawn AS (
+  SELECT l_returnflag, v, b,
+         (('0x' || substr(md5(rk || '~' || CAST(b AS VARCHAR)), 1, 12))::BIGINT + 1.0)
+           / 281474976710656.0 AS u
+  FROM rows_b
+), weighted AS (
+  SELECT l_returnflag, v, b, CAST({wexpr} AS BIGINT) AS w FROM drawn
+), reps AS (
+  SELECT l_returnflag, b,
+         CASE WHEN sum(w) > 0
+              THEN CAST(sum(w * v) AS BIGINT) / CAST(sum(w) AS DOUBLE) END AS m
+  FROM weighted GROUP BY l_returnflag, b
+), cis AS (
+  SELECT l_returnflag,
+         round(quantile_cont(m, 0.025), 6) AS ci_lo,
+         round(quantile_cont(m, 0.975), 6) AS ci_hi
+  FROM reps GROUP BY l_returnflag
+), base AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+         round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               / CAST(count(*) AS DOUBLE), 6) AS mean
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT b.l_returnflag, b.n_rows, b.mean, c.ci_lo, c.ci_hi
+FROM base b JOIN cis c USING (l_returnflag)
+"""
+
+
+QUERIES["m10_poisson_bootstrap"] = (m10_poisson_bootstrap, _m10_sql())

@@ -297,3 +297,77 @@ def log_histogram_quantiles(
             F.min(F.when(F.col("__cum__") >= target, F.col("__est__"))).alias(name)
         )
     return picked.groupBy(group_col).agg(*aggs)
+
+
+# Poisson(1) inverse-CDF cutpoints: P(X<=k) for k = 0..4; mass above 4
+# collapses to 5. Both engines compare the same exact literals against the
+# same md5 unit hash, so every draw is engine-identical.
+_POISSON_CUM = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+                0.9810118431238462, 0.9963401531726563)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    row_key: Column,
+    n_resamples: int = 32,
+    ci: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Distributed bootstrap confidence interval for the per-group mean —
+    the Poisson bootstrap (Chamandy et al.): instead of resampling n rows
+    WITH replacement (which needs a global pass per replicate), each row
+    independently appears ``w ~ Poisson(1)`` times in each replicate, so
+    every replicate is ONE weighted partial-aggregated pass and all B
+    replicates ride a single explode. Draws are md5-deterministic
+    (inverse-CDF on the unit hash of ``row_key`` x replicate), so the
+    whole CI is engine-reproducible — no RNG state anywhere.
+
+    Exactness: ``value`` must be integer-scaled; replicate means are then
+    exact integer ratios and the CI percentile interpolates identical
+    doubles in any engine. Rows sharing a ``row_key`` draw the same
+    weight (correlated duplicates — fold distinguishing columns into the
+    key if that matters).
+
+    Returns (keys..., n_rows, mean, ci_lo, ci_hi).
+    """
+    b = F.explode(F.sequence(F.lit(1), F.lit(n_resamples))).alias("__b__")
+    hashed = df.select(
+        *keys,
+        F.col(value_col).cast("long").alias("__v__"),
+        row_key.alias("__rk__"),
+        b,
+    ).withColumn(
+        "__u__",
+        unit_hash(
+            F.concat_ws("~", F.col("__rk__"), F.col("__b__").cast("string"))
+        ),
+    )
+    w = F.lit(5)
+    for k in range(len(_POISSON_CUM) - 1, -1, -1):
+        w = F.when(F.col("__u__") <= _POISSON_CUM[k], k).otherwise(w)
+    weighted = hashed.withColumn("__w__", w.cast("long"))
+    reps = weighted.groupBy(*keys, "__b__").agg(
+        F.sum(F.col("__w__") * F.col("__v__")).alias("__swv__"),
+        F.sum("__w__").alias("__sw__"),
+    ).select(
+        *keys, "__b__",
+        # a tiny group can draw all-zero weights for a replicate: null its
+        # mean (percentile skips nulls in both engines) instead of 0/0
+        F.when(F.col("__sw__") > 0, F.col("__swv__") / F.col("__sw__"))
+        .alias("__mean__"),
+    )
+    lo_q, hi_q = (1.0 - ci) / 2.0, 1.0 - (1.0 - ci) / 2.0
+    cis = reps.groupBy(*keys).agg(
+        F.round(F.percentile("__mean__", lo_q), round_to).alias("ci_lo"),
+        F.round(F.percentile("__mean__", hi_q), round_to).alias("ci_hi"),
+    )
+    base = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(
+            F.sum(F.col(value_col).cast("long"))
+            / F.count(F.lit(1)), round_to
+        ).alias("mean"),
+    )
+    return base.join(cis, keys).select(*keys, "n_rows", "mean", "ci_lo", "ci_hi")

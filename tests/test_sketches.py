@@ -191,3 +191,30 @@ def test_log_histogram_quantiles_buckets_and_merge_property(spark):
     assert row.p5 == 0.96    # cum 5 >= ceil(0.5*10) = 5
     assert row.p9 == 7.68    # cum 9 >= ceil(0.9*10) = 9
     assert row.p99 == 61.44  # only the 50.0 bucket reaches cum 10
+
+
+def test_poisson_bootstrap_ci_constant_and_coverage(spark):
+    """A constant column gives a zero-width CI at the constant; a mixed
+    column gives a CI that brackets the true mean; results are identical
+    across runs (md5 draws, no RNG state)."""
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        poisson_bootstrap_ci,
+    )
+
+    rows = [("c", i, 7) for i in range(40)]
+    rows += [("m", i, i % 11) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, rid long, v long")
+    out1 = {r.g: r for r in poisson_bootstrap_ci(
+        df, ["g"], "v", F.col("rid").cast("string"), n_resamples=16
+    ).collect()}
+    assert out1["c"].ci_lo == 7.0 and out1["c"].ci_hi == 7.0
+    m = out1["m"]
+    assert m.ci_lo <= m.mean <= m.ci_hi
+    assert m.ci_hi - m.ci_lo < 2.0  # n=200: a sane, not-degenerate width
+    out2 = {r.g: r for r in poisson_bootstrap_ci(
+        df, ["g"], "v", F.col("rid").cast("string"), n_resamples=16
+    ).collect()}
+    assert {k: (v.ci_lo, v.ci_hi) for k, v in out1.items()} == \
+           {k: (v.ci_lo, v.ci_hi) for k, v in out2.items()}
