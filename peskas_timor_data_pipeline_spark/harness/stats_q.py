@@ -4,6 +4,8 @@ rows-only checks; everything else has a DuckDB oracle."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -673,9 +675,9 @@ QUERIES = {
 
 def m10_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% bootstrap CI for mean discount cents per return flag via the
-    Poisson bootstrap — 32 md5-deterministic replicates riding one explode,
-    each a weighted partial-agg pass. The oracle replays every draw, every
-    replicate mean, and the percentile CI."""
+    Poisson bootstrap — 16 md5-deterministic replicates, ALL computed in
+    one aggregation pass. The oracle replays every draw, every replicate
+    mean, and the percentile CI."""
     from peskas_timor_data_pipeline_spark.operators.sketches import (
         poisson_bootstrap_ci,
     )
@@ -690,49 +692,57 @@ def m10_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
     )
     return poisson_bootstrap_ci(
-        li, ["l_returnflag"], "disc_cents", row_key, n_resamples=32
+        li, ["l_returnflag"], "disc_cents", row_key, n_resamples=16
     )
 
 
 def _m10_sql() -> str:
     cums = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
             0.9810118431238462, 0.9963401531726563)
-    wexpr = "5"
-    for k in range(len(cums) - 1, -1, -1):
-        wexpr = f"CASE WHEN u <= {cums[k]!r} THEN {k} ELSE {wexpr} END"
+    import math as _math
+    hex_cuts = [format(_math.floor(c * 65536) - 1, "04x") for c in cums]
+    chain = " || ".join(f"md5(rk || '~{j}')" for j in range(2))
+    wcols = []
+    for b in range(16):
+        piece = f"substr(chain, {1 + 4 * b}, 4)"
+        w = " + ".join(f"CAST({piece} > '{h}' AS INTEGER)" for h in hex_cuts)
+        wcols.append(f"CAST({w} AS BIGINT) AS w{b}")
+    sums = ", ".join(
+        f"CAST(sum(w{b} * v) AS BIGINT) AS swv{b}, "
+        f"CAST(sum(w{b}) AS BIGINT) AS sw{b}"
+        for b in range(16)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT l_returnflag, CASE WHEN sw{b} > 0 "
+        f"THEN swv{b} / CAST(sw{b} AS DOUBLE) END AS m FROM agged"
+        for b in range(16)
+    )
     return f"""
-WITH rows_b AS (
+WITH base AS (
   SELECT l_returnflag,
          CAST(round(l_discount * 100) AS BIGINT) AS v,
          concat_ws('#', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
-                   CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)) AS rk,
-         unnest(generate_series(1, 32)) AS b
+                   CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)) AS rk
   FROM lineitem
-), drawn AS (
-  SELECT l_returnflag, v, b,
-         (('0x' || substr(md5(rk || '~' || CAST(b AS VARCHAR)), 1, 12))::BIGINT + 1.0)
-           / 281474976710656.0 AS u
-  FROM rows_b
+), chained AS (
+  SELECT l_returnflag, v, {chain} AS chain FROM base
 ), weighted AS (
-  SELECT l_returnflag, v, b, CAST({wexpr} AS BIGINT) AS w FROM drawn
-), reps AS (
-  SELECT l_returnflag, b,
-         CASE WHEN sum(w) > 0
-              THEN CAST(sum(w * v) AS BIGINT) / CAST(sum(w) AS DOUBLE) END AS m
-  FROM weighted GROUP BY l_returnflag, b
-), cis AS (
+  SELECT l_returnflag, v, {", ".join(wcols)} FROM chained
+), agged AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+         {sums}
+  FROM weighted GROUP BY l_returnflag
+), reps AS ({arms}),
+cis AS (
   SELECT l_returnflag,
          round(quantile_cont(m, 0.025), 6) AS ci_lo,
          round(quantile_cont(m, 0.975), 6) AS ci_hi
   FROM reps GROUP BY l_returnflag
-), base AS (
-  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
-         round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
-               / CAST(count(*) AS DOUBLE), 6) AS mean
-  FROM lineitem GROUP BY l_returnflag
 )
-SELECT b.l_returnflag, b.n_rows, b.mean, c.ci_lo, c.ci_hi
-FROM base b JOIN cis c USING (l_returnflag)
+SELECT a.l_returnflag, a.n AS n_rows,
+       round(a.sv / CAST(a.n AS DOUBLE), 6) AS mean,
+       c.ci_lo, c.ci_hi
+FROM agged a JOIN cis c USING (l_returnflag)
 """
 
 
