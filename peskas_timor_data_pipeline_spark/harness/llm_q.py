@@ -3485,3 +3485,86 @@ FROM sizes
 """
 
 QUERIES["e18_ivf_cell_stats"] = (e18_ivf_cell_stats, E18_ORACLE)
+
+
+# --- D12: best-representative dedup (keep the most complete duplicate) ------------------
+
+def d12_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-grade survivor selection: within each near-dup cluster
+    (d5's MinHash-LSH -> connected components), keep the LONGEST copy
+    (integer tie-break on doc id) — 'keep the most complete duplicate',
+    the writer-side policy that beats min-id when crawls truncate. The
+    oracle replays the whole chain: signatures, banding, components, and
+    the length-ranked pick."""
+    from peskas_timor_data_pipeline_spark.llm.cluster import connected_components
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BAND_SIZE)
+    comp = connected_components(pairs)
+    sized = comp.join(
+        docs.select(
+            F.col("doc_id").alias("node"), F.length("text").alias("n_chars")
+        ),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("node")
+    )
+    return (
+        sized.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            "component",
+            F.col("node").alias("rep_doc"),
+            F.col("n_chars").alias("rep_len"),
+        )
+        .join(
+            sized.groupBy("component").agg(
+                F.count(F.lit(1)).cast("long").alias("cluster_size")
+            ),
+            "component",
+        )
+        .select("component", "cluster_size", "rep_doc", "rep_len")
+    )
+
+
+D12_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM shd GROUP BY doc_id),
+long AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sig),
+p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM long a JOIN long b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT s AS node, d AS other FROM edges
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN edges e ON r.other = e.s WHERE e.d <> r.node
+),
+comp AS (
+  SELECT node, least(node, min(other)) AS component FROM reach GROUP BY node
+),
+sized AS (
+  SELECT c.node, c.component, length(d.text) AS n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY component
+                               ORDER BY n_chars DESC, node) AS rn
+  FROM sized
+),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM sized GROUP BY component
+)
+SELECT r.component, s.cluster_size, r.node AS rep_doc,
+       CAST(r.n_chars AS INTEGER) AS rep_len
+FROM ranked r JOIN sizes s USING (component)
+WHERE r.rn = 1
+"""
+
+QUERIES["d12_best_representative"] = (d12_best_representative, D12_ORACLE)
