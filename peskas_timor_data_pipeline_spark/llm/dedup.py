@@ -679,10 +679,15 @@ def cdc_segments(
     """
     w1 = window - 1
     zeros = "0" * mask_hex
+    # sequence(window, len) DESCENDS when len < window (a doc shorter than
+    # one fingerprint window) and would fabricate out-of-range boundaries
+    # plus a phantom empty segment — caught by the hypothesis replica test;
+    # short docs must produce exactly one whole-text segment
     boundaries = (
+        f"if(length({text_col}) < {window}, array(), "
         f"filter(sequence({window}, length({text_col})), "
         f"i -> substr(md5(substr({text_col}, i - {w1}, {window})), "
-        f"{33 - mask_hex}, {mask_hex}) = '{zeros}')"
+        f"{33 - mask_hex}, {mask_hex}) = '{zeros}'))"
     )
     bounds = (
         f"array_distinct(concat(array(0), {boundaries}, "
