@@ -45,7 +45,7 @@ _PRIORITY_R03 = (
     "d8_cross_source_overlap", "e9_silhouette",
     "d9_segment_dedup", "t19_quality_buckets", "e10_ann_recall",
     "e11_semdedup", "mm7_silence_runs", "e12_mmr_topk",
-    "a25_count_min", "p13_snapshot_diff", "ts3_seasonal_decompose", "ts4_cusum_changepoint", "p14_profile_columns", "w9_rolling_slope", "d10_lsh_eval", "t24_dsir_select", "mm8_image_resize", "mm9_scene_cuts", "a27_funnel", "a28_retention_cohorts", "e16_mrl_recall", "d11_cdc_segments", "j13_grid_neighbor_join", "t25_ngram_novelty", "w10_event_transitions", "a29_ab_test", "e17_top_eigenvector", "a30_log_histogram_quantiles", "mm10_audio_decimate", "t26_freq_spectrum", "w11_rolling_active_users", "p15_k_anonymity", "a31_growth_accounting", "w12_session_paths", "a32_benford", "p16_fk_audit", "e18_ivf_cell_stats", "j14_fuzzy_join", "a33_time_to_convert", "m10_poisson_bootstrap", "d12_best_representative",
+    "a25_count_min", "p13_snapshot_diff", "ts3_seasonal_decompose", "ts4_cusum_changepoint", "p14_profile_columns", "w9_rolling_slope", "d10_lsh_eval", "t24_dsir_select", "mm8_image_resize", "mm9_scene_cuts", "a27_funnel", "a28_retention_cohorts", "e16_mrl_recall", "d11_cdc_segments", "j13_grid_neighbor_join", "t25_ngram_novelty", "w10_event_transitions", "a29_ab_test", "e17_top_eigenvector", "a30_log_histogram_quantiles", "mm10_audio_decimate", "t26_freq_spectrum", "w11_rolling_active_users", "p15_k_anonymity", "a31_growth_accounting", "w12_session_paths", "a32_benford", "p16_fk_audit", "e18_ivf_cell_stats", "j14_fuzzy_join", "a33_time_to_convert", "m10_poisson_bootstrap", "d12_best_representative", "a34_bounce_rate",
     "a26_winsorize", "t20_normalize", "t21_bpe_merges", "e13_int8_topk",
     "e14_rrf_fusion", "e15_hard_negatives", "t22_bm25_topk", "t23_bpe_encode",
 )

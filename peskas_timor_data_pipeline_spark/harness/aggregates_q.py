@@ -1479,3 +1479,68 @@ FROM secs
 """
 
 QUERIES["a33_time_to_convert"] = (a33_time_to_convert, A33_ORACLE)
+
+
+# --- A34: session bounce rate -----------------------------------------------------------
+
+def a34_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of 30-minute-gap sessions containing
+    exactly one event, keyed by the session's first day. Reuses the A6
+    running-sum sessionization; counts integer, rate = one exact
+    division."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional seconds (exact micros/1e6, = DuckDB epoch()); the floored
+    # unix_timestamp form diverges when a gap straddles the 1800 s boundary
+    # inside one second
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    sess = ev.select("user_id", "ts", "event_id").withColumn(
+        "session_id",
+        F.sum(
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.to_date(F.min("ts")).alias("day"),
+    )
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
+A34_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS newf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         CAST(min(ts) AS DATE) AS day
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+FROM per_session GROUP BY day
+"""
+
+QUERIES["a34_bounce_rate"] = (a34_bounce_rate, A34_ORACLE)

@@ -685,9 +685,8 @@ def w12_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     KB-scale — the one place a collect_list is contractually safe."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(
-        F.lag("ts").over(w)
-    )
+    # fractional seconds (= DuckDB epoch()), not the floored unix_timestamp
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
     flagged = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
         "__new__", (gap.isNull()) | (gap > 1800)
     )
