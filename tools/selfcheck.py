@@ -114,19 +114,25 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            try:
-                res = con.execute(oracles[name])
-            except duckdb.OutOfMemoryException:
-                # transient host memory pressure (observed failing 16 KB
-                # allocations with >100 GB free moments later): reconnect
-                # to drop the buffer pool and retry once
-                con.close()
-                con = duckdb.connect()
-                for t in TABLES:
-                    con.execute(
-                        f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
-                    )
-                res = con.execute(oracles[name])
+            # transient host memory pressure (observed failing 16 KB
+            # allocations with >100 GB free moments later, typically under
+            # a concurrently-running Spark JVM): reconnect to drop the
+            # buffer pool and retry with backoff before giving up
+            res = None
+            for attempt in range(3):
+                try:
+                    res = con.execute(oracles[name])
+                    break
+                except duckdb.OutOfMemoryException:
+                    if attempt == 2:
+                        raise
+                    time.sleep(5 * (attempt + 1))
+                    con.close()
+                    con = duckdb.connect()
+                    for t in TABLES:
+                        con.execute(
+                            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+                        )
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception:
