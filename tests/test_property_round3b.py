@@ -147,3 +147,31 @@ def test_grid_neighbor_join_property(spark, pts):
         if math.dist(a[1:], b[1:]) <= 3.0
     )
     assert got == expect
+
+
+words = st.lists(st.text(alphabet="abcd", min_size=1, max_size=6),
+                 min_size=1, max_size=10)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ls=words, rs=words)
+def test_fuzzy_join_matches_brute_force_levenshtein(spark, ls, rs):
+    from peskas_timor_data_pipeline_spark.operators.joins import fuzzy_join_1edit
+
+    left = spark.createDataFrame([(w,) for w in set(ls)], "a string")
+    right = spark.createDataFrame([(w,) for w in set(rs)], "b string")
+    got = sorted((r.left_value, r.right_value) for r in
+                 fuzzy_join_1edit(left, right, "a", "b").collect())
+    expect = sorted((a, b) for a in set(ls) for b in set(rs) if _lev(a, b) <= 1)
+    assert got == expect
