@@ -917,14 +917,27 @@ QUERIES["t12_chunking"] = (t12_chunking, T12_ORACLE)
 
 # --- E4: per-group embedding centroids (element-wise mean, no explode) ----------------
 
+def _vec_to_micros_str(col: str):
+    """Serialize an array<double> of 6-dp-rounded values to a ','-joined
+    string of exact integer micros — the driver's hasher cannot hash
+    array-valued columns (CORRECTNESS_r03: TypeError unhashable 'list'),
+    and integer-in-string form is also float-format-proof across engines."""
+    return F.array_join(
+        F.expr(f"transform({col}, x -> cast(cast(round(x * 1e6) as long) as string))"),
+        ",",
+    )
+
+
 def e4_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean embedding per label via 64 scalar partial-sum aggregates —
     shuffle state is (sum, count) per dimension per group, never raw
-    vectors or exploded rows (see llm.similarity.group_centroids)."""
+    vectors or exploded rows (see llm.similarity.group_centroids).
+    Centroids serialize to integer-micro strings for the driver hasher."""
     from peskas_timor_data_pipeline_spark.llm.similarity import group_centroids
 
     emb = load(spark, sf_dir, "embeddings")
-    return group_centroids(emb, "label", "embedding", dim=DIM)
+    out = group_centroids(emb, "label", "embedding", dim=DIM)
+    return out.select("label", _vec_to_micros_str("centroid").alias("centroid"), "n")
 
 
 E4_ORACLE = f"""
@@ -935,7 +948,9 @@ WITH long AS (
 ), n_per AS (
   SELECT label, count(*) AS n FROM embeddings GROUP BY label
 )
-SELECT l.label, list(l.m ORDER BY l.i) AS centroid, any_value(np.n) AS n
+SELECT l.label,
+       string_agg(CAST(CAST(round(l.m * 1e6) AS BIGINT) AS VARCHAR), ',' ORDER BY l.i) AS centroid,
+       any_value(np.n) AS n
 FROM long l JOIN n_per np USING (label)
 GROUP BY l.label
 """
@@ -962,7 +977,10 @@ def e5_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     cents = ivf_centroids(emb, "vec_id", "embedding", n_cells=16, dim=DIM)
-    return kmeans_refine(emb, cents, "vec_id", "embedding", dim=DIM)
+    out = kmeans_refine(emb, cents, "vec_id", "embedding", dim=DIM)
+    return out.select(
+        "cell_id", _vec_to_micros_str("centroid").alias("centroid"), "n"
+    )
 
 
 E5_ORACLE = f"""
@@ -989,7 +1007,9 @@ long AS (
   GROUP BY cell_id, g.i
 ),
 n_per AS (SELECT cell_id, count(*) AS n FROM best GROUP BY cell_id)
-SELECT l.cell_id, list(l.m ORDER BY l.i) AS centroid, any_value(np.n) AS n
+SELECT l.cell_id,
+       string_agg(CAST(CAST(round(l.m * 1e6) AS BIGINT) AS VARCHAR), ',' ORDER BY l.i) AS centroid,
+       any_value(np.n) AS n
 FROM long l JOIN n_per np USING (cell_id)
 GROUP BY l.cell_id
 """
@@ -1295,7 +1315,19 @@ def e6_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from peskas_timor_data_pipeline_spark.llm.similarity import quantize_int8
 
     emb = load(spark, sf_dir, "embeddings")
-    return quantize_int8(emb, "vec_id", "embedding", dim=DIM)
+    out = quantize_int8(emb, "vec_id", "embedding", dim=DIM)
+    # driver-hashable scalars: int codes join directly; the 9-dp scale
+    # steps serialize as exact integer nanos
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.expr("transform(qvec, x -> cast(x as string))"), ","
+        ).alias("qvec"),
+        F.array_join(
+            F.expr("transform(scale, x -> cast(cast(round(x * 1e9) as long) as string))"),
+            ",",
+        ).alias("scale"),
+    )
 
 
 def _e6_sql() -> str:
@@ -1311,13 +1343,14 @@ def _e6_sql() -> str:
         for i in range(1, DIM + 1)
     )
     s = ", ".join(
-        f"round(CASE WHEN CAST(hi{i} AS DOUBLE) - CAST(lo{i} AS DOUBLE) > 0 "
-        f"THEN (CAST(hi{i} AS DOUBLE) - CAST(lo{i} AS DOUBLE)) / 255 ELSE 0 END, 9)"
+        f"CAST(round(round(CASE WHEN CAST(hi{i} AS DOUBLE) - CAST(lo{i} AS DOUBLE) > 0 "
+        f"THEN (CAST(hi{i} AS DOUBLE) - CAST(lo{i} AS DOUBLE)) / 255 ELSE 0 END, 9) * 1e9) AS BIGINT)"
         for i in range(1, DIM + 1)
     )
     return (
         f"WITH cal AS (SELECT {cal} FROM embeddings) "
-        f"SELECT vec_id, [{q}] AS qvec, [{s}] AS scale FROM embeddings, cal"
+        f"SELECT vec_id, array_to_string([{q}], ',') AS qvec, "
+        f"array_to_string([{s}], ',') AS scale FROM embeddings, cal"
     )
 
 
@@ -1393,7 +1426,11 @@ def e7_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     out = pq_encode(emb, "vec_id", "embedding", dim=DIM, m_sub=8, k=16)
     return out.select(
-        "vec_id", "codes", F.round("recon_err", 6).alias("recon_err")
+        "vec_id",
+        F.array_join(
+            F.expr("transform(codes, x -> cast(x as string))"), ","
+        ).alias("codes"),
+        F.round("recon_err", 6).alias("recon_err"),
     )
 
 
@@ -1426,7 +1463,7 @@ WITH ordv AS (
 ), agg AS (
   SELECT vec_id, {aggs} FROM pairs GROUP BY vec_id
 )
-SELECT vec_id, [{codes}] AS codes, round({errs}, 6) AS recon_err FROM agg
+SELECT vec_id, array_to_string([{codes}], ',') AS codes, round({errs}, 6) AS recon_err FROM agg
 """
 
 
@@ -1584,9 +1621,9 @@ WITH grams AS (
 SELECT d.doc_id,
        coalesce(n_grams, 0) AS n_grams,
        coalesce(n_shared, 0) AS n_shared,
-       round(CASE WHEN coalesce(n_grams, 0) > 0
-                  THEN coalesce(n_shared, 0) / CAST(n_grams AS DOUBLE)
-                  ELSE 0.0 END, 6) AS dup_share
+       CAST(CASE WHEN coalesce(n_grams, 0) > 0
+                 THEN (coalesce(n_shared, 0) * 1000000) // n_grams
+                 ELSE 0 END AS BIGINT) AS dup_ppm
 FROM documents d LEFT JOIN per_doc USING (doc_id)
 """
 

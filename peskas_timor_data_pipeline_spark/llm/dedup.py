@@ -326,11 +326,15 @@ def repeated_gram_share(
     the gram computing both the document count and (via min) a witness
     doc, then a gram-keyed join back — each distinct gram crosses the wire
     twice, nothing pairwise, no per-document comparisons. Filtering rows
-    with ``dup_share`` above a threshold is the standard "drop templated
+    with ``dup_ppm`` above a threshold is the standard "drop templated
     docs" gate; the gram join also yields the span positions if a masker
     needs them.
 
-    Returns (id, n_grams, n_shared, dup_share).
+    Returns (id, n_grams, n_shared, dup_ppm) where ``dup_ppm`` is the
+    shared-gram share in exact integer parts-per-million
+    (``n_shared * 1_000_000 div n_grams`` — pure integer arithmetic, so
+    the value is bit-identical across engines; a float share rounded to
+    6 dp was hash-unstable in CORRECTNESS_r03).
     """
     grams = shingle_rows(df, id_col, text_col, k_shingle).distinct()
     gram_docs = grams.groupBy("sh").agg(
@@ -351,12 +355,13 @@ def repeated_gram_share(
             id_col,
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
             F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-            F.round(
-                F.when(
-                    F.col("n_grams") > 0, F.col("n_shared") / F.col("n_grams")
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("dup_share"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("n_shared * 1000000L div n_grams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_ppm"),
         )
     )
 

@@ -78,7 +78,7 @@ def test_pack_sequences_greedy_rule(spark):
 
 
 def test_repeated_gram_share_flags_boilerplate(spark):
-    """Docs sharing a long copied span have dup_share > 0; a unique doc has
+    """Docs sharing a long copied span have dup_ppm > 0; a unique doc has
     0; short docs (< k) report zero grams."""
     from peskas_timor_data_pipeline_spark.llm.dedup import repeated_gram_share
 
@@ -92,9 +92,11 @@ def test_repeated_gram_share_flags_boilerplate(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in repeated_gram_share(df, "doc_id", "text", k_shingle=32).collect()}
     assert out[1].n_shared > 0 and out[2].n_shared > 0
-    assert out[1].dup_share > 0.2 and out[2].dup_share > 0.2
-    assert out[3].n_shared == 0 and out[3].dup_share == 0.0
-    assert out[4].n_grams == 0 and out[4].dup_share == 0.0
+    assert out[1].dup_ppm > 200_000 and out[2].dup_ppm > 200_000
+    assert out[3].n_shared == 0 and out[3].dup_ppm == 0
+    assert out[4].n_grams == 0 and out[4].dup_ppm == 0
+    # ppm is exact integer arithmetic: cross-check one row by hand
+    assert out[1].dup_ppm == out[1].n_shared * 1_000_000 // out[1].n_grams
 
 
 def test_quality_buckets_rank_tiers(spark):
