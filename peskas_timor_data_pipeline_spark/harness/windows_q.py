@@ -350,25 +350,74 @@ LIMIT 10
 QUERIES["ts1_subsequence_search"] = (ts1_subsequence_search, TS1_ORACLE)
 
 
-# --- TS2: DTW pattern alignment (applyInPandas DP; rows-only check) -------------------
+# --- TS2: DTW pattern alignment (applyInPandas DP; recursive-CTE oracle) --------------
 
 def ts2_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user DTW distance to the ts1 spike pattern — alignment-tolerant
     matching where ts1's rigid windows miss time-warped instances. The DP
-    recurrence is not SQL-expressible, hence applyInPandas (grouped map,
-    numpy per group) and a rows-only driver check; determinism and exact
-    values are pinned by tests/test_timeseries.py instead."""
+    recurrence runs in numpy per group (applyInPandas); the oracle replays
+    it as a recursive-CTE over per-row DP states (see TS2_ORACLE). Series
+    longer than m + band have no in-band warping path (classic Sakoe-Chiba
+    on a rectangular matrix) — numpy reports +inf; both engines surface
+    that as NULL so the output stays driver-hashable."""
     from peskas_timor_data_pipeline_spark.operators.timeseries import dtw_to_pattern
 
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     out = dtw_to_pattern(
-        ev.select("user_id", "ts", "value"),
-        ["user_id"], "ts", "value", TS_PATTERN, band=16,
+        ev.select("user_id", "ts", "event_id", "value"),
+        ["user_id"], ["ts", "event_id"], "value", TS_PATTERN, band=16,
     )
-    return out.select("user_id", F.round("dtw_dist", 6).alias("dtw_dist"), "n_points")
+    finite = F.when(
+        F.col("dtw_dist") < F.lit(float("inf")), F.round("dtw_dist", 6)
+    )
+    return out.select("user_id", finite.alias("dtw_dist"), "n_points")
 
 
-QUERIES["ts2_dtw_alignment"] = (ts2_dtw_alignment, None)
+# The oracle replays the numpy DP exactly. Correctness of the rewrite:
+# every DP cell value cur[j] is the left-fold  ((min(prev_k) + c_k) + ...)
+# + c_j  of exactly one warping path's costs, and IEEE min distributes
+# over (monotonic) IEEE addition, so  min over path-candidates == the
+# cell-by-cell DP, bit for bit — no float tolerance needed beyond the
+# same round(_, 6) both engines apply.  The recursion carries one DP row
+# (m+1 doubles, positions 1..m+1 = pattern indices 0..m) per user per
+# series row; the Sakoe-Chiba band (|i-j| <= 16) infs out-of-band cells,
+# identical to operators/timeseries.py::dtw_distance_np.
+_TS2_PAT = "[" + ", ".join(str(v) for v in TS_PATTERN) + "]::DOUBLE[]"
+_TS2_M = len(TS_PATTERN)
+
+TS2_ORACLE = f"""
+WITH RECURSIVE ser AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         CAST(value AS DOUBLE) AS v,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE event_type = 'purchase'
+), dp AS (
+  SELECT user_id, n, 0 AS i,
+         list_prepend(0.0::DOUBLE,
+           list_transform(generate_series(1, {_TS2_M}), x -> 'Infinity'::DOUBLE)) AS prev
+  FROM (SELECT DISTINCT user_id, n FROM ser)
+  UNION ALL
+  SELECT d.user_id, d.n, s.i,
+         list_prepend('Infinity'::DOUBLE,
+           list_transform(generate_series(1, {_TS2_M}), j ->
+             CASE WHEN j < greatest(1, s.i - 16) OR j > least({_TS2_M}, s.i + 16)
+                  THEN 'Infinity'::DOUBLE
+                  ELSE list_min(list_transform(generate_series(greatest(1, s.i - 16), j), k ->
+                         list_reduce(
+                           list_prepend(least(d.prev[k + 1], d.prev[k]),
+                             list_slice(list_transform({_TS2_PAT}, p -> abs(s.v - p)), k, j)),
+                           (a, x) -> a + x)))
+             END)) AS prev
+  FROM dp d JOIN ser s ON s.user_id = d.user_id AND s.i = d.i + 1
+)
+SELECT user_id,
+       CASE WHEN isfinite(prev[{_TS2_M + 1}]) THEN round(prev[{_TS2_M + 1}], 6) END AS dtw_dist,
+       CAST(n AS INTEGER) AS n_points
+FROM dp WHERE i = n
+"""
+
+QUERIES["ts2_dtw_alignment"] = (ts2_dtw_alignment, TS2_ORACLE)
 
 
 # --- W8: cumulative distinct users (first-appearance rewrite) --------------------------

@@ -44,7 +44,7 @@ def dtw_distance_np(a: np.ndarray, b: np.ndarray, band: int | None = None) -> fl
 def dtw_to_pattern(
     df: DataFrame,
     keys: Sequence[str],
-    order_col: str,
+    order_col: str | Sequence[str],
     value_col: str,
     pattern: Sequence[float],
     band: int | None = None,
@@ -61,15 +61,21 @@ def dtw_to_pattern(
     Keys are assumed to have driver-irrelevant cardinality (millions of
     groups fan out across executors; no group's series must exceed
     executor memory, same contract as any grouped-map op).
+
+    ``order_col`` may be a list of columns; pass a tie-breaking suffix
+    (e.g. an event id) whenever the primary order column can repeat —
+    the DP result depends on sequence order, so ties must break the same
+    way in every engine.
     """
     keys = list(keys)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     pat = np.asarray(list(pattern), dtype=float)
     key_fields = df.select(*keys).schema.fields
     key_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in key_fields)
     schema = f"{key_schema}, {out_col} double, n_points int"
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
+        pdf = pdf.sort_values(order_cols)
         series = pdf[value_col].to_numpy(dtype=float)
         out = pdf[keys].iloc[:1].copy()
         out[out_col] = dtw_distance_np(series, pat, band=band)
