@@ -1,6 +1,9 @@
 """Statistical operators (SURVEY.md §2.8 M2/M3/M4/M5/M7/M9) on star-schema
-analogues. M4/M5 are applyInPandas paths (genuinely non-SQL) and get
-rows-only checks; everything else has a DuckDB oracle."""
+analogues. Every family has at least one hash-checked DuckDB oracle —
+including the GLMM (m4_poisson_glm's unrolled IRLS and m4b_glmm_1ri's
+arrowhead Henderson replay); only the crossed-intercept/ZI variants
+(m4_glmm, m4zi_glmm), whose Henderson solve needs a dense matrix inverse
+no SQL engine can replay, remain rows-only."""
 
 from __future__ import annotations
 
@@ -489,7 +492,7 @@ def _m4_irls_sql(iters: int = _M4_ITERS) -> str:
     initialization differences vanish at the fixed point), then per
     iteration mu = exp(clip(eta, ±30)), z = eta + (y - mu)/max(mu, 1e-12),
     and the 2x2 weighted normal equations solved by Cramer's rule."""
-    ctes = ["""data AS (
+    ctes = ["""data AS MATERIALIZED (
   SELECT o_orderpriority AS grp,
          CAST(count(*) AS DOUBLE) AS y,
          CAST(datediff('month', DATE '1995-01-01',
@@ -599,6 +602,132 @@ def m4zi_glmm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority", "kind", "term", "level")
 
 
+# --- M4b: single-random-intercept GLMM with an exact Henderson/arrowhead oracle ---------
+
+# Pinned PQL iteration count for the hash-checked single-RI variant: tol=0
+# on both sides so exactly this many IRLS+EM steps run.  With one random
+# factor Henderson's penalized system is an ARROWHEAD matrix
+# [[a, b^T], [b, D]] (D diagonal: one-hot Z makes level-level cross terms
+# vanish), so the solve AND the EM update's tr(Ainv[blk,blk]) have closed
+# forms via the Schur complement s = a - sum(b_g^2/D_g):
+#   beta0 = (r0 - sum(b_g r_g / D_g)) / s
+#   u_g   = (r_g - b_g beta0) / D_g
+#   diag(Ainv)_g = 1/D_g + (b_g/D_g)^2 / s
+# Per-iteration float paths (numpy inv vs closed form) differ, but PQL is a
+# contraction on these well-conditioned monthly counts — both engines sit on
+# the same fixed point long before iteration 40, and estimates round to 5dp
+# (same argument as _M4_ITERS above).
+_M4B_ITERS = 40
+
+
+def m4b_glmm_1ri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked M4 entry: Poisson GLMM ``n_orders ~ (1|month)`` per
+    priority — the same PQL/Henderson/EM code path as m4_glmm
+    (R/model-catch.R:80-138's random-intercept structure) restricted to one
+    factor so the oracle can replay the solve in closed form."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        glmm_random_intercepts,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("period"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    frame = monthly.select(
+        "o_orderpriority",
+        "n_orders",
+        F.date_format("period", "MM").alias("month"),
+    )
+    fits = glmm_random_intercepts(
+        frame, ["o_orderpriority"], "n_orders", ["month"],
+        family="poisson", max_iter=_M4B_ITERS, tol=0.0,
+    )
+    return fits.select(
+        "o_orderpriority", "kind", "term", "level",
+        F.round("estimate", 5).alias("estimate"), "n_obs",
+    ).orderBy("o_orderpriority", "kind", "term", "level")
+
+
+def _m4b_glmm_sql(iters: int = _M4B_ITERS) -> str:
+    """Unrolled PQL: per iteration, per-row working response -> per-level
+    sums -> arrowhead Schur solve -> EM variance update. State per
+    iteration: st{i}(grp, b0, s2) + u{i}(grp, lvl, u)."""
+    ctes = ["""data AS MATERIALIZED (
+  SELECT o_orderpriority AS grp,
+         strftime(date_trunc('month', o_orderdate), '%m') AS lvl,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM orders GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
+)""", """st0 AS (
+  SELECT grp, ln(greatest(avg(y), 1e-8)) AS b0, 1.0::DOUBLE AS s2
+  FROM data GROUP BY grp
+)""", """u0 AS (
+  SELECT DISTINCT grp, lvl, 0.0::DOUBLE AS u FROM data
+)"""]
+    for i in range(iters):
+        ctes.append(f"""r{i} AS MATERIALIZED (
+  SELECT d.grp, d.lvl, d.y,
+         exp(greatest(least(s.b0 + u.u, 30.0), -30.0)) AS mu,
+         greatest(least(s.b0 + u.u, 30.0), -30.0) AS eta
+  FROM data d
+  JOIN st{i} s ON s.grp = d.grp
+  JOIN u{i} u ON u.grp = d.grp AND u.lvl = d.lvl
+)""")
+        ctes.append(f"""lv{i} AS MATERIALIZED (
+  SELECT grp, lvl, sum(mu) AS bg,
+         sum(mu * (eta + (y - mu) / greatest(mu, 1e-12))) AS rg
+  FROM r{i} GROUP BY grp, lvl
+)""")
+        ctes.append(f"""g{i} AS MATERIALIZED (
+  SELECT l.grp,
+         sum(l.bg) AS a, sum(l.rg) AS r0,
+         sum(l.bg * l.bg / (l.bg + 1.0 / s.s2)) AS sb2d,
+         sum(l.bg * l.rg / (l.bg + 1.0 / s.s2)) AS sbrd,
+         count(*) AS q
+  FROM lv{i} l JOIN st{i} s ON s.grp = l.grp
+  GROUP BY l.grp
+)""")
+        ctes.append(f"""u{i + 1} AS MATERIALIZED (
+  SELECT l.grp, l.lvl,
+         (l.rg - l.bg * (g.r0 - g.sbrd) / (g.a - g.sb2d)) / (l.bg + 1.0 / s.s2) AS u
+  FROM lv{i} l
+  JOIN st{i} s ON s.grp = l.grp
+  JOIN g{i} g ON g.grp = l.grp
+)""")
+        ctes.append(f"""st{i + 1} AS MATERIALIZED (
+  SELECT u.grp,
+         any_value((g.r0 - g.sbrd) / (g.a - g.sb2d)) AS b0,
+         greatest(
+           (sum(u.u * u.u)
+            + sum(1.0 / (l.bg + 1.0 / s.s2)
+                  + (l.bg / (l.bg + 1.0 / s.s2)) * (l.bg / (l.bg + 1.0 / s.s2))
+                    / (g.a - g.sb2d)))
+           / any_value(g.q), 1e-8) AS s2
+  FROM u{i + 1} u
+  JOIN lv{i} l ON l.grp = u.grp AND l.lvl = u.lvl
+  JOIN st{i} s ON s.grp = u.grp
+  JOIN g{i} g ON g.grp = u.grp
+  GROUP BY u.grp
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+nobs AS (SELECT grp, count(*) AS n_obs FROM data GROUP BY grp)
+SELECT * FROM (
+  SELECT s.grp AS o_orderpriority, 'fixed' AS kind, 'intercept' AS term,
+         CAST(NULL AS VARCHAR) AS level, round(s.b0, 5) AS estimate, n.n_obs
+  FROM st{iters} s JOIN nobs n ON n.grp = s.grp
+  UNION ALL
+  SELECT s.grp, 'variance', 'month', CAST(NULL AS VARCHAR), round(s.s2, 5), n.n_obs
+  FROM st{iters} s JOIN nobs n ON n.grp = s.grp
+  UNION ALL
+  SELECT u.grp, 'blup', 'month', u.lvl, round(u.u, 5), n.n_obs
+  FROM u{iters} u JOIN nobs n ON n.grp = u.grp
+)
+ORDER BY o_orderpriority, kind, term, level
+"""
+    )
+
+
 # --- M5: seeded multiple-imputation analogue (rows-only check) --------------------------
 
 def m5_impute_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,6 +795,7 @@ QUERIES = {
     "m9_share_redistribution": (m9_share_redistribution, M9_ORACLE),
     "m4_poisson_glm": (m4_poisson_glm, _m4_irls_sql()),
     "m4_glmm": (m4_glmm, None),
+    "m4b_glmm_1ri": (m4b_glmm_1ri, _m4b_glmm_sql()),
     "m4zi_glmm": (m4zi_glmm, None),
     "m5_impute_replicates": (m5_impute_replicates, M5_ORACLE),
 }
