@@ -2639,13 +2639,16 @@ QUERIES["e14_rrf_fusion"] = (e14_rrf_fusion, _e14_sql())
 def e15_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per anchor (vec_id < 15): the 4 most-cosine-similar vectors with a
     DIFFERENT label — the contrastive-pairs builder. Label predicate and
-    self-exclusion are part of the pinned semantics."""
+    self-exclusion are part of the pinned semantics. method='exact' is the
+    deliberate truth variant (fixture-scale audit twin of e15b's shipped
+    IVF path, same role as e1 vs e3)."""
     from peskas_timor_data_pipeline_spark.llm.similarity import hard_negatives
 
     emb = load(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") < 15)
     return hard_negatives(
-        emb, "vec_id", "embedding", "label", k=4, dim=DIM, anchors=anchors
+        emb, "vec_id", "embedding", "label", k=4, dim=DIM, anchors=anchors,
+        method="exact",
     )
 
 
@@ -2670,6 +2673,72 @@ FROM ranked WHERE rank <= 4
 """
 
 QUERIES["e15_hard_negatives"] = (e15_hard_negatives, E15_ORACLE)
+
+
+def e15b_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipped 100 TB hard-negative path: candidates come from the
+    seeded IVF inverted file (anchors probe their 4 nearest of 16 cells),
+    label-exclusion and ranking unchanged — per-anchor work is
+    O(n_probe·N/n_cells), no corpus cross join anywhere in the plan."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import hard_negatives
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 15)
+    return hard_negatives(
+        emb, "vec_id", "embedding", "label", k=4, dim=DIM, anchors=anchors,
+        method="ivf", n_cells=16, n_probe=4,
+    )
+
+
+E15B_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cvec
+  FROM embeddings
+  ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+),
+c AS (SELECT vec_id AS neg_id, embedding AS nv, label AS nlbl FROM embeddings),
+a AS (SELECT vec_id AS anchor_id, embedding AS av, label AS albl
+      FROM embeddings WHERE vec_id < 15),
+assign AS (
+  SELECT neg_id, cell_id, nv, nlbl,
+         row_number() OVER (
+           PARTITION BY neg_id
+           ORDER BY ({_dot_sql('nv', 'cvec')})
+                    / (sqrt({_dot_sql('nv', 'nv')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
+                    cell_id
+         ) AS rn
+  FROM c CROSS JOIN cents
+),
+inv AS (SELECT cell_id, neg_id, nv, nlbl FROM assign WHERE rn = 1),
+probe AS (
+  SELECT anchor_id, av, albl, cell_id,
+         row_number() OVER (
+           PARTITION BY anchor_id
+           ORDER BY ({_dot_sql('av', 'cvec')})
+                    / (sqrt({_dot_sql('av', 'av')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
+                    cell_id
+         ) AS rn
+  FROM a CROSS JOIN cents
+),
+probes AS (SELECT anchor_id, av, albl, cell_id FROM probe WHERE rn <= 4),
+scored AS (
+  SELECT anchor_id, neg_id,
+         ({_dot_sql('av', 'nv')})
+         / (sqrt({_dot_sql('av', 'av')}) * sqrt({_dot_sql('nv', 'nv')})) AS cosine
+  FROM probes JOIN inv USING (cell_id)
+  WHERE albl <> nlbl AND anchor_id <> neg_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC, neg_id) AS rank
+  FROM scored
+)
+SELECT anchor_id, neg_id, CAST(rank AS INTEGER) AS rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 4
+"""
+
+QUERIES["e15b_hard_negatives_ann"] = (e15b_hard_negatives_ann, E15B_ORACLE)
 
 
 # --- T22: BM25 ranked retrieval ---------------------------------------------------------

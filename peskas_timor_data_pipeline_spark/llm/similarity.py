@@ -936,17 +936,27 @@ def hard_negatives(
     k: int = 4,
     dim: int = 64,
     anchors: DataFrame | None = None,
+    method: str = "ivf",
+    n_cells: int = 16,
+    n_probe: int = 4,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: per anchor, the k
     most-similar vectors carrying a DIFFERENT label — the negatives that
     actually move an embedding model, versus uniformly sampled ones that
-    are trivially separable. Exact scoring here; at corpus scale run the
-    same label-excluding top-k over an ANN candidate set (IVF cells or
-    LSH buckets) instead of the full cross — the ranking logic is
-    unchanged.
+    are trivially separable.
+
+    The DEFAULT scale path (``method='ivf'``) generates candidates from
+    the same seeded-centroid inverted file as :func:`cosine_topk_ivf`:
+    anchors probe their ``n_probe`` nearest of ``n_cells`` cells and the
+    label-excluding top-k ranks only those lists — per-anchor work is
+    O(n_probe·N/n_cells), never the full corpus. ``method='exact'`` keeps
+    the exhaustive cross for truth/recall audits at fixture scale; it is
+    O(anchors × corpus) and is NOT a 100 TB path.
 
     Returns (anchor_id, neg_id, rank, cosine).
     """
+    if method not in ("ivf", "exact"):
+        raise ValueError(f"unknown method: {method}")
     anc = (anchors if anchors is not None else df).select(
         F.col(id_col).alias("anchor_id"),
         F.col(vec_col).alias("av"),
@@ -959,15 +969,39 @@ def hard_negatives(
         norm_expr(vec_col, dim).alias("nn"),
         F.col(label_col).alias("nlbl"),
     )
-    scored = (
-        anc.crossJoin(cand)
-        .filter(
-            (F.col("albl") != F.col("nlbl"))
-            & (F.col("anchor_id") != F.col("neg_id"))
+    if method == "ivf":
+        cents = F.broadcast(ivf_centroids(df, id_col, vec_col, n_cells, dim))
+        w_assign = Window.partitionBy("neg_id").orderBy(
+            F.desc("cos_c"), F.asc("cell_id")
         )
-        .withColumn(
-            "cosine", dot_expr("av", "nv", dim) / (F.col("an") * F.col("nn"))
+        inverted = (
+            cand.crossJoin(cents)
+            .withColumn(
+                "cos_c", dot_expr("nv", "cvec", dim) / (F.col("nn") * F.col("cnorm"))
+            )
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("cell_id", "neg_id", "nv", "nn", "nlbl")
         )
+        w_probe = Window.partitionBy("anchor_id").orderBy(
+            F.desc("cos_q"), F.asc("cell_id")
+        )
+        probes = (
+            anc.crossJoin(cents)
+            .withColumn(
+                "cos_q", dot_expr("av", "cvec", dim) / (F.col("an") * F.col("cnorm"))
+            )
+            .withColumn("rn", F.row_number().over(w_probe))
+            .filter(F.col("rn") <= n_probe)
+            .select("anchor_id", "av", "an", "albl", "cell_id")
+        )
+        joined = probes.join(inverted, "cell_id")
+    else:
+        joined = anc.crossJoin(cand)
+    scored = joined.filter(
+        (F.col("albl") != F.col("nlbl")) & (F.col("anchor_id") != F.col("neg_id"))
+    ).withColumn(
+        "cosine", dot_expr("av", "nv", dim) / (F.col("an") * F.col("nn"))
     )
     w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
     return (

@@ -317,12 +317,22 @@ def test_hard_negatives_excludes_same_label_and_self(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     anchors = df.filter(df.vec_id == 1)
-    got = sorted(
+    got_exact = sorted(
         (r.rank, r.neg_id)
         for r in hard_negatives(df, "vec_id", "embedding", "label",
-                                k=3, dim=3, anchors=anchors).collect()
+                                k=3, dim=3, anchors=anchors,
+                                method="exact").collect()
     )
-    assert got == [(1, 3), (2, 4), (3, 5)]
+    assert got_exact == [(1, 3), (2, 4), (3, 5)]
+    # the default (shipped) IVF path agrees with exact when every cell is
+    # probed — the ranking/label-exclusion logic is shared
+    got_ivf = sorted(
+        (r.rank, r.neg_id)
+        for r in hard_negatives(df, "vec_id", "embedding", "label",
+                                k=3, dim=3, anchors=anchors,
+                                method="ivf", n_cells=8, n_probe=8).collect()
+    )
+    assert got_ivf == got_exact
 
 
 def test_top_eigenvector_rank_one_structure(spark):
