@@ -410,3 +410,143 @@ FROM flagged
 """
 
 QUERIES["v_regularity"] = (v_regularity, V_REGULARITY_ORACLE)
+
+
+# --- metadata cleaning specs (pt_validate_*, R/preprocess-metadata-tables.R:100-357) ----
+
+def v_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata cleaning specs exercised as signal frames on synthetic
+    dims built from the star schema: the reg-boats Dili/fallback case_when,
+    the vms damage-after-install check + per-imei boat counts, the
+    vessels-stats pipe-split, and the boat-length sanity gate
+    (pipeline/metadata.py). Violations surface as rows rather than raises
+    so the oracle can hash them."""
+    from peskas_timor_data_pipeline_spark.pipeline.metadata import (
+        boat_length_violations,
+        validate_reg_boats,
+        validate_vessels_stats,
+        vms_boat_counts,
+        vms_install_violations,
+    )
+
+    nation = load(spark, sf_dir, "nation")
+    events = load(spark, sf_dir, "events")
+    supplier = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+
+    reg = nation.select(
+        F.when(F.col("n_nationkey") == 0, "Dili")
+        .otherwise(F.col("n_name"))
+        .alias("Municipality"),
+        ((F.col("n_nationkey") * 37) % 200).alias("registered_boats_2016"),
+        F.when(
+            F.col("n_nationkey") % 5 != 0, (F.col("n_nationkey") * 53) % 200
+        ).alias("registered_boats_2022"),
+    )
+    reg_out = validate_reg_boats(reg).select(
+        F.lit("reg_boats").alias("rule"),
+        F.col("reporting_region").alias("key"),
+        F.col("n_boats").cast("long").alias("val"),
+    )
+
+    inst = events.filter(F.col("event_type").isin("signup", "error")).select(
+        (F.col("user_id") % 300).cast("string").alias("device_imei"),
+        F.when(F.col("event_type") == "signup", "installation")
+        .otherwise("damage recorded")
+        .alias("device_event_type"),
+        (F.col("user_id") % 70).alias("boat_id"),
+        F.to_date("ts").alias("device_event_date"),
+    )
+    viol = vms_install_violations(inst).select(
+        F.lit("vms_damage_violation").alias("rule"),
+        F.col("device_imei").alias("key"),
+        F.lit(1).cast("long").alias("val"),
+    )
+    counts = vms_boat_counts(inst).select(
+        F.lit("vms_boats").alias("rule"),
+        F.col("device_imei").alias("key"),
+        F.col("n_boats").cast("long").alias("val"),
+    )
+
+    vs = supplier.select(
+        F.concat(
+            F.lit(" "), F.col("s_name"), F.lit(" | T"),
+            (F.col("s_suppkey") % 3).cast("string"), F.lit(" | junk"),
+        ).alias("boat_numbers"),
+        (F.col("s_suppkey") % 40).alias("n_boats"),
+        F.lit("2024-01-01").alias("info_date"),
+    )
+    vs_out = validate_vessels_stats(vs).select(
+        F.lit("vessels_stats").alias("rule"),
+        F.concat(F.col("reporting_region"), F.lit("#"), F.col("type")).alias("key"),
+        F.col("n_boats").cast("long").alias("val"),
+    )
+
+    boats = part.select(
+        "p_partkey", (F.col("p_size") % 40).cast("double").alias("boat_length")
+    )
+    bl = boat_length_violations(boats).select(
+        F.lit("boat_length_violation").alias("rule"),
+        F.col("p_partkey").cast("string").alias("key"),
+        F.col("boat_length").cast("long").alias("val"),
+    )
+
+    return reg_out.unionByName(viol).unionByName(counts).unionByName(vs_out).unionByName(bl)
+
+
+V_METADATA_ORACLE = """
+WITH reg AS (
+  SELECT CASE WHEN n_nationkey = 0 THEN 'Dili' ELSE n_name END AS m,
+         (n_nationkey * 37) % 200 AS b16,
+         CASE WHEN n_nationkey % 5 <> 0 THEN (n_nationkey * 53) % 200 END AS b22
+  FROM nation
+), reg_out AS (
+  SELECT 'reg_boats' AS rule, m AS key,
+         CAST(CASE WHEN m = 'Dili' THEN b22
+                   WHEN b22 IS NULL OR b22 < b16 THEN b16
+                   ELSE b22 END AS BIGINT) AS val
+  FROM reg
+), inst AS (
+  SELECT CAST(user_id % 300 AS VARCHAR) AS imei,
+         CASE WHEN event_type = 'signup' THEN 'installation'
+              ELSE 'damage recorded' END AS et,
+         user_id % 70 AS boat_id,
+         CAST(ts AS DATE) AS d
+  FROM events WHERE event_type IN ('signup', 'error')
+), per_imei AS (
+  SELECT imei,
+         min(CASE WHEN et = 'damage recorded' THEN d END) AS first_damage,
+         max(CASE WHEN et = 'installation' THEN d END) AS last_install,
+         count(DISTINCT boat_id) AS nb
+  FROM inst GROUP BY imei
+), viol AS (
+  SELECT 'vms_damage_violation' AS rule, imei AS key, CAST(1 AS BIGINT) AS val
+  FROM per_imei
+  WHERE first_damage IS NOT NULL AND last_install IS NOT NULL
+        AND first_damage <= last_install
+), counts AS (
+  SELECT 'vms_boats' AS rule, imei AS key, CAST(nb AS BIGINT) AS val FROM per_imei
+), vs AS (
+  SELECT trim(parts[1]) AS region, trim(parts[2]) AS typ, s_suppkey % 40 AS nb
+  FROM (SELECT string_split(concat(' ', s_name, ' | T',
+                 CAST(s_suppkey % 3 AS VARCHAR), ' | junk'), '|') AS parts,
+               s_suppkey
+        FROM supplier)
+), vs_out AS (
+  SELECT 'vessels_stats' AS rule, region || '#' || typ AS key,
+         CAST(nb AS BIGINT) AS val
+  FROM vs
+), bl AS (
+  SELECT 'boat_length_violation' AS rule, CAST(p_partkey AS VARCHAR) AS key,
+         CAST(p_size % 40 AS BIGINT) AS val
+  FROM part
+  WHERE NOT (p_size % 40 > 0 AND p_size % 40 < 30)
+)
+SELECT * FROM reg_out
+UNION ALL SELECT * FROM viol
+UNION ALL SELECT * FROM counts
+UNION ALL SELECT * FROM vs_out
+UNION ALL SELECT * FROM bl
+"""
+
+QUERIES["v_metadata"] = (v_metadata, V_METADATA_ORACLE)
