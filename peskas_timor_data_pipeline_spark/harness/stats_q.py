@@ -786,6 +786,96 @@ FROM stats
 """
 
 
+# --- M6: predictive-mean-matching imputation (mice pmm analogue) ------------------------
+
+def m6_pmm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMM imputation of the gappy monthly price series (every 4th month
+    nulled, as in m5): exact-cents integer values, month-index predictor,
+    md5-seeded donor draws from the 5 nearest-predicted-mean observed
+    donors, replicates averaged (operators/estimate.py::
+    impute_pmm_replicates — the mice(method='pmm') analogue the reference
+    runs at R/model-catch.R:465-516)."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        impute_pmm_replicates,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("period"),
+    ).agg(
+        F.expr(
+            "cast(sum(cast(round(o_totalprice * 100) as long)) div count(*) as long)"
+        ).alias("price_cents")
+    )
+    gappy = monthly.select(
+        "o_orderpriority",
+        "period",
+        F.when(F.month("period") % 4 != 0, F.col("price_cents")).alias("price_cents"),
+        F.months_between(F.col("period"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("month_idx"),
+    )
+    out = impute_pmm_replicates(
+        gappy, ["o_orderpriority"], "period", "month_idx", "price_cents",
+        m=5, donors=5, seed=666,
+    )
+    return out.select(
+        "o_orderpriority",
+        "period",
+        F.round(F.col("price_cents") / 100.0, 6).alias("avg_price"),
+        "is_imputed",
+    )
+
+
+M6_ORACLE = """
+WITH monthly AS (
+  SELECT o_orderpriority AS grp,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // count(*) AS BIGINT) AS pc
+  FROM orders GROUP BY 1, 2
+), gappy AS (
+  SELECT grp, period,
+         CASE WHEN month(period) % 4 <> 0 THEN pc END AS y,
+         CAST(datediff('month', DATE '1995-01-01', period) AS BIGINT) AS x
+  FROM monthly
+), coef AS (
+  SELECT grp,
+         CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) <> 0
+              THEN count(*) * sum(x * y) - sum(x) * sum(y)
+              ELSE 0 END AS nb
+  FROM gappy WHERE y IS NOT NULL GROUP BY grp
+), miss AS (
+  SELECT g.grp, g.period, g.x AS xm, c.nb
+  FROM gappy g JOIN coef c USING (grp) WHERE g.y IS NULL
+), don AS (
+  SELECT grp, x AS xd, y AS yd, period AS od FROM gappy WHERE y IS NOT NULL
+), ranked AS (
+  SELECT m.grp, m.period, d.yd,
+         row_number() OVER (PARTITION BY m.grp, m.period
+                            ORDER BY abs(m.nb * (m.xm - d.xd)), d.od) AS rk
+  FROM miss m JOIN don d ON d.grp = m.grp
+), pool AS (
+  SELECT grp, period, list(yd ORDER BY rk) AS pl
+  FROM ranked WHERE rk <= 5 GROUP BY grp, period
+), drawn AS (
+  SELECT grp, period,
+         list_sum(list_transform(generate_series(0, 4), r ->
+           pl[CAST(('0x' || substr(md5(concat(
+                concat_ws(chr(31), '666', grp, CAST(period AS VARCHAR)),
+                '#', CAST(r AS VARCHAR))), 1, 12))::BIGINT % len(pl)
+              AS INTEGER) + 1]
+         )) / 5.0 AS fill
+  FROM pool
+)
+SELECT g.grp AS o_orderpriority, g.period,
+       round((CASE WHEN g.y IS NOT NULL THEN CAST(g.y AS DOUBLE)
+                   ELSE d.fill END) / 100.0, 6) AS avg_price,
+       g.y IS NULL AS is_imputed
+FROM gappy g LEFT JOIN drawn d ON d.grp = g.grp AND d.period = g.period
+"""
+
+
 QUERIES = {
     "m2_length_weight": (m2_length_weight, M2_ORACLE),
     "m2b_length_weight_ll": (m2b_length_weight_ll, M2B_ORACLE),
@@ -798,6 +888,7 @@ QUERIES = {
     "m4b_glmm_1ri": (m4b_glmm_1ri, _m4b_glmm_sql()),
     "m4zi_glmm": (m4zi_glmm, None),
     "m5_impute_replicates": (m5_impute_replicates, M5_ORACLE),
+    "m6_pmm": (m6_pmm, M6_ORACLE),
 }
 
 

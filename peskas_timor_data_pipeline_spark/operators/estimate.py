@@ -329,3 +329,124 @@ def impute_mean_replicates(
         .withColumn(value_col, filled)
         .drop("__ik__", "__base__", "__sd__")
     )
+
+
+def impute_pmm_replicates(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    x_col: str,
+    value_col: str,
+    m: int = 5,
+    donors: int = 5,
+    seed: int = 666,
+) -> DataFrame:
+    """Predictive-mean-matching multiple imputation (M6, ``mice(method=
+    'pmm', m=5, seed=666)``, R/model-catch.R:465-516): per series, fit the
+    predictive model on observed rows, rank observed DONORS by
+    ``|yhat_donor - yhat_missing|``, draw one of the ``donors`` nearest per
+    replicate, and impute each replicate with the donor's OBSERVED value —
+    then average the ``m`` replicates, exactly as the reference's
+    ``complete('all') |> bind_rows() |> summarise(mean)`` collapse does.
+    Unlike M5's mean+noise this preserves PMM's defining property: every
+    replicate's imputation is a genuinely observed value from the donor
+    pool, so imputations can never leave the support of the data.
+
+    Redefinition vs the reference (same sanction as M5): mice's seeded RNG
+    becomes md5-derived draws — replicate ``r`` for a missing row picks
+    donor ``hash(seed, keys, order, r) mod pool_size`` from the ranked
+    pool — reproducible on any engine and oracle-checkable.
+
+    Engine-exactness contract: ``x_col`` and ``value_col`` must be
+    INTEGER-scaled (days / cents — cast upstream, like the cusum
+    operator). The predictive model is single-predictor OLS, whose slope
+    numerator ``nb = n*sum(xy) - sum(x)*sum(y)`` is then an exact integer,
+    and since ``yhat_m - yhat_d = b*(x_m - x_d)``, ranking donors by the
+    exact integer ``|nb * (x_m - x_d)|`` reproduces the predicted-mean
+    ranking with no float anywhere near the discrete donor choice (a
+    float-ranked pool could flip donors between engines on a last-ulp
+    tie). Requires ``|nb| * max|dx| < 2^63``; a degenerate fit (<2
+    distinct x observed) ranks by proximity tie-break alone, matching
+    mice's intercept-only fallback where all predicted means are equal.
+
+    Scale shape: one partial-aggregated groupBy for the fit, one
+    series-keyed join of missing rows to observed donors (never cross-
+    series), a bounded top-``donors`` window, and a ``collect_list``
+    bounded by ``donors``; the replicate average is a higher-order fold —
+    no Python, nothing driver-side.
+
+    Returns the input columns with ``value_col`` filled (double; missing
+    rows in series with zero observed rows stay null — PMM has no donor)
+    plus ``is_imputed``.
+    """
+    keys = list(keys)
+    x, y = F.col(x_col).cast("long"), F.col(value_col).cast("long")
+    obs = df.filter(F.col(value_col).isNotNull())
+    den = F.col("__n__") * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__")
+    coef = (
+        obs.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.sum(x).alias("__sx__"),
+            F.sum(y).alias("__sy__"),
+            F.sum(x * x).alias("__sxx__"),
+            F.sum(x * y).alias("__sxy__"),
+        )
+        .select(
+            *keys,
+            F.when(
+                den != 0,
+                F.col("__n__") * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__"),
+            )
+            .otherwise(F.lit(0))
+            .alias("__nb__"),
+        )
+    )
+    miss = (
+        df.filter(F.col(value_col).isNull())
+        .select(*keys, F.col(order_col), x.alias("__xm__"))
+        .join(coef, keys)
+    )
+    don = obs.select(
+        *keys, x.alias("__xd__"), y.alias("__yd__"), F.col(order_col).alias("__od__")
+    )
+    w_pool = Window.partitionBy(*keys, order_col).orderBy(
+        F.abs(F.col("__nb__") * (F.col("__xm__") - F.col("__xd__"))).asc(),
+        F.col("__od__").asc(),
+    )
+    pool = (
+        miss.join(don, keys)
+        .withColumn("__rk__", F.row_number().over(w_pool))
+        .filter(F.col("__rk__") <= donors)
+        .groupBy(*keys, order_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__rk__"), F.col("__yd__")))
+            ).alias("__pool__")
+        )
+    )
+    draw_key = F.concat_ws(
+        "\x1f",
+        F.lit(str(seed)),
+        *[F.col(k).cast("string") for k in keys],
+        F.col(order_col).cast("string"),
+    )
+    drawn_mean = F.expr(
+        f"aggregate(sequence(0, {m - 1}), cast(0 as bigint), (acc, r) -> "
+        f"acc + __pool__[cast(cast(conv(substring(md5(concat(__ik__, '#', "
+        f"cast(r as string))), 1, 12), 16, 10) as bigint) % size(__pool__) "
+        f"as int)].__yd__) / cast({m} as double)"
+    )
+    imputed = pool.withColumn("__ik__", draw_key).select(
+        *keys, order_col, drawn_mean.alias("__fill__")
+    )
+    out = df.join(imputed, [*keys, order_col], "left")
+    return (
+        out.withColumn("is_imputed", F.col(value_col).isNull())
+        .withColumn(
+            value_col,
+            F.when(F.col(value_col).isNotNull(), F.col(value_col).cast("double"))
+            .otherwise(F.col("__fill__")),
+        )
+        .drop("__fill__")
+    )

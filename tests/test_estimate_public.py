@@ -192,3 +192,43 @@ def test_glm_per_group_families_recover_exact_fit(spark):
         }
         assert abs(out["intercept"] - 1.0) < 1e-6, fam
         assert abs(out["x"] - 0.5) < 1e-6, fam
+
+
+def test_impute_pmm_draws_only_observed_values(spark):
+    """PMM's defining property: every replicate imputes a genuinely
+    observed donor value, so the fill equals the md5-replayed mean of
+    draws from the 5-nearest-predicted-mean pool; single-donor series
+    collapse to that donor; donor-less series stay null."""
+    import hashlib
+
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        impute_pmm_replicates,
+    )
+
+    rows = [
+        ("A", "p0", 0, 10), ("A", "p1", 1, 20), ("A", "p2", 2, 30),
+        ("A", "p3", 3, None), ("A", "p4", 4, 50), ("A", "p5", 5, 60),
+        ("B", "p0", 0, 7), ("B", "p1", 1, None),
+        ("C", "p0", 0, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, ord string, x int, v int")
+    out = {(r.k, r.ord): r for r in impute_pmm_replicates(
+        df, ["k"], "ord", "x", "v", m=5, donors=5, seed=666).collect()}
+
+    # A/p3: positive slope -> ranking by |dx| with earlier-period tiebreak:
+    # pool = [v(x=2), v(x=4), v(x=1), v(x=5), v(x=0)]
+    pool = [30, 50, 20, 60, 10]
+    ik = "\x1f".join(["666", "A", "p3"])
+    picks = [
+        pool[int(hashlib.md5(f"{ik}#{r}".encode()).hexdigest()[:12], 16) % 5]
+        for r in range(5)
+    ]
+    assert out[("A", "p3")].v == sum(picks) / 5.0
+    assert out[("A", "p3")].is_imputed
+    assert all(p in pool for p in picks)
+    # observed rows unchanged (as double), not flagged
+    assert out[("A", "p2")].v == 30.0 and not out[("A", "p2")].is_imputed
+    # single observed donor: every draw returns it
+    assert out[("B", "p1")].v == 7.0
+    # no donors at all: stays null but flagged
+    assert out[("C", "p0")].v is None and out[("C", "p0")].is_imputed
