@@ -1373,9 +1373,13 @@ WITH active AS (
   WHERE a.user_id IS NULL
   GROUP BY n.week
 )
-SELECT p.week, p.active, p.new, p.retained, p.resurrected,
+SELECT coalesce(p.week, g.week) AS week,
+       coalesce(p.active, 0) AS active,
+       coalesce(p.new, 0) AS new,
+       coalesce(p.retained, 0) AS retained,
+       coalesce(p.resurrected, 0) AS resurrected,
        coalesce(g.churned, 0) AS churned
-FROM per_week p LEFT JOIN gone g ON p.week = g.week
+FROM per_week p FULL OUTER JOIN gone g ON p.week = g.week
 """
 
 QUERIES["a31_growth_accounting"] = (a31_growth_accounting, A31_ORACLE)

@@ -153,6 +153,10 @@ def growth_accounting(
     ``resurrected`` = returning after a gap, ``churned`` = active in w-1
     but not w (booked AT w, so new - churned + ... telescopes to the
     active count). Integer week index from a fixed epoch (engine-exact).
+    The week spine is the FULL OUTER union of active weeks and churn
+    weeks, so a week where everyone went quiet (active = 0, churned > 0)
+    — including the week after the last active one — still appears and
+    the telescoping identity holds across fully-inactive weeks.
 
     Scale shape: ONE distinct over the event scan; first-week is a
     partial-aggregated min; the prior-week presence test is a self-join of
@@ -195,9 +199,12 @@ def growth_accounting(
         .agg(F.count(F.lit(1)).cast("long").alias("churned"))
     )
     return (
-        per_week.join(gone, "week", "left")
+        per_week.join(gone, "week", "full_outer")
         .select(
-            "week", "active", "new", "retained", "resurrected",
-            F.coalesce("churned", F.lit(0)).alias("churned"),
+            "week",
+            *[
+                F.coalesce(c, F.lit(0)).alias(c)
+                for c in ("active", "new", "retained", "resurrected", "churned")
+            ],
         )
     )

@@ -262,6 +262,14 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     from pyspark.sql.types import NumericType
 
     cols = list(cols) if cols is not None else list(df.columns)
+    # column names are interpolated into stack() literals and backtick
+    # aliases below; a quote/backtick in a name would produce malformed
+    # SQL (an injection surface on untrusted schemas), so reject early
+    bad = [c for c in cols if "'" in c or "`" in c]
+    if bad:
+        raise ValueError(
+            f"profile_columns: column names may not contain quotes/backticks: {bad}"
+        )
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
     }

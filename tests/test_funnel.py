@@ -75,5 +75,10 @@ def test_growth_accounting_ledger_reconciles(spark):
     assert (w0.active, w0.new, w0.retained, w0.resurrected, w0.churned) == (2, 2, 0, 0, 0)
     assert (w1.active, w1.new, w1.retained, w1.resurrected, w1.churned) == (2, 1, 1, 0, 1)
     assert (w2.active, w2.new, w2.retained, w2.resurrected, w2.churned) == (2, 0, 1, 1, 1)
+    # the week after the last active one carries the final churn (active=0
+    # rows come from the full-outer week spine)
+    w3 = got[3]
+    assert (w3.active, w3.new, w3.retained, w3.resurrected, w3.churned) == (0, 0, 0, 0, 2)
+    assert set(got) == {0, 1, 2, 3}
     for r in got.values():
         assert r.active == r.new + r.retained + r.resurrected
