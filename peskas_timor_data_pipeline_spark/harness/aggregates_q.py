@@ -1548,3 +1548,55 @@ FROM per_session GROUP BY day
 """
 
 QUERIES["a34_bounce_rate"] = (a34_bounce_rate, A34_ORACLE)
+
+
+# --- A35: HyperLogLog distinct sketch (engine-exact md5 registers) ----------------------
+
+def a35_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user estimate per event type, next to the exact count
+    it approximates (operators/sketches.py::hll_sketch): 1024 integer
+    registers from pure md5/bit-string arithmetic, a harmonic sum that is
+    float-exact by construction (all terms share the 2^-39 grid), and the
+    standard linear-counting small-range correction."""
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    regs = hll_sketch(ev, ["event_type"], "user_id", b=10)
+    est = hll_estimate(regs, ["event_type"], b=10)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+A35_ORACLE = """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events
+), reg AS (
+  SELECT event_type, h // 274877906944 AS j,
+         max(CASE WHEN h % 274877906944 = 0 THEN 39
+                  ELSE 39 - length(bin(h % 274877906944)) END) AS M
+  FROM h GROUP BY event_type, h // 274877906944
+), agg AS (
+  SELECT event_type, sum(power(2.0, -M)) AS zu, count(*) AS nr
+  FROM reg GROUP BY event_type
+), ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type, 1024 AS m, CAST(1024 - nr AS BIGINT) AS n_empty,
+       round(CASE WHEN (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024
+                       / (zu + (1024 - nr)) <= 2560.0 AND 1024 - nr > 0
+                  THEN 1024.0 * ln(1024.0 / (1024 - nr))
+                  ELSE (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024
+                       / (zu + (1024 - nr)) END, 3) AS est_distinct,
+       e.exact_distinct
+FROM agg a JOIN ex e USING (event_type)
+"""
+
+QUERIES["a35_hll"] = (a35_hll, A35_ORACLE)

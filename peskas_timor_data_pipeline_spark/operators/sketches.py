@@ -386,3 +386,74 @@ def poisson_bootstrap_ci(
         F.round(F.percentile("__mean__", lo_q), round_to).alias("ci_lo"),
         F.round(F.percentile("__mean__", hi_q), round_to).alias("ci_hi"),
     )
+
+
+# --- HyperLogLog (register-max sketch, engine-exact md5 flavor) -------------------------
+
+def hll_sketch(
+    df: DataFrame, keys: list[str], value_col: str, b: int = 10
+) -> DataFrame:
+    """HyperLogLog registers per group — the constant-memory distinct
+    sketch (2^b bytes of state per group vs KMV's k doubles), in the same
+    engine-exact md5 flavor as :func:`kmv_sketch`: Spark's own HLL++
+    (``approx_count_distinct``) is the production default but its
+    estimates are engine-private; these registers are reproducible by any
+    engine with md5, so sketches built by different systems reconcile.
+
+    Register math is pure integer arithmetic: the 48-bit md5 prefix splits
+    into a top-``b``-bit bucket and a (48-b)-bit tail; rho = leading-zero
+    count of the tail + 1 comes from the tail's binary STRING length
+    (``conv(v, 10, 2)``), never a float log2 whose boundary rounding could
+    differ across engines. One partial-aggregated ``max`` per (group,
+    bucket) — register max is what makes HLL mergeable: union =
+    element-wise max, so per-partition/per-day sketches roll up without
+    rescanning (same algebra the streaming-histogram proof covers).
+
+    Returns (keys..., j, M) register rows — at most 2^b per group.
+    """
+    rest = 48 - b
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, _HEX_CHARS), 16, 10
+    ).cast("long")
+    j = (h / F.lit(1 << rest)).cast("long").alias("j")
+    v = (h % F.lit(1 << rest)).alias("__v__")
+    rho = (
+        F.when(F.col("__v__") == 0, F.lit(rest + 1))
+        .otherwise(F.lit(rest + 1) - F.length(F.conv(F.col("__v__"), 10, 2)))
+        .alias("__rho__")
+    )
+    return (
+        df.select(*[F.col(c) for c in keys], j, v)
+        .select(*keys, "j", rho)
+        .groupBy(*keys, "j")
+        .agg(F.max("__rho__").alias("M"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, keys: list[str], b: int = 10, round_to: int = 3
+) -> DataFrame:
+    """Distinct estimate from HLL registers: E = alpha_m * m^2 / Z with the
+    standard small-range linear-counting correction (E <= 2.5m with empty
+    registers -> m*ln(m/zeros)). The harmonic sum Z is ENGINE-EXACT despite
+    being float: every 2^-M term is a multiple of 2^-(48-b+1) and the total
+    is < 2^b, so all partial sums fit the 53-bit mantissa and no summation
+    order can change the value."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*keys).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("__z_used__"),
+        F.count(F.lit(1)).alias("__n_regs__"),
+    )
+    zeros = F.lit(m) - F.col("__n_regs__")
+    z = F.col("__z_used__") + zeros.cast("double")
+    raw = F.lit(alpha * m * m) / z
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), F.lit(float(m)) * F.log(F.lit(m) / zeros)
+    ).otherwise(raw)
+    return agg.select(
+        *keys,
+        F.lit(m).alias("m"),
+        zeros.cast("long").alias("n_empty"),
+        F.round(est, round_to).alias("est_distinct"),
+    )
