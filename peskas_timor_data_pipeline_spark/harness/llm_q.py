@@ -3674,3 +3674,34 @@ WHERE r.rn = 1
 """
 
 QUERIES["d12_best_representative"] = (d12_best_representative, D12_ORACLE)
+
+
+# --- E19: Johnson-Lindenstrauss random projection ---------------------------------------
+
+def e19_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse JL projection 64 -> 16 of the embedding store — the cheap
+    pre-ANN dimensionality reducer (llm/similarity.py::jl_project). The
+    sign matrix folds into literal codegen chains at plan time; output
+    vectors serialize to integer-micro strings (e4 convention)."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import jl_project
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = jl_project(emb, "vec_id", "embedding", dim=DIM, k=16)
+    return out.select("vec_id", _vec_to_micros_str("proj").alias("proj"))
+
+
+def _e19_sql() -> str:
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        jl_project_sql_terms,
+    )
+
+    terms = jl_project_sql_terms("embedding", DIM, 16)
+    cells = ", ".join(
+        f"CAST(round(round({t}, 6) * 1e6) AS BIGINT)" for t in terms
+    )
+    return (
+        f"SELECT vec_id, array_to_string([{cells}], ',') AS proj FROM embeddings"
+    )
+
+
+QUERIES["e19_jl_projection"] = (e19_jl_projection, _e19_sql())

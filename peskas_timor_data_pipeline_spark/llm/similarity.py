@@ -1155,3 +1155,78 @@ def ivf_cell_stats(
             F.max("sz") / (F.sum("sz") / F.count(F.lit(1))), round_to
         ).alias("imbalance"),
     )
+
+
+def jl_sign_matrix(dim: int, k: int, seed: str = "jl") -> list[list[int]]:
+    """Achlioptas sparse random-projection signs R[i][j] in {+1, 0, -1}
+    with P = (1/6, 2/3, 1/6), derived from md5(seed#i#j) so any engine
+    (or an oracle) regenerates the identical matrix."""
+    import hashlib
+
+    def sign(i: int, j: int) -> int:
+        hv = int(
+            hashlib.md5(f"{seed}#{i}#{j}".encode()).hexdigest()[:12], 16
+        ) % 6
+        return 1 if hv == 0 else (-1 if hv == 1 else 0)
+
+    return [[sign(i, j) for j in range(k)] for i in range(dim)]
+
+
+def jl_project_sql_terms(
+    vec_sql: str, dim: int, k: int, seed: str = "jl"
+) -> list[str]:
+    """The k projection expressions as SQL strings (1-indexed element
+    access, for DuckDB oracles): '(0.0 + v[3] - v[17] ...) * scale'."""
+    import math
+
+    R = jl_sign_matrix(dim, k, seed)
+    scale = math.sqrt(3.0 / k)
+    out = []
+    for j in range(k):
+        body = "0.0"
+        for i in range(dim):
+            if R[i][j] > 0:
+                body += f" + CAST({vec_sql}[{i + 1}] AS DOUBLE)"
+            elif R[i][j] < 0:
+                body += f" - CAST({vec_sql}[{i + 1}] AS DOUBLE)"
+        out.append(f"({body}) * {scale!r}")
+    return out
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 16,
+    seed: str = "jl",
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection dim -> k: the standard
+    cheap dimensionality reduction before ANN indexing or dedup over an
+    embedding store (pairwise distances preserved within ~1/sqrt(k)).
+    Sparse Achlioptas signs mean 2/3 of the matrix is zero — each output
+    dim is a short +/- chain over ~dim/3 inputs.
+
+    Scale shape: the sign matrix is generated AT PLAN TIME into literal
+    +/- expression chains — a pure narrow per-row map in whole-stage
+    codegen with zero runtime hashing, zero shuffle, nothing broadcast.
+    Term order is ascending input index in both engines, so the float sum
+    is bit-identical and the rounded output hashes cleanly.
+
+    Returns (id, proj array<double> length k).
+    """
+    import math
+
+    R = jl_sign_matrix(dim, k, seed)
+    scale = math.sqrt(3.0 / k)
+    cols = []
+    for j in range(k):
+        body = "cast(0.0 as double)"
+        for i in range(dim):
+            if R[i][j] > 0:
+                body += f" + cast({vec_col}[{i}] as double)"
+            elif R[i][j] < 0:
+                body += f" - cast({vec_col}[{i}] as double)"
+        cols.append(F.expr(f"round(({body}) * {scale!r}, {round_to})"))
+    return df.select(F.col(id_col), F.array(*cols).alias("proj"))

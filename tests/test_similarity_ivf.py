@@ -349,3 +349,34 @@ def test_top_eigenvector_rank_one_structure(spark):
     assert got[3].component == 0.0 and got[4].component == 0.0
     # cov = 2*[1,2]^T[1,2]; dominant eigenvalue = 2*(1+4) = 10
     assert abs(got[1].eigenvalue - 10.0) < 1e-5
+
+
+def test_jl_projection_preserves_pairwise_distance(spark):
+    """JL guarantee, loosely pinned: squared distances between projected
+    random vectors stay within a wide (1 +- 0.75) band of the originals
+    (k=16 is noisy; the band catches sign/scale bugs, not statistics), and
+    the zero vector projects to zero."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.llm.similarity import jl_project
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(20)]
+    rows.append((99, [0.0] * 64))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: list(r.proj) for r in jl_project(df, "vec_id", "embedding", dim=64, k=16).collect()}
+    assert got[99] == [0.0] * 16
+    orig = {i: v for i, v in rows}
+    import itertools
+    ratios = []
+    for a, b in itertools.combinations(range(20), 2):
+        d_orig = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+        d_proj = sum((x - y) ** 2 for x, y in zip(got[a], got[b]))
+        ratios.append(d_proj / d_orig)
+    avg = sum(ratios) / len(ratios)
+    assert 0.6 < avg < 1.4
+    # per-pair ratio ~ chi2_16/16: wide tails are expected at k=16; the
+    # band only catches sign/scale bugs (a wrong scale shifts EVERY ratio)
+    assert all(0.05 < r < 6.0 for r in ratios)
