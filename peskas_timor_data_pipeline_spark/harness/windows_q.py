@@ -808,3 +808,58 @@ FROM ranked WHERE rank <= 10
 """
 
 QUERIES["w12_session_paths"] = (w12_session_paths, W12_ORACLE)
+
+
+# --- W13: exponentially weighted moving average -----------------------------------------
+
+def w13_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha = 0.2) of purchase values over the last 16
+    events — the smoothing primitive behind anomaly baselines and rate
+    limiters. The recurrence is a LEFT FOLD over a constant-width ROWS
+    window (collect_list preserves frame order): state per row is 16
+    doubles, independent of series length, and the fold order is pinned
+    identically in DuckDB's list_reduce, so the float path is
+    bit-identical — no recursion, no applyInPandas.
+
+    A true infinite-history EWMA is a sessionized streaming op
+    (applyInPandasWithState territory); the bounded-window form is the
+    batch-exact variant whose weights differ by at most 0.8^16 ~ 2.8%
+    of total mass."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-15, 0)
+    )
+    ewma = F.expr(
+        "round(aggregate(slice(__win__, 2, size(__win__) - 1), "
+        "element_at(__win__, 1), "
+        "(acc, x) -> cast(0.2 as double) * x + cast(0.8 as double) * acc), 6)"
+    )
+    return (
+        ev.select(
+            "user_id", "event_id",
+            F.collect_list("value").over(w).alias("__win__"),
+        )
+        .select("user_id", "event_id", ewma.alias("ewma"))
+    )
+
+
+W13_ORACLE = """
+WITH wins AS (
+  SELECT user_id, event_id,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW
+         ) AS win
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id,
+       round(list_reduce(win,
+             (acc, x) -> 0.2::DOUBLE * x + 0.8::DOUBLE * acc), 6) AS ewma
+FROM wins
+"""
+
+QUERIES["w13_ewma"] = (w13_ewma, W13_ORACLE)
