@@ -3705,3 +3705,47 @@ def _e19_sql() -> str:
 
 
 QUERIES["e19_jl_projection"] = (e19_jl_projection, _e19_sql())
+
+
+# --- D13: asymmetric containment near-dup pairs -----------------------------------------
+
+def d13_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs over 32-grams: the quote/excerpt detector that
+    symmetric Jaccard under-scores when document lengths differ
+    (llm/dedup.py::containment_pairs). Boilerplate grams (df > 50) are
+    capped before the self-join so pair fan-out is bounded."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import containment_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return containment_pairs(
+        docs, "doc_id", "text", k_shingle=32, min_shared=3, max_df=50
+    )
+
+
+D13_ORACLE = """
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(substr(lower(text), CAST(i AS INTEGER), 32)), 1, 15))::BIGINT AS gh
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 31)) AS i
+        FROM documents WHERE length(text) >= 32)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), keep AS (
+  SELECT gh FROM grams GROUP BY gh HAVING count(*) <= 50
+), g AS (
+  SELECT doc_id, gh FROM grams JOIN keep USING (gh)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 3
+)
+SELECT id_a, id_b, n_shared,
+       CAST(n_shared * 1000000 // na.n AS BIGINT) AS containment_a_ppm,
+       CAST(n_shared * 1000000 // nb.n AS BIGINT) AS containment_b_ppm
+FROM pairs
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+"""
+
+QUERIES["d13_containment"] = (d13_containment, D13_ORACLE)
