@@ -21,33 +21,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Registry front-of-line for round 3.  The driver records ~50 CORRECTNESS
-# rows per round in registry order; rounds 1+2 covered 100 of 123 queries
-# (zero overlap).  The 23 from round 2 still lacking a driver row go
-# FIRST, followed by w8_cumulative_distinct (round 2's only red row —
-# re-check after the BIGINT cast fix), the m4 family (m4_poisson_glm
-# gained a recursive-CTE oracle), and then every query ADDED in round 3
-# in authorship order — all driver-unverified, so the ~50-row window
-# always lands on unverified queries; the overflow leads round 4.
-_PRIORITY_R03 = (
-    "d5_dup_clusters", "d6_decontaminate", "d7_repeated_grams",
-    "e3_ivf_ann", "e4_group_centroids", "e5_kmeans_refine",
-    "e6_quantize_int8", "e7_pq_encode", "e8_pq_adc_topk",
-    "t7_redact", "t8_weighted_sample", "t9_repetition",
-    "t10_heavy_hitters", "t11_shuffle_shards", "t12_chunking",
-    "t13_quality_gate", "t14_group_split", "t15_unigram_logprob",
-    "t16_pack_sequences", "mm2_resize_plumbing", "mm3_image_decode",
-    "mm4_audio_decode", "mm5_video_frame_sample",
-    "w8_cumulative_distinct",
-    "m4_poisson_glm", "m4_glmm", "m4zi_glmm",
-    # new in round 3 — no driver rows yet, keep inside the ~50-row window
-    "mm6_phash_neardup", "t17_mixture_sample", "t18_bigram_logprob",
-    "d8_cross_source_overlap", "e9_silhouette",
-    "d9_segment_dedup", "t19_quality_buckets", "e10_ann_recall",
-    "e11_semdedup", "mm7_silence_runs", "e12_mmr_topk",
-    "a25_count_min", "p13_snapshot_diff", "ts3_seasonal_decompose", "ts4_cusum_changepoint", "p14_profile_columns", "w9_rolling_slope", "d10_lsh_eval", "t24_dsir_select", "mm8_image_resize", "mm9_scene_cuts", "a27_funnel", "a28_retention_cohorts", "e16_mrl_recall", "d11_cdc_segments", "j13_grid_neighbor_join", "t25_ngram_novelty", "w10_event_transitions", "a29_ab_test", "e17_top_eigenvector", "a30_log_histogram_quantiles", "mm10_audio_decimate", "t26_freq_spectrum", "w11_rolling_active_users", "p15_k_anonymity", "a31_growth_accounting", "w12_session_paths", "a32_benford", "p16_fk_audit", "e18_ivf_cell_stats", "j14_fuzzy_join", "a33_time_to_convert", "m10_poisson_bootstrap", "d12_best_representative", "a34_bounce_rate",
-    "a26_winsorize", "t20_normalize", "t21_bpe_merges", "e13_int8_topk",
-    "e14_rrf_fusion", "e15_hard_negatives", "t22_bm25_topk", "t23_bpe_encode",
+# Registry front-of-line for round 4.  The driver records ~50 CORRECTNESS
+# rows per round in registry order; its round-3 window covered exactly the
+# first 50 round-3 priority entries.  Front of line now: (a) the 30
+# queries the driver has NEVER sampled (round 3's overflow, relative
+# order kept), then (b) every query fixed, re-oracled, or added in round
+# 4 — the six red rows' fixes (d7/e4-e7 scalarization, ts2's new DTW
+# oracle), the new M4b/M6 oracles, e15b's ANN path, v_metadata, the new
+# a35/e19/w13/d13 operators, and a31/m2b whose oracle/fixture changed.
+# 46 entries total, all inside the window.
+_PRIORITY_R04 = (
+    # (a) never driver-sampled
+    "e16_mrl_recall", "d11_cdc_segments", "j13_grid_neighbor_join",
+    "t25_ngram_novelty", "w10_event_transitions", "a29_ab_test",
+    "e17_top_eigenvector", "a30_log_histogram_quantiles",
+    "mm10_audio_decimate", "t26_freq_spectrum", "w11_rolling_active_users",
+    "p15_k_anonymity", "w12_session_paths", "a32_benford",
+    "p16_fk_audit", "e18_ivf_cell_stats", "j14_fuzzy_join",
+    "a33_time_to_convert", "m10_poisson_bootstrap", "d12_best_representative",
+    "a34_bounce_rate", "a26_winsorize", "t20_normalize", "t21_bpe_merges",
+    "e13_int8_topk", "e14_rrf_fusion", "e15_hard_negatives",
+    "t22_bm25_topk", "t23_bpe_encode",
+    # (b) round-4 fixes and additions
+    "d7_repeated_grams", "e4_group_centroids", "e5_kmeans_refine",
+    "e6_quantize_int8", "e7_pq_encode", "ts2_dtw_alignment",
+    "m4b_glmm_1ri", "m6_pmm", "e15b_hard_negatives_ann", "v_metadata",
+    "a35_hll", "e19_jl_projection", "w13_ewma", "d13_containment",
+    "a31_growth_accounting", "m2b_length_weight_ll",
+    # rows-only by design (dense-inverse Henderson solve): recorded last
+    "m4_glmm", "m4zi_glmm",
 )
 
 
@@ -69,11 +71,11 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = entry
-    missing = [n for n in _PRIORITY_R03 if n not in merged]
+    missing = [n for n in _PRIORITY_R04 if n not in merged]
     if missing:
         raise ValueError(f"priority list names unknown queries: {missing}")
     out: dict[str, tuple[QueryFn, str | None]] = {}
-    for name in _PRIORITY_R03:
+    for name in _PRIORITY_R04:
         out[name] = merged[name]
     for name in merged:
         if name not in out:
