@@ -52,6 +52,12 @@ SHOWCASE = {
     "m10_poisson_bootstrap": "Poisson bootstrap: B replicates = 2B sums in ONE agg pass, hex-compare draws",
     "j14_fuzzy_join": "fuzzy join: deletion-variant Generate + ONE equi-join + levenshtein verify",
     "d11_cdc_segments": "CDC: let-bound bounds array — boundary scan appears once in the plan",
+    "d13_containment": "containment: 60-bit hashed gram keys, df-capped before the self-join, checkpointed gram frame",
+    "a35_hll": "HLL: integer register math, partial-agg max per (group, bucket), no float log2",
+    "e19_jl_projection": "JL projection: literal sign chains in codegen, zero Exchange, zero runtime hashing",
+    "w13_ewma": "EWMA: constant-width ROWS window + fold; no recursion, no Python",
+    "m6_pmm": "PMM: series-keyed donor join, bounded top-5 window, integer-exact ranking",
+    "e15b_hard_negatives_ann": "hard negatives: IVF probes replace the corpus cross join entirely",
 }
 
 
