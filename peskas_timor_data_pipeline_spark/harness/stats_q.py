@@ -90,6 +90,7 @@ def m2b_length_weight_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
     morphometric_tables (incl. the TL-coefficient variant, quality filter,
     and INVERTED reciprocal LL params) -> estimate_weights_ll (direct +
     length-converted candidates, per-code quantile coefficients)."""
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
     from peskas_timor_data_pipeline_spark.operators.weights import (
         estimate_weights_ll,
         morphometric_tables,
@@ -97,7 +98,10 @@ def m2b_length_weight_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    catch = (
+    # materialized: estimate_weights_ll references the catch frame twice
+    # (candidate domain + final row join) and the join+distinct over the
+    # full lineitem is the dominant fixture cost — one lineage cut halves it
+    catch = materialize(
         li.join(part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey)
         .select(
             "l_orderkey",
