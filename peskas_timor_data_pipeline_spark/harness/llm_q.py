@@ -3749,3 +3749,84 @@ JOIN sizes nb ON nb.doc_id = id_b
 """
 
 QUERIES["d13_containment"] = (d13_containment, D13_ORACLE)
+
+
+# --- MM11: dataset channel normalization constants --------------------------------------
+
+def mm11_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level per-channel pixel mean/variance THROUGH REAL BYTES —
+    the normalization constants a vision training pipeline bakes into
+    preprocessing: synthesize the mm3 P6 PPMs, decode them back with the
+    pure-Python codec, and reduce integer (sum, sumsq, count) partials per
+    channel (llm/multimodal.py::image_channel_sums). The oracle recomputes
+    everything from the generating formula, so a header-parse, layout, or
+    channel-order bug breaks the hash."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        encode_ppm,
+        image_channel_sums,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for did in pdf["doc_id"]:
+                w, h = int(did) % 13 + 1, int(did) % 7 + 1
+                y, x, c = np.indices((h, w, 3))
+                px = ((int(did) + x + y + c) % 256).astype(np.uint8)
+                contents.append(encode_ppm(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    sums = image_channel_sums(media, "doc_id")
+    agg = sums.groupBy("channel").agg(
+        F.sum("n_pixels").alias("n_pixels"),
+        F.sum("px_sum").alias("px_sum"),
+        F.sum("px_sumsq").alias("px_sumsq"),
+    )
+    num = (F.col("n_pixels") * F.col("px_sumsq") - F.col("px_sum") * F.col("px_sum"))
+    den = F.col("n_pixels") * F.col("n_pixels")
+    return agg.select(
+        "channel",
+        "n_pixels",
+        "px_sum",
+        "px_sumsq",
+        F.expr("px_sum * 1000000L div n_pixels").alias("mean_micros"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("variance"),
+    )
+
+
+MM11_ORACLE = """
+WITH per_img AS (
+  SELECT doc_id, c.c AS channel,
+         CAST(w * h AS BIGINT) AS n_pixels,
+         CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+           list_transform(generate_series(0, w - 1), x ->
+             (doc_id + x + y + c.c) % 256)))) AS BIGINT) AS px_sum,
+         CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+           list_transform(generate_series(0, w - 1), x ->
+             ((doc_id + x + y + c.c) % 256) * ((doc_id + x + y + c.c) % 256)))))
+           AS BIGINT) AS px_sumsq
+  FROM (SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h FROM documents),
+       (SELECT unnest([0, 1, 2]) AS c) c
+), agg AS (
+  SELECT channel,
+         CAST(sum(n_pixels) AS BIGINT) AS n_pixels,
+         CAST(sum(px_sum) AS BIGINT) AS px_sum,
+         CAST(sum(px_sumsq) AS BIGINT) AS px_sumsq
+  FROM per_img GROUP BY channel
+)
+SELECT channel, n_pixels, px_sum, px_sumsq,
+       CAST(px_sum * 1000000 // n_pixels AS BIGINT) AS mean_micros,
+       round(CAST(n_pixels * px_sumsq - px_sum * px_sum AS DOUBLE)
+             / CAST(n_pixels * n_pixels AS DOUBLE), 6) AS variance
+FROM agg
+"""
+
+QUERIES["mm11_channel_stats"] = (mm11_channel_stats, MM11_ORACLE)

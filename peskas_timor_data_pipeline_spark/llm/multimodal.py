@@ -751,3 +751,53 @@ def decimate_audio(
             )
 
     return df.select(id_col, content_col).mapInPandas(run, schema=out_schema)
+
+
+def image_channel_sums(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-image per-CHANNEL pixel sums from the real bytes — the partial
+    state for dataset normalization constants (the per-channel mean/std
+    every vision training pipeline bakes into its preprocessing). Emitting
+    integer (sum, sum-of-squares, count) per (image, channel) keeps the
+    downstream dataset-level reduction a plain partial-aggregated groupBy
+    — exact integer arithmetic end to end, and trivially mergeable across
+    shards/days like the sketches.
+
+    mapInPandas over Arrow batches (one Python stage, no shuffle); the
+    grayscale/PGM case emits channel 0 only.
+
+    Returns (id, channel, n_pixels, px_sum, px_sumsq).
+    """
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chans, ns, sums, sumsqs = [], [], [], [], []
+            for rid, b in zip(pdf[id_col], pdf[content_col]):
+                d = decode_image(b)
+                px = d["pixels"].astype(np.int64)
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                for c in range(px.shape[2]):
+                    ids.append(rid)
+                    chans.append(c)
+                    ns.append(int(px.shape[0] * px.shape[1]))
+                    sums.append(int(px[:, :, c].sum()))
+                    sumsqs.append(int((px[:, :, c].astype(np.int64) ** 2).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "channel": chans,
+                    "n_pixels": ns,
+                    "px_sum": sums,
+                    "px_sumsq": sumsqs,
+                }
+            )
+
+    return df.mapInPandas(
+        extract,
+        schema=f"{id_col} long, channel int, n_pixels long, px_sum long, px_sumsq long",
+    )

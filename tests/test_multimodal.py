@@ -355,3 +355,30 @@ def test_decimate_audio_round_trip_and_rms(spark):
     )
     with pytest.raises(Exception, match="mono"):
         decimate_audio(stereo, "doc_id", factor=3).collect()
+
+
+def test_image_channel_sums_exact_partials(spark):
+    """Channel sums recovered from real PPM bytes equal the hand-computed
+    integers; grayscale PGM emits channel 0 only; partials merge by plain
+    addition (the shard-rollup property)."""
+    import numpy as np
+
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        encode_ppm,
+        image_channel_sums,
+    )
+
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    gray = np.array([[7, 9], [11, 13]], dtype=np.uint8)[:, :, None]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(rgb))), (2, bytearray(encode_ppm(gray)))],
+        "doc_id long, content binary",
+    )
+    got = {(r.doc_id, r.channel): r for r in image_channel_sums(df, "doc_id").collect()}
+    for c in range(3):
+        ch = rgb[:, :, c].astype(int)
+        r = got[(1, c)]
+        assert (r.n_pixels, r.px_sum, r.px_sumsq) == (6, ch.sum(), (ch**2).sum())
+    assert set(k for k in got if k[0] == 2) == {(2, 0)}
+    g = got[(2, 0)]
+    assert (g.n_pixels, g.px_sum, g.px_sumsq) == (4, 40, 420)
