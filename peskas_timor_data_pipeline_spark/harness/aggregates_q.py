@@ -1600,3 +1600,66 @@ FROM agg a JOIN ex e USING (event_type)
 """
 
 QUERIES["a35_hll"] = (a35_hll, A35_ORACLE)
+
+
+# --- G1: fixed-point PageRank over the event-transition graph ---------------------------
+
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph (edges =
+    consecutive events per user, weight = transition count), 3 iterations
+    of integer nano-unit fixed-point arithmetic
+    (operators/graph.py::pagerank_fixed_point) — bit-identical across
+    engines because no float ever enters the rank update."""
+    from pyspark.sql.window import Window
+
+    from peskas_timor_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    trans = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank_fixed_point(trans, "src", "dst", "w", n_iter=3)
+
+
+def _g1_sql(n_iter: int = 3) -> str:
+    ctes = ["""ed AS MATERIALIZED (
+  SELECT s, d, count(*) AS w FROM (
+    SELECT event_type AS s,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+    FROM events
+  ) WHERE d IS NOT NULL GROUP BY s, d
+)""", """nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (SELECT s AS node FROM ed UNION ALL SELECT d FROM ed)
+)""", """nn AS (SELECT count(*) AS n FROM nodes)""", """ew AS MATERIALIZED (
+  SELECT ed.s, ed.d, ed.w, ow.ow
+  FROM ed JOIN (SELECT s, sum(w) AS ow FROM ed GROUP BY s) ow USING (s)
+)""", """r0 AS (
+  SELECT node, CAST(1000000000 // nn.n AS BIGINT) AS r FROM nodes, nn
+)"""]
+    for i in range(n_iter):
+        ctes.append(f"""r{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(15 * 1000000000::BIGINT // (100 * nn.n)
+              + 85 * coalesce(s.s, 0) // 100 AS BIGINT) AS r
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.d AS node, sum(r.r * e.w // e.ow) AS s
+    FROM ew e JOIN r{i} r ON r.node = e.s GROUP BY e.d
+  ) s ON s.node = n.node
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank_nanos, {n_iter} AS n_iter FROM r{n_iter}"
+    )
+
+
+QUERIES["g1_pagerank"] = (g1_pagerank, _g1_sql())

@@ -1,0 +1,87 @@
+"""Graph operators over edge-list DataFrames.
+
+Connected components live in ``llm/cluster.py`` (recursive halving); this
+module holds the rank-propagation family. Everything is expressed as
+joins + partial-aggregated groupBys per iteration — the classic Spark
+graph idiom (GraphX's Pregel is RDD-era; edge-list joins keep Catalyst,
+AQE, and whole-stage codegen in play).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NANO = 1_000_000_000
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank in FIXED-POINT integer arithmetic: ranks are
+    integers in nano-units (sum ~ 1e9), every per-edge contribution is
+    ``(r_u * w_uv) div out_w_u`` and the damping update is
+    ``base + (damping_pct * s_v) div 100`` — pure integer div/sum, so the
+    result is bit-identical on any engine (an IEEE-float PageRank's
+    per-node contribution sum is summation-order dependent, which flips
+    discrete rankings between engines). The deliberate truncation loss is
+    at most 1 nano-unit per edge per iteration — noise at rank scale 1e9.
+
+    Dangling-node mass is dropped (the standard simplification; totals
+    shrink slightly per iteration rather than redistributing).
+
+    Scale shape per iteration: one broadcast-or-shuffle join of the rank
+    frame (|V| rows) to the edge list on src, one partial-aggregated
+    groupBy(dst), one outer join back to the node set. The weighted edge
+    list and node set are MATERIALIZED once and each iteration's rank
+    frame cuts its lineage too — without that, iteration k's plan
+    re-derives the edge build k times over (the e17 power-iteration
+    lesson; measured 16s -> 2s on the 5-node fixture graph). Contract:
+    ``r_u * w_uv`` must stay under 2^63 — with nano-unit ranks that allows
+    edge weights up to ~9e9.
+
+    Returns (node, rank_nanos, n_iter).
+    """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    src = edges.select(F.col(src_col).alias("node"))
+    dst = edges.select(F.col(dst_col).alias("node"))
+    nodes = materialize(src.union(dst).distinct())
+    out_w = edges.groupBy(src_col).agg(F.sum(weight_col).alias("__ow__"))
+    e = materialize(
+        edges.join(out_w, src_col).select(
+            F.col(src_col).alias("__src__"),
+            F.col(dst_col).alias("__dst__"),
+            F.col(weight_col).cast("long").alias("__w__"),
+            F.col("__ow__").cast("long"),
+        )
+    )
+    n_nodes = nodes.count()
+    base = (15 if damping_pct == 85 else 100 - damping_pct) * NANO // (100 * n_nodes)
+    ranks = nodes.select("node", F.lit(NANO // n_nodes).cast("long").alias("__r__"))
+    for _ in range(n_iter):
+        ranks = materialize(ranks)
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "__src__"), "__src__")
+            .select(
+                F.col("__dst__").alias("node"),
+                F.expr("__r__ * __w__ div __ow__").alias("__c__"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c__").alias("__s__"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"{damping_pct}L * coalesce(__s__, 0L) div 100L")
+            ).cast("long").alias("__r__"),
+        )
+    return ranks.select(
+        "node", F.col("__r__").alias("rank_nanos"), F.lit(n_iter).alias("n_iter")
+    )

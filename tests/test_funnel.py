@@ -82,3 +82,24 @@ def test_growth_accounting_ledger_reconciles(spark):
     assert set(got) == {0, 1, 2, 3}
     for r in got.values():
         assert r.active == r.new + r.retained + r.resurrected
+
+
+def test_pagerank_fixed_point_hand_values(spark):
+    """2-node cycle sits at the uniform fixed point exactly; a dangling
+    chain A->B gives the hand-computed nano values (base 75e6, damped
+    integer update) after 3 iterations."""
+    from peskas_timor_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    cycle = spark.createDataFrame(
+        [("A", "B", 1), ("B", "A", 1)], "s string, d string, w long"
+    )
+    got = {r.node: r.rank_nanos for r in pagerank_fixed_point(
+        cycle, "s", "d", "w", n_iter=3).collect()}
+    assert got == {"A": 500_000_000, "B": 500_000_000}
+
+    chain = spark.createDataFrame([("A", "B", 1)], "s string, d string, w long")
+    got2 = {r.node: r.rank_nanos for r in pagerank_fixed_point(
+        chain, "s", "d", "w", n_iter=3).collect()}
+    assert got2 == {"A": 75_000_000, "B": 138_750_000}
