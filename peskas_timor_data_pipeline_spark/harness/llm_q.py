@@ -3830,3 +3830,79 @@ FROM agg
 """
 
 QUERIES["mm11_channel_stats"] = (mm11_channel_stats, MM11_ORACLE)
+
+
+# --- T27: Heaps-law vocabulary growth curve ---------------------------------------------
+
+def t27_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: cumulative distinct word
+    types vs cumulative tokens, sampled at 64 md5-ordered corpus shards —
+    the curve that tells you whether more data keeps buying new vocabulary
+    (and whether a corpus was deduped: a flat tail is a red flag).
+
+    Scale shape: the w8 first-appearance rewrite at shard granularity — a
+    type contributes exactly once, at its MINIMUM shard (one partial-
+    aggregated min per type), so the only window is a 64-row cumulative,
+    never a corpus-length one. Shard assignment is md5, identical in the
+    oracle."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("vg#"), F.col("doc_id").cast("string"))), 1, 12), 16, 10)
+        .cast("long") % 64
+    )
+    toks = docs.select(
+        shard.alias("shard"),
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("token"),
+    ).filter(F.col("token") != "")
+    per_shard_tokens = toks.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    first_shard = toks.groupBy("token").agg(F.min("shard").alias("shard"))
+    per_shard_new = first_shard.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_new_types")
+    )
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_shard_tokens.join(per_shard_new, "shard", "full_outer")
+        .select(
+            "shard",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"),
+        )
+        .select(
+            "shard", "n_tokens", "n_new_types",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum("n_new_types").over(w).alias("cum_vocab"),
+        )
+    )
+
+
+T27_ORACLE = """
+WITH toks AS (
+  SELECT ('0x' || substr(md5(concat('vg#', CAST(doc_id AS VARCHAR))), 1, 12))::BIGINT % 64 AS shard,
+         token
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), pst AS (
+  SELECT shard, count(*) AS n_tokens FROM toks GROUP BY shard
+), fs AS (
+  SELECT token, min(shard) AS shard FROM toks GROUP BY token
+), psn AS (
+  SELECT shard, count(*) AS n_new_types FROM fs GROUP BY shard
+), joined AS (
+  SELECT coalesce(pst.shard, psn.shard) AS shard,
+         coalesce(n_tokens, 0) AS n_tokens,
+         coalesce(n_new_types, 0) AS n_new_types
+  FROM pst FULL OUTER JOIN psn ON pst.shard = psn.shard
+)
+SELECT shard, n_tokens, n_new_types,
+       CAST(sum(n_tokens) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       CAST(sum(n_new_types) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+FROM joined
+"""
+
+QUERIES["t27_vocab_growth"] = (t27_vocab_growth, T27_ORACLE)
