@@ -1269,3 +1269,54 @@ FROM dirty d JOIN clean c ON levenshtein(d.dirty_name, c.s_name) <= 1
 """
 
 QUERIES["j14_fuzzy_join"] = (j14_fuzzy_join, J14_ORACLE)
+
+
+# --- P17: order-insensitive dataset fingerprint -----------------------------------------
+
+def p17_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint of five orders columns
+    (operators/restructure.py::dataset_fingerprint): per column the xor
+    and split-sum of 48-bit md5 value hashes — the sort-free way to verify
+    a table rewrite/migration byte-for-byte at any scale. Doubles are
+    integer-scaled (cents) BEFORE hashing: the fingerprint contract hashes
+    the cast-to-string form, and float-to-string formatting is the one
+    cast the engines don't share."""
+    from peskas_timor_data_pipeline_spark.operators.restructure import (
+        dataset_fingerprint,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    sel = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        F.expr("cast(round(o_totalprice * 100) as long)").alias("price_cents"),
+    )
+    return dataset_fingerprint(sel)
+
+
+def _p17_col_sql(col: str, expr: str) -> str:
+    h = f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 12))::BIGINT"
+    return f"""
+SELECT '{col}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({expr}) AS BIGINT) AS n_null,
+       CAST(bit_xor({h}) AS BIGINT) AS xor48,
+       CAST(sum({h} // {1 << 24}) AS BIGINT) AS sum_hi,
+       CAST(sum({h} % {1 << 24}) AS BIGINT) AS sum_lo
+FROM orders"""
+
+
+P17_ORACLE = " UNION ALL ".join(
+    _p17_col_sql(c, e)
+    for c, e in [
+        ("o_orderkey", "o_orderkey"),
+        ("o_custkey", "o_custkey"),
+        ("o_orderpriority", "o_orderpriority"),
+        ("o_orderdate", "CAST(o_orderdate AS VARCHAR)"),
+        ("price_cents", "CAST(round(o_totalprice * 100) AS BIGINT)"),
+    ]
+)
+
+QUERIES["p17_dataset_fingerprint"] = (p17_dataset_fingerprint, P17_ORACLE)

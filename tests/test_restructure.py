@@ -190,3 +190,31 @@ def test_profile_columns_nulls_distincts_and_numeric_minmax(spark):
     assert (got["k"].min_value, got["k"].max_value) == (1.0, 3.0)
     assert (got["v"].min_value, got["v"].max_value) == (-1.0, 4.0)
     assert got["s"].min_value is None and got["s"].max_value is None
+
+
+def test_dataset_fingerprint_detects_any_change(spark):
+    """Same content in different row order fingerprints identically; a
+    single changed value, a duplicated row (xor blind spot), and a null
+    flip each move at least one of (xor48, sum_hi/sum_lo, n_null)."""
+    from peskas_timor_data_pipeline_spark.operators.restructure import (
+        dataset_fingerprint,
+    )
+
+    base = [(1, "a"), (2, "b"), (3, None)]
+    df1 = spark.createDataFrame(base, "k long, v string")
+    df2 = spark.createDataFrame(list(reversed(base)), "k long, v string")
+    fp = lambda df: {r.column_name: (r.n_rows, r.n_null, r.xor48, r.sum_hi, r.sum_lo)
+                     for r in dataset_fingerprint(df).collect()}
+    assert fp(df1) == fp(df2)
+
+    changed = spark.createDataFrame([(1, "a"), (2, "B"), (3, None)], "k long, v string")
+    assert fp(changed)["v"] != fp(df1)["v"]
+    assert fp(changed)["k"] == fp(df1)["k"]
+
+    # duplicating a row keeps xor of the duped value-pair but moves the sums
+    duped = spark.createDataFrame(base + [(1, "a")], "k long, v string")
+    d, o = fp(duped)["k"], fp(df1)["k"]
+    assert d[0] == o[0] + 1 and (d[3], d[4]) != (o[3], o[4])
+
+    nulled = spark.createDataFrame([(1, "a"), (2, None), (3, None)], "k long, v string")
+    assert fp(nulled)["v"][1] == 2
