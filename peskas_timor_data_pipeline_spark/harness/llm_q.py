@@ -3906,3 +3906,93 @@ FROM joined
 """
 
 QUERIES["t27_vocab_growth"] = (t27_vocab_growth, T27_ORACLE)
+
+
+# --- E20: binary (1-bit) quantization + hamming prefilter + exact rerank ----------------
+
+def e20_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary ANN serving over the e3 query/candidate split:
+    sign-packed 8-byte codes scanned with XOR+popcount INSIDE the query's
+    4 probed IVF cells (the default scale path), then exact cosine rerank
+    of the 12 nearest-by-hamming (llm/similarity.py::binary_topk_rerank).
+    """
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        binary_topk_rerank,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    candidates = emb.filter(F.col("vec_id") >= 50)
+    return binary_topk_rerank(
+        queries, candidates, "vec_id", "embedding", k=3, dim=DIM,
+        prefilter_m=12, method="ivf", n_cells=16, n_probe=4,
+    )
+
+
+def _e20_sql() -> str:
+    def word(side: str, w: int) -> str:
+        return " + ".join(
+            f"CASE WHEN {side}[{i + 1}] >= 0 THEN {1 << (i - 32 * w)}::BIGINT ELSE 0::BIGINT END"
+            for i in range(32 * w, 32 * (w + 1))
+        )
+
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cvec
+  FROM embeddings WHERE vec_id >= 50
+  ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+),
+qb AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {word('embedding', 0)} AS qw0, {word('embedding', 1)} AS qw1
+  FROM embeddings WHERE vec_id < 50
+), cb AS (
+  SELECT vec_id AS cand_id, embedding AS cv,
+         {word('embedding', 0)} AS cw0, {word('embedding', 1)} AS cw1
+  FROM embeddings WHERE vec_id >= 50
+), assign AS (
+  SELECT cand_id, cell_id, cv, cw0, cw1,
+         row_number() OVER (
+           PARTITION BY cand_id
+           ORDER BY ({_dot_sql('cv', 'cvec')})
+                    / (sqrt({_dot_sql('cv', 'cv')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
+                    cell_id
+         ) AS rn
+  FROM cb CROSS JOIN cents
+), inv AS (SELECT cell_id, cand_id, cv, cw0, cw1 FROM assign WHERE rn = 1),
+probe AS (
+  SELECT query_id, qv, qw0, qw1, cell_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY ({_dot_sql('qv', 'cvec')})
+                    / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
+                    cell_id
+         ) AS rn
+  FROM qb CROSS JOIN cents
+), probes AS (SELECT query_id, qv, qw0, qw1, cell_id FROM probe WHERE rn <= 4),
+pre AS (
+  SELECT query_id, cand_id, qv, cv,
+         bit_count(xor(qw0, cw0)) + bit_count(xor(qw1, cw1)) AS hamming,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY bit_count(xor(qw0, cw0)) + bit_count(xor(qw1, cw1)), cand_id
+         ) AS rn
+  FROM probes JOIN inv USING (cell_id)
+), scored AS (
+  SELECT query_id, cand_id, CAST(hamming AS BIGINT) AS hamming,
+         ({_dot_sql('qv', 'cv')})
+         / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
+  FROM pre WHERE rn <= 12
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, hamming,
+       round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 3
+"""
+
+
+QUERIES["e20_binary_topk"] = (e20_binary_topk, _e20_sql())

@@ -1230,3 +1230,146 @@ def jl_project(
                 body += f" - cast({vec_col}[{i}] as double)"
         cols.append(F.expr(f"round(({body}) * {scale!r}, {round_to})"))
     return df.select(F.col(id_col), F.array(*cols).alias("proj"))
+
+
+def binary_quantize(
+    df: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """1-bit (sign) quantization: pack the embedding's sign pattern into
+    32-dim long words — 64 floats become 8 bytes, the 32x memory lever
+    past int8/PQ, searched with XOR+popcount. Packing is an exact integer
+    sum of powers of two per word (32 bits per long keeps every word
+    positive — no sign-bit edge cases in either engine).
+
+    Returns (id, words array<long> of ceil(dim/32)).
+    """
+    n_words = -(-dim // 32)
+    words = []
+    for w in range(n_words):
+        terms = " + ".join(
+            f"CASE WHEN {vec_col}[{i}] >= 0 THEN {1 << (i - 32 * w)}L ELSE 0L END"
+            for i in range(32 * w, min(32 * (w + 1), dim))
+        )
+        words.append(F.expr(terms))
+    return df.select(F.col(id_col), F.array(*words).alias("words"))
+
+
+def binary_topk_rerank(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    dim: int = 64,
+    prefilter_m: int = 12,
+    method: str = "ivf",
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Two-stage binary serving: hamming prefilter over the sign-packed
+    words (XOR + bit_count — integer, engine-exact), then EXACT cosine
+    rerank of only the ``prefilter_m`` nearest-by-hamming candidates per
+    query. The standard recall/cost shape: the cheap scan touches 8-byte
+    codes, the float vectors are read only for m rows per query.
+
+    The DEFAULT (``method='ivf'``) scans packed codes only inside the
+    query's ``n_probe`` probed IVF cells (same seeded quantizer as
+    cosine_topk_ivf / e15b) — per-query hamming work is
+    O(n_probe·N/n_cells) over 8-byte codes. ``method='scan'`` is the
+    flat-scan truth variant (IndexBinaryFlat shape): 32x cheaper than a
+    float brute force but still linear in the corpus — fixture-scale
+    audits only.
+
+    Returns (query_id, cand_id, rank, hamming, cosine).
+    """
+    if method not in ("ivf", "scan"):
+        raise ValueError(f"unknown method: {method}")
+    n_words = -(-dim // 32)
+    qb = binary_quantize(queries, id_col, vec_col, dim).select(
+        F.col(id_col).alias("query_id"), F.col("words").alias("qw")
+    )
+    cb = binary_quantize(candidates, id_col, vec_col, dim).select(
+        F.col(id_col).alias("cand_id"), F.col("words").alias("cw")
+    )
+    ham = F.expr(
+        " + ".join(
+            f"bit_count(qw[{w}] ^ cw[{w}])" for w in range(n_words)
+        )
+    )
+    if method == "ivf":
+        cents = F.broadcast(ivf_centroids(candidates, id_col, vec_col, n_cells, dim))
+        c = candidates.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("__cv__"),
+            norm_expr(vec_col, dim).alias("__cn__"),
+        )
+        w_assign = Window.partitionBy("cand_id").orderBy(
+            F.desc("cos_c"), F.asc("cell_id")
+        )
+        inverted = (
+            c.crossJoin(cents)
+            .withColumn(
+                "cos_c",
+                dot_expr("__cv__", "cvec", dim) / (F.col("__cn__") * F.col("cnorm")),
+            )
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("cell_id", "cand_id")
+            .join(cb, "cand_id")
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv__"),
+            norm_expr(vec_col, dim).alias("__qn__"),
+        )
+        w_probe = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_q"), F.asc("cell_id")
+        )
+        probes = (
+            q.crossJoin(cents)
+            .withColumn(
+                "cos_q",
+                dot_expr("__qv__", "cvec", dim) / (F.col("__qn__") * F.col("cnorm")),
+            )
+            .withColumn("rn", F.row_number().over(w_probe))
+            .filter(F.col("rn") <= n_probe)
+            .select("query_id", "cell_id")
+            .join(qb, "query_id")
+        )
+        paired = probes.join(inverted, "cell_id")
+    else:
+        paired = qb.crossJoin(cb)
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("cand_id")
+    )
+    pre = (
+        paired
+        .withColumn("hamming", ham)
+        .withColumn("__rn__", F.row_number().over(w_pre))
+        .filter(F.col("__rn__") <= prefilter_m)
+        .select("query_id", "cand_id", "hamming")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col, dim).alias("qn"),
+    )
+    cv = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col, dim).alias("cn"),
+    )
+    scored = (
+        pre.join(qv, "query_id")
+        .join(cv, "cand_id")
+        .withColumn("cosine", dot_expr("qv", "cv", dim) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "cand_id", "rank", "hamming",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -380,3 +380,39 @@ def test_jl_projection_preserves_pairwise_distance(spark):
     # per-pair ratio ~ chi2_16/16: wide tails are expected at k=16; the
     # band only catches sign/scale bugs (a wrong scale shifts EVERY ratio)
     assert all(0.05 < r < 6.0 for r in ratios)
+
+
+def test_binary_quantize_and_rerank_agree_with_signs(spark):
+    """Sign packing reproduces the known bit patterns; full-probe IVF and
+    flat-scan rerank agree; the top hit for an axis vector is its exact
+    duplicate at hamming 0, cosine 1."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        binary_quantize,
+        binary_topk_rerank,
+    )
+
+    dim = 64
+    base = [1.0 if i % 2 == 0 else -1.0 for i in range(dim)]
+    rows = [
+        (1, base),                       # query
+        (2, base),                       # exact dup -> top-1, hamming 0
+        (3, [-v for v in base]),         # bitwise complement
+        (4, [1.0] * dim),                # all positive
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    words = {r.vec_id: list(r.words) for r in binary_quantize(df, "vec_id", "embedding", dim).collect()}
+    evens = sum(1 << i for i in range(0, 32, 2))
+    assert words[1] == [evens, evens]
+    assert words[4] == [(1 << 32) - 1, (1 << 32) - 1]
+    assert words[3] == [((1 << 32) - 1) ^ evens, ((1 << 32) - 1) ^ evens]
+
+    q = df.filter("vec_id = 1")
+    c = df.filter("vec_id > 1")
+    for kwargs in (dict(method="scan"), dict(method="ivf", n_cells=4, n_probe=4)):
+        got = sorted(
+            (r.rank, r.cand_id, r.hamming)
+            for r in binary_topk_rerank(q, c, "vec_id", "embedding",
+                                        k=3, dim=dim, prefilter_m=3, **kwargs).collect()
+        )
+        assert got[0] == (1, 2, 0)
+        assert {g[1] for g in got} == {2, 3, 4}
