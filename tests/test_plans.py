@@ -445,3 +445,71 @@ def test_session_paths_single_session_window_then_topk(spark, sf_dir):
     # the top-10 must be a distributed partial sort over path counts
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_jl_projection_is_single_project_no_exchange(spark, sf_dir):
+    """e19: the JL sign matrix folds into literal chains — the whole
+    query must be scan + project: no Exchange, no Generate, no Python."""
+    from peskas_timor_data_pipeline_spark.harness.llm_q import e19_jl_projection
+
+    p = plan_str(e19_jl_projection(spark, sf_dir))
+    assert "Exchange" not in p
+    assert "Generate" not in p
+    assert "Python" not in p and "BatchEvalPython" not in p
+
+
+def test_hll_registers_partial_aggregate(spark, sf_dir):
+    """a35: register max must partial-aggregate map-side (the shuffle
+    carries at most 2^b rows per group per partition), with no float
+    log anywhere in the register path."""
+    from peskas_timor_data_pipeline_spark.operators.sketches import hll_sketch
+    from peskas_timor_data_pipeline_spark.harness.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    p = plan_str(hll_sketch(ev, ["event_type"], "user_id", b=10))
+    assert "partial_max" in p
+    assert "LOG(" not in p.upper().replace("CATALOG", "")
+
+
+def test_ewma_single_window_no_python(spark, sf_dir):
+    """w13: one Window node over the constant-width frame, fold in
+    codegen — no Python stage, no extra exchange beyond the partition."""
+    from peskas_timor_data_pipeline_spark.harness.windows_q import w13_ewma
+
+    p = plan_str(w13_ewma(spark, sf_dir))
+    assert "Window" in p
+    assert "Python" not in p
+    # exactly one shuffle: the user_id partition for the window
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_containment_no_cartesian_hashed_keys(spark, sf_dir):
+    """d13: the pair builder is a gram-keyed hash join on 60-bit ints —
+    never a cartesian product, and the explode appears in the
+    (checkpointed) gram build only."""
+    from peskas_timor_data_pipeline_spark.harness.llm_q import d13_containment
+
+    p = plan_str(d13_containment(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_binary_topk_ivf_no_corpus_cross(spark, sf_dir):
+    """e20 (default ivf): the only nested-loop joins are against the
+    16-row broadcast centroid frame; candidate pairing is a cell-keyed
+    hash join, never query x corpus."""
+    from peskas_timor_data_pipeline_spark.harness.llm_q import e20_binary_topk
+
+    p = plan_str(e20_binary_topk(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # the cell-keyed pairing compiles to a real equi-join
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_pmm_donor_pool_bounded_window(spark, sf_dir):
+    """m6: the donor ranking window partitions per missing row and the
+    pool collect is bounded by donors=5 — no global sort, no Python."""
+    from peskas_timor_data_pipeline_spark.harness.stats_q import m6_pmm
+
+    p = plan_str(m6_pmm(spark, sf_dir))
+    assert "Python" not in p
+    assert "CartesianProduct" not in p
