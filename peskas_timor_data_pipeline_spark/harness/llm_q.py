@@ -3996,3 +3996,49 @@ FROM ranked WHERE rank <= 3
 
 
 QUERIES["e20_binary_topk"] = (e20_binary_topk, _e20_sql())
+
+
+# --- E21: cluster exemplar selection ----------------------------------------------------
+
+def e21_cell_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per IVF cell: the member nearest its centroid plus the member count
+    (llm/similarity.py::cell_exemplars) — the corpus-browsing /
+    cluster-labeling primitive."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import cell_exemplars
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cell_exemplars(emb, "vec_id", "embedding", dim=DIM, n_cells=16)
+
+
+E21_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cvec
+  FROM embeddings
+  ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+),
+assign AS (
+  SELECT e.vec_id, cell_id,
+         ({_dot_sql('e.embedding', 'cvec')})
+         / (sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql('cvec', 'cvec')})) AS cos,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ({_dot_sql('e.embedding', 'cvec')})
+                    / (sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
+                    cell_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents
+),
+best AS (SELECT vec_id, cell_id, cos FROM assign WHERE rn = 1),
+ranked AS (
+  SELECT cell_id, vec_id, cos,
+         row_number() OVER (PARTITION BY cell_id ORDER BY cos DESC, vec_id) AS r,
+         count(*) OVER (PARTITION BY cell_id) AS n_members
+  FROM best
+)
+SELECT cell_id, vec_id AS exemplar_id, round(cos, 6) AS cosine,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE r = 1
+"""
+
+QUERIES["e21_cell_exemplars"] = (e21_cell_exemplars, E21_ORACLE)

@@ -1373,3 +1373,44 @@ def binary_topk_rerank(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def cell_exemplars(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    n_cells: int = 16,
+) -> DataFrame:
+    """Exemplar per IVF cell: the member MOST cosine-similar to its cell
+    centroid — the representative you label/inspect when browsing a
+    clustered corpus (and the natural prompt for an LLM cluster-labeling
+    pass). One broadcast assignment + one max_by aggregate per cell; no
+    window over members, no pairwise anything.
+
+    Returns (cell_id, exemplar_id, cosine, n_members).
+    """
+    cents = F.broadcast(ivf_centroids(df, id_col, vec_col, n_cells, dim))
+    v = df.select(
+        F.col(id_col).alias("__vid__"),
+        F.col(vec_col).alias("__v__"),
+        norm_expr(vec_col, dim).alias("__vn__"),
+    )
+    w_assign = Window.partitionBy("__vid__").orderBy(
+        F.desc("__cos__"), F.asc("cell_id")
+    )
+    assigned = (
+        v.crossJoin(cents)
+        .withColumn(
+            "__cos__", dot_expr("__v__", "cvec", dim) / (F.col("__vn__") * F.col("cnorm"))
+        )
+        .withColumn("__rn__", F.row_number().over(w_assign))
+        .filter(F.col("__rn__") == 1)
+    )
+    return assigned.groupBy("cell_id").agg(
+        F.max_by(
+            "__vid__", F.struct(F.col("__cos__"), (-F.col("__vid__")).alias("nid"))
+        ).alias("exemplar_id"),
+        F.round(F.max("__cos__"), 6).alias("cosine"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
