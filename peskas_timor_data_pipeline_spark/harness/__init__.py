@@ -28,8 +28,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # order kept), then (b) every query fixed, re-oracled, or added in round
 # 4 — the six red rows' fixes (d7/e4-e7 scalarization, ts2's new DTW
 # oracle), the new M4b/M6 oracles, e15b's ANN path, v_metadata, the new
-# a35/e19/w13/d13 operators, and a31/m2b whose oracle/fixture changed.
-# 46 entries total, all inside the window.
+# a35/e19/w13/d13/mm11/g1/t27/p17/e20/e21 operators, and m2b/a31 whose
+# fixture/oracle changed. 51 oracle-checked entries; the two rows-only
+# GLMMs trail (a re-record adds nothing over their standing rows).
 _PRIORITY_R04 = (
     # (a) never driver-sampled
     "e16_mrl_recall", "d11_cdc_segments", "j13_grid_neighbor_join",
@@ -49,7 +50,7 @@ _PRIORITY_R04 = (
     "a35_hll", "e19_jl_projection", "w13_ewma", "d13_containment",
     "mm11_channel_stats", "g1_pagerank", "t27_vocab_growth",
     "p17_dataset_fingerprint", "e20_binary_topk", "e21_cell_exemplars",
-    "a31_growth_accounting", "m2b_length_weight_ll",
+    "m2b_length_weight_ll", "a31_growth_accounting",
     # rows-only by design (dense-inverse Henderson solve): recorded last
     "m4_glmm", "m4zi_glmm",
 )
