@@ -1,0 +1,123 @@
+"""Property tests for the round-4 operators.
+
+Hypothesis drives SMALL random instances through the Spark operators and
+checks invariants a pinned example can't cover: PMM's support guarantee on
+arbitrary gappy series, fingerprint permutation-invariance/sensitivity,
+and the EWMA fold against an independent Python reference.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    values=st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=10_000)),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_pmm_fills_come_from_observed_support(spark, values):
+    """For ANY gappy integer series: every imputed value is the mean of
+    <=5 draws from the OBSERVED values (so it lies in [min, max] of the
+    observed support and is a multiple of 1/5), observed rows pass
+    through unchanged, and a fully-null series stays null."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        impute_pmm_replicates,
+    )
+
+    rows = [("k", f"p{i:02d}", i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k string, ord string, x int, v int")
+    out = {r.ord: r for r in impute_pmm_replicates(
+        df, ["k"], "ord", "x", "v", m=5, donors=5, seed=1).collect()}
+    observed = [v for v in values if v is not None]
+    for i, v in enumerate(values):
+        r = out[f"p{i:02d}"]
+        if v is not None:
+            assert r.v == float(v) and not r.is_imputed
+        elif not observed:
+            assert r.v is None and r.is_imputed
+        else:
+            assert r.is_imputed
+            assert min(observed) <= r.v <= max(observed)
+            assert (r.v * 5) % 1 == 0  # mean of 5 integer draws
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.one_of(st.none(), st.text(alphabet="abXY", max_size=3)),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(**_SETTINGS)
+def test_fingerprint_permutation_invariant_and_sensitive(spark, rows, seed):
+    """The fingerprint of ANY multiset of rows is row-order invariant,
+    and appending one extra row always changes the k column's multiset
+    sums (n_rows +1 and the hash sums move together)."""
+    import random
+
+    from peskas_timor_data_pipeline_spark.operators.restructure import (
+        dataset_fingerprint,
+    )
+
+    df1 = spark.createDataFrame(rows, "k long, v string")
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    df2 = spark.createDataFrame(shuffled, "k long, v string")
+    fp = lambda df: sorted(map(tuple, dataset_fingerprint(df).collect()))
+    assert fp(df1) == fp(df2)
+
+    extra = spark.createDataFrame(rows + [rows[0]], "k long, v string")
+    a = {r.column_name: r for r in dataset_fingerprint(df1).collect()}
+    b = {r.column_name: r for r in dataset_fingerprint(extra).collect()}
+    assert b["k"].n_rows == a["k"].n_rows + 1
+    assert (b["k"].sum_hi, b["k"].sum_lo) != (a["k"].sum_hi, a["k"].sum_lo)
+
+
+@given(
+    series=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_ewma_fold_matches_python_reference(spark, series):
+    """The windowed EWMA fold equals a plain Python left fold over the
+    last 16 values, element for element (same float op order)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [(1, i, float(v)) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "u long, i long, v double")
+    w = Window.partitionBy("u").orderBy("i").rowsBetween(-15, 0)
+    ewma = F.expr(
+        "aggregate(slice(__win__, 2, size(__win__) - 1), element_at(__win__, 1), "
+        "(acc, x) -> cast(0.2 as double) * x + cast(0.8 as double) * acc)"
+    )
+    got = {
+        r.i: r.e
+        for r in df.select("i", F.collect_list("v").over(w).alias("__win__"))
+        .select("i", ewma.alias("e"))
+        .collect()
+    }
+    for i in range(len(series)):
+        window = series[max(0, i - 15): i + 1]
+        acc = float(window[0])
+        for x in window[1:]:
+            acc = 0.2 * float(x) + 0.8 * acc
+        assert got[i] == acc
