@@ -355,15 +355,19 @@ QUERIES["ts1_subsequence_search"] = (ts1_subsequence_search, TS1_ORACLE)
 def ts2_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user DTW distance to the ts1 spike pattern — alignment-tolerant
     matching where ts1's rigid windows miss time-warped instances. The DP
-    recurrence runs in numpy per group (applyInPandas); the oracle replays
-    it as a recursive-CTE over per-row DP states (see TS2_ORACLE). Series
+    runs as a PURE CATALYST fold (dtw_to_pattern_expr — no Python worker;
+    bit-equal to the applyInPandas/numpy twin by the min-over-paths
+    identity, asserted in tests and ~6x faster at fixture scale); the
+    oracle replays the same DP as a recursive CTE (see TS2_ORACLE). Series
     longer than m + band have no in-band warping path (classic Sakoe-Chiba
-    on a rectangular matrix) — numpy reports +inf; both engines surface
+    on a rectangular matrix) — the DP reports +inf; both engines surface
     that as NULL so the output stays driver-hashable."""
-    from peskas_timor_data_pipeline_spark.operators.timeseries import dtw_to_pattern
+    from peskas_timor_data_pipeline_spark.operators.timeseries import (
+        dtw_to_pattern_expr,
+    )
 
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    out = dtw_to_pattern(
+    out = dtw_to_pattern_expr(
         ev.select("user_id", "ts", "event_id", "value"),
         ["user_id"], ["ts", "event_id"], "value", TS_PATTERN, band=16,
     )

@@ -122,3 +122,38 @@ def test_rolling_slope_exact_on_linear_series(spark):
             assert got[("lin", i)] == 3.0
     assert got[("flat", 7)] == 0.0
     assert got[("flat", 3)] is None
+
+
+def test_dtw_expr_bit_equals_numpy_twin(spark):
+    """The pure-Catalyst DTW fold equals the numpy DP bit for bit on
+    random series (incl. an out-of-band +inf case and a single-point
+    series) — the min-over-paths identity in practice."""
+    import math
+    import random
+
+    from peskas_timor_data_pipeline_spark.operators.timeseries import (
+        dtw_to_pattern,
+        dtw_to_pattern_expr,
+    )
+
+    rng = random.Random(13)
+    pattern = [1.0, 4.0, 2.0, 8.0]
+    rows = []
+    for uid in range(12):
+        n = rng.randint(1, 9) if uid < 10 else 20  # uid 10,11: beyond m+band
+        for i in range(n):
+            rows.append((uid, i, round(rng.uniform(-5, 10), 3)))
+    df = spark.createDataFrame(rows, "u long, i long, v double")
+    kw = dict(keys=["u"], value_col="v", pattern=pattern, band=3)
+    a = {r.u: (r.dtw_dist, r.n_points)
+         for r in dtw_to_pattern(df, order_col=["i"], **kw).collect()}
+    b = {r.u: (r.dtw_dist, r.n_points)
+         for r in dtw_to_pattern_expr(df, order_cols=["i"], **kw).collect()}
+    assert set(a) == set(b)
+    for u in a:
+        assert a[u][1] == b[u][1]
+        if math.isinf(a[u][0]):
+            assert math.isinf(b[u][0])
+        else:
+            assert a[u][0] == b[u][0], (u, a[u], b[u])
+    assert math.isinf(a[10][0]) and math.isinf(a[11][0])
