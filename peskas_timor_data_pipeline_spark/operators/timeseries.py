@@ -1,11 +1,13 @@
-"""Time-series operators that need per-group imperative computation.
+"""Time-series operators with per-group dynamic-programming shape.
 
 The distributed-friendly similarity ops (sliding-window euclidean, rolling
-range windows) live in the harness as pure DataFrame plans; DTW below is
-the genuinely dynamic-programming-shaped one — O(n·m) state with
-data-dependent recurrence — which is exactly the applyInPandas niche:
-groups (one series per key) are small, the algorithm is not expressible as
-Catalyst expressions, and Arrow moves each group once.
+range windows) live in the harness as pure DataFrame plans. DTW — O(n·m)
+state with a data-dependent recurrence — ships in TWO forms: the
+applyInPandas/numpy grouped map (``dtw_to_pattern``, the general tool for
+long patterns), and a pure-Catalyst fold (``dtw_to_pattern_expr``) that
+runs the whole DP as an ``aggregate`` expression — bit-identical results
+(the min-over-paths identity, proven in tests) with no Python worker, the
+faster choice for the short query patterns this matcher exists for.
 """
 
 from __future__ import annotations
