@@ -58,6 +58,11 @@ SHOWCASE = {
     "w13_ewma": "EWMA: constant-width ROWS window + fold; no recursion, no Python",
     "m6_pmm": "PMM: series-keyed donor join, bounded top-5 window, integer-exact ranking",
     "e15b_hard_negatives_ann": "hard negatives: IVF probes replace the corpus cross join entirely",
+    "ts2_dtw_alignment": "DTW: the whole banded DP is ONE aggregate fold — one shuffle, zero Python stages",
+    "e20_binary_topk": "binary ANN: popcount prefilter inside probed cells, float vectors only for the rerank rows",
+    "g1_pagerank": "PageRank: per-iteration rank join + partial-agg, integer arithmetic end to end",
+    "p17_dataset_fingerprint": "fingerprint: ONE agg pass, xor + split-sum partials, stack unpivot",
+    "t27_vocab_growth": "vocab growth: first-appearance min per type, 64-row cumulative window only",
 }
 
 
