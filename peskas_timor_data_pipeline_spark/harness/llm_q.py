@@ -4042,3 +4042,161 @@ FROM ranked WHERE r = 1
 """
 
 QUERIES["e21_cell_exemplars"] = (e21_cell_exemplars, E21_ORACLE)
+
+
+# --- E22: IVF probe-count tuning sweep (recall@k vs n_probe) ----------------------------
+
+def e22_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@3 against the exact top-3 for n_probe
+    in {1, 2, 4, 8} — ONE assignment and ONE probe ranking feed all four
+    settings (a setting is just a filter on the probe rank), so the sweep
+    costs barely more than a single search. Recall is summed hits over
+    summed truth (exact integer ppm). The brute-force truth side is the
+    audit harness's job, same status as e1/d10."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        cosine_topk_bruteforce,
+        dot_expr,
+        ivf_centroids,
+        norm_expr,
+    )
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    candidates = emb.filter(F.col("vec_id") >= 50)
+
+    truth = cosine_topk_bruteforce(
+        queries, candidates, "vec_id", "embedding", k=3, dim=DIM
+    ).select("query_id", "cand_id")
+
+    cents = F.broadcast(ivf_centroids(candidates, "vec_id", "embedding", 16, DIM))
+    c = candidates.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        norm_expr("embedding", DIM).alias("cn"),
+    )
+    w_assign = Window.partitionBy("cand_id").orderBy(F.desc("cos_c"), F.asc("cell_id"))
+    inverted = (
+        c.crossJoin(cents)
+        .withColumn("cos_c", dot_expr("cv", "cvec", DIM) / (F.col("cn") * F.col("cnorm")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("cell_id", "cand_id", "cv", "cn")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm_expr("embedding", DIM).alias("qn"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("cell_id"))
+    probes = (
+        q.crossJoin(cents)
+        .withColumn("cos_q", dot_expr("qv", "cvec", DIM) / (F.col("qn") * F.col("cnorm")))
+        .withColumn("probe_rn", F.row_number().over(w_probe))
+        .filter(F.col("probe_rn") <= 8)
+        .select("query_id", "qv", "qn", "cell_id", "probe_rn")
+    )
+    scored = probes.join(inverted, "cell_id").withColumn(
+        "cosine", dot_expr("qv", "cv", DIM) / (F.col("qn") * F.col("cn"))
+    )
+    settings = spark.range(0, 4).select(
+        F.expr("shiftleft(1, cast(id as int))").alias("n_probe")
+    )
+    per_setting = scored.join(
+        F.broadcast(settings), F.col("probe_rn") <= F.col("n_probe")
+    )
+    w_rank = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    approx = (
+        per_setting.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("n_probe", "query_id", "cand_id")
+    )
+    hits = approx.join(truth, ["query_id", "cand_id"]).groupBy("n_probe").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_truth = truth.count()
+    return (
+        settings.join(hits, "n_probe", "left")
+        .select(
+            "n_probe",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.lit(n_truth).cast("long").alias("n_truth"),
+            F.expr(f"coalesce(n_hits, 0) * 1000000L div {n_truth}").alias("recall_ppm"),
+        )
+        .orderBy("n_probe")
+    )
+
+
+E22_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 50),
+truth_s AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY ({_dot_sql('qv', 'cv')})
+                    / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) DESC,
+                    cand_id
+         ) AS rank
+  FROM q CROSS JOIN c
+),
+truth AS (SELECT query_id, cand_id FROM truth_s WHERE rank <= 3),
+cents AS (
+  SELECT vec_id AS cell_id, embedding AS cvec
+  FROM embeddings WHERE vec_id >= 50
+  ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+),
+assign AS (
+  SELECT cand_id, cell_id, cv,
+         row_number() OVER (
+           PARTITION BY cand_id
+           ORDER BY ({_dot_sql('cv', 'cvec')})
+                    / (sqrt({_dot_sql('cv', 'cv')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
+                    cell_id
+         ) AS rn
+  FROM c CROSS JOIN cents
+),
+inv AS (SELECT cell_id, cand_id, cv FROM assign WHERE rn = 1),
+probe AS (
+  SELECT query_id, qv, cell_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY ({_dot_sql('qv', 'cvec')})
+                    / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
+                    cell_id
+         ) AS probe_rn
+  FROM q CROSS JOIN cents
+),
+probes AS (SELECT query_id, qv, cell_id, probe_rn FROM probe WHERE probe_rn <= 8),
+scored AS (
+  SELECT query_id, cand_id, probe_rn,
+         ({_dot_sql('qv', 'cv')})
+         / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
+  FROM probes JOIN inv USING (cell_id)
+),
+settings AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+ranked AS (
+  SELECT s.n_probe, sc.query_id, sc.cand_id,
+         row_number() OVER (PARTITION BY s.n_probe, sc.query_id
+                            ORDER BY sc.cosine DESC, sc.cand_id) AS rank
+  FROM scored sc JOIN settings s ON sc.probe_rn <= s.n_probe
+),
+approx AS (SELECT n_probe, query_id, cand_id FROM ranked WHERE rank <= 3),
+hits AS (
+  SELECT n_probe, count(*) AS n_hits
+  FROM approx JOIN truth USING (query_id, cand_id)
+  GROUP BY n_probe
+),
+nt AS (SELECT count(*) AS n FROM truth)
+SELECT s.n_probe,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(nt.n AS BIGINT) AS n_truth,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // nt.n AS BIGINT) AS recall_ppm
+FROM settings s CROSS JOIN nt LEFT JOIN hits h ON h.n_probe = s.n_probe
+ORDER BY s.n_probe
+"""
+
+QUERIES["e22_ivf_probe_sweep"] = (e22_ivf_probe_sweep, E22_ORACLE)
