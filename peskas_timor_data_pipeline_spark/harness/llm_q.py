@@ -4116,7 +4116,11 @@ def e22_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = approx.join(truth, ["query_id", "cand_id"]).groupBy("n_probe").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
-    n_truth = truth.count()
+    # every query has exactly k=3 truth rows (the candidate pool is far
+    # larger than k), so n_truth needs only a cheap query count — NOT a
+    # .count() on the truth frame, which would run the brute-force
+    # scoring an extra time
+    n_truth = 3 * queries.count()
     return (
         settings.join(hits, "n_probe", "left")
         .select(
