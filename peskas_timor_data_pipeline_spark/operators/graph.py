@@ -62,6 +62,13 @@ def pagerank_fixed_point(
         )
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty edge list: no nodes, no ranks — return the typed empty frame
+        return nodes.select(
+            "node",
+            F.lit(None).cast("long").alias("rank_nanos"),
+            F.lit(n_iter).alias("n_iter"),
+        )
     base = (15 if damping_pct == 85 else 100 - damping_pct) * NANO // (100 * n_nodes)
     ranks = nodes.select("node", F.lit(NANO // n_nodes).cast("long").alias("__r__"))
     for _ in range(n_iter):

@@ -161,3 +161,65 @@ def test_empty_frames_through_round3b_operators(spark):
     cp = cusum_changepoint(one, "g", "day", "v").collect()[0]
     assert cp.n_points == 1 and cp.cusum_stat == 0.0 and cp.detected is False
     assert cp.mean_after is None and cp.shift is None
+
+
+def test_round4_operators_on_empty_and_degenerate_inputs(spark):
+    """Every round-4 operator must return an empty (or well-defined)
+    result on empty input instead of raising — ANSI mode turns unguarded
+    divisions into runtime errors, and several ops take eager actions
+    (counts, checkpoints) that see the empty frame first."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from peskas_timor_data_pipeline_spark.llm.dedup import containment_pairs
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        binary_topk_rerank,
+        cell_exemplars,
+        jl_project,
+    )
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        impute_pmm_replicates,
+    )
+    from peskas_timor_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    from peskas_timor_data_pipeline_spark.operators.restructure import (
+        dataset_fingerprint,
+    )
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+    from peskas_timor_data_pipeline_spark.operators.timeseries import (
+        dtw_to_pattern_expr,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert containment_pairs(empty_docs, "doc_id", "text").count() == 0
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert jl_project(empty_vecs, "vec_id", "embedding", dim=4, k=2).count() == 0
+    assert cell_exemplars(empty_vecs, "vec_id", "embedding", dim=4, n_cells=4).count() == 0
+    assert binary_topk_rerank(
+        empty_vecs, empty_vecs, "vec_id", "embedding", dim=4, method="scan"
+    ).count() == 0
+
+    empty_series = spark.createDataFrame([], "k string, ord string, x int, v int")
+    assert impute_pmm_replicates(empty_series, ["k"], "ord", "x", "v").count() == 0
+
+    empty_events = spark.createDataFrame([], "g string, u long")
+    regs = hll_sketch(empty_events, ["g"], "u")
+    assert regs.count() == 0
+    assert hll_estimate(regs, ["g"]).count() == 0
+
+    empty_edges = spark.createDataFrame([], "s string, d string, w long")
+    assert pagerank_fixed_point(empty_edges, "s", "d", "w", n_iter=2).count() == 0
+
+    empty_ts = spark.createDataFrame([], "u long, i long, v double")
+    assert dtw_to_pattern_expr(
+        empty_ts, ["u"], ["i"], "v", [1.0, 2.0], band=2
+    ).count() == 0
+
+    # fingerprint of an EMPTY table is still one row per column (all-zero
+    # state) — that is the fingerprint of emptiness, not an error
+    fp = {r.column_name: r for r in dataset_fingerprint(empty_docs).collect()}
+    assert fp["text"].n_rows == 0 and fp["text"].n_null == 0
