@@ -1663,3 +1663,80 @@ def _g1_sql(n_iter: int = 3) -> str:
 
 
 QUERIES["g1_pagerank"] = (g1_pagerank, _g1_sql())
+
+
+# --- A36: sliding 7-day distinct users via HLL register unions --------------------------
+
+def a36_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct-user estimate per day WITHOUT rescanning
+    any day's events: sketch each day once (hll_sketch), then the sliding
+    union is an element-wise register max over an integer-day RANGE
+    window — the pattern that turns rolling MAU over 100 TB of events
+    into arithmetic over (days x 1024) register rows. Gaps in the
+    calendar are handled by the RANGE frame; buckets absent from a
+    window fall back to the linear-counting zeros path."""
+    from pyspark.sql.window import Window
+
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    regs = hll_sketch(ev, ["day"], "user_id", b=10)
+    days = regs.select("day").distinct()
+    seen_j = regs.select("j").distinct()
+    grid = days.crossJoin(seen_j)
+    w = (
+        Window.partitionBy("j")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    slid = (
+        grid.join(regs, ["day", "j"], "left")
+        .withColumn("M7", F.max("M").over(w))
+        .filter(F.col("M7").isNotNull())
+        .select("day", "j", F.col("M7").alias("M"))
+    )
+    return hll_estimate(slid, ["day"], b=10).orderBy("day")
+
+
+A36_ORACLE = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events
+), regs AS (
+  SELECT day, h // 274877906944 AS j,
+         max(CASE WHEN h % 274877906944 = 0 THEN 39
+                  ELSE 39 - length(bin(h % 274877906944)) END) AS M
+  FROM ev GROUP BY day, h // 274877906944
+), grid AS (
+  SELECT d.day, s.j
+  FROM (SELECT DISTINCT day FROM regs) d
+  CROSS JOIN (SELECT DISTINCT j FROM regs) s
+), slid AS (
+  SELECT g.day, g.j,
+         max(r.M) OVER (
+           PARTITION BY g.j
+           ORDER BY g.day - DATE '1970-01-01'
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+         ) AS M7
+  FROM grid g LEFT JOIN regs r ON r.day = g.day AND r.j = g.j
+), agg AS (
+  SELECT day, sum(power(2.0, -M7)) AS zu, count(*) AS nr
+  FROM slid WHERE M7 IS NOT NULL GROUP BY day
+)
+SELECT day, 1024 AS m, CAST(1024 - nr AS BIGINT) AS n_empty,
+       round(CASE WHEN (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024
+                       / (zu + (1024 - nr)) <= 2560.0 AND 1024 - nr > 0
+                  THEN 1024.0 * ln(1024.0 / (1024 - nr))
+                  ELSE (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024
+                       / (zu + (1024 - nr)) END, 3) AS est_distinct
+FROM agg
+ORDER BY day
+"""
+
+QUERIES["a36_sliding_hll"] = (a36_sliding_hll, A36_ORACLE)
