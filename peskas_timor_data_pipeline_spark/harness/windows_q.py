@@ -867,3 +867,46 @@ FROM wins
 """
 
 QUERIES["w13_ewma"] = (w13_ewma, W13_ORACLE)
+
+
+# --- W15: OHLC bucket downsampling ------------------------------------------------------
+
+def w15_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open/high/low/close per (user, day) over purchase values — the
+    candlestick compaction every monitoring/market pipeline runs. open
+    and close are deterministic min_by/max_by on the FULL (ts, event_id)
+    event identity (ties cannot flip between engines); one shuffle, all
+    partial-aggregated — no window, no sort."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # DuckDB's min_by/max_by take scalar keys only: a zero-padded
+    # microsecond+id string is totally ordered identically in both engines
+    key = F.format_string("%020d#%012d", F.unix_micros("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id", "day",
+            F.round("open", 6).alias("open"), "high", "low",
+            F.round("close", 6).alias("close"), "n_events",
+        )
+    )
+
+
+W15_ORACLE = """
+SELECT user_id, CAST(ts AS DATE) AS day,
+       round(min_by(value, printf('%020d#%012d', epoch_us(ts), event_id)), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(max_by(value, printf('%020d#%012d', epoch_us(ts), event_id)), 6) AS close,
+       count(*) AS n_events
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+QUERIES["w15_ohlc"] = (w15_ohlc, W15_ORACLE)
