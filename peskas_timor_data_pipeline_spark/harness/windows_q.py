@@ -910,3 +910,73 @@ GROUP BY user_id, CAST(ts AS DATE)
 """
 
 QUERIES["w15_ohlc"] = (w15_ohlc, W15_ORACLE)
+
+
+# --- W16: interval union (merged-overlap coverage time) ---------------------------------
+
+def w16_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total COVERED time per user when every event opens a 10-minute
+    activity interval: merge overlapping intervals (the classic
+    union-of-intervals sweep) and sum the merged spans — 'time on site'
+    semantics, where summing raw durations would double-count overlaps.
+
+    Sweep = two windows over integer MICROSECONDS (engine-exact): an
+    island starts where the interval's start exceeds the running max of
+    prior ends; island id = running sum of starts; each island's span is
+    max(end) - min(start). One shuffle on user_id; ROWS frames only."""
+    from pyspark.sql.window import Window
+
+    span_us = 600 * 1_000_000
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(span_us)).alias("e"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        F.min("s").alias("is_"), F.max("e").alias("ie")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.expr("sum(ie - is_) div 1000000L").alias("covered_seconds"),
+    )
+
+
+W16_ORACLE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), islands0 AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), islands AS (
+  SELECT user_id, island, min(s) AS is_, max(e) AS ie
+  FROM islands0 GROUP BY user_id, island
+)
+SELECT user_id, count(*) AS n_islands,
+       CAST(sum(ie - is_) // 1000000 AS BIGINT) AS covered_seconds
+FROM islands GROUP BY user_id
+"""
+
+QUERIES["w16_interval_union"] = (w16_interval_union, W16_ORACLE)
