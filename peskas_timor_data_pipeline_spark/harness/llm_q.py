@@ -4204,3 +4204,88 @@ ORDER BY s.n_probe
 """
 
 QUERIES["e22_ivf_probe_sweep"] = (e22_ivf_probe_sweep, E22_ORACLE)
+
+
+# --- T30: corpus-pair similarity from union-MinHash signatures --------------------------
+
+def t30_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated Jaccard between each pair of SOURCES' shingle-set unions,
+    computed from signatures alone: the union MinHash of a source is the
+    per-slot min over its documents' shingle hashes (one aggregation),
+    and the slot-match fraction between two sources estimates their union
+    Jaccard — corpus-level similarity with NO document pairs anywhere,
+    the way you compare crawls/dumps at 100 TB. 16 slots make a coarse
+    but fully deterministic estimator (md5 mins, engine-exact); match
+    counts are exact integers."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import (
+        MINHASH_WIDTH,
+        shingle_rows,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    n_md5 = -(-N_HASHES * MINHASH_WIDTH // 32)
+    digest = F.concat(
+        *[F.md5(F.concat(F.col("sh"), F.lit(f"#{j}"))) for j in range(n_md5)]
+    )
+    shingled = shingle_rows(docs, "source", "text", K_SHINGLE).withColumn(
+        "dig", digest
+    )
+    aggs = [
+        F.min(F.substring("dig", 1 + MINHASH_WIDTH * j, MINHASH_WIDTH)).alias(f"h{j}")
+        for j in range(N_HASHES)
+    ]
+    sigs = shingled.groupBy("source").agg(*aggs)
+    a = sigs.select(
+        F.col("source").alias("src_a"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(N_HASHES)],
+    )
+    b = sigs.select(
+        F.col("source").alias("src_b"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(N_HASHES)
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            matches.cast("long").alias("n_matching_slots"),
+            F.lit(N_HASHES).alias("n_slots"),
+        )
+    )
+
+
+def _t30_sql() -> str:
+    n_md5 = -(-N_HASHES * 8 // 32)
+    digest = " || ".join(
+        f"md5(sh || '#{j}')" for j in range(n_md5)
+    )
+    mins = ", ".join(
+        f"min(substr(dig, {1 + 8 * j}, 8)) AS h{j}" for j in range(N_HASHES)
+    )
+    match = " + ".join(
+        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(N_HASHES)
+    )
+    return f"""
+WITH sh AS (
+  SELECT source, substr(lower(text), CAST(i AS INTEGER), {K_SHINGLE}) AS sh
+  FROM (SELECT source, text,
+               unnest(generate_series(1, length(text) - {K_SHINGLE - 1})) AS i
+        FROM documents WHERE length(text) >= {K_SHINGLE})
+), digs AS (
+  SELECT source, {digest} AS dig FROM sh
+), sigs AS (
+  SELECT source, {mins} FROM digs GROUP BY source
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST({match} AS BIGINT) AS n_matching_slots,
+       {N_HASHES} AS n_slots
+FROM sigs a JOIN sigs b ON a.source < b.source
+"""
+
+
+QUERIES["t30_source_similarity"] = (t30_source_similarity, _t30_sql())
