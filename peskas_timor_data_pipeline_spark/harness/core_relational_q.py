@@ -1320,3 +1320,78 @@ P17_ORACLE = " UNION ALL ".join(
 )
 
 QUERIES["p17_dataset_fingerprint"] = (p17_dataset_fingerprint, P17_ORACLE)
+
+
+# --- P18: functional-dependency audit ---------------------------------------------------
+
+def p18_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit of candidate functional dependencies: for each
+    declared FD lhs -> rhs, the share of lhs values mapping to MORE than
+    one rhs value (0 ppm = the FD holds; the partner check to p16's
+    referential audit). One distinct + one two-level partial-aggregated
+    groupBy per FD — the countDistinct compiles to the expand/partial
+    shape, never a row collect. Checked here: p_brand -> p_mfgr (holds by
+    TPC-H construction), c_nationkey -> n_name via the nation join
+    (holds), and o_custkey -> o_orderpriority (expected to be violated —
+    customers order under many priorities)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+
+    def audit(df: DataFrame, lhs: str, rhs: str, fd_name: str) -> DataFrame:
+        per_lhs = df.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("__n_rhs__")
+        )
+        return per_lhs.agg(
+            F.lit(fd_name).alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum(F.when(F.col("__n_rhs__") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.expr(
+                "sum(CASE WHEN __n_rhs__ > 1 THEN 1 ELSE 0 END) * 1000000L"
+                " div count(*)"
+            ).alias("violation_ppm"),
+        )
+
+    cust_nation = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_nationkey", "n_name")
+    return (
+        audit(
+            customer.select("c_custkey", "c_nationkey"),
+            "c_custkey", "c_nationkey", "c_custkey->c_nationkey",
+        )
+        .unionByName(
+            audit(cust_nation, "c_nationkey", "n_name", "c_nationkey->n_name")
+        )
+        .unionByName(
+            audit(
+                orders.select("o_custkey", "o_orderpriority"),
+                "o_custkey", "o_orderpriority", "o_custkey->o_orderpriority",
+            )
+        )
+    )
+
+
+def _p18_fd_sql(table_expr: str, lhs: str, rhs: str, fd_name: str) -> str:
+    return f"""
+SELECT '{fd_name}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_lhs,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         AS violation_ppm
+FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs FROM {table_expr} GROUP BY {lhs})
+"""
+
+
+P18_ORACLE = " UNION ALL ".join([
+    _p18_fd_sql("customer", "c_custkey", "c_nationkey", "c_custkey->c_nationkey"),
+    _p18_fd_sql(
+        "(SELECT c_nationkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey)",
+        "c_nationkey", "n_name", "c_nationkey->n_name",
+    ),
+    _p18_fd_sql("orders", "o_custkey", "o_orderpriority", "o_custkey->o_orderpriority"),
+])
+
+QUERIES["p18_fd_audit"] = (p18_fd_audit, P18_ORACLE)
