@@ -4289,3 +4289,63 @@ FROM sigs a JOIN sigs b ON a.source < b.source
 
 
 QUERIES["t30_source_similarity"] = (t30_source_similarity, _t30_sql())
+
+
+# --- T31: population-stability-index drift between corpus cohorts -----------------------
+
+def t31_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI (population stability index) of the document-length
+    distribution between two corpus cohorts (doc_id parity stands in for
+    'yesterday's crawl vs today's') — the standard drift alarm before a
+    training-mix change. Counts per decile-ish bucket are exact integers;
+    each bucket's PSI term (pa - pb) * ln(pa / pb) is a handful of float
+    ops off exact integer ratios, rounded per bucket — no order-dependent
+    float sum is ever hashed (consumers fold the terms in bucket order).
+    Laplace +1 smoothing keeps empty buckets finite, as in production PSI."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.length("text") / 100), F.lit(9)).cast("int")
+    cohort = (F.col("doc_id") % 2 == 0)
+    agg = docs.select(bucket.alias("bucket"), cohort.alias("is_a")).groupBy(
+        "bucket"
+    ).agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("cb"),
+    )
+    totals = agg.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    pa = (F.col("ca") + 1) / (F.col("na") + 10)
+    pb = (F.col("cb") + 1) / (F.col("nb") + 10)
+    return (
+        agg.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.col("ca").cast("long").alias("ca"),
+            F.col("cb").cast("long").alias("cb"),
+            F.round((pa - pb) * F.log(pa / pb), 9).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+T31_ORACLE = """
+WITH b AS (
+  SELECT least(CAST(floor(length(text) / 100) AS BIGINT), 9) AS bucket,
+         doc_id % 2 = 0 AS is_a
+  FROM documents
+), agg AS (
+  SELECT bucket,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cb
+  FROM b GROUP BY bucket
+), t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM agg)
+SELECT bucket,
+       CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+       round(((ca + 1) / CAST(na + 10 AS DOUBLE) - (cb + 1) / CAST(nb + 10 AS DOUBLE))
+             * ln(((ca + 1) / CAST(na + 10 AS DOUBLE))
+                  / ((cb + 1) / CAST(nb + 10 AS DOUBLE))), 9) AS psi_term
+FROM agg CROSS JOIN t
+ORDER BY bucket
+"""
+
+QUERIES["t31_psi_drift"] = (t31_psi_drift, T31_ORACLE)
