@@ -976,3 +976,85 @@ FROM agged a JOIN cis c USING (l_returnflag)
 
 
 QUERIES["m10_poisson_bootstrap"] = (m10_poisson_bootstrap, _m10_sql())
+
+
+# --- M11: Theil-Sen robust slope per group ----------------------------------------------
+
+def m11_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator of the monthly order-count trend per priority:
+    the MEDIAN of all pairwise slopes — robust to outlier months where
+    the m4 GLM's least squares is not. Slopes are exact-integer ratios
+    evaluated once in double (identical in both engines, so their
+    ordering can't flip); the median is rank arithmetic over the sorted
+    slope set (the m2b idiom — no percentile buffers), with the even-n
+    midpoint averaged from two exact doubles.
+
+    Scale shape: the pairwise self-join is per GROUP (n ~ 80 months →
+    ~3k pairs), never corpus-wide; groups fan out across executors. The
+    group-local O(n^2) is the estimator's own definition (production
+    Theil-Sen at larger n subsamples pairs first)."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("period"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    m = monthly.select(
+        "o_orderpriority",
+        F.months_between(F.col("period"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.col("n_orders").cast("long").alias("y"),
+    )
+    a = m.select("o_orderpriority", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = m.select("o_orderpriority", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    slopes = (
+        a.join(b, "o_orderpriority")
+        .filter(F.col("x1") < F.col("x2"))
+        .select(
+            "o_orderpriority",
+            ((F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1"))).alias("s"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("s")
+    ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority"))
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        F.round(F.avg("s"), 6).alias("theil_sen_slope"),
+        F.max("n").cast("long").alias("n_pairs"),
+    )
+
+
+M11_ORACLE = """
+WITH monthly AS (
+  SELECT o_orderpriority,
+         CAST(datediff('month', DATE '1995-01-01',
+                       date_trunc('month', o_orderdate)) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM orders GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
+), slopes AS (
+  SELECT a.o_orderpriority,
+         (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS s
+  FROM monthly a JOIN monthly b
+    ON a.o_orderpriority = b.o_orderpriority AND a.x < b.x
+), ranked AS (
+  SELECT o_orderpriority, s,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY s) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM slopes
+)
+SELECT o_orderpriority,
+       round(avg(s), 6) AS theil_sen_slope,
+       CAST(max(n) AS BIGINT) AS n_pairs
+FROM ranked
+WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+GROUP BY o_orderpriority
+"""
+
+QUERIES["m11_theil_sen"] = (m11_theil_sen, M11_ORACLE)
