@@ -1740,3 +1740,60 @@ ORDER BY day
 """
 
 QUERIES["a36_sliding_hll"] = (a36_sliding_hll, A36_ORACLE)
+
+
+# --- A38: Gini coefficient of per-user activity -----------------------------------------
+
+def a38_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of event-count concentration across users, per
+    event type — the inequality gauge for activity/traffic skew (and the
+    number that says whether a salting strategy is worth it). The
+    rank-weighted numerator 2*sum(i*y_i) - (n+1)*sum(y) is EXACT integer
+    arithmetic over the sorted counts; one float division at the end.
+    Ranking ties break on user_id — equal counts contribute the same
+    total weight either way, so the statistic is tie-stable."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("y"), F.asc("user_id"))
+    ranked = per_user.withColumn("i", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("y").alias("total"),
+            (2 * F.sum(F.col("i") * F.col("y"))
+             - (F.count(F.lit(1)) + 1) * F.sum("y")).alias("__num__"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            F.col("total").cast("long").alias("total"),
+            F.round(
+                F.col("__num__") / (F.col("n_users") * F.col("total")), 6
+            ).alias("gini"),
+        )
+    )
+
+
+A38_ORACLE = """
+WITH per_user AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, y,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY y, user_id) AS BIGINT) AS i
+  FROM per_user
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(y) AS BIGINT) AS total,
+       round(CAST(2 * sum(i * y) - (count(*) + 1) * sum(y) AS DOUBLE)
+             / CAST(count(*) * sum(y) AS DOUBLE), 6) AS gini
+FROM ranked GROUP BY event_type
+"""
+
+QUERIES["a38_gini"] = (a38_gini, A38_ORACLE)

@@ -1058,3 +1058,94 @@ GROUP BY o_orderpriority
 """
 
 QUERIES["m11_theil_sen"] = (m11_theil_sen, M11_ORACLE)
+
+
+# --- M12: Mann-Kendall trend test per group ---------------------------------------------
+
+def m12_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the monthly order counts per
+    priority — the nonparametric partner of m11's Theil-Sen slope. The
+    statistic S = sum of sign(y2 - y1) over ordered pairs and the
+    tie-corrected variance are EXACT integers; only the final z (with the
+    continuity correction) touches floats, off exact operands, rounded.
+
+    Same group-local pairwise shape as m11 — the join is per group and
+    the test is defined on series that fit a group."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("period"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    m = monthly.select(
+        "o_orderpriority",
+        F.months_between(F.col("period"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.col("n_orders").cast("long").alias("y"),
+    )
+    a = m.select("o_orderpriority", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = m.select("o_orderpriority", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    s_stat = (
+        a.join(b, "o_orderpriority")
+        .filter(F.col("x1") < F.col("x2"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.signum(F.col("y2") - F.col("y1")).cast("long")).alias("S"))
+    )
+    ties = (
+        m.groupBy("o_orderpriority", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("__g__"),
+            F.sum(F.col("t")).alias("n"),
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias("tie_adj"),
+        )
+    )
+    joined = s_stat.join(ties, "o_orderpriority")
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_adj")
+    )
+    z = F.when(
+        F.col("S") > 0, (F.col("S") - 1) / F.sqrt(var18 / F.lit(18.0))
+    ).when(
+        F.col("S") < 0, (F.col("S") + 1) / F.sqrt(var18 / F.lit(18.0))
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "o_orderpriority",
+        F.col("S").alias("s_stat"),
+        F.col("n").cast("long").alias("n_points"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("trend_detected"),
+    )
+
+
+M12_ORACLE = """
+WITH monthly AS (
+  SELECT o_orderpriority,
+         CAST(datediff('month', DATE '1995-01-01',
+                       date_trunc('month', o_orderdate)) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM orders GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
+), s_stat AS (
+  SELECT a.o_orderpriority,
+         CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS S
+  FROM monthly a JOIN monthly b
+    ON a.o_orderpriority = b.o_orderpriority AND a.x < b.x
+  GROUP BY a.o_orderpriority
+), ties AS (
+  SELECT o_orderpriority, CAST(sum(t) AS BIGINT) AS n,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_adj
+  FROM (SELECT o_orderpriority, y, count(*) AS t FROM monthly GROUP BY o_orderpriority, y)
+  GROUP BY o_orderpriority
+)
+SELECT s.o_orderpriority, s.S AS s_stat, t.n AS n_points,
+       round(CASE WHEN s.S > 0 THEN (s.S - 1) / sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_adj) / 18.0)
+                  WHEN s.S < 0 THEN (s.S + 1) / sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_adj) / 18.0)
+                  ELSE 0.0 END, 6) AS z,
+       abs(CASE WHEN s.S > 0 THEN (s.S - 1) / sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_adj) / 18.0)
+                WHEN s.S < 0 THEN (s.S + 1) / sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_adj) / 18.0)
+                ELSE 0.0 END) > 1.96 AS trend_detected
+FROM s_stat s JOIN ties t USING (o_orderpriority)
+"""
+
+QUERIES["m12_mann_kendall"] = (m12_mann_kendall, M12_ORACLE)
