@@ -4349,3 +4349,55 @@ ORDER BY bucket
 """
 
 QUERIES["t31_psi_drift"] = (t31_psi_drift, T31_ORACLE)
+
+
+# --- E23: embedding-store health audit --------------------------------------------------
+
+def e23_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-indexing health audit of the embedding store: per label,
+    counts of NULL vectors, wrong-dimension vectors, vectors containing
+    NaN, all-zero vectors, and a coarse norm histogram (log2 buckets of
+    the squared norm — integer bucket ids off the exact dot expression).
+    The audit every ANN build should run first: a handful of NaN or zero
+    vectors silently poisons centroid training and cosine ranking."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import dot_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    sq = dot_expr("embedding", "embedding", DIM)
+    has_nan = F.expr("exists(embedding, x -> isnan(x))")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("embedding").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_null"),
+            F.sum(
+                F.when(
+                    F.col("embedding").isNotNull() & (F.size("embedding") != DIM),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_wrong_dim"),
+            F.sum(F.when(has_nan, 1).otherwise(0)).cast("long").alias("n_nan"),
+            F.sum(
+                F.when(F.col("embedding").isNotNull() & (sq == 0.0), 1).otherwise(0)
+            ).cast("long").alias("n_zero"),
+            F.round(F.avg(F.when(sq > 0, F.log2(sq))), 6).alias("avg_log2_sqnorm"),
+        )
+        .orderBy("label")
+    )
+
+
+E23_ORACLE = f"""
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> {{dim}} THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+       CAST(sum(CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+       CAST(sum(CASE WHEN embedding IS NOT NULL AND ({{sq}}) = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       round(avg(CASE WHEN ({{sq}}) > 0 THEN log2({{sq}}) END), 6) AS avg_log2_sqnorm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""".format(dim=DIM, sq=_dot_sql("embedding", "embedding"))
+
+QUERIES["e23_embedding_audit"] = (e23_embedding_audit, E23_ORACLE)
