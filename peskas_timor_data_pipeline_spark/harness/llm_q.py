@@ -4401,3 +4401,63 @@ ORDER BY label
 """.format(dim=DIM, sq=_dot_sql("embedding", "embedding"))
 
 QUERIES["e23_embedding_audit"] = (e23_embedding_audit, E23_ORACLE)
+
+
+# --- D14: Bloom-filter decontamination (constant-memory membership) ---------------------
+
+def d14_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership of eval texts (src0/src1 sources) against the
+    train corpus (everything else), on the md5 content key — d6's exact
+    decontamination at constant filter memory (4096 bits regardless of
+    train size), with deterministic md5-replayable false positives
+    (llm/dedup.py::bloom_decontaminate). Output: per-source verdict
+    counts; eval docs that genuinely appear in train always flag."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import bloom_decontaminate
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("text")).alias("key")
+    )
+    train = docs.filter(~F.col("source").isin("src0", "src1"))
+    eval_df = docs.filter(F.col("source").isin("src0", "src1"))
+    flagged = bloom_decontaminate(train, eval_df, "key", k_hashes=3, n_bits=4096)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(F.when(F.col("maybe_in_train"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+    )
+
+
+D14_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, source, md5(text) AS key FROM documents
+), train_bits AS (
+  SELECT DISTINCT bit_idx FROM (
+    SELECT unnest([
+      ('0x' || substr(md5(key || '#b0'), 1, 12))::BIGINT % 4096,
+      ('0x' || substr(md5(key || '#b1'), 1, 12))::BIGINT % 4096,
+      ('0x' || substr(md5(key || '#b2'), 1, 12))::BIGINT % 4096
+    ]) AS bit_idx
+    FROM docs WHERE source NOT IN ('src0', 'src1')
+  )
+), eval_bits AS (
+  SELECT doc_id, source, key, unnest([
+      ('0x' || substr(md5(key || '#b0'), 1, 12))::BIGINT % 4096,
+      ('0x' || substr(md5(key || '#b1'), 1, 12))::BIGINT % 4096,
+      ('0x' || substr(md5(key || '#b2'), 1, 12))::BIGINT % 4096
+    ]) AS bit_idx
+  FROM docs WHERE source IN ('src0', 'src1')
+), per_key AS (
+  SELECT e.doc_id, e.source,
+         count(DISTINCT e.bit_idx) AS n_distinct_bits,
+         count(DISTINCT CASE WHEN t.bit_idx IS NOT NULL THEN e.bit_idx END) AS n_hits
+  FROM eval_bits e LEFT JOIN train_bits t ON t.bit_idx = e.bit_idx
+  GROUP BY e.doc_id, e.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN n_hits = n_distinct_bits THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM per_key GROUP BY source
+"""
+
+QUERIES["d14_bloom_decontaminate"] = (d14_bloom_decontaminate, D14_ORACLE)

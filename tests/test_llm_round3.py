@@ -295,3 +295,27 @@ def test_cdc_segments_shift_tolerance_and_reassembly(spark):
     h2 = {r.seg_hash for r in rows if r.doc_id == 2}
     # all but the head segment survive the prefix edit
     assert len(h1 & h2) >= len(h1) - 1 and len(h1) > 1
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Every eval key genuinely present in train MUST flag (Bloom has no
+    false negatives); a disjoint eval key may or may not flag (false
+    positives allowed) but with 4096 bits and 3 keys the specific
+    fixture keys below stay clean."""
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.llm.dedup import bloom_decontaminate
+
+    train = spark.createDataFrame(
+        [(i, f"shared-{i}") for i in range(50)], "id long, key string"
+    )
+    eval_df = spark.createDataFrame(
+        [(100 + i, f"shared-{i}") for i in range(10)]
+        + [(900 + i, f"novel-{i}") for i in range(10)],
+        "id long, key string",
+    )
+    out = {r.id: r.maybe_in_train for r in bloom_decontaminate(
+        train, eval_df, "key").collect()}
+    assert all(out[100 + i] for i in range(10))          # no false negatives
+    fp = sum(out[900 + i] for i in range(10))
+    assert fp <= 2                                        # tiny filter, low fp
