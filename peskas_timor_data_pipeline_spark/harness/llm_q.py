@@ -4461,3 +4461,56 @@ FROM per_key GROUP BY source
 """
 
 QUERIES["d14_bloom_decontaminate"] = (d14_bloom_decontaminate, D14_ORACLE)
+
+
+# --- MM13: audio clipping / saturation detector -----------------------------------------
+
+def mm13_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saturation QA through real WAV bytes: synthesize hot signals
+    (amplitude x300, hard-clipped to int16 rails), decode, and count
+    samples at or beyond 32700 counts (llm/multimodal.py::
+    audio_clipping_stats). The oracle recomputes the counts from the
+    generating formula, so a decode or scaling bug breaks the hash."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        audio_clipping_stats,
+        encode_wav,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for did in pdf["doc_id"]:
+                n = (int(did) % 50 + 1) * 80
+                i = np.arange(n)
+                raw = (((int(did) + i) % 256 - 128) * 300)
+                sig = np.clip(raw, -32768, 32767).astype("<i2")
+                contents.append(encode_wav(sig, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    return audio_clipping_stats(media, "doc_id", threshold=32700)
+
+
+MM13_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, (doc_id % 50 + 1) * 80 AS n FROM documents
+), counted AS (
+  SELECT doc_id, n,
+         CAST(list_sum(list_transform(generate_series(0, CAST(n - 1 AS INTEGER)), i ->
+           CASE WHEN abs(least(greatest(((doc_id + i) % 256 - 128) * 300, -32768), 32767)) >= 32700
+                THEN 1 ELSE 0 END)) AS BIGINT) AS n_clipped
+  FROM dims
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_samples, n_clipped,
+       CAST(n_clipped * 1000000 // n AS BIGINT) AS clipped_ppm
+FROM counted
+"""
+
+QUERIES["mm13_audio_clipping"] = (mm13_audio_clipping, MM13_ORACLE)

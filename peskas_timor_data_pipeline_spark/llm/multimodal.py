@@ -801,3 +801,47 @@ def image_channel_sums(
         extract,
         schema=f"{id_col} long, channel int, n_pixels long, px_sum long, px_sumsq long",
     )
+
+
+def audio_clipping_stats(
+    df: DataFrame,
+    id_col: str,
+    content_col: str = "content",
+    threshold: int = 32700,
+) -> DataFrame:
+    """Clipping/saturation detector over real WAV bytes: per clip, the
+    count of samples at or beyond ``threshold`` int16 counts (rails at
+    +-32767 mean the recording chain saturated — the standard audio-QA
+    gate before training on a crawl). Samples decode to exact dyadic
+    rationals, so the int16 magnitudes recover exactly and the counts are
+    integers — no float surface at all.
+
+    Returns (id, n_samples, n_clipped, clipped_ppm) — ppm in exact
+    integer arithmetic (d7 convention).
+    """
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, cl = [], [], []
+            for rid, b in zip(pdf[id_col], pdf[content_col]):
+                d = decode_audio(b)
+                ints = np.rint(d["samples"] * 32768.0).astype(np.int64)
+                ids.append(rid)
+                ns.append(int(len(ints)))
+                cl.append(int((np.abs(ints) >= threshold).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_samples": ns,
+                    "n_clipped": cl,
+                    "clipped_ppm": [
+                        (c * 1_000_000) // n if n else 0 for c, n in zip(cl, ns)
+                    ],
+                }
+            )
+
+    return df.mapInPandas(
+        extract,
+        schema=f"{id_col} long, n_samples long, n_clipped long, clipped_ppm long",
+    )
