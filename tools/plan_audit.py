@@ -48,6 +48,7 @@ ALLOWED_GROUPED_PYTHON = {
     "mm8_image_resize", "mm9_scene_cuts", "mm10_audio_decimate",
     "mm11_channel_stats",
     "mm1_binary_meta",      # typed byte-metadata extraction over binary cols
+    "mm13_audio_clipping",  # WAV-rail saturation counts over real bytes
     "t16_pack_sequences",   # greedy context-packing walk per md5 shard
 }
 
