@@ -4514,3 +4514,70 @@ FROM counted
 """
 
 QUERIES["mm13_audio_clipping"] = (mm13_audio_clipping, MM13_ORACLE)
+
+
+# --- T36: tokenizer fertility / compression ratio per language --------------------------
+
+def t36_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility report per language tag: whitespace tokens vs characters
+    vs BPE-ish subword pieces (the t23 regex segmentation) — the
+    chars-per-token and pieces-per-word ratios that decide whether a
+    tokenizer is paying for itself on a corpus slice. All counts are
+    exact integers from two narrow projections; ratios are exact integer
+    ppm (d7 convention) — nothing floats."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+        )
+    ).cast("long")
+    # BPE-ish piece segmentation: alpha runs, digit runs, single others
+    pieces = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+    ).cast("long")
+    agg = (
+        docs.select(
+            "lang",
+            F.length("text").cast("long").alias("n_chars"),
+            words.alias("n_words"),
+            pieces.alias("n_pieces"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+    )
+    return agg.select(
+        "lang", "n_docs", "n_chars", "n_words", "n_pieces",
+        F.expr("n_chars * 1000000L div n_pieces").alias("chars_per_piece_ppm"),
+        F.expr("n_pieces * 1000000L div n_words").alias("pieces_per_word_ppm"),
+    ).orderBy("lang")
+
+
+T36_ORACLE = r"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+              AS BIGINT) AS n_pieces
+  FROM documents
+), agg AS (
+  SELECT lang, count(*) AS n_docs, sum(n_chars) AS n_chars,
+         sum(n_words) AS n_words, sum(n_pieces) AS n_pieces
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_pieces AS BIGINT) AS n_pieces,
+       CAST(n_chars * 1000000 // n_pieces AS BIGINT) AS chars_per_piece_ppm,
+       CAST(n_pieces * 1000000 // n_words AS BIGINT) AS pieces_per_word_ppm
+FROM agg ORDER BY lang
+"""
+
+QUERIES["t36_tokenizer_fertility"] = (t36_tokenizer_fertility, T36_ORACLE)
