@@ -205,3 +205,30 @@ def upsert_stage(
     carried = current.join(batch.select(*key_cols), on=key_cols, how="left_anti")
     merged = carried.unionByName(batch)
     return write_stage(merged, directory, prefix)
+
+
+def schema_diff(spark, path_a: str, path_b: str):
+    """Schema drift between two parquet snapshots — added / removed /
+    type-changed columns (the check a pipeline runs before MERGEing a new
+    vendor drop onto a stage). Reads FOOTER metadata only; no data scan.
+
+    Returns a DataFrame (column_name, status, type_a, type_b) where
+    status in {added, removed, type_changed, unchanged}.
+    """
+    fa = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path_a).schema.fields}
+    fb = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path_b).schema.fields}
+    rows = []
+    for name in sorted(set(fa) | set(fb)):
+        ta, tb = fa.get(name), fb.get(name)
+        if ta is None:
+            status = "added"
+        elif tb is None:
+            status = "removed"
+        elif ta != tb:
+            status = "type_changed"
+        else:
+            status = "unchanged"
+        rows.append((name, status, ta, tb))
+    return spark.createDataFrame(
+        rows, "column_name string, status string, type_a string, type_b string"
+    )

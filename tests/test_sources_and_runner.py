@@ -397,3 +397,27 @@ def test_pipeline_incremental_skip_and_invalidate(spark, tmp_path):
     # non-incremental always recomputes
     pipe.run()
     assert runs["n"] == 3
+
+
+def test_schema_diff_detects_drift(spark, tmp_path):
+    """added / removed / type-changed / unchanged all classified; footer
+    metadata only (works on empty files too)."""
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.sources.io import schema_diff
+
+    a = spark.createDataFrame([(1, "x", 2.0)], "id long, name string, score double")
+    b = a.select(
+        "id",
+        F.col("score").cast("float").alias("score"),
+        F.lit(True).alias("flag"),
+    )
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    a.write.parquet(pa)
+    b.write.parquet(pb)
+    got = {r.column_name: (r.status, r.type_a, r.type_b)
+           for r in schema_diff(spark, pa, pb).collect()}
+    assert got["id"] == ("unchanged", "bigint", "bigint")
+    assert got["name"][0] == "removed"
+    assert got["flag"][0] == "added"
+    assert got["score"] == ("type_changed", "double", "float")

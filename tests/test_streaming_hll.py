@@ -75,3 +75,62 @@ def test_streaming_hll_registers_merge_to_batch(spark, tmp_path):
     est_b = hll_estimate(batch, ["g"], b=10).collect()[0].est_distinct
     assert est_m == est_b
     assert abs(est_m - 1200) < 0.12 * 1200
+
+
+def test_streaming_fingerprint_combines_across_batches(spark, tmp_path):
+    """dataset_fingerprint maintains INCREMENTALLY: per-micro-batch
+    fingerprints combine by (sum, sum, xor) to exactly the one-pass batch
+    fingerprint — so a 100 TB table's content manifest updates per
+    ingest batch without rescans."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.operators.restructure import (
+        dataset_fingerprint,
+    )
+
+    batch1 = [("a", 1), ("b", 2)]
+    batch2 = [("c", 3), ("a", 1)]
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for name, rows in (("b1.jsonl", batch1), ("b2.jsonl", batch2)):
+        with open(landing / name, "w") as f:
+            for k, v in rows:
+                f.write(_json.dumps({"k": k, "v": v}) + "\n")
+    sink = str(tmp_path / "fps")
+
+    def fp_batch(df, _epoch):
+        dataset_fingerprint(df).write.mode("append").parquet(sink)
+
+    stream = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    q = (
+        stream.writeStream.foreachBatch(fp_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    combined = (
+        spark.read.parquet(sink)
+        .groupBy("column_name")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_null").alias("n_null"),
+            F.expr("bit_xor(xor48)").alias("xor48"),
+            F.sum("sum_hi").alias("sum_hi"),
+            F.sum("sum_lo").alias("sum_lo"),
+        )
+    )
+    batch = dataset_fingerprint(
+        spark.createDataFrame(batch1 + batch2, "k string, v long")
+    )
+    got = sorted(map(tuple, combined.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
