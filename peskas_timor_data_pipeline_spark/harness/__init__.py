@@ -50,7 +50,7 @@ _PRIORITY_R04 = (
     "a35_hll", "e19_jl_projection", "w13_ewma", "d13_containment",
     "mm11_channel_stats", "g1_pagerank", "t27_vocab_growth",
     "p17_dataset_fingerprint", "e20_binary_topk", "e21_cell_exemplars", "e22_ivf_probe_sweep",
-    "a36_sliding_hll", "w15_ohlc", "w16_interval_union", "t30_source_similarity", "p18_fd_audit", "t31_psi_drift", "m11_theil_sen", "m12_mann_kendall", "a38_gini", "e23_embedding_audit", "d14_bloom_decontaminate", "mm13_audio_clipping", "t36_tokenizer_fertility",
+    "a36_sliding_hll", "w15_ohlc", "w16_interval_union", "t30_source_similarity", "p18_fd_audit", "t31_psi_drift", "m11_theil_sen", "m12_mann_kendall", "a38_gini", "e23_embedding_audit", "d14_bloom_decontaminate", "mm13_audio_clipping", "t36_tokenizer_fertility", "d15_dup_rate_scout",
     "m2b_length_weight_ll", "a31_growth_accounting",
     # rows-only by design (dense-inverse Henderson solve): recorded last
     "m4_glmm", "m4zi_glmm",

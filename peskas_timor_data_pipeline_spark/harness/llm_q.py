@@ -4581,3 +4581,107 @@ FROM agg ORDER BY lang
 """
 
 QUERIES["t36_tokenizer_fertility"] = (t36_tokenizer_fertility, T36_ORACLE)
+
+
+# --- D15: LSH duplication-rate scout ----------------------------------------------------
+
+def d15_dup_rate_scout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate scouting from band-bucket statistics ALONE: the
+    d2 MinHash bands' bucket sizes give the candidate-pair mass
+    (sum of C(s,2) per bucket) and the distinct-candidate count, without
+    ever running the Jaccard verification — the cheap first look that
+    decides whether a full dedup pass is worth scheduling on a new crawl
+    slice. All outputs are exact integers."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
+    n_bands = N_HASHES // BAND_SIZE
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"h{b * BAND_SIZE + i}") for i in range(BAND_SIZE)],
+            )
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    long = sigs.select("doc_id", *bands).select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "band_key"
+        ),
+    )
+    bucket_mass = (
+        long.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .agg(
+            F.sum(F.expr("s * (s - 1) div 2")).alias("candidate_pair_mass"),
+            F.sum(F.when(F.col("s") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_colliding_buckets"),
+        )
+    )
+    n_docs = docs.count()
+    n_pairs = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BAND_SIZE).count()
+    return bucket_mass.select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        "candidate_pair_mass",
+        "n_colliding_buckets",
+        F.lit(n_pairs).cast("long").alias("n_distinct_candidates"),
+        F.lit(n_pairs * 1_000_000 // n_docs).alias("candidates_per_doc_ppm"),
+    )
+
+
+def _d15_sql() -> str:
+    n_md5 = -(-N_HASHES * 8 // 32)
+    digest = " || ".join(f"md5(sh || '#{j}')" for j in range(n_md5))
+    mins = ", ".join(
+        f"min(substr(dig, {1 + 8 * j}, 8)) AS h{j}" for j in range(N_HASHES)
+    )
+    n_bands = N_HASHES // BAND_SIZE
+    band_exprs = ", ".join(
+        "md5(concat_ws('|', '{b}', {cols})) AS band{b}".format(
+            b=b,
+            cols=", ".join(f"h{b * BAND_SIZE + i}" for i in range(BAND_SIZE)),
+        )
+        for b in range(n_bands)
+    )
+    band_list = ", ".join(f"band{b}" for b in range(n_bands))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, substr(lower(text), CAST(i AS INTEGER), {K_SHINGLE}) AS sh
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {K_SHINGLE - 1})) AS i
+        FROM documents WHERE length(text) >= {K_SHINGLE})
+), digs AS (SELECT doc_id, {digest} AS dig FROM sh),
+sigs AS (SELECT doc_id, {mins} FROM digs GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_exprs} FROM sigs),
+long AS (
+  SELECT doc_id, unnest([{band_list}]) AS band_key FROM banded
+), buckets AS (
+  SELECT band_key, count(*) AS s FROM long GROUP BY band_key
+), mass AS (
+  SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT) AS candidate_pair_mass,
+         CAST(sum(CASE WHEN s > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding_buckets
+  FROM buckets
+), pairs AS (
+  SELECT count(*) AS n FROM (
+    SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+    FROM long a JOIN long b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  )
+), nd AS (SELECT count(*) AS n FROM documents)
+SELECT CAST(nd.n AS BIGINT) AS n_docs,
+       mass.candidate_pair_mass,
+       mass.n_colliding_buckets,
+       CAST(pairs.n AS BIGINT) AS n_distinct_candidates,
+       CAST(pairs.n * 1000000 // nd.n AS BIGINT) AS candidates_per_doc_ppm
+FROM mass, pairs, nd
+"""
+
+
+QUERIES["d15_dup_rate_scout"] = (d15_dup_rate_scout, _d15_sql())
