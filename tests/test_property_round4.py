@@ -121,3 +121,51 @@ def test_ewma_fold_matches_python_reference(spark, series):
         for x in window[1:]:
             acc = 0.2 * float(x) + 0.8 * acc
         assert got[i] == acc
+
+
+@given(
+    starts=st.lists(
+        st.integers(min_value=0, max_value=5_000),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**_SETTINGS)
+def test_interval_union_matches_python_sweep(spark, starts):
+    """The two-window island sweep computes EXACTLY the union length of
+    arbitrary overlapping [s, s+600) second intervals (checked against a
+    plain Python merge), including duplicate and touching starts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    span = 600
+    rows = [(1, s * 1_000_000, (s + span) * 1_000_000) for s in starts]
+    df = spark.createDataFrame(rows, "user_id long, s long, e long")
+    w_ord = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "ni", F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0)
+    ).withColumn(
+        "island", F.sum("ni").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    got = (
+        flagged.groupBy("user_id", "island")
+        .agg(F.min("s").alias("a"), F.max("e").alias("b"))
+        .groupBy("user_id")
+        .agg(F.expr("sum(b - a) div 1000000").alias("covered"))
+        .collect()[0]
+        .covered
+    )
+
+    # independent Python sweep
+    ivs = sorted((s, s + span) for s in starts)
+    total, cur_s, cur_e = 0, None, None
+    for s, e in ivs:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                total += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    total += cur_e - cur_s
+    assert got == total
