@@ -1599,18 +1599,41 @@ QUERIES["t16_pack_sequences"] = (t16_pack_sequences, T16_ORACLE)
 def d7_repeated_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share of each doc's distinct 32-grams appearing in at least one
     OTHER document — the boilerplate/template gate
-    (llm/dedup.py::repeated_gram_share)."""
+    (llm/dedup.py::repeated_gram_share).
+
+    Shingles over a printable-ASCII projection of the text (strip every
+    byte outside 0x20-0x7E BEFORE lowercasing/shingling, in both engine
+    and oracle). This kills the whole cross-engine Unicode surface that
+    failed the driver hash twice (r03 float form, r04 integer form):
+    Spark (Java, UTF-16 code units, locale-touched case fold) and DuckDB
+    (code points, locale-free) disagree about length()/substring()/lower()
+    on multibyte text, and a 32-gram sweep hits every such character at 32
+    offsets. On ASCII the three functions are bit-identical everywhere.
+    Companion diagnostic: d7b_gram_checksum localizes any future mismatch
+    to gram CONTENT (checksum differs) vs counting logic (only counts
+    differ)."""
     from peskas_timor_data_pipeline_spark.llm.dedup import repeated_gram_share
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace(F.col("text"), "[^\\x20-\\x7E]", "").alias("text")
+    )
     return repeated_gram_share(docs, "doc_id", "text", k_shingle=32)
 
 
-D7_ORACLE = """
-WITH grams AS (
-  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INTEGER), 32) AS sh
-  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 31)) AS i
-        FROM documents WHERE length(text) >= 32)
+# Strip-then-lower order matters (lower() can expand some non-ASCII chars
+# into ASCII sequences); DuckDB regexp_replace needs the explicit 'g' flag
+# (Spark's is global by default).
+_D7_NORM = (
+    "SELECT doc_id, lower(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')) AS t "
+    "FROM documents"
+)
+
+D7_ORACLE = f"""
+WITH norm AS ({_D7_NORM}),
+grams AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 32) AS sh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 31)) AS i
+        FROM norm WHERE length(t) >= 32)
 ), gd AS (
   SELECT sh, count(*) AS docs FROM grams GROUP BY sh
 ), per_doc AS (
@@ -1628,6 +1651,56 @@ FROM documents d LEFT JOIN per_doc USING (doc_id)
 """
 
 QUERIES["d7_repeated_grams"] = (d7_repeated_grams, D7_ORACLE)
+
+
+def d7b_gram_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document checksum of the EXACT d7 gram set: count + sum of the
+    first-48-bits-of-md5 over each distinct 32-gram. Diagnostic twin for
+    d7_repeated_grams — if d7's hash ever diverges again, this row-level
+    checksum says WHICH documents' gram content differs between engines
+    (content divergence) versus none (pure counting divergence), so the
+    next mismatch localizes itself instead of costing a round."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import shingle_rows
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace(F.col("text"), "[^\\x20-\\x7E]", "").alias("text")
+    )
+    grams = shingle_rows(docs, "doc_id", "text", 32).distinct()
+    agg = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(
+            F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("long")
+        ).alias("gram_sum"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("gram_sum", F.lit(0)).cast("long").alias("gram_sum"),
+        )
+    )
+
+
+D7B_ORACLE = f"""
+WITH norm AS ({_D7_NORM}),
+grams AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 32) AS sh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 31)) AS i
+        FROM norm WHERE length(t) >= 32)
+), agg AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(('0x' || substr(md5(sh), 1, 12))::BIGINT) AS gram_sum
+  FROM grams GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(gram_sum, 0) AS BIGINT) AS gram_sum
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+QUERIES["d7b_gram_checksum"] = (d7b_gram_checksum, D7B_ORACLE)
 
 
 # --- MM6: image perceptual-hash near-dedup (dHash + banded hamming LSH) ---------------
