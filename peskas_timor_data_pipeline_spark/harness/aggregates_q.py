@@ -139,7 +139,13 @@ def a6_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepared = ev.withColumn("prev_ts", F.lag("ts").over(w))
     gap_ok = (
         F.col("prev_ts").isNotNull()
-        & ((F.col("ts").cast("double") - F.col("prev_ts").cast("double")) <= 1800.0)
+        & (
+            (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.col("prev_ts").cast("timestamp").cast("double")
+            )
+            <= 1800.0
+        )
     )
     sess = sessionize(prepared, ["user_id"], "ts", gap_ok, "session_id")
     per_session = sess.groupBy("user_id", "session_id").agg(
@@ -589,10 +595,14 @@ def a17_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 A17_ORACLE = """
-SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000)
+         AS window_start,
        event_type, count(*) AS n, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
 """
+# make_timestamp(micros) is timezone-free; to_timestamp() returns
+# TIMESTAMPTZ whose cast back to naive goes through DuckDB's session
+# TimeZone (the OS TZ) — shifted output on any non-UTC host
 
 QUERIES["a17_tumbling_window"] = (a17_tumbling_window, A17_ORACLE)
 
@@ -1453,8 +1463,13 @@ def a33_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unix_timestamp FLOORS sub-seconds while DuckDB's epoch cast rounds —
     # exact integer microseconds sidestep the truncation-semantics gap
     secs = p.select(
-        ((F.unix_micros("t_buy") - F.unix_micros("t_view")) / 1000000.0)
-        .alias("secs")
+        (
+            (
+                F.unix_micros(F.col("t_buy").cast("timestamp"))
+                - F.unix_micros(F.col("t_view").cast("timestamp"))
+            )
+            / 1000000.0
+        ).alias("secs")
     )
     return secs.agg(
         F.count(F.lit(1)).cast("long").alias("n_converted"),
@@ -1497,7 +1512,10 @@ def a34_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fractional seconds (exact micros/1e6, = DuckDB epoch()); the floored
     # unix_timestamp form diverges when a gap straddles the 1800 s boundary
     # inside one second
-    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    gap = (
+        F.col("ts").cast("timestamp").cast("double")
+        - F.lag("ts").over(w).cast("timestamp").cast("double")
+    )
     sess = ev.select("user_id", "ts", "event_id").withColumn(
         "session_id",
         F.sum(

@@ -4206,66 +4206,73 @@ def e22_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Memory shape (the r04 driver ran DuckDB in a window where this oracle's
+# previous form OOM'd — passes at 100 MB and 500 MB, planner flips to a
+# bad strategy at 200 MB): every 64-term dot product is computed exactly
+# once into a slim MATERIALIZED CTE of scalar columns, so no window or
+# join ever carries an embedding vector — norms are precomputed per
+# vector, query-candidate cosines are shared by the truth ranking AND the
+# probe scoring (the Spark impl reuses its rankings the same way), and
+# the settings expansion ranks over (id, id, double) rows only.
+# Arithmetic is term-for-term identical to the Spark side (same _dot_sql
+# summation order, sqrt precomputed then multiplied).
 E22_ORACLE = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
-c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 50),
-truth_s AS (
-  SELECT query_id, cand_id,
-         row_number() OVER (
-           PARTITION BY query_id
-           ORDER BY ({_dot_sql('qv', 'cv')})
-                    / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) DESC,
-                    cand_id
-         ) AS rank
-  FROM q CROSS JOIN c
+WITH nv AS MATERIALIZED (
+  SELECT vec_id, embedding AS v,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+  FROM embeddings WHERE vec_id < 20 OR vec_id >= 50
 ),
-truth AS (SELECT query_id, cand_id FROM truth_s WHERE rank <= 3),
-cents AS (
-  SELECT vec_id AS cell_id, embedding AS cvec
-  FROM embeddings WHERE vec_id >= 50
+qc AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         ({_dot_sql('q.v', 'c.v')}) / (q.nrm * c.nrm) AS cosine
+  FROM nv q, nv c WHERE q.vec_id < 20 AND c.vec_id >= 50
+),
+truth AS MATERIALIZED (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id) AS rank
+    FROM qc) WHERE rank <= 3
+),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cell_id, v AS cvec, nrm AS cnrm
+  FROM nv WHERE vec_id >= 50
   ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)), vec_id
   LIMIT 16
 ),
-assign AS (
-  SELECT cand_id, cell_id, cv,
-         row_number() OVER (
-           PARTITION BY cand_id
-           ORDER BY ({_dot_sql('cv', 'cvec')})
-                    / (sqrt({_dot_sql('cv', 'cv')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
-                    cell_id
-         ) AS rn
-  FROM c CROSS JOIN cents
+cellcos AS MATERIALIZED (
+  SELECT e.vec_id, t.cell_id,
+         ({_dot_sql('e.v', 't.cvec')}) / (e.nrm * t.cnrm) AS cosc
+  FROM nv e CROSS JOIN cents t
 ),
-inv AS (SELECT cell_id, cand_id, cv FROM assign WHERE rn = 1),
-probe AS (
-  SELECT query_id, qv, cell_id,
-         row_number() OVER (
-           PARTITION BY query_id
-           ORDER BY ({_dot_sql('qv', 'cvec')})
-                    / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
-                    cell_id
-         ) AS probe_rn
-  FROM q CROSS JOIN cents
+asg AS MATERIALIZED (
+  SELECT vec_id AS cand_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosc DESC, cell_id) AS rn
+    FROM cellcos WHERE vec_id >= 50) WHERE rn = 1
 ),
-probes AS (SELECT query_id, qv, cell_id, probe_rn FROM probe WHERE probe_rn <= 8),
-scored AS (
-  SELECT query_id, cand_id, probe_rn,
-         ({_dot_sql('qv', 'cv')})
-         / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
-  FROM probes JOIN inv USING (cell_id)
+probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, cell_id, probe_rn FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosc DESC, cell_id) AS probe_rn
+    FROM cellcos WHERE vec_id < 20) WHERE probe_rn <= 8
+),
+scored AS MATERIALIZED (
+  SELECT p.query_id, a.cand_id, p.probe_rn, qc.cosine
+  FROM probes p JOIN asg a USING (cell_id)
+  JOIN qc ON qc.query_id = p.query_id AND qc.cand_id = a.cand_id
 ),
 settings AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
-ranked AS (
-  SELECT s.n_probe, sc.query_id, sc.cand_id,
-         row_number() OVER (PARTITION BY s.n_probe, sc.query_id
-                            ORDER BY sc.cosine DESC, sc.cand_id) AS rank
-  FROM scored sc JOIN settings s ON sc.probe_rn <= s.n_probe
-),
-approx AS (SELECT n_probe, query_id, cand_id FROM ranked WHERE rank <= 3),
 hits AS (
-  SELECT n_probe, count(*) AS n_hits
-  FROM approx JOIN truth USING (query_id, cand_id)
-  GROUP BY n_probe
+  SELECT n_probe, count(*) AS n_hits FROM (
+    SELECT s.n_probe, sc.query_id, sc.cand_id,
+           row_number() OVER (PARTITION BY s.n_probe, sc.query_id
+                              ORDER BY sc.cosine DESC, sc.cand_id) AS rank
+    FROM scored sc JOIN settings s ON sc.probe_rn <= s.n_probe
+  ) ranked JOIN truth USING (query_id, cand_id)
+  WHERE rank <= 3 GROUP BY n_probe
 ),
 nt AS (SELECT count(*) AS n FROM truth)
 SELECT s.n_probe,

@@ -658,82 +658,93 @@ def m4b_glmm_1ri(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _m4b_glmm_sql(iters: int = _M4B_ITERS) -> str:
-    """Unrolled PQL: per iteration, per-row working response -> per-level
-    sums -> arrowhead Schur solve -> EM variance update. State per
-    iteration: st{i}(grp, b0, s2) + u{i}(grp, lvl, u)."""
-    ctes = ["""data AS MATERIALIZED (
+    """Unrolled PQL, window-function form: the per-iteration state is ONE
+    materialized CTE per iteration (grp, lvl, cnt, sy, u, b0, s2) and every
+    per-group reduction is a window sum over an explicit lvl-ordered frame —
+    ZERO per-iteration joins.
+
+    Why: the previous form (5 materialized CTEs + ~8 hash joins per
+    iteration x 40 iterations) exceeded DuckDB's memory accounting at any
+    tested memory_limit up to 400 MB — each join's hash table carries a
+    ~2 MB block-granular minimum and the deep CTE DAG keeps them alive
+    together, so the oracle OOM'd whenever the driver host ran DuckDB
+    with a constrained memory_limit (the e22 lesson, r04). The window form
+    runs at memory_limit='100MB' with 40 iterations.
+
+    The rewrite is closed-form per (grp, lvl) cell: mu and eta are constant
+    within a cell (eta = b0 + u), so the per-row working-response sums
+    collapse to cnt*mu and cnt*mu*eta + k*(sy - cnt*mu) with
+    k = mu/greatest(mu, 1e-12). Verified BIT-IDENTICAL to the previous
+    row-wise form at sf0.001/0.01/0.1 (all 70 output rows equal)."""
+    W = ("WINDOW w AS (PARTITION BY grp ORDER BY lvl "
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)")
+    ctes = ["""data AS (
   SELECT o_orderpriority AS grp,
          strftime(date_trunc('month', o_orderdate), '%m') AS lvl,
          CAST(count(*) AS DOUBLE) AS y
   FROM orders GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
 )""", """st0 AS (
-  SELECT grp, ln(greatest(avg(y), 1e-8)) AS b0, 1.0::DOUBLE AS s2
-  FROM data GROUP BY grp
-)""", """u0 AS (
-  SELECT DISTINCT grp, lvl, 0.0::DOUBLE AS u FROM data
+  SELECT grp, ln(greatest(avg(y), 1e-8)) AS b0 FROM data GROUP BY grp
+)""", """cell AS (
+  SELECT grp, lvl, CAST(count(*) AS DOUBLE) AS cnt, sum(y) AS sy
+  FROM data GROUP BY grp, lvl
+)""", """it0 AS MATERIALIZED (
+  SELECT c.grp, c.lvl, c.cnt, c.sy, 0.0::DOUBLE AS u, s.b0, 1.0::DOUBLE AS s2
+  FROM cell c JOIN st0 s ON s.grp = c.grp
 )"""]
-    for i in range(iters):
-        ctes.append(f"""r{i} AS MATERIALIZED (
-  SELECT d.grp, d.lvl, d.y,
-         exp(greatest(least(s.b0 + u.u, 30.0), -30.0)) AS mu,
-         greatest(least(s.b0 + u.u, 30.0), -30.0) AS eta
-  FROM data d
-  JOIN st{i} s ON s.grp = d.grp
-  JOIN u{i} u ON u.grp = d.grp AND u.lvl = d.lvl
-)""")
-        ctes.append(f"""lv{i} AS MATERIALIZED (
-  SELECT grp, lvl, sum(mu) AS bg,
-         sum(mu * (eta + (y - mu) / greatest(mu, 1e-12))) AS rg
-  FROM r{i} GROUP BY grp, lvl
-)""")
-        ctes.append(f"""g{i} AS MATERIALIZED (
-  SELECT l.grp,
-         sum(l.bg) AS a, sum(l.rg) AS r0,
-         sum(l.bg * l.bg / (l.bg + 1.0 / s.s2)) AS sb2d,
-         sum(l.bg * l.rg / (l.bg + 1.0 / s.s2)) AS sbrd,
-         count(*) AS q
-  FROM lv{i} l JOIN st{i} s ON s.grp = l.grp
-  GROUP BY l.grp
-)""")
-        ctes.append(f"""u{i + 1} AS MATERIALIZED (
-  SELECT l.grp, l.lvl,
-         (l.rg - l.bg * (g.r0 - g.sbrd) / (g.a - g.sb2d)) / (l.bg + 1.0 / s.s2) AS u
-  FROM lv{i} l
-  JOIN st{i} s ON s.grp = l.grp
-  JOIN g{i} g ON g.grp = l.grp
-)""")
-        ctes.append(f"""st{i + 1} AS MATERIALIZED (
-  SELECT u.grp,
-         any_value((g.r0 - g.sbrd) / (g.a - g.sb2d)) AS b0,
-         greatest(
-           (sum(u.u * u.u)
-            + sum(1.0 / (l.bg + 1.0 / s.s2)
-                  + (l.bg / (l.bg + 1.0 / s.s2)) * (l.bg / (l.bg + 1.0 / s.s2))
-                    / (g.a - g.sb2d)))
-           / any_value(g.q), 1e-8) AS s2
-  FROM u{i + 1} u
-  JOIN lv{i} l ON l.grp = u.grp AND l.lvl = u.lvl
-  JOIN st{i} s ON s.grp = u.grp
-  JOIN g{i} g ON g.grp = u.grp
-  GROUP BY u.grp
+    for i in range(1, iters + 1):
+        ctes.append(f"""it{i} AS MATERIALIZED (
+  SELECT grp, lvl, cnt, sy, u, b0,
+         greatest((sum(u * u) OVER w
+                   + sum(vr) OVER w) / (count(*) OVER w), 1e-8) AS s2
+  FROM (
+    SELECT grp, lvl, cnt, sy,
+           (rg - bg * (r0 - sbrd) / (a - sb2d)) / (bg + inv_s2) AS u,
+           (r0 - sbrd) / (a - sb2d) AS b0,
+           1.0 / (bg + inv_s2)
+             + (bg / (bg + inv_s2)) * (bg / (bg + inv_s2)) / (a - sb2d) AS vr
+    FROM (
+      SELECT grp, lvl, cnt, sy, bg, rg, inv_s2,
+             sum(bg) OVER w AS a,
+             sum(rg) OVER w AS r0,
+             sum(bg * bg / (bg + inv_s2)) OVER w AS sb2d,
+             sum(bg * rg / (bg + inv_s2)) OVER w AS sbrd
+      FROM (
+        SELECT grp, lvl, cnt, sy,
+               cnt * mu AS bg,
+               cnt * mu * eta
+                 + (mu / greatest(mu, 1e-12)) * (sy - cnt * mu) AS rg,
+               1.0 / s2 AS inv_s2
+        FROM (SELECT grp, lvl, cnt, sy, u, s2,
+                     greatest(least(b0 + u, 30.0), -30.0) AS eta,
+                     exp(greatest(least(b0 + u, 30.0), -30.0)) AS mu
+              FROM it{i - 1})
+      ) {W}
+    ) {W}
+  ) {W}
 )""")
     return (
         "WITH " + ",\n".join(ctes) + f""",
-nobs AS (SELECT grp, count(*) AS n_obs FROM data GROUP BY grp)
+fin AS (
+  SELECT grp, lvl, u, b0, s2,
+         CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n_obs,
+         row_number() OVER (PARTITION BY grp ORDER BY lvl) AS rn
+  FROM it{iters}
+)
 SELECT * FROM (
-  SELECT s.grp AS o_orderpriority, 'fixed' AS kind, 'intercept' AS term,
-         CAST(NULL AS VARCHAR) AS level, round(s.b0, 5) AS estimate, n.n_obs
-  FROM st{iters} s JOIN nobs n ON n.grp = s.grp
+  SELECT grp AS o_orderpriority, 'fixed' AS kind, 'intercept' AS term,
+         CAST(NULL AS VARCHAR) AS level, round(b0, 5) AS estimate, n_obs
+  FROM fin WHERE rn = 1
   UNION ALL
-  SELECT s.grp, 'variance', 'month', CAST(NULL AS VARCHAR), round(s.s2, 5), n.n_obs
-  FROM st{iters} s JOIN nobs n ON n.grp = s.grp
+  SELECT grp, 'variance', 'month', CAST(NULL AS VARCHAR), round(s2, 5), n_obs
+  FROM fin WHERE rn = 1
   UNION ALL
-  SELECT u.grp, 'blup', 'month', u.lvl, round(u.u, 5), n.n_obs
-  FROM u{iters} u JOIN nobs n ON n.grp = u.grp
+  SELECT grp, 'blup', 'month', lvl, round(u, 5), n_obs FROM fin
 )
 ORDER BY o_orderpriority, kind, term, level
 """
     )
+
 
 
 # --- M5: seeded multiple-imputation analogue (rows-only check) --------------------------

@@ -46,6 +46,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
-            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return _naive(df)
+    return _naive(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _naive(df: DataFrame) -> DataFrame:
+    """Cast every TimestampType column to TIMESTAMP_NTZ. The fixtures are
+    naive timestamps and the DuckDB oracle treats them as such; PySpark's
+    ``collect()`` renders TimestampType through the OS timezone (NOT the
+    session TZ), so a query emitting a raw TimestampType column
+    hash-diverges on any non-UTC driver host (the hostile-TZ sweep caught
+    6 such queries). With the session TZ pinned UTC by prep_session the
+    cast preserves the stored wall-clock value, and NTZ flows naive
+    through every downstream derivation AND through collect() — no TZ
+    surface anywhere."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampType)
+    ]
+    for c in ts_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df

@@ -206,7 +206,10 @@ def w6_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side."""
     ev = load(spark, sf_dir, "events")
     agg = ev.groupBy(
-        "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+        # date_trunc coerces TIMESTAMP_NTZ back to TimestampType (OS-TZ
+        # rendering leak at collect); re-cast under the pinned-UTC session
+        "user_id",
+        F.date_trunc("minute", F.col("ts")).cast("timestamp_ntz").alias("minute"),
     ).agg(
         F.min(F.struct("ts", "event_id", "value")).alias("__first__"),
         F.round(F.avg("value"), 6).alias("mean_value"),
@@ -739,7 +742,10 @@ def w12_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # fractional seconds (= DuckDB epoch()), not the floored unix_timestamp
-    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    gap = (
+        F.col("ts").cast("timestamp").cast("double")
+        - F.lag("ts").over(w).cast("timestamp").cast("double")
+    )
     flagged = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
         "__new__", (gap.isNull()) | (gap > 1800)
     )
@@ -880,7 +886,11 @@ def w15_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     # DuckDB's min_by/max_by take scalar keys only: a zero-padded
     # microsecond+id string is totally ordered identically in both engines
-    key = F.format_string("%020d#%012d", F.unix_micros("ts"), F.col("event_id"))
+    key = F.format_string(
+        "%020d#%012d",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.col("event_id"),
+    )
     return (
         ev.groupBy("user_id", F.to_date("ts").alias("day"))
         .agg(
@@ -929,8 +939,8 @@ def w16_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     span_us = 600 * 1_000_000
     ev = load(spark, sf_dir, "events").select(
         "user_id",
-        F.unix_micros("ts").alias("s"),
-        (F.unix_micros("ts") + F.lit(span_us)).alias("e"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(span_us)).alias("e"),
     )
     w_ord = Window.partitionBy("user_id").orderBy("s", "e")
     prev_max_e = F.max("e").over(

@@ -936,7 +936,8 @@ def hard_negatives(
     k: int = 4,
     dim: int = 64,
     anchors: DataFrame | None = None,
-    method: str = "ivf",
+    *,
+    method: str,
     n_cells: int = 16,
     n_probe: int = 4,
 ) -> DataFrame:
@@ -945,13 +946,18 @@ def hard_negatives(
     actually move an embedding model, versus uniformly sampled ones that
     are trivially separable.
 
-    The DEFAULT scale path (``method='ivf'``) generates candidates from
-    the same seeded-centroid inverted file as :func:`cosine_topk_ivf`:
-    anchors probe their ``n_probe`` nearest of ``n_cells`` cells and the
-    label-excluding top-k ranks only those lists — per-anchor work is
-    O(n_probe·N/n_cells), never the full corpus. ``method='exact'`` keeps
-    the exhaustive cross for truth/recall audits at fixture scale; it is
-    O(anchors × corpus) and is NOT a 100 TB path.
+    ``method`` is a REQUIRED keyword: exact vs approximate retrieval is a
+    semantic contract the caller must choose, not a default that can
+    silently flip results (this function originally defaulted to the
+    exhaustive path; a later default of 'ivf' would have silently made
+    existing exact callers approximate). ``method='ivf'`` is the scale
+    path: candidates come from the same seeded-centroid inverted file as
+    :func:`cosine_topk_ivf` — anchors probe their ``n_probe`` nearest of
+    ``n_cells`` cells and the label-excluding top-k ranks only those
+    lists, so per-anchor work is O(n_probe·N/n_cells), never the full
+    corpus. ``method='exact'`` keeps the exhaustive cross for truth/recall
+    audits at fixture scale; it is O(anchors × corpus) and is NOT a
+    100 TB path.
 
     Returns (anchor_id, neg_id, rank, cosine).
     """

@@ -43,7 +43,10 @@ def pagerank_fixed_point(
     re-derives the edge build k times over (the e17 power-iteration
     lesson; measured 16s -> 2s on the 5-node fixture graph). Contract:
     ``r_u * w_uv`` must stay under 2^63 — with nano-unit ranks that allows
-    edge weights up to ~9e9.
+    edge weights up to ~9e9. Weights are POSITIVE INTEGERS by contract:
+    they are cast to long per edge before any summing, and edges whose
+    truncated weight is <= 0 (fractional sub-1 weights, zeros, negatives)
+    are dropped up front rather than poisoning out-weight sums.
 
     Returns (node, rank_nanos, n_iter).
     """
@@ -52,15 +55,19 @@ def pagerank_fixed_point(
     src = edges.select(F.col(src_col).alias("node"))
     dst = edges.select(F.col(dst_col).alias("node"))
     nodes = materialize(src.union(dst).distinct())
-    out_w = edges.groupBy(src_col).agg(F.sum(weight_col).alias("__ow__"))
-    e = materialize(
-        edges.join(out_w, src_col).select(
-            F.col(src_col).alias("__src__"),
-            F.col(dst_col).alias("__dst__"),
-            F.col(weight_col).cast("long").alias("__w__"),
-            F.col("__ow__").cast("long"),
-        )
-    )
+    # integer-weight-> 0 contract enforced up front: cast BEFORE summing
+    # (summing fractional weights then truncating the total would count
+    # mass the per-edge truncated __w__ never carries), and drop edges
+    # whose truncated weight is <= 0 — out-weight sums are then always
+    # positive, so no '__r__ * __w__ div __ow__' can NULL out and silently
+    # drop a node's outgoing mass
+    typed = edges.select(
+        F.col(src_col).alias("__src__"),
+        F.col(dst_col).alias("__dst__"),
+        F.col(weight_col).cast("long").alias("__w__"),
+    ).filter(F.col("__w__") > 0)
+    out_w = typed.groupBy("__src__").agg(F.sum("__w__").alias("__ow__"))
+    e = materialize(typed.join(out_w, "__src__"))
     n_nodes = nodes.count()
     if n_nodes == 0:
         # empty edge list: no nodes, no ranks — return the typed empty frame

@@ -326,11 +326,27 @@ def interval_join(
     explode factor is interval_length/bin_seconds, so pick a bin near the
     typical interval length."""
     keys = list(keys)
+
+    from pyspark.sql import types as T
+
+    def _sec(df, c):
+        # TIMESTAMP_NTZ cannot cast straight to double; go through
+        # TIMESTAMP (session TZ, pinned UTC by the harness) first —
+        # a no-op for TimestampType, schema-aware so plain numeric
+        # epoch columns still work
+        col = F.col(c)
+        if isinstance(
+            df.schema[c].dataType,
+            (T.DateType, T.TimestampType, T.TimestampNTZType),
+        ):
+            return col.cast("timestamp").cast("double")
+        return col.cast("double")
+
     binned_pts = points.withColumn(
-        "__bin__", F.floor(F.col(ts_col).cast("double") / bin_seconds).cast("long")
+        "__bin__", F.floor(_sec(points, ts_col) / bin_seconds).cast("long")
     )
-    s_bin = F.floor(F.col(start_col).cast("double") / bin_seconds).cast("long")
-    e_bin = F.floor(F.col(end_col).cast("double") / bin_seconds).cast("long")
+    s_bin = F.floor(_sec(intervals, start_col) / bin_seconds).cast("long")
+    e_bin = F.floor(_sec(intervals, end_col) / bin_seconds).cast("long")
     exploded = intervals.withColumn("__bin__", F.explode(F.sequence(s_bin, e_bin)))
     return (
         binned_pts.join(exploded, [*keys, "__bin__"])

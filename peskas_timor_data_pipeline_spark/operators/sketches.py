@@ -440,7 +440,12 @@ def hll_estimate(
     is < 2^b, so all partial sums fit the 53-bit mantissa and no summation
     order can change the value."""
     m = 1 << b
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # standard HLL bias constants (Flajolet et al. 2007): the closed form
+    # 0.7213/(1+1.079/m) is the LARGE-m asymptote; m in {16,32,64} has
+    # dedicated constants, below which the sketch is unspecified
+    if b < 4:
+        raise ValueError(f"hll_estimate requires b >= 4 (got b={b})")
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(b, 0.7213 / (1.0 + 1.079 / m))
     agg = registers.groupBy(*keys).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("__z_used__"),
         F.count(F.lit(1)).alias("__n_regs__"),

@@ -95,8 +95,16 @@ def vms_boat_counts(installs: DataFrame) -> DataFrame:
     )
 
 
-def validate_vms_installs(installs: DataFrame, strict: bool = True) -> DataFrame:
-    """pt_validate_vms_installs (:111-143): date cast + damage-date check."""
+def validate_vms_installs(installs: DataFrame, strict: bool = False) -> DataFrame:
+    """pt_validate_vms_installs (:111-143): date cast + damage-date check.
+
+    ``strict`` defaults to False to match OBSERVED reference behavior: the
+    reference's stop-guard is dormant (``any(isFALSE(flags))`` over a
+    logical vector is always FALSE in R — ``isFALSE`` requires a length-1
+    value — so its ``stop()`` is unreachable and data with
+    damage-before-install rows flows through). ``strict=True`` upgrades
+    the dormant check into a real gate; the violation frame is always
+    computable via :func:`vms_install_violations` either way."""
     v = installs.withColumn(
         "device_event_date", F.to_date("device_event_date")
     )
@@ -137,9 +145,16 @@ def boat_length_violations(boats: DataFrame) -> DataFrame:
     )
 
 
-def validate_boats(boats: DataFrame, strict: bool = True) -> DataFrame:
+def validate_boats(boats: DataFrame, strict: bool = False) -> DataFrame:
     """pt_validate_boats (:197-217): 'yyyy-MM-dd HH:mm' timestamp cast +
-    length sanity check."""
+    length sanity check.
+
+    ``strict`` defaults to False to match OBSERVED reference behavior: as
+    with :func:`validate_vms_installs`, the reference's length check is an
+    inert ``any(isFALSE(...))`` guard whose ``stop()`` never fires, so
+    out-of-range boats are accepted in production. ``strict=True`` makes
+    the check a real gate; :func:`boat_length_violations` exposes the
+    offending rows either way."""
     b = boats.withColumn(
         "last_modified_time",
         F.to_timestamp("last_modified_time", "yyyy-MM-dd HH:mm"),

@@ -34,8 +34,11 @@ def test_vms_installs_damage_before_install_raises(spark):
         ],
         "device_imei string, device_event_type string, boat_id int, device_event_date string",
     )
+    # default matches OBSERVED reference behavior: the reference's
+    # any(isFALSE(...)) stop-guard is dormant, so violations flow through
+    assert validate_vms_installs(bad).count() == 2
     with pytest.raises(MetadataValidationError, match="damage recorded"):
-        validate_vms_installs(bad)
+        validate_vms_installs(bad, strict=True)
 
 
 def test_flags_null_message_dropped_and_dup_id_raises(spark):
@@ -63,13 +66,14 @@ def test_boats_length_gate(spark):
     out = validate_boats(ok)
     assert dict(out.dtypes)["last_modified_time"] == "timestamp"
 
+    bad = spark.createDataFrame(
+        [(30.0, "2023-01-02 10:30")],
+        "boat_length double, last_modified_time string",
+    )
+    # default matches OBSERVED reference behavior (dormant length guard)
+    assert validate_boats(bad).count() == 1
     with pytest.raises(MetadataValidationError, match="unvalid"):
-        validate_boats(
-            spark.createDataFrame(
-                [(30.0, "2023-01-02 10:30")],
-                "boat_length double, last_modified_time string",
-            )
-        )
+        validate_boats(bad, strict=True)
 
 
 def test_reg_boats_case_when(spark):

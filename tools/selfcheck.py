@@ -72,6 +72,14 @@ def main() -> int:
         action="store_true",
         help="use a bare SparkSession like the external driver does",
     )
+    ap.add_argument(
+        "--duckdb-mem",
+        default=None,
+        help="run every oracle under this DuckDB memory_limit (e.g. 200MB)."
+        " The r04 driver ran DuckDB in a memory window where one oracle's"
+        " planner strategy flipped and OOM'd; sweeping {100MB,200MB,500MB}"
+        " over the heavy oracles catches that class before the driver does.",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -86,9 +94,16 @@ def main() -> int:
         from peskas_timor_data_pipeline_spark.session import get_spark
 
         spark = get_spark(app_name="selfcheck")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+
+    def connect():
+        c = duckdb.connect()
+        if args.duckdb_mem:
+            c.execute(f"SET memory_limit='{args.duckdb_mem}'")
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+        return c
+
+    con = connect()
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -115,6 +130,13 @@ def main() -> int:
                 except Exception:
                     if attempt == 1:
                         raise
+                    # surface the swallowed first failure: a genuinely
+                    # intermittent bug would otherwise hide behind the
+                    # transient-starvation retry
+                    print(
+                        f"WARN {name}: first attempt failed, retrying\n"
+                        f"{traceback.format_exc()}"
+                    )
                     time.sleep(5)
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
@@ -137,16 +159,16 @@ def main() -> int:
                     break
                 except (duckdb.OutOfMemoryException, duckdb.IOException):
                     # OOM or EMFILE under a concurrently-running Spark JVM:
-                    # reconnect to drop the buffer pool / file handles
-                    if attempt == 2:
+                    # reconnect to drop the buffer pool / file handles.
+                    # Under an explicit --duckdb-mem limit an OOM is the
+                    # FINDING, not a transient — fail immediately.
+                    if attempt == 2 or args.duckdb_mem:
                         raise
+                    print(f"WARN {name}: oracle transient, reconnecting\n"
+                          f"{traceback.format_exc()}")
                     time.sleep(5 * (attempt + 1))
                     con.close()
-                    con = duckdb.connect()
-                    for t in TABLES:
-                        con.execute(
-                            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
-                        )
+                    con = connect()
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception:
