@@ -156,6 +156,79 @@ FROM orders GROUP BY 1, 2
 """
 
 
+# --- P7b: the FULL taxa -> fish-group recode table ----------------------------
+
+def p7b_fish_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ~50-taxon fish-group recode of R/export.R:287-352 AND
+    its ingest-side variant (R/ingest-pds-data.R:622-690) through the
+    production broadcast-dim path (pipeline/export.py::attach_fish_groups).
+    Every taxon in the dim is exercised (parts cycle through the full code
+    list plus two unmapped codes), so a missing/renamed branch, a wrong
+    first-match resolution (SUR), or a silent Other-fallback for unmapped
+    taxa (reference keeps NULL) all flip the hash."""
+    from peskas_timor_data_pipeline_spark.pipeline.export import (
+        FISH_GROUPS,
+        attach_fish_groups,
+    )
+
+    taxa = [t for t, _ in FISH_GROUPS] + ["XXX", "YYY"]
+    part = load(spark, sf_dir, "part")
+    arr = F.array(*[F.lit(t) for t in taxa])
+    coded = part.select(
+        "p_partkey",
+        arr[(F.col("p_partkey") % len(taxa)).cast("int")].alias("catch_taxon"),
+    )
+    outs = []
+    for variant in ("export", "ingest"):
+        outs.append(
+            attach_fish_groups(coded, spark, variant)
+            .groupBy("fish_group")
+            .agg(
+                F.count(F.lit(1)).alias("n_parts"),
+                F.countDistinct("catch_taxon").alias("n_taxa"),
+            )
+            .select(F.lit(variant).alias("variant"), "*")
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _p7b_sql() -> str:
+    from peskas_timor_data_pipeline_spark.pipeline.export import (
+        FISH_GROUPS,
+        FISH_GROUPS_INGEST,
+    )
+
+    taxa = [t for t, _ in FISH_GROUPS] + ["XXX", "YYY"]
+    idx_rows = ", ".join(f"({i}, '{t}')" for i, t in enumerate(taxa))
+
+    def map_rows(pairs):
+        return ", ".join(f"('{t}', '{g}')" for t, g in pairs)
+
+    def leg(variant, pairs):
+        return f"""
+SELECT '{variant}' AS variant, m.fish_group,
+       count(*) AS n_parts,
+       count(DISTINCT c.catch_taxon) AS n_taxa
+FROM coded c
+LEFT JOIN (VALUES {map_rows(pairs)}) m(catch_taxon, fish_group)
+       ON m.catch_taxon = c.catch_taxon
+GROUP BY m.fish_group"""
+
+    return f"""
+WITH taxa(idx, catch_taxon) AS (VALUES {idx_rows}),
+coded AS (
+  SELECT p.p_partkey, t.catch_taxon
+  FROM part p JOIN taxa t ON t.idx = p.p_partkey % {len(taxa)}
+)
+{leg('export', FISH_GROUPS)}
+UNION ALL
+{leg('ingest', FISH_GROUPS_INGEST)}
+"""
+
+
+# (registered after the QUERIES dict is created, see bottom of module)
+
+
 # --- P9: late type casts ------------------------------------------------------
 
 def p9_type_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1395,3 +1468,4 @@ P18_ORACLE = " UNION ALL ".join([
 ])
 
 QUERIES["p18_fd_audit"] = (p18_fd_audit, P18_ORACLE)
+QUERIES["p7b_fish_groups"] = (p7b_fish_groups, _p7b_sql())
