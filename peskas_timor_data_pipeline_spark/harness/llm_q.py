@@ -153,6 +153,53 @@ WHERE coalesce(n_inter, 0) * 1.0 / (za.set_size + zb.set_size - coalesce(n_inter
 """
 
 
+# --- D2b: LSH candidate pairs under the hot-bucket skew cap ---------------------------
+
+def d2b_lsh_skew_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_candidate_pairs with bucket_cap=2 — the hot-bucket star-pairing
+    policy (llm/dedup.py): buckets over the cap pair members with the
+    bucket representative (min id) only, bounding per-bucket pair counts
+    to n-1 while keeping every member connected for the downstream
+    clustering pass. cap=2 is deliberately low so the fixture corpus
+    exercises BOTH branches (its biggest natural bucket has 3 members at
+    sf0.01). The 100 TB story: ONE boilerplate-heavy hot key otherwise
+    makes the bucket self-join quadratic; see the Zipfian property test."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", N_HASHES, BAND_SIZE, bucket_cap=2
+    )
+    return pairs.select("id_a", "id_b")
+
+
+D2B_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM shd GROUP BY doc_id),
+long AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sig),
+stats AS (
+  SELECT band_key, count(*) AS n, min(doc_id) AS rep
+  FROM long GROUP BY band_key
+),
+exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM long a
+  JOIN long b USING (band_key)
+  JOIN stats s USING (band_key)
+  WHERE s.n <= 2 AND a.doc_id < b.doc_id
+),
+star AS (
+  SELECT s.rep AS id_a, l.doc_id AS id_b
+  FROM long l JOIN stats s USING (band_key)
+  WHERE s.n > 2 AND l.doc_id <> s.rep
+)
+SELECT DISTINCT id_a, id_b FROM (
+  SELECT * FROM exact UNION ALL SELECT * FROM star
+)
+"""
+
+# (registered at the bottom of the module, after QUERIES exists)
+
+
 # --- D3: SimHash ---------------------------------------------------------------------
 
 def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4765,3 +4812,4 @@ FROM mass, pairs, nd
 
 
 QUERIES["d15_dup_rate_scout"] = (d15_dup_rate_scout, _d15_sql())
+QUERIES["d2b_lsh_skew_capped"] = (d2b_lsh_skew_capped, D2B_ORACLE)

@@ -130,11 +130,30 @@ def lsh_candidate_pairs(
     n_hashes: int = 6,
     band_size: int = 2,
     checkpoint_dir: str | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Band the signature (rows of ``band_size`` hashes), bucket-join on
     band keys, emit distinct candidate pairs (a < b). Only bucket-mates
     pair up — never an all-pairs product. ``checkpoint_dir`` switches the
-    lineage cut to a reliable checkpoint for cluster runs (llm/ckpt.py)."""
+    lineage cut to a reliable checkpoint for cluster runs (llm/ckpt.py).
+
+    ``bucket_cap`` is the hot-bucket skew policy (None keeps exact
+    all-bucket-mate pairing): a bucket of n members emits n(n-1)/2 pairs,
+    so ONE hot key (a million boilerplate near-identical docs landing in
+    the same band bucket) turns the self-join quadratic — the classic
+    100 TB LSH failure. With a cap, buckets over the cap switch to STAR
+    pairing: every member pairs with the bucket's representative (min id)
+    only — n-1 pairs, linear. Dedup semantics survive because the
+    downstream use is connected-components clustering
+    (llm/cluster.py::duplicate_clusters): the star keeps every member in
+    one component with the representative, so cluster membership — and
+    therefore which docs get dropped — is unchanged; only the per-pair
+    Jaccard audit trail for non-representative pairs inside hot buckets is
+    thinned. Under-cap buckets are bit-for-bit the exact pairing, so
+    recall on a normal corpus is untouched (property-tested). Size the
+    cap from d15_dup_rate_scout's colliding-bucket mass estimate.
+    The cap adds one partial-aggregated groupBy on band_key (same shuffle
+    key the pair join already uses)."""
     n_bands = n_hashes // band_size
     bands = [
         F.md5(
@@ -154,6 +173,28 @@ def lsh_candidate_pairs(
     # the pair join is a self-join: without materialization the whole
     # signature lineage (shingle explode + n_hashes mins) computes twice
     long = materialize(long, checkpoint_dir)
+    if bucket_cap is not None:
+        stats = long.groupBy("band_key").agg(
+            F.count(F.lit(1)).alias("__n__"), F.min(id_col).alias("__rep__")
+        )
+        tagged = long.join(stats, "band_key")
+        small = tagged.filter(F.col("__n__") <= bucket_cap)
+        a = small.select(F.col(id_col).alias("id_a"), "band_key")
+        b = small.select(F.col(id_col).alias("id_b"), "band_key")
+        exact = (
+            a.join(b, "band_key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        star = (
+            tagged.filter(
+                (F.col("__n__") > bucket_cap) & (F.col(id_col) != F.col("__rep__"))
+            )
+            .select(
+                F.col("__rep__").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
+        return exact.unionByName(star).distinct()
     a = long.select(F.col(id_col).alias("id_a"), "band_key")
     b = long.select(F.col(id_col).alias("id_b"), "band_key")
     return (
