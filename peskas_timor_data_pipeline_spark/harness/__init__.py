@@ -21,40 +21,46 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Registry front-of-line for round 4.  The driver records ~50 CORRECTNESS
-# rows per round in registry order; its round-3 window covered exactly the
-# first 50 round-3 priority entries.  Front of line now: (a) the 30
-# queries the driver has NEVER sampled (round 3's overflow, relative
-# order kept), then (b) every query fixed, re-oracled, or added in round
-# 4 — the six red rows' fixes (d7/e4-e7 scalarization, ts2's new DTW
-# oracle), the new M4b/M6 oracles, e15b's ANN path, v_metadata, the new
-# a35/e19/w13/d13/mm11/g1/t27/p17/e20/e21 operators, and m2b/a31 whose
-# fixture/oracle changed. 51 oracle-checked entries; the two rows-only
-# GLMMs trail (a re-record adds nothing over their standing rows).
-_PRIORITY_R04 = (
-    # (a) never driver-sampled
-    "e16_mrl_recall", "d11_cdc_segments", "j13_grid_neighbor_join",
-    "t25_ngram_novelty", "w10_event_transitions", "a29_ab_test",
-    "e17_top_eigenvector", "a30_log_histogram_quantiles",
-    "mm10_audio_decimate", "t26_freq_spectrum", "w11_rolling_active_users",
-    "p15_k_anonymity", "w12_session_paths", "a32_benford",
-    "p16_fk_audit", "e18_ivf_cell_stats", "j14_fuzzy_join",
-    "a33_time_to_convert", "m10_poisson_bootstrap", "d12_best_representative",
-    "a34_bounce_rate", "a26_winsorize", "t20_normalize", "t21_bpe_merges",
-    "e13_int8_topk", "e14_rrf_fusion", "e15_hard_negatives",
-    "t22_bm25_topk", "t23_bpe_encode",
-    # (b) round-4 fixes and additions
-    "d7_repeated_grams", "e4_group_centroids", "e5_kmeans_refine",
-    "e6_quantize_int8", "e7_pq_encode", "ts2_dtw_alignment",
-    "m4b_glmm_1ri", "m6_pmm", "e15b_hard_negatives_ann", "v_metadata",
-    "a35_hll", "e19_jl_projection", "w13_ewma", "d13_containment",
-    "mm11_channel_stats", "g1_pagerank", "t27_vocab_growth",
-    "p17_dataset_fingerprint", "e20_binary_topk", "e21_cell_exemplars", "e22_ivf_probe_sweep",
-    "a36_sliding_hll", "w15_ohlc", "w16_interval_union", "t30_source_similarity", "p18_fd_audit", "t31_psi_drift", "m11_theil_sen", "m12_mann_kendall", "a38_gini", "e23_embedding_audit", "d14_bloom_decontaminate", "mm13_audio_clipping", "t36_tokenizer_fertility", "d15_dup_rate_scout",
-    "m2b_length_weight_ll", "a31_growth_accounting",
-    # rows-only by design (dense-inverse Henderson solve): recorded last
+# Registry front-of-line for round 5.  The driver records ~50 CORRECTNESS
+# rows per round in registry order.  Front of line: (a) round 4's two red
+# rows, now fixed (d7's ASCII-normalized shingles; e22's memory-shaped
+# oracle), (b) the 18 queries the driver has NEVER sampled (round 4's
+# overflow plus this round's additions: the full fish-group recode, the
+# d7 gram-checksum twin, the LSH skew-cap), then (c) every query whose
+# engine or oracle changed in round 5 — the TIMESTAMP_NTZ output class
+# (asof joins, SCD2, session window, downsample, tumbling window,
+# sessionization, interval join/union, OHLC, time-to-convert,
+# bounce-rate, session-paths) and the window-form m4b GLMM oracle.
+# 52 oracle-checked entries lead; the two rows-only GLMMs trail (they are
+# pinned by frozen-fixture hashes in pytest instead).
+_PRIORITY_R05 = (
+    # (a) round-4 red rows, fixed this round
+    "d7_repeated_grams", "e22_ivf_probe_sweep",
+    # (b) never driver-sampled
+    "a36_sliding_hll", "w15_ohlc", "w16_interval_union",
+    "t30_source_similarity", "p18_fd_audit", "t31_psi_drift",
+    "m11_theil_sen", "m12_mann_kendall", "a38_gini",
+    "e23_embedding_audit", "d14_bloom_decontaminate", "mm13_audio_clipping",
+    "t36_tokenizer_fertility", "d15_dup_rate_scout", "a31_growth_accounting",
+    "p7b_fish_groups", "d7b_gram_checksum", "d2b_lsh_skew_capped",
+    # (c) engine or oracle changed in round 5
+    "m4b_glmm_1ri", "j10_asof_join", "j10b_asof_forward",
+    "j10c_asof_nearest_tolerance", "j12_scd2_temporal",
+    "a23_session_window", "w6_downsample", "a17_tumbling_window",
+    "a6_sessionization", "j11_interval_join", "a33_time_to_convert",
+    "a34_bounce_rate", "w12_session_paths",
+    "d2_minhash_lsh_jaccard", "m2b_length_weight_ll",
+    # high-value standing coverage to round out the ~50-row window
+    "d1_exact_dedup", "d5_dup_clusters", "e3_ivf_ann", "e8_pq_adc_topk",
+    "e11_semdedup", "t1_langid", "t22_bm25_topk", "m6_pmm",
+    "v_combined", "v_metadata", "g1_pagerank", "a35_hll",
+    "p1_pattern_projection", "j5_one_to_one_day_match",
+    "w4_spine_completion", "m9_share_redistribution",
+    # rows-only by design (dense-inverse Henderson solve, frozen-fixture
+    # pinned in tests/test_glmm_frozen_fixture.py): recorded last
     "m4_glmm", "m4zi_glmm",
 )
+_PRIORITY_R04 = _PRIORITY_R05  # kept name used by registry()
 
 
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
