@@ -200,6 +200,111 @@ SELECT DISTINCT id_a, id_b FROM (
 # (registered at the bottom of the module, after QUERIES exists)
 
 
+# --- T37: Gopher repetition signals ----------------------------------------------------
+
+def t37_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (llm/text.py::repetition_signals):
+    duplicate-line fraction, duplicated-line character fraction, and
+    top-bigram character coverage — integer ppm throughout. The fixture
+    corpus is single-line word salad, so the wrapper deterministically
+    re-chunks each doc into 8-word lines and PLANTS one duplicate line
+    (docs with >= 16 words repeat their first line) so the dup branches
+    are exercised, not just zero. Text goes through the printable-ASCII
+    projection first (the d7 lesson)."""
+    from peskas_timor_data_pipeline_spark.llm.text import repetition_signals
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), "[^\\x20-\\x7E]", "").alias("t"),
+    )
+    words = F.expr(r"filter(split(t, '\\s+'), x -> x <> '')")
+    chunked = docs.select("doc_id", words.alias("__w__")).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(__w__) = 0 THEN array() "
+            "ELSE transform(sequence(0, (size(__w__) + 7) div 8 - 1), "
+            "i -> array_join(slice(__w__, i * 8 + 1, 8), ' ')) END"
+        ).alias("__lns__"),
+        F.size("__w__").alias("__nw__"),
+    )
+    planted = chunked.select(
+        "doc_id",
+        F.expr(
+            "array_join(CASE WHEN __nw__ >= 16 "
+            "THEN concat(__lns__, array(__lns__[0])) ELSE __lns__ END, '\\n')"
+        ).alias("lined"),
+    )
+    return repetition_signals(planted, "doc_id", "lined")
+
+
+T37_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(regexp_replace(text, '[^\x20-\x7e]', '', 'g'),
+                              '\s+'),
+           x -> x <> '') AS ws
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 16 THEN ws || list_slice(ws, 1, 8) ELSE ws END AS ws2,
+         CASE WHEN len(ws) = 0 THEN [] ELSE
+           list_transform(generate_series(0, CAST((len(ws) + 7) // 8 AS INTEGER) - 1),
+                          i -> array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' '))
+         END AS lns0,
+         len(ws) AS nw
+  FROM norm
+),
+lines_f AS (
+  SELECT doc_id, ws2,
+         CASE WHEN nw >= 16 THEN list_append(lns0, lns0[1]) ELSE lns0 END AS lns
+  FROM lined
+),
+lnx AS (SELECT doc_id, unnest(lns) AS ln FROM lines_f),
+per_line AS (SELECT doc_id, ln, count(*) AS c FROM lnx GROUP BY doc_id, ln),
+line_stats AS (
+  SELECT doc_id, sum(c) AS n_lines, count(*) AS nd,
+         sum(c * length(ln)) AS chars,
+         sum(CASE WHEN c > 1 THEN c * length(ln) ELSE 0 END) AS chars_dup
+  FROM per_line GROUP BY doc_id
+),
+wchars AS (
+  SELECT doc_id, coalesce(list_sum(list_transform(ws2, x -> length(x))), 0) AS wc
+  FROM lines_f
+),
+bgx AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws2) < 2 THEN []
+         ELSE list_transform(generate_series(1, CAST(len(ws2) AS INTEGER) - 1),
+                             i -> ws2[i] || ' ' || ws2[i + 1]) END) AS bg
+  FROM lines_f
+),
+bg_counts AS (SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY doc_id, bg),
+top_bg AS (
+  SELECT doc_id, c * (length(bg) - 1) AS top_chars FROM (
+    SELECT doc_id, bg, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn
+    FROM bg_counts) WHERE rn = 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(CASE WHEN coalesce(s.n_lines, 0) > 0
+                 THEN (s.n_lines - s.nd) * 1000000 // s.n_lines
+                 ELSE 0 END AS BIGINT) AS dup_line_ppm,
+       CAST(CASE WHEN coalesce(s.chars, 0) > 0
+                 THEN s.chars_dup * 1000000 // s.chars
+                 ELSE 0 END AS BIGINT) AS dup_char_ppm,
+       CAST(CASE WHEN coalesce(w.wc, 0) > 0
+                 THEN coalesce(t.top_chars, 0) * 1000000 // w.wc
+                 ELSE 0 END AS BIGINT) AS top_bigram_ppm
+FROM documents d
+LEFT JOIN line_stats s USING (doc_id)
+LEFT JOIN top_bg t USING (doc_id)
+LEFT JOIN wchars w USING (doc_id)
+"""
+
+
 # --- D3: SimHash ---------------------------------------------------------------------
 
 def d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4813,3 +4918,5 @@ FROM mass, pairs, nd
 
 QUERIES["d15_dup_rate_scout"] = (d15_dup_rate_scout, _d15_sql())
 QUERIES["d2b_lsh_skew_capped"] = (d2b_lsh_skew_capped, D2B_ORACLE)
+
+QUERIES["t37_repetition_signals"] = (t37_repetition_signals, T37_ORACLE)

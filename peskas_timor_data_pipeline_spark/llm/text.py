@@ -75,6 +75,108 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 6))
 
 
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality gates (Rae et al. 2021 §A1.1):
+    documents dominated by repeated lines or one hammered word pair are
+    boilerplate/spam and get filtered before training. Per document:
+
+    - ``n_lines``: non-empty trimmed ``\\n``-lines
+    - ``dup_line_ppm``: fraction of lines that are repeats of another line
+      (1 - distinct/total), integer ppm
+    - ``dup_char_ppm``: fraction of line characters inside lines occurring
+      more than once (ALL occurrences counted — documented choice), ppm
+    - ``top_bigram_ppm``: characters covered by the most frequent adjacent
+      word 2-gram (count x combined word length; overlapping occurrences
+      each count), over total word characters, ppm. Ties break on the
+      lexicographically smallest bigram.
+
+    All-integer output: exact cross-engine, no float surface. Scale shape:
+    two explode -> partial-aggregated groupBy chains (lines, bigrams) —
+    shuffles carry one row per distinct (doc, line) / (doc, bigram), never
+    raw text positions; the per-doc top-bigram is a rank-1 window over the
+    aggregated frame. A pure higher-order rewrite would be shuffle-free
+    but O(lines^2) per row inside a lambda — wrong at 100 TB where a
+    single doc can carry 10^4 lines."""
+    lines_arr = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    ln = df.select(F.col(id_col), F.explode(lines_arr).alias("__ln__"))
+    per_line = ln.groupBy(id_col, "__ln__").agg(F.count(F.lit(1)).alias("__c__"))
+    line_stats = (
+        per_line.select(
+            id_col, "__c__", F.length("__ln__").alias("__len__")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c__").alias("n_lines"),
+            F.count(F.lit(1)).alias("__n_distinct__"),
+            F.sum(F.col("__c__") * F.col("__len__")).alias("__chars__"),
+            F.sum(
+                F.when(F.col("__c__") > 1, F.col("__c__") * F.col("__len__"))
+                .otherwise(F.lit(0))
+            ).alias("__chars_dup__"),
+        )
+    )
+    words = F.filter(
+        F.split(F.regexp_replace(F.col(text_col), r"\n", " "), r"\s+"),
+        lambda x: x != "",
+    )
+    # let-bind the word array (no codegen CSE inside higher-order exprs)
+    wdf = df.select(F.col(id_col), words.alias("__w__"))
+    n1 = F.greatest(F.size("__w__") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(F.col("__w__"), F.lit(1), n1),
+        F.slice(F.col("__w__"), F.lit(2), n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    word_chars = wdf.select(
+        id_col,
+        F.aggregate(
+            "__w__", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("__wchars__"),
+    )
+    bg = wdf.select(id_col, F.explode(bigrams).alias("__bg__"))
+    bg_counts = bg.groupBy(id_col, "__bg__").agg(F.count(F.lit(1)).alias("__c__"))
+    from pyspark.sql.window import Window
+
+    w_top = Window.partitionBy(id_col).orderBy(F.desc("__c__"), F.asc("__bg__"))
+    top_bg = (
+        bg_counts.withColumn("__rn__", F.row_number().over(w_top))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            id_col,
+            (F.col("__c__") * (F.length("__bg__") - 1)).alias("__top_chars__"),
+        )
+    )
+    ppm = "coalesce({num}, 0L) * 1000000L div {den}"
+    return (
+        df.select(id_col)
+        .join(line_stats, id_col, "left")
+        .join(top_bg, id_col, "left")
+        .join(word_chars, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.expr(
+                "CASE WHEN coalesce(n_lines, 0) > 0 THEN "
+                + ppm.format(num="n_lines - __n_distinct__", den="n_lines")
+                + " ELSE 0L END"
+            ).alias("dup_line_ppm"),
+            F.expr(
+                "CASE WHEN coalesce(__chars__, 0) > 0 THEN "
+                + ppm.format(num="__chars_dup__", den="__chars__")
+                + " ELSE 0L END"
+            ).alias("dup_char_ppm"),
+            F.expr(
+                "CASE WHEN coalesce(__wchars__, 0) > 0 THEN "
+                + ppm.format(num="__top_chars__", den="__wchars__")
+                + " ELSE 0L END"
+            ).alias("top_bigram_ppm"),
+        )
+    )
+
+
 def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     """Whitespace token count + a BPE-ish regex token count (letter runs,
     digit runs, single symbols) — the standard pre-tokenizer shape."""

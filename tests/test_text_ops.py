@@ -175,3 +175,39 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert ranks[3] == 1 and ranks[5] == 2 and ranks[4] == 3
     by_rank = sorted(out, key=lambda r: r.rank)
     assert by_rank[0].avg_logratio > by_rank[1].avg_logratio > by_rank[2].avg_logratio
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition gates on a hand-checkable doc:
+    doc 1: lines [ab, cd, ab, xy] -> 4 lines, 1 dup pair (ab x2):
+      dup_line_ppm = (4-3)/4 = 250000
+      dup_char_ppm = chars in 'a b' occurrences (3*2=6) over total
+        (3+3+3+3=12) -> 500000
+      words = a b c d a b x y; bigrams: 'a b' twice (others once);
+      top coverage = 2 * 2 chars / 8 word chars -> 500000
+    doc 2: single line, no repeats -> zeros except top bigram.
+    doc 3: empty -> all zeros."""
+    from peskas_timor_data_pipeline_spark.llm.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b\nc d\na b\nx y"),
+            (2, "p q r"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.asDict() for r in
+            repetition_signals(df, "doc_id", "text").collect()}
+    assert rows[1] == {
+        "doc_id": 1, "n_lines": 4, "dup_line_ppm": 250000,
+        "dup_char_ppm": 500000, "top_bigram_ppm": 500000,
+    }
+    assert rows[2]["n_lines"] == 1
+    assert rows[2]["dup_line_ppm"] == 0 and rows[2]["dup_char_ppm"] == 0
+    # 'p q': 2 chars over 3 word chars
+    assert rows[2]["top_bigram_ppm"] == 666666
+    assert rows[3] == {
+        "doc_id": 3, "n_lines": 0, "dup_line_ppm": 0,
+        "dup_char_ppm": 0, "top_bigram_ppm": 0,
+    }
