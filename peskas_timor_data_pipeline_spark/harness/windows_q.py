@@ -884,12 +884,13 @@ def w15_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     event identity (ties cannot flip between engines); one shuffle, all
     partial-aggregated — no window, no sort."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    # DuckDB's min_by/max_by take scalar keys only: a zero-padded
-    # microsecond+id string is totally ordered identically in both engines
-    key = F.format_string(
-        "%020d#%012d",
-        F.unix_micros(F.col("ts").cast("timestamp")),
-        F.col("event_id"),
+    # Spark's min_by/max_by order structs lexicographically — a (micros,
+    # event_id) struct is the same total order as the oracle's zero-padded
+    # string key (DuckDB's min_by takes scalar keys only, so IT keeps the
+    # printf key) without a per-row format_string allocation
+    key = F.struct(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("event_id").alias("eid"),
     )
     return (
         ev.groupBy("user_id", F.to_date("ts").alias("day"))
