@@ -1815,3 +1815,53 @@ FROM ranked GROUP BY event_type
 """
 
 QUERIES["a38_gini"] = (a38_gini, A38_ORACLE)
+
+
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the part co-purchase graph (parts are
+    adjacent when they share an order) via the degree-ordered
+    node-iterator (operators/graph.py::triangle_count). The co-occurrence
+    edge build is bounded BY THE BASKET (<= 7 lineitems per order -> <= 21
+    pairs), the classic market-basket guarantee; the oracle counts
+    triangles independently with a 3-way canonical a<b<c join, so the
+    degree-orientation machinery is verified against a structurally
+    different exact method."""
+    from peskas_timor_data_pipeline_spark.operators.graph import triangle_count
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    return triangle_count(pairs, "src", "dst")
+
+
+G2_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y USING (l_orderkey)
+  WHERE x.l_partkey < y.l_partkey
+),
+nodes AS (SELECT DISTINCT n FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+       CAST(t.n_triangles AS BIGINT) AS n_triangles
+FROM tri t
+"""
+
+QUERIES["g2_triangle_count"] = (g2_triangle_count, G2_ORACLE)

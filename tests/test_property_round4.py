@@ -169,3 +169,46 @@ def test_interval_union_matches_python_sweep(spark, starts):
             cur_e = max(cur_e, e)
     total += cur_e - cur_s
     assert got == total
+
+
+def test_triangle_count_matches_bruteforce_on_random_graphs(spark):
+    """Degree-ordered node-iterator == brute-force enumeration on random
+    graphs (including multi-edges, self-loops, reversed duplicates —
+    normalization is part of the contract)."""
+    import itertools
+    import random
+
+    from peskas_timor_data_pipeline_spark.operators.graph import triangle_count
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 12
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(40)]
+        edges += [(b, a) for a, b in edges[:5]]  # reversed dups
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = triangle_count(df, "src", "dst").collect()[0]
+        und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        expect = sum(
+            1
+            for x, y, z in itertools.combinations(sorted(adj), 3)
+            if y in adj[x] and z in adj[x] and z in adj[y]
+        )
+        assert got.n_triangles == expect, (trial, got, expect)
+        assert got.n_edges == len(und)
+        assert got.n_nodes == len(adj)
+
+
+def test_triangle_count_empty_and_triangle_free(spark):
+    from peskas_timor_data_pipeline_spark.operators.graph import triangle_count
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    r = triangle_count(empty, "src", "dst").collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (0, 0, 0)
+    # a path graph has zero triangles
+    path = spark.createDataFrame([(i, i + 1) for i in range(6)], "src long, dst long")
+    r = triangle_count(path, "src", "dst").collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (7, 6, 0)
