@@ -513,3 +513,40 @@ def test_pmm_donor_pool_bounded_window(spark, sf_dir):
     p = plan_str(m6_pmm(spark, sf_dir))
     assert "Python" not in p
     assert "CartesianProduct" not in p
+
+
+def test_fish_group_dim_broadcasts(spark, sf_dir):
+    """p7b: the ~50-row taxa dim must broadcast — a shuffle join against a
+    50-row mapping table would be the classic tiny-dim mistake."""
+    from peskas_timor_data_pipeline_spark.harness.core_relational_q import (
+        p7b_fish_groups,
+    )
+
+    p = plan_str(p7b_fish_groups(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_repetition_signals_partial_aggregates(spark, sf_dir):
+    """t37: both explode chains (lines, bigrams) must partial-aggregate
+    map-side so the shuffle carries distinct (doc, gram) rows, never raw
+    exploded positions."""
+    from peskas_timor_data_pipeline_spark.harness.llm_q import (
+        t37_repetition_signals,
+    )
+
+    p = plan_str(t37_repetition_signals(spark, sf_dir))
+    assert p.count("partial_count") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_triangle_count_no_cartesian_and_partial_degree(spark, sf_dir):
+    """g2: the wedge self-join and the closing semi-join are equi-joins;
+    a cartesian anywhere means the orientation trick silently broke."""
+    from peskas_timor_data_pipeline_spark.harness.aggregates_q import (
+        g2_triangle_count,
+    )
+
+    p = plan_str(g2_triangle_count(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
