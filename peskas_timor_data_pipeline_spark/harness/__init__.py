@@ -43,7 +43,7 @@ _PRIORITY_R05 = (
     "e23_embedding_audit", "d14_bloom_decontaminate", "mm13_audio_clipping",
     "t36_tokenizer_fertility", "d15_dup_rate_scout", "a31_growth_accounting",
     "p7b_fish_groups", "d7b_gram_checksum", "d2b_lsh_skew_capped",
-    "t37_repetition_signals", "g2_triangle_count",
+    "t37_repetition_signals", "g2_triangle_count", "d16_repeated_span_mask",
     # (c) engine or oracle changed in round 5
     "m4b_glmm_1ri", "j10_asof_join", "j10b_asof_forward",
     "j10c_asof_nearest_tolerance", "j12_scd2_temporal",

@@ -4920,3 +4920,106 @@ QUERIES["d15_dup_rate_scout"] = (d15_dup_rate_scout, _d15_sql())
 QUERIES["d2b_lsh_skew_capped"] = (d2b_lsh_skew_capped, D2B_ORACLE)
 
 QUERIES["t37_repetition_signals"] = (t37_repetition_signals, T37_ORACLE)
+
+
+# --- D16: exact-substring dedup spans (Lee et al. 2021 masking primitive) --------------
+
+def d16_repeated_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-repeated >=50-char span extraction
+    (llm/dedup.py::repeated_span_mask): every 1-in-7 doc gets a planted
+    twin carrying a verbatim 120-char excerpt (positions 50..169), so the
+    sweep must recover exactly that merged span in the original — plus
+    whatever the word-salad corpus shares naturally. Output is span-level
+    integer aggregates per doc (count, masked chars, position checksum);
+    the text SPLICING path (apply_span_mask) is pinned by a hand fixture
+    in pytest. ASCII projection first, as everywhere gram-shaped."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import repeated_span_mask
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace(F.col("text"), "[^\\x20-\\x7E]", "").alias("text")
+    )
+    planted = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.length("text") >= 170)
+    ).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("zzz "), F.substring("text", 50, 120), F.lit(" qqq")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    spans = repeated_span_mask(corpus, "doc_id", "text", k_min=50)
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("masked_chars"),
+        F.sum(
+            F.col("span_start") * F.lit(100003) + F.col("span_end")
+        ).alias("span_checksum"),
+    )
+    return (
+        corpus.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("masked_chars", F.lit(0)).cast("long").alias("masked_chars"),
+            F.coalesce("span_checksum", F.lit(0)).cast("long").alias("span_checksum"),
+        )
+    )
+
+
+D16_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t FROM documents
+),
+corpus AS (
+  SELECT doc_id, t FROM norm
+  UNION ALL
+  SELECT doc_id + 2000000, 'zzz ' || substr(t, 50, 120) || ' qqq'
+  FROM norm WHERE doc_id % 7 = 0 AND length(t) >= 170
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         ('0x' || substr(md5(substr(lower(t), CAST(i AS INTEGER), 50)), 1, 15))::BIGINT AS gh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 49)) AS i
+        FROM corpus WHERE length(t) >= 50)
+),
+gd AS (
+  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM grams)
+  GROUP BY gh HAVING count(*) > 1
+),
+seeds AS (
+  SELECT g.doc_id, g.pos AS s, g.pos + 49 AS e
+  FROM grams g JOIN gd USING (gh)
+),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS nw
+  FROM seeds
+),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, min(s) AS ss, max(e) AS se FROM isl GROUP BY doc_id, island
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans, sum(se - ss + 1) AS masked_chars,
+         sum(ss * 100003 + se) AS span_checksum
+  FROM spans GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.masked_chars, 0) AS BIGINT) AS masked_chars,
+       CAST(coalesce(a.span_checksum, 0) AS BIGINT) AS span_checksum
+FROM corpus c LEFT JOIN agg a USING (doc_id)
+"""
+
+QUERIES["d16_repeated_span_mask"] = (d16_repeated_span_mask, D16_ORACLE)

@@ -901,3 +901,122 @@ def bloom_decontaminate(
         )
         .drop("__hits__")
     )
+
+
+def shingle_rows_with_pos(
+    df: DataFrame, id_col: str, text_col: str, k_shingle: int
+) -> DataFrame:
+    """(id, pos, sh) long frame of character k-grams WITH their 1-based
+    start positions — the positioned variant of :func:`shingle_rows` for
+    span-level work (masking, highlighting). Same let-binding discipline
+    (lower the text once per row, not once per gram)."""
+    grams = F.expr(
+        f"transform(array(lower({text_col})), __lt__ -> "
+        f"CASE WHEN length(__lt__) >= {k_shingle} THEN "
+        f"transform(sequence(1, length(__lt__) - {k_shingle - 1}),"
+        f" i -> struct(i AS pos, substring(__lt__, i, {k_shingle}) AS sh)) "
+        f"ELSE array() END)[0]"
+    )
+    return _spread(df).select(
+        F.col(id_col), F.explode(grams).alias("__g__")
+    ).select(id_col, F.col("__g__.pos").alias("pos"), F.col("__g__.sh").alias("sh"))
+
+
+def repeated_span_mask(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_min: int = 50,
+) -> DataFrame:
+    """Exact-substring dedup spans (the Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better" primitive, seed-gram
+    approximation): every character span of length >= ``k_min`` that
+    appears in MORE THAN ONE document is reported per document as a merged
+    (span_start, span_end) interval, 1-based inclusive, ready for masking.
+    Seeds are the k_min-grams shared across docs; overlapping/adjacent
+    seed intervals merge into maximal spans via the interval-union island
+    sweep — a repeat of length L >= k_min yields L - k_min + 1 consecutive
+    seeds that merge back into exactly the [start, start+L-1] span, so
+    span RECOVERY is exact for repeats >= k_min (repeats shorter than
+    k_min are invisible, by construction — that is the knob).
+
+    Scale shape: one positioned explode, ONE gram aggregation (count of
+    distinct docs), a gram-keyed join back to seed positions, then a
+    per-doc window sweep — nothing pairwise, no suffix array, no Python.
+    The gram hot path carries (id, pos, 8-byte md5-prefix) after the
+    projection below, not raw k_min-char strings.
+
+    Returns (id, span_start, span_end) — one row per merged span."""
+    from pyspark.sql.window import Window
+
+    pos = shingle_rows_with_pos(df, id_col, text_col, k_min)
+    # shuffle longs, not 50-char strings: gram identity = 60-bit md5 prefix
+    # (collision odds over a 10^9-gram corpus ~ 10^18/2^61, engine-identical
+    # because the oracle slices the same digest)
+    hashed = pos.select(
+        id_col,
+        "pos",
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long").alias("gh"),
+    )
+    gram_docs = (
+        hashed.select(id_col, "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__docs__"))
+        .filter(F.col("__docs__") > 1)
+    )
+    seeds = hashed.join(gram_docs.select("gh"), "gh", "left_semi").select(
+        id_col,
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.lit(k_min - 1)).alias("e"),
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max_e = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = seeds.withColumn(
+        "__new__",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1).otherwise(0),
+    ).withColumn(
+        "__isl__",
+        F.sum("__new__").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy(id_col, "__isl__").agg(
+        F.min("s").alias("span_start"), F.max("e").alias("span_end")
+    ).select(id_col, "span_start", "span_end")
+
+
+def apply_span_mask(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "masked_text",
+    fill: str = " ",
+) -> DataFrame:
+    """Splice the :func:`repeated_span_mask` spans out of each document,
+    replacing masked characters with ``fill`` (length-preserving, so
+    token offsets in side tables stay valid). The per-doc span list is
+    collect_list-bounded BY the span structure itself (merged maximal
+    spans cannot overlap, so there are at most len/k_min of them) — the
+    same contractual bound that makes w12's session paths safe. Docs with
+    no spans pass through unchanged via the left join."""
+    sp = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias(
+            "__sp__"
+        )
+    )
+    # one overlay per span folded over the span array — length-preserving
+    # in-place splice, no manual prefix/suffix stitching
+    masked = F.when(F.col("__sp__").isNull(), F.col(text_col)).otherwise(
+        F.aggregate(
+            "__sp__",
+            F.col(text_col),
+            lambda acc, s: F.overlay(
+                acc,
+                F.repeat(
+                    F.lit(fill), (s["span_end"] - s["span_start"] + 1).cast("int")
+                ),
+                s["span_start"],
+            ),
+        )
+    )
+    return df.join(sp, id_col, "left").withColumn(out_col, masked).drop("__sp__")
