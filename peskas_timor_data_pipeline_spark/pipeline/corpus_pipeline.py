@@ -1,0 +1,135 @@
+"""End-to-end training-corpus preparation DAG.
+
+The LLM-side counterpart of the domain pipeline (landings/trips/estimate):
+the stage chain every large-scale pretraining-data build runs, wired
+through the same versioned-artifact runner (plans/runner.py) so a failed
+run resumes from the last stage and an unchanged shard skips the whole
+branch via input fingerprints.
+
+    normalize -> quality gate -> exact dedup -> near-dedup (MinHash/LSH
+    with the hot-bucket cap) -> repeated-span masking -> packing
+
+Every stage is one lazy Catalyst plan ending in a versioned parquet write;
+stage outputs are inspectable, re-runnable artifacts (the corpus-audit
+queries — d1/d2/d7/d15/t37 — read the same intermediates).
+
+Scale notes, per stage:
+- normalize/quality: narrow maps + two partial-aggregated explode chains
+  (repetition signals); no corpus-wide state.
+- exact dedup: one shuffle on the content hash.
+- near-dedup: signatures are one explode + groupBy(doc); candidate pairs
+  shuffle on band keys with ``bucket_cap`` bounding any hot bucket to
+  linear star pairs; components run on the (tiny) pair graph only.
+- masking: one positioned explode + one gram aggregation + a per-doc
+  window sweep (llm/dedup.py::repeated_span_mask).
+- packing: md5-sharded greedy walk, window arithmetic only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from peskas_timor_data_pipeline_spark.llm.dedup import (
+    apply_span_mask,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+    repeated_span_mask,
+)
+from peskas_timor_data_pipeline_spark.llm.cluster import resolve_duplicates
+from peskas_timor_data_pipeline_spark.llm.text import (
+    normalize_text,
+    pack_sequences,
+    quality_features,
+    repetition_signals,
+)
+from peskas_timor_data_pipeline_spark.plans.runner import Pipeline
+from peskas_timor_data_pipeline_spark.sources.io import write_stage
+
+
+def ingest_corpus(spark: SparkSession, artifact_dir: str, source_path: str) -> str:
+    """Write/refresh the raw corpus artifact (stage name ``corpus_raw``).
+    Source-side incrementality is the caller's concern, exactly like the
+    S14 track ingestion: call this only when the source shard actually
+    changed — downstream stage fingerprints then skip the whole unchanged
+    branch on ``run(incremental=True)``."""
+    df = spark.read.parquet(source_path).select("doc_id", "text")
+    return write_stage(df, artifact_dir, "corpus_raw")
+
+
+def build_corpus_pipeline(
+    spark: SparkSession,
+    artifact_dir: str,
+    *,
+    min_quality: float = 0.2,
+    max_dup_line_ppm: int = 300_000,
+    n_hashes: int = 16,
+    band_size: int = 8,
+    bucket_cap: int | None = 64,
+    k_span: int = 50,
+    pack_budget: int = 512,
+) -> Pipeline:
+    """Wire the corpus stages onto a runner; call :func:`ingest_corpus`
+    first (it owns the ``corpus_raw`` artifact), then ``.run()`` —
+    ``incremental=True`` skips every stage whose inputs' artifact versions
+    are unchanged."""
+    pipe = Pipeline(spark, artifact_dir)
+
+    @pipe.stage("normalized", inputs=["corpus_raw"])
+    def normalized(spark: SparkSession, corpus_raw: DataFrame) -> DataFrame:
+        return normalize_text(corpus_raw, "text", out_col="norm_text")
+
+    @pipe.stage("quality_gated", inputs=["normalized"])
+    def quality_gated(spark: SparkSession, normalized: DataFrame) -> DataFrame:
+        feats = quality_features(normalized, "norm_text")
+        # repetition gates read the RAW text: normalization collapses
+        # whitespace runs (including newlines), which would erase the very
+        # line structure the duplicate-line gate inspects
+        reps = repetition_signals(normalized, "doc_id", "text")
+        return (
+            feats.join(reps, "doc_id")
+            .filter(
+                (F.col("quality_score") >= min_quality)
+                & (F.col("dup_line_ppm") <= max_dup_line_ppm)
+            )
+            .select("doc_id", "text", "norm_text")
+        )
+
+    @pipe.stage("exact_deduped", inputs=["quality_gated"])
+    def exact_deduped(spark: SparkSession, quality_gated: DataFrame) -> DataFrame:
+        return exact_dedup(quality_gated, "doc_id", ["norm_text"]).select(
+            "doc_id", "text", "norm_text", "n_dups"
+        )
+
+    @pipe.stage("near_deduped", inputs=["exact_deduped"])
+    def near_deduped(spark: SparkSession, exact_deduped: DataFrame) -> DataFrame:
+        sigs = minhash_signature(
+            exact_deduped, "doc_id", "norm_text", n_hashes=n_hashes
+        )
+        pairs = lsh_candidate_pairs(
+            sigs, "doc_id", n_hashes, band_size, bucket_cap=bucket_cap
+        )
+        resolved = resolve_duplicates(exact_deduped, pairs, "doc_id")
+        return resolved.filter(~F.col("is_duplicate")).select(
+            "doc_id", "text", "norm_text"
+        )
+
+    @pipe.stage("masked", inputs=["near_deduped"])
+    def masked(spark: SparkSession, near_deduped: DataFrame) -> DataFrame:
+        spans = repeated_span_mask(near_deduped, "doc_id", "norm_text", k_min=k_span)
+        return apply_span_mask(
+            near_deduped, spans, "doc_id", "norm_text"
+        ).select("doc_id", "masked_text")
+
+    @pipe.stage("packed", inputs=["masked"])
+    def packed(spark: SparkSession, masked: DataFrame) -> DataFrame:
+        with_tokens = masked.withColumn(
+            "n_tokens",
+            F.size(F.expr(r"filter(split(masked_text, '\\s+'), x -> x <> '')"))
+            .cast("long"),
+        ).filter(F.col("n_tokens") > 0)
+        bins = pack_sequences(with_tokens, "doc_id", "n_tokens", budget=pack_budget)
+        return bins.join(with_tokens.select("doc_id", "masked_text"), "doc_id")
+
+    return pipe

@@ -1,0 +1,105 @@
+"""End-to-end corpus-preparation DAG: every stage does its job on a
+corpus engineered with one planted defect per stage, and the incremental
+runner skips everything when inputs are unchanged."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from peskas_timor_data_pipeline_spark.pipeline.corpus_pipeline import (
+    build_corpus_pipeline,
+    ingest_corpus,
+)
+from peskas_timor_data_pipeline_spark.sources.io import read_stage
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and keeps going with more "
+    "words that make this a perfectly reasonable document about nothing much"
+)
+SHARED_SPAN = "this exact fifty-plus character span is shared verbatim between two documents"
+
+
+@pytest.fixture()
+def corpus_dir(tmp_path):
+    docs = [
+        # survivors
+        (1, GOOD + " one"),
+        (2, "an entirely different second document discussing completely "
+            "other topics such as sailing weather currents and navigation "
+            "charts for the northern passage routes"),
+        # exact duplicate of 1 (after normalization: curly quote folds)
+        (3, GOOD + " one"),
+        # near-duplicate of 1 (tiny suffix change -> same LSH bucket)
+        (4, GOOD + " one!"),
+        # junk: hammered duplicate lines -> repetition gate drops it
+        (5, "spam line here\n" * 12),
+        # pair sharing a long verbatim span -> masking splices it
+        (6, "prefix six. " + SHARED_SPAN + " suffix six ok then."),
+        (7, "intro seven: " + SHARED_SPAN + " outro seven, fine."),
+    ]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        ),
+        str(src),
+    )
+    return str(src), str(tmp_path / "artifacts")
+
+
+def test_corpus_pipeline_end_to_end(spark, corpus_dir):
+    src, art = corpus_dir
+    os.makedirs(art, exist_ok=True)
+    ingest_corpus(spark, art, src)
+    pipe = build_corpus_pipeline(
+        spark, art, n_hashes=16, band_size=4, k_span=50, pack_budget=64
+    )
+    pipe.run()
+
+    gated = {r.doc_id for r in read_stage(spark, art, "quality_gated").collect()}
+    assert 5 not in gated  # repetition gate
+    assert {1, 2, 3, 4, 6, 7} <= gated
+
+    exact = {r.doc_id for r in read_stage(spark, art, "exact_deduped").collect()}
+    assert 3 not in exact and 1 in exact  # min-id survivor
+
+    near = {r.doc_id for r in read_stage(spark, art, "near_deduped").collect()}
+    assert 4 not in near and 1 in near  # near-dup collapsed
+    assert {2, 6, 7} <= near
+
+    masked = {r.doc_id: r.masked_text for r in read_stage(spark, art, "masked").collect()}
+    assert SHARED_SPAN not in masked[6] and SHARED_SPAN not in masked[7]
+    assert masked[6].startswith("prefix six. ")
+    # length-preserving splice
+    assert len(masked[6]) == len(masked[6].rstrip()) + (
+        len(masked[6]) - len(masked[6].rstrip())
+    )
+
+    packed = read_stage(spark, art, "packed").collect()
+    assert {r.doc_id for r in packed} == near
+    for r in packed:
+        assert r.n_tokens <= 64 or r.offset_tokens == 0  # oversized own bin
+
+
+def test_corpus_pipeline_incremental_skip(spark, corpus_dir):
+    src, art = corpus_dir
+    os.makedirs(art, exist_ok=True)
+    ingest_corpus(spark, art, src)
+    pipe = build_corpus_pipeline(spark, art)
+    first = pipe.run(incremental=True)
+    # unchanged source: every stage resolves to the SAME artifact
+    second = build_corpus_pipeline(spark, art).run(incremental=True)
+    for name in ("normalized", "quality_gated", "exact_deduped",
+                 "near_deduped", "masked", "packed"):
+        assert second[name] == first[name]
+    # a re-ingested source invalidates the fingerprint chain end to end
+    ingest_corpus(spark, art, src)
+    third = build_corpus_pipeline(spark, art).run(incremental=True)
+    assert third["packed"] != first["packed"]
