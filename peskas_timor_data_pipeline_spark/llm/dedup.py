@@ -124,6 +124,75 @@ def minhash_signature(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
+def band_rows(
+    signatures: DataFrame, id_col: str, n_hashes: int, band_size: int
+) -> DataFrame:
+    """(id, band_key) long frame of LSH band bucket keys — the shared
+    upstream of candidate pairing, the duplication-rate scout, and the
+    bucket-cap policy."""
+    n_bands = n_hashes // band_size
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"h{b * band_size + i}") for i in range(band_size)],
+            )
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    return signatures.select(F.col(id_col), *bands).select(
+        id_col,
+        F.explode(
+            F.array(*[F.col(f"band{b}") for b in range(n_bands)])
+        ).alias("band_key"),
+    )
+
+
+def bucket_cap_from_scout(
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 6,
+    band_size: int = 2,
+    pair_budget_per_row: int = 8,
+) -> int | None:
+    """Turn the d15-style bucket-size histogram into the ``bucket_cap``
+    for :func:`lsh_candidate_pairs` — the missing link between scouting a
+    new crawl slice and actually scheduling its dedup pass.
+
+    Policy: emitted pair count is sum over buckets of C(s,2) below the
+    cap plus (s-1) star pairs above it — monotone increasing in the cap.
+    Pick the LARGEST cap whose total stays within ``pair_budget_per_row``
+    pairs per band row (i.e. O(budget x corpus) total work, the linear
+    bound a 100 TB pass must hold); return None when exact pairing
+    already fits, so normal corpora keep exact recall with no policy
+    applied. The decision reads only the bucket-size HISTOGRAM (distinct
+    sizes x counts — vocabulary-sized), so the driver-side choice is a
+    config decision on a tiny aggregate, not a data-path collect."""
+    sizes = (
+        band_rows(signatures, id_col, n_hashes, band_size)
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("buckets"))
+    )
+    hist = sorted((r["s"], r["buckets"]) for r in sizes.collect())
+    if not hist:
+        return None
+    total_rows = sum(s * c for s, c in hist)
+    budget = pair_budget_per_row * total_rows
+    if sum(s * (s - 1) // 2 * c for s, c in hist) <= budget:
+        return None
+    best = 1  # f(1) = sum(s-1) <= total_rows <= budget always
+    for cap, _ in hist:
+        f = sum(
+            (s * (s - 1) // 2 if s <= cap else (s - 1)) * c for s, c in hist
+        )
+        if f <= budget:
+            best = max(best, cap)
+    return best
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -154,22 +223,7 @@ def lsh_candidate_pairs(
     cap from d15_dup_rate_scout's colliding-bucket mass estimate.
     The cap adds one partial-aggregated groupBy on band_key (same shuffle
     key the pair join already uses)."""
-    n_bands = n_hashes // band_size
-    bands = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"h{b * band_size + i}") for i in range(band_size)],
-            )
-        ).alias(f"band{b}")
-        for b in range(n_bands)
-    ]
-    banded = signatures.select(F.col(id_col), *bands)
-    long = banded.select(
-        id_col,
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias("band_key"),
-    )
+    long = band_rows(signatures, id_col, n_hashes, band_size)
     # the pair join is a self-join: without materialization the whole
     # signature lineage (shingle explode + n_hashes mins) computes twice
     long = materialize(long, checkpoint_dir)

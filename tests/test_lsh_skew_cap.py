@@ -94,3 +94,34 @@ def test_capped_plan_has_no_extra_exchange_on_pair_join(spark):
     plan = _pairs(spark, docs, CAP)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "band_key" in plan
+
+
+def test_bucket_cap_from_scout_consumes_the_estimate(spark):
+    """The scout->policy link: on a Zipfian corpus the recommended cap
+    bounds the pair mass to the budget; on a normal corpus the policy
+    recommends NO cap (exact pairing already fits)."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import (
+        band_rows,
+        bucket_cap_from_scout,
+    )
+
+    zipf = _zipf_docs(spark)
+    sigs = minhash_signature(zipf, "doc_id", "text", N_HASHES, 5)
+    cap = bucket_cap_from_scout(
+        sigs, "doc_id", N_HASHES, BAND_SIZE, pair_budget_per_row=8
+    )
+    assert cap is not None and 1 <= cap < HOT  # the hot bucket is over it
+    # emitted pairs under the recommended cap respect the budget
+    rows = band_rows(sigs, "doc_id", N_HASHES, BAND_SIZE).count()
+    pairs = lsh_candidate_pairs(
+        sigs, "doc_id", N_HASHES, BAND_SIZE, bucket_cap=cap
+    ).count()
+    assert pairs <= 8 * rows
+
+    normal = spark.createDataFrame(
+        [(i, f"document {i} body " + " ".join(f"n{i}w{j}" for j in range(25)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    nsigs = minhash_signature(normal, "doc_id", "text", N_HASHES, 5)
+    assert bucket_cap_from_scout(nsigs, "doc_id", N_HASHES, BAND_SIZE) is None
