@@ -92,3 +92,29 @@ def test_airtable_roundtrip(spark):
     assert batches[0][0]["fields"]["name"] == "boat1"
     # None fields are dropped (PATCH semantics)
     assert "n" not in batches[1][0]["fields"]
+
+
+def test_star_cc_equals_label_propagation_cc(spark):
+    """Alternating large-star/small-star == the existing label-propagation
+    CC on random graphs, a diameter-100 path, and multi-component mixes."""
+    import random
+
+    from peskas_timor_data_pipeline_spark.llm.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = []
+    rng = random.Random(7)
+    for _ in range(2):
+        n = 30
+        cases.append([(rng.randrange(n), rng.randrange(n)) for _ in range(25)])
+    cases.append([(i, i + 1) for i in range(100)])           # long path
+    cases.append([(0, 1), (2, 3), (4, 5), (1, 2)])           # mixed comps
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        lp = {(r.node, r.component) for r in connected_components(df).collect()}
+        st = {(r.node, r.component)
+              for r in connected_components_star(df).collect()}
+        assert st == lp, (sorted(st - lp), sorted(lp - st))
