@@ -5023,3 +5023,27 @@ FROM corpus c LEFT JOIN agg a USING (doc_id)
 """
 
 QUERIES["d16_repeated_span_mask"] = (d16_repeated_span_mask, D16_ORACLE)
+
+
+def d5b_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d5's exact cluster contract computed by the OTHER components
+    algorithm — alternating large-star/small-star contraction
+    (llm/cluster.py::connected_components_star, Kiveris et al. 2014).
+    Same oracle as d5: both implementations must produce identical
+    min-labeled components, hash-checked independently."""
+    from peskas_timor_data_pipeline_spark.llm.cluster import (
+        connected_components_star,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BAND_SIZE)
+    comp = connected_components_star(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+QUERIES["d5b_dup_clusters_star"] = (d5b_dup_clusters_star, D5_ORACLE)
