@@ -214,13 +214,20 @@ def connected_components_star(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-        new_edges = materialize(small, checkpoint_dir)
-        changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(new_edges).limit(1).count()
+        edges = materialize(small, checkpoint_dir)
+        # convergence = FLATNESS, probed with one semi-join instead of a
+        # two-sided exceptAll diff: every emitted edge has a < b with a =
+        # a neighborhood min, so the set is a disjoint union of min-rooted
+        # stars exactly when no edge's smaller endpoint appears as some
+        # other edge's larger endpoint — and stars are fixed points of
+        # both operations, so flat ⇒ converged
+        not_flat = (
+            edges.select("a")
+            .join(edges.select(F.col("b").alias("a")), "a", "left_semi")
+            .limit(1)
+            .count()
         )
-        edges = new_edges
-        if changed == 0:
+        if not_flat == 0:
             break
     else:
         raise RuntimeError(
