@@ -63,6 +63,11 @@ SHOWCASE = {
     "g1_pagerank": "PageRank: per-iteration rank join + partial-agg, integer arithmetic end to end",
     "p17_dataset_fingerprint": "fingerprint: ONE agg pass, xor + split-sum partials, stack unpivot",
     "t27_vocab_growth": "vocab growth: first-appearance min per type, 64-row cumulative window only",
+    "d2b_lsh_skew_capped": "LSH skew cap: bucket stats on the SAME band_key shuffle; star branch is a narrow filter+project",
+    "t37_repetition_signals": "repetition gates: two explode chains partial-agg map-side; rank-1 window only for the top bigram",
+    "g2_triangle_count": "triangles: degree-oriented wedge equi-join + LeftSemi close; no cartesian anywhere",
+    "d16_repeated_span_mask": "span masking: positioned explode -> 60-bit gram keys -> LeftSemi seeds -> per-doc window sweep",
+    "p7b_fish_groups": "fish-group recode: ~50-row dim BroadcastHashJoin, no shuffle for the mapping",
 }
 
 
