@@ -2513,17 +2513,17 @@ scored AS (
          / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
   FROM q CROSS JOIN c
 ),
-pool AS (
+pool AS MATERIALIZED (
   SELECT query_id, cand_id, round(cosine, 6) AS rel FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
     FROM scored
   ) WHERE rn <= 10
 ),
-pv AS (
+pv AS MATERIALIZED (
   SELECT p.query_id, p.cand_id, p.rel, c.cv
   FROM pool p JOIN c ON p.cand_id = c.cand_id
 ),
-sim AS (
+sim AS MATERIALIZED (
   SELECT a.query_id, a.cand_id AS id_a, b.cand_id AS id_b,
          ({_dot_sql('a.cv', 'b.cv')})
          / (sqrt({_dot_sql('a.cv', 'a.cv')}) * sqrt({_dot_sql('b.cv', 'b.cv')})) AS sim
@@ -2534,8 +2534,8 @@ p1 AS (
          row_number() OVER (PARTITION BY query_id ORDER BY rel * {lam} DESC, cand_id) AS rn
   FROM pool
 ),
-sel1 AS (SELECT query_id, cand_id, mmr FROM p1 WHERE rn = 1),
-rem1 AS (
+sel1 AS MATERIALIZED (SELECT query_id, cand_id, mmr FROM p1 WHERE rn = 1),
+rem1 AS MATERIALIZED (
   SELECT p.query_id, p.cand_id, p.rel FROM pool p
   JOIN sel1 s ON p.query_id = s.query_id WHERE p.cand_id <> s.cand_id
 )"""
@@ -2546,7 +2546,7 @@ rem1 AS (
         union = (
             ""
             if step == 2
-            else ",\nsel12 AS (SELECT query_id, cand_id FROM sel1 "
+            else ",\nsel12 AS MATERIALIZED (SELECT query_id, cand_id FROM sel1 "
             "UNION ALL SELECT query_id, cand_id FROM sel2)"
         )
         steps.append(f"""{union},
@@ -2565,8 +2565,8 @@ p{step} AS (
                                      cand_id) AS rn
   FROM ms{step}
 ),
-sel{step} AS (SELECT query_id, cand_id, mmr FROM p{step} WHERE rn = 1),
-rem{step} AS (
+sel{step} AS MATERIALIZED (SELECT query_id, cand_id, mmr FROM p{step} WHERE rn = 1),
+rem{step} AS MATERIALIZED (
   SELECT r.query_id, r.cand_id, r.rel FROM {prev_rem} r
   JOIN sel{step} s ON r.query_id = s.query_id WHERE r.cand_id <> s.cand_id
 )""")
@@ -2668,7 +2668,7 @@ WITH toks AS (
   SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
 ), vocab AS (
   SELECT tok, count(*) AS w FROM toks WHERE tok <> '' GROUP BY tok
-), v0 AS (
+), v0 AS MATERIALIZED (
   SELECT w, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS sym FROM vocab
 )"""
     steps = []
@@ -2682,8 +2682,8 @@ p{s} AS (
          unnest(generate_series(1, len(a.arr) - 1)) AS u(i)
   ) pr GROUP BY pr.pair
 ),
-t{s} AS (SELECT pair, c FROM p{s} ORDER BY c DESC, pair LIMIT 1),
-v{s} AS (
+t{s} AS MATERIALIZED (SELECT pair, c FROM p{s} ORDER BY c DESC, pair LIMIT 1),
+v{s} AS MATERIALIZED (
   SELECT w,
          trim(replace(' ' || sym || ' ',
                       ' ' || (SELECT pair FROM t{s}) || ' ',
@@ -3070,7 +3070,7 @@ WITH tokf AS (
   ) WHERE tok <> ''
 ), vocab AS (
   SELECT tok, count(*) AS w FROM tokf GROUP BY tok
-), v0 AS (
+), v0 AS MATERIALIZED (
   SELECT tok, w, trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS sym FROM vocab
 )"""
     steps = []
@@ -3084,8 +3084,8 @@ p{s} AS (
          unnest(generate_series(1, len(a.arr) - 1)) AS u(i)
   ) pr GROUP BY pr.pair
 ),
-t{s} AS (SELECT pair, c FROM p{s} ORDER BY c DESC, pair LIMIT 1),
-v{s} AS (
+t{s} AS MATERIALIZED (SELECT pair, c FROM p{s} ORDER BY c DESC, pair LIMIT 1),
+v{s} AS MATERIALIZED (
   SELECT tok, w,
          trim(replace(' ' || sym || ' ',
                       ' ' || (SELECT pair FROM t{s}) || ' ',

@@ -151,7 +151,15 @@ def main() -> int:
             # transient host memory pressure (observed failing 16 KB
             # allocations with >100 GB free moments later, typically under
             # a concurrently-running Spark JVM): reconnect to drop the
-            # buffer pool and retry with backoff before giving up
+            # buffer pool and retry with backoff before giving up.
+            # Under --duckdb-mem, use a FRESH connection per oracle: a
+            # long-lived capped connection accumulates buffer-pool state
+            # across ~200 queries and starts OOMing oracles that pass in
+            # isolation — the sweep should measure per-oracle footprints,
+            # not connection-lifetime fragmentation.
+            if args.duckdb_mem:
+                con.close()
+                con = connect()
             res = None
             for attempt in range(3):
                 try:
