@@ -99,7 +99,7 @@ def d2_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SHINGLE_SQL = f"""
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id, substr(lower(text), CAST(i AS INTEGER), {K_SHINGLE}) AS sh
   FROM (SELECT doc_id, text,
                unnest(generate_series(1, length(text) - {K_SHINGLE - 1})) AS i
@@ -128,14 +128,14 @@ D2_ORACLE = f"""
 WITH {_SHINGLE_CTE},
 sig AS (SELECT doc_id, {_SIG_COLS} FROM shd GROUP BY doc_id),
 long AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sig),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM long a JOIN long b USING (band_key)
   WHERE a.doc_id < b.doc_id
 ),
-sets AS (SELECT DISTINCT doc_id, sh FROM sh),
-sizes AS (SELECT doc_id, count(*) AS set_size FROM sets GROUP BY doc_id),
-inter AS (
+sets AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS set_size FROM sets GROUP BY doc_id),
+inter AS MATERIALIZED (
   SELECT p.id_a, p.id_b, count(*) AS n_inter
   FROM pairs p
   JOIN sets sa ON sa.doc_id = p.id_a
@@ -256,32 +256,32 @@ lined AS (
          len(ws) AS nw
   FROM norm
 ),
-lines_f AS (
+lines_f AS MATERIALIZED (
   SELECT doc_id, ws2,
          CASE WHEN nw >= 16 THEN list_append(lns0, lns0[1]) ELSE lns0 END AS lns
   FROM lined
 ),
-lnx AS (SELECT doc_id, unnest(lns) AS ln FROM lines_f),
-per_line AS (SELECT doc_id, ln, count(*) AS c FROM lnx GROUP BY doc_id, ln),
-line_stats AS (
+lnx AS MATERIALIZED (SELECT doc_id, unnest(lns) AS ln FROM lines_f),
+per_line AS MATERIALIZED (SELECT doc_id, ln, count(*) AS c FROM lnx GROUP BY doc_id, ln),
+line_stats AS MATERIALIZED (
   SELECT doc_id, sum(c) AS n_lines, count(*) AS nd,
          sum(c * length(ln)) AS chars,
          sum(CASE WHEN c > 1 THEN c * length(ln) ELSE 0 END) AS chars_dup
   FROM per_line GROUP BY doc_id
 ),
-wchars AS (
+wchars AS MATERIALIZED (
   SELECT doc_id, coalesce(list_sum(list_transform(ws2, x -> length(x))), 0) AS wc
   FROM lines_f
 ),
-bgx AS (
+bgx AS MATERIALIZED (
   SELECT doc_id, unnest(
     CASE WHEN len(ws2) < 2 THEN []
          ELSE list_transform(generate_series(1, CAST(len(ws2) AS INTEGER) - 1),
                              i -> ws2[i] || ' ' || ws2[i + 1]) END) AS bg
   FROM lines_f
 ),
-bg_counts AS (SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY doc_id, bg),
-top_bg AS (
+bg_counts AS MATERIALIZED (SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY doc_id, bg),
+top_bg AS MATERIALIZED (
   SELECT doc_id, c * (length(bg) - 1) AS top_chars FROM (
     SELECT doc_id, bg, c,
            row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn
@@ -486,15 +486,19 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 T4_ORACLE = """
-WITH grams AS (
+WITH grams AS MATERIALIZED (
   SELECT DISTINCT doc_id, md5(substr(lower(text), CAST(i AS INTEGER), 8)) AS h
   FROM (SELECT doc_id, text,
                unnest(generate_series(1, length(text) - 7)) AS i
         FROM documents)
+), ranked AS MATERIALIZED (
+  SELECT doc_id, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+  FROM grams
 )
 SELECT doc_id,
-       md5(array_to_string(list_slice(list_sort(list(DISTINCT h)), 1, 4), '')) AS fingerprint
-FROM grams GROUP BY doc_id
+       md5(string_agg(h, '' ORDER BY h)) AS fingerprint
+FROM ranked WHERE rn <= 4 GROUP BY doc_id
 """
 
 
@@ -592,10 +596,10 @@ T5_ORACLE = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
 ), nonempty AS (SELECT * FROM toks WHERE tok <> ''),
-tf AS (SELECT doc_id, tok, count(*) AS tf FROM nonempty GROUP BY 1, 2),
+tf AS MATERIALIZED (SELECT doc_id, tok, count(*) AS tf FROM nonempty GROUP BY 1, 2),
 n AS (SELECT count(*) AS n_docs FROM documents),
-df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-scored AS (
+df AS MATERIALIZED (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS MATERIALIZED (
   SELECT doc_id, tok, tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
   FROM tf JOIN df USING (tok), n
 ), ranked AS (
@@ -965,15 +969,15 @@ def d6_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 D6_ORACLE = """
-WITH ev AS (
+WITH ev AS MATERIALIZED (
   SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INTEGER), 16) AS sh
   FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 15)) AS i
         FROM documents WHERE source = 'src0' AND length(text) >= 16)
-), tr AS (
+), tr AS MATERIALIZED (
   SELECT DISTINCT substr(lower(text), CAST(i AS INTEGER), 16) AS sh
   FROM (SELECT text, unnest(generate_series(1, length(text) - 15)) AS i
         FROM documents WHERE source <> 'src0' AND length(text) >= 16)
-), per_doc AS (
+), per_doc AS MATERIALIZED (
   SELECT e.doc_id,
          count(*) AS n_grams,
          CAST(sum(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
@@ -1782,13 +1786,13 @@ _D7_NORM = (
 
 D7_ORACLE = f"""
 WITH norm AS ({_D7_NORM}),
-grams AS (
+grams AS MATERIALIZED (
   SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 32) AS sh
   FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 31)) AS i
         FROM norm WHERE length(t) >= 32)
-), gd AS (
+), gd AS MATERIALIZED (
   SELECT sh, count(*) AS docs FROM grams GROUP BY sh
-), per_doc AS (
+), per_doc AS MATERIALIZED (
   SELECT doc_id, count(*) AS n_grams,
          sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS n_shared
   FROM grams JOIN gd USING (sh) GROUP BY doc_id
@@ -1837,7 +1841,7 @@ def d7b_gram_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D7B_ORACLE = f"""
 WITH norm AS ({_D7_NORM}),
-grams AS (
+grams AS MATERIALIZED (
   SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 32) AS sh
   FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 31)) AS i
         FROM norm WHERE length(t) >= 32)
@@ -2183,11 +2187,11 @@ WITH arr AS (
 ), words AS (
   SELECT doc_id, CAST(u.i AS BIGINT) AS i, ws[u.i] AS word
   FROM arr, unnest(generate_series(1, len(ws))) AS u(i)
-), segs AS (
+), segs AS MATERIALIZED (
   SELECT doc_id, CAST((i - 1) // 10 AS INTEGER) AS pos,
          string_agg(word, ' ' ORDER BY i) AS seg
   FROM words GROUP BY doc_id, (i - 1) // 10
-), marked AS (
+), marked AS MATERIALIZED (
   SELECT doc_id, pos, seg,
          row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
   FROM segs
@@ -3527,18 +3531,18 @@ WITH corpus AS (
               THEN 1 ELSE 0 END AS b
   FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
         FROM corpus)
-), assigned AS (
+), assigned AS MATERIALIZED (
   SELECT doc_id, i, ch,
          coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                   0) AS seg
   FROM chars
-), segs AS (
+), segs AS MATERIALIZED (
   SELECT doc_id, seg, md5(string_agg(ch, '' ORDER BY i)) AS seg_hash
   FROM assigned GROUP BY doc_id, seg
-), o AS (
+), o AS MATERIALIZED (
   SELECT DISTINCT doc_id, seg_hash FROM segs WHERE doc_id < 1000000
-), s AS (
+), s AS MATERIALIZED (
   SELECT DISTINCT doc_id - 1000000 AS doc_id, seg_hash FROM segs
   WHERE doc_id >= 1000000
 ), no AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_orig FROM o GROUP BY doc_id),
@@ -3589,7 +3593,7 @@ def t25_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 T25_ORACLE = """
-WITH grams AS (
+WITH grams AS MATERIALIZED (
   SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INTEGER), 8) AS sh
   FROM (SELECT doc_id, text,
                unnest(generate_series(1, length(text) - 7)) AS i
@@ -3948,18 +3952,18 @@ def d13_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 D13_ORACLE = """
-WITH grams AS (
+WITH grams AS MATERIALIZED (
   SELECT DISTINCT doc_id,
          ('0x' || substr(md5(substr(lower(text), CAST(i AS INTEGER), 32)), 1, 15))::BIGINT AS gh
   FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 31)) AS i
         FROM documents WHERE length(text) >= 32)
-), sizes AS (
+), sizes AS MATERIALIZED (
   SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
 ), keep AS (
   SELECT gh FROM grams GROUP BY gh HAVING count(*) <= 50
-), g AS (
+), g AS MATERIALIZED (
   SELECT doc_id, gh FROM grams JOIN keep USING (gh)
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
   FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
@@ -4185,7 +4189,7 @@ qb AS (
                     cell_id
          ) AS rn
   FROM cb CROSS JOIN cents
-), inv AS (SELECT cell_id, cand_id, cv, cw0, cw1 FROM assign WHERE rn = 1),
+), inv AS MATERIALIZED (SELECT cell_id, cand_id, cv, cw0, cw1 FROM assign WHERE rn = 1),
 probe AS (
   SELECT query_id, qv, qw0, qw1, cell_id,
          row_number() OVER (
@@ -4195,7 +4199,7 @@ probe AS (
                     cell_id
          ) AS rn
   FROM qb CROSS JOIN cents
-), probes AS (SELECT query_id, qv, qw0, qw1, cell_id FROM probe WHERE rn <= 4),
+), probes AS MATERIALIZED (SELECT query_id, qv, qw0, qw1, cell_id FROM probe WHERE rn <= 4),
 pre AS (
   SELECT query_id, cand_id, qv, cv,
          bit_count(xor(qw0, cw0)) + bit_count(xor(qw1, cw1)) AS hamming,
@@ -4204,7 +4208,7 @@ pre AS (
            ORDER BY bit_count(xor(qw0, cw0)) + bit_count(xor(qw1, cw1)), cand_id
          ) AS rn
   FROM probes JOIN inv USING (cell_id)
-), scored AS (
+), scored AS MATERIALIZED (
   SELECT query_id, cand_id, CAST(hamming AS BIGINT) AS hamming,
          ({_dot_sql('qv', 'cv')})
          / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
@@ -5047,3 +5051,218 @@ def d5b_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["d5b_dup_clusters_star"] = (d5b_dup_clusters_star, D5_ORACLE)
+
+
+# --- T38: Kneser-Ney bigram LM quality scoring -----------------------------------------
+
+def t38_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean interpolated Kneser-Ney bigram log-probability
+    (llm/text.py::kneser_ney_logprob) — the CCNet-perplexity-filter
+    analogue: backoff mass follows continuation counts, not raw
+    frequency, so frequent-but-context-bound words stop inflating
+    word-salad scores."""
+    from peskas_timor_data_pipeline_spark.llm.text import kneser_ney_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    return kneser_ney_logprob(docs, "doc_id", "text", discount=0.75)
+
+
+T38_ORACLE = """
+WITH prepped AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+  FROM documents
+), positions AS (
+  SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS pos FROM prepped
+), toks AS (
+  SELECT doc_id, pos, arr[pos] AS token FROM positions WHERE arr[pos] <> ''
+), bg AS MATERIALIZED (
+  SELECT doc_id, token,
+         lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM toks
+), bi AS MATERIALIZED (
+  SELECT prev, token, count(*) AS c_bg FROM bg WHERE prev IS NOT NULL
+  GROUP BY prev, token
+), ctx AS (
+  SELECT prev, sum(c_bg) AS c_prev, count(*) AS n_follow FROM bi GROUP BY prev
+), cont AS (
+  SELECT token, count(*) AS n_prec FROM bi GROUP BY token
+), nbb AS (SELECT count(*) AS n_bb FROM bi)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(ln(
+         greatest(bi.c_bg - 0.75::DOUBLE, 0.0::DOUBLE) / ctx.c_prev
+         + 0.75::DOUBLE * ctx.n_follow / ctx.c_prev * cont.n_prec / t.n_bb
+       )), 6) AS mean_logp_kn
+FROM bg b
+JOIN bi ON b.prev = bi.prev AND b.token = bi.token
+JOIN ctx ON ctx.prev = b.prev
+JOIN cont ON cont.token = b.token
+CROSS JOIN nbb t
+WHERE b.prev IS NOT NULL
+GROUP BY b.doc_id
+"""
+
+QUERIES["t38_kneser_ney_logprob"] = (t38_kneser_ney_logprob, T38_ORACLE)
+
+
+# --- T39: temperature-based source-mixture weights -------------------------------------
+
+def t39_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights at temperature tau=2
+    (llm/text.py::temperature_mixture_weights) — the multilingual-LM
+    upsampling scheme: small sources gain share proportionally to
+    sqrt(tokens), dominant ones shrink. alpha is pinned to 1/2 because
+    sqrt is correctly rounded by IEEE-754 in both engines."""
+    from peskas_timor_data_pipeline_spark.llm.text import (
+        temperature_mixture_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_mixture_weights(docs, "source", "text")
+
+
+T39_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+  FROM documents
+), per_src AS MATERIALIZED (
+  SELECT source, count(*) AS n_tokens FROM toks WHERE tok <> '' GROUP BY source
+), totals AS (
+  SELECT sum(n_tokens) AS t_all, sum(sqrt(n_tokens::DOUBLE)) AS t_sqrt
+  FROM per_src
+)
+SELECT source,
+       n_tokens,
+       CAST(round(1000000.0::DOUBLE * n_tokens / t_all) AS BIGINT)
+         AS natural_ppm,
+       CAST(round(1000000.0::DOUBLE * sqrt(n_tokens::DOUBLE) / t_sqrt)
+            AS BIGINT) AS temperature_ppm,
+       CAST(round(1000.0::DOUBLE
+                  * (sqrt(n_tokens::DOUBLE) / t_sqrt)
+                  / (n_tokens / t_all)) AS BIGINT) AS boost_milli
+FROM per_src CROSS JOIN totals
+"""
+
+QUERIES["t39_temperature_mixture"] = (t39_temperature_mixture, T39_ORACLE)
+
+
+# --- E24: IVF-PQ residual ANN (the FAISS IVFADC composition) ---------------------------
+
+def e24_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with residual encoding + per-probed-cell ADC tables
+    (llm/similarity.py::ivfpq_adc_topk) — coarse cells route, PQ encodes
+    the residual to the cell centroid, queries scan only probed cells'
+    inverted lists via m_sub map lookups per candidate. The oracle
+    replays the full chain: seeded centroids, L2 assignment, seeded
+    residual codebook, all 8 subvector argmins, probe selection, and the
+    table-lookup distance sum."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import ivfpq_adc_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 50)
+    cands = emb.filter(F.col("vec_id") >= 50)
+    return ivfpq_adc_topk(
+        qs, cands, "vec_id", "embedding",
+        dim=DIM, m_sub=8, k_cb=16, n_cells=16, n_probe=4, k_top=3,
+    )
+
+
+def _e24_sql() -> str:
+    m_sub, sub, k_cb, n_probe = 8, DIM // 8, 16, 4
+
+    def l2_full(a: str, b: str) -> str:
+        return " + ".join(
+            f"(CAST({a}[{j}] AS DOUBLE) - CAST({b}[{j}] AS DOUBLE))"
+            f" * (CAST({a}[{j}] AS DOUBLE) - CAST({b}[{j}] AS DOUBLE))"
+            for j in range(1, DIM + 1)
+        )
+
+    rvec_list = ", ".join(
+        f"CAST(a.embedding[{j}] AS DOUBLE) - CAST(a.cvec[{j}] AS DOUBLE)"
+        for j in range(1, DIM + 1)
+    )
+
+    def res_dist_block(vec: str, cvec: str, prefix: str) -> str:
+        # sum_j ((v[j] - cell_c[j]) - rvec[j])^2 per subvector, identical
+        # association order to the engine's generated expressions
+        return ", ".join(
+            " + ".join(
+                f"(CAST({vec}[{j}] AS DOUBLE) - CAST({cvec}[{j}] AS DOUBLE)"
+                f" - r.rvec[{j}])"
+                f" * (CAST({vec}[{j}] AS DOUBLE) - CAST({cvec}[{j}] AS DOUBLE)"
+                f" - r.rvec[{j}])"
+                for j in range(m * sub + 1, (m + 1) * sub + 1)
+            )
+            + f" AS {prefix}{m}"
+            for m in range(m_sub)
+        )
+
+    aggs = ", ".join(
+        f"min(struct_pack(d := d{m}, cid := cid)) AS s{m}" for m in range(m_sub)
+    )
+    joins = "\n  ".join(
+        (
+            "JOIN dtab t0 ON t0.cell_id = x.cell_id AND t0.cid = x.s0.cid"
+            if m == 0
+            else f"JOIN dtab t{m} ON t{m}.query_id = t0.query_id"
+            f" AND t{m}.cell_id = x.cell_id AND t{m}.cid = x.s{m}.cid"
+        )
+        for m in range(m_sub)
+    )
+    dist_sum = " + ".join(f"t{m}.qd{m}" for m in range(m_sub))
+    return f"""
+WITH cents AS MATERIALIZED (
+  SELECT vec_id AS cell_id, embedding AS cvec
+  FROM embeddings WHERE vec_id >= 50
+  ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+), assign AS MATERIALIZED (
+  SELECT cand_id, cell_id, cvec, embedding FROM (
+    SELECT e.vec_id AS cand_id, c.cell_id, c.cvec, e.embedding,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ({l2_full('e.embedding', 'c.cvec')}), c.cell_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id >= 50
+  ) WHERE rn = 1
+), rcb AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY o, cand_id) AS cid, rvec FROM (
+    SELECT a.cand_id, md5('pqr#' || CAST(a.cand_id AS VARCHAR)) AS o,
+           [{rvec_list}] AS rvec
+    FROM assign a
+    ORDER BY o, a.cand_id LIMIT {k_cb}
+  )
+), encp AS (
+  SELECT a.cand_id, a.cell_id, r.cid,
+         {res_dist_block('a.embedding', 'a.cvec', 'd')}
+  FROM assign a CROSS JOIN rcb r
+), codes AS MATERIALIZED (
+  SELECT cand_id, any_value(cell_id) AS cell_id, {aggs}
+  FROM encp GROUP BY cand_id
+), probes AS MATERIALIZED (
+  SELECT query_id, cell_id, cvec, qv FROM (
+    SELECT q.vec_id AS query_id, c.cell_id, c.cvec, q.embedding AS qv,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ({l2_full('q.embedding', 'c.cvec')}), c.cell_id
+           ) AS rn
+    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 50
+  ) WHERE rn <= {n_probe}
+), dtab AS MATERIALIZED (
+  SELECT p.query_id, p.cell_id, r.cid,
+         {res_dist_block('p.qv', 'p.cvec', 'qd')}
+  FROM probes p CROSS JOIN rcb r
+), adc AS (
+  SELECT t0.query_id, x.cand_id, {dist_sum} AS dist
+  FROM codes x
+  {joins}
+)
+SELECT query_id, cand_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS INTEGER) AS rank,
+       round(dist, 6) AS adc_dist
+FROM adc
+QUALIFY rank <= 3
+"""
+
+
+QUERIES["e24_ivfpq_topk"] = (e24_ivfpq_topk, _e24_sql())

@@ -792,7 +792,7 @@ WITH flagged AS (
               THEN 1 ELSE 0 END AS newf
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), sess AS (
+), sess AS MATERIALIZED (
   SELECT *, CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
             AS session_id
@@ -802,7 +802,7 @@ WITH flagged AS (
          row_number() OVER (PARTITION BY user_id, session_id
                             ORDER BY ts, event_id) AS rn
   FROM sess
-), paths AS (
+), paths AS MATERIALIZED (
   SELECT user_id, session_id,
          string_agg(event_type, '>' ORDER BY rn) AS path
   FROM ordered WHERE rn <= 5

@@ -1420,3 +1420,211 @@ def cell_exemplars(
         F.round(F.max("__cos__"), 6).alias("cosine"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def residual_codebook(
+    assigned: DataFrame,
+    id_col: str,
+    k: int = 16,
+    dim: int = 64,
+    seed_prefix: str = "pqr",
+) -> DataFrame:
+    """Deterministic PQ codebook over IVF RESIDUALS: the ``k`` assigned
+    candidates with the smallest md5(seed_prefix#id) contribute their
+    residual (vector minus assigned-cell centroid) as codebook entries,
+    numbered 1..k by seed order. ``assigned`` needs (id, __v__, __cv__)
+    — a vector and its assigned centroid. Same seeded-sample init as
+    :func:`pq_codebook`, computed on the residual field PQ will encode.
+    """
+    picked = (
+        assigned.select(
+            F.col(id_col).alias("__sid__"), F.col("__v__"), F.col("__cv__")
+        )
+        .withColumn(
+            "__seed__",
+            F.md5(F.concat(F.lit(f"{seed_prefix}#"), F.col("__sid__").cast("string"))),
+        )
+        .orderBy("__seed__", "__sid__")
+        .limit(k)
+    )
+    w = Window.orderBy("__seed__", "__sid__")
+    rvec = F.array(
+        *[
+            F.col("__v__")[i].cast("double") - F.col("__cv__")[i].cast("double")
+            for i in range(dim)
+        ]
+    )
+    return picked.select(
+        F.row_number().over(w).alias("cid"), rvec.alias("rvec")
+    )
+
+
+def ivfpq_adc_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    m_sub: int = 8,
+    k_cb: int = 16,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k_top: int = 3,
+) -> DataFrame:
+    """IVF-PQ with residual encoding + asymmetric-distance search — the
+    composition behind billion-vector ANN serving (FAISS ``IVFADC``,
+    Jégou et al. 2011): a coarse quantizer routes each vector to a cell,
+    PQ encodes the RESIDUAL to the cell centroid (residuals are
+    near-zero-centered, so the same code budget quantizes them far more
+    finely than raw vectors), and a query scans only its ``n_probe``
+    nearest cells, computing one distance table per probed cell and
+    ranking candidates by ``m_sub`` table lookups each.
+
+    Scale shape — every stage is the 100 TB-safe pattern already proven
+    by the standalone pieces (e3 IVF / e7 PQ / e8 ADC):
+    - coarse centroids: one TakeOrderedAndProject pass, broadcast;
+    - assignment: broadcast crossJoin x n_cells + ONE min_by aggregation
+      (map-side partial, no window) — vectors never shuffle;
+    - residual codebook: k-row broadcast;
+    - encoding: broadcast crossJoin x k_cb + ONE aggregation computing
+      all m_sub argmins simultaneously; emitted state is m_sub bytes of
+      codes + the cell id per vector;
+    - search: the per-(query, probed-cell) distance tables are
+      (n_queries x n_probe x k_cb) rows -> broadcast maps; candidate
+      distance is m_sub map lookups inside codegen; only the inverted
+      lists of probed cells are scanned (cell_id equi-join, never the
+      corpus), then one per-query top-k window over ~n_probe/n_cells of
+      the corpus.
+
+    L2 metric throughout (the PQ distance decomposition is additive in
+    L2; FAISS's default for IVFADC). Deterministic: seeded-sample
+    centroids/codebook, fixed-order generated arithmetic, id tie-breaks.
+
+    Returns (query_id, cand_id, rank, adc_dist).
+    """
+    sub = dim // m_sub
+    cents = F.broadcast(
+        ivf_centroids(candidates, id_col, vec_col, n_cells, dim).select(
+            "cell_id", "cvec"
+        )
+    )
+
+    # --- assignment: nearest cell by L2, min_by aggregate (no window) ---
+    c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__v__"))
+    l2_cell = sum(
+        (F.col("__v__")[i].cast("double") - F.col("cvec")[i].cast("double"))
+        * (F.col("__v__")[i].cast("double") - F.col("cvec")[i].cast("double"))
+        for i in range(dim)
+    )
+    assigned = (
+        c.crossJoin(cents)
+        .select("cand_id", "__v__", "cell_id", l2_cell.alias("__l2__"))
+        .groupBy("cand_id")
+        .agg(
+            F.min_by("cell_id", F.struct(F.col("__l2__"), F.col("cell_id"))).alias(
+                "cell_id"
+            ),
+            F.first("__v__").alias("__v__"),
+        )
+        .join(cents.withColumnRenamed("cvec", "__cv__"), "cell_id")
+    )
+
+    # --- residual codebook (k_cb-row broadcast) ---
+    rcb = F.broadcast(
+        residual_codebook(assigned, "cand_id", k=k_cb, dim=dim)
+    )
+
+    # --- encode: all m_sub residual-subvector argmins in one aggregation ---
+    enc_dists = [
+        sum(
+            (
+                F.col("__v__")[j].cast("double")
+                - F.col("__cv__")[j].cast("double")
+                - F.col("rvec")[j]
+            )
+            * (
+                F.col("__v__")[j].cast("double")
+                - F.col("__cv__")[j].cast("double")
+                - F.col("rvec")[j]
+            )
+            for j in range(m * sub, (m + 1) * sub)
+        ).alias(f"__d{m}__")
+        for m in range(m_sub)
+    ]
+    enc_scored = assigned.crossJoin(rcb).select(
+        "cand_id", "cell_id", "cid", *enc_dists
+    )
+    encoded = enc_scored.groupBy("cand_id").agg(
+        F.first("cell_id").alias("cell_id"),
+        *[
+            F.min_by("cid", F.struct(F.col(f"__d{m}__"), F.col("cid"))).alias(
+                f"__c{m}__"
+            )
+            for m in range(m_sub)
+        ],
+    )
+
+    # --- query probes: n_probe nearest cells by L2 ---
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    l2_q = sum(
+        (F.col("qv")[i].cast("double") - F.col("cvec")[i].cast("double"))
+        * (F.col("qv")[i].cast("double") - F.col("cvec")[i].cast("double"))
+        for i in range(dim)
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.asc("__l2__"), F.asc("cell_id"))
+    probes = (
+        q.crossJoin(cents)
+        .select("query_id", "qv", "cell_id", "cvec", l2_q.alias("__l2__"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell_id", "cvec")
+    )
+
+    # --- per-(query, probed cell) distance tables to the residual codebook ---
+    tab_dists = [
+        sum(
+            (
+                F.col("qv")[j].cast("double")
+                - F.col("cvec")[j].cast("double")
+                - F.col("rvec")[j]
+            )
+            * (
+                F.col("qv")[j].cast("double")
+                - F.col("cvec")[j].cast("double")
+                - F.col("rvec")[j]
+            )
+            for j in range(m * sub, (m + 1) * sub)
+        ).alias(f"__t{m}__")
+        for m in range(m_sub)
+    ]
+    dtab = probes.crossJoin(rcb).select(
+        "query_id", "cell_id", "cid", *tab_dists
+    )
+    # map order is irrelevant (lookup by key) — collect_list nondeterminism
+    # is harmless, same as pq_adc_topk
+    tables = dtab.groupBy("query_id", "cell_id").agg(
+        *[
+            F.map_from_arrays(
+                F.collect_list("cid"), F.collect_list(f"__t{m}__")
+            ).alias(f"__m{m}__")
+            for m in range(m_sub)
+        ]
+    )
+
+    # --- scan only probed cells' inverted lists; ADC = m_sub lookups ---
+    joined = encoded.join(F.broadcast(tables), "cell_id")
+    adc = F.element_at(F.col("__m0__"), F.col("__c0__"))
+    for m in range(1, m_sub):
+        adc = adc + F.element_at(F.col(f"__m{m}__"), F.col(f"__c{m}__"))
+    scored = joined.select("query_id", "cand_id", adc.alias("__adc__"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("__adc__"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(
+            "query_id",
+            "cand_id",
+            "rank",
+            F.round("__adc__", 6).alias("adc_dist"),
+        )
+    )

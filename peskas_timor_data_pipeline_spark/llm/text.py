@@ -841,3 +841,140 @@ def dsir_select(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "rank", id_col, "n_tokens", "avg_logratio"
     )
+
+
+def kneser_ney_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean interpolated Kneser-Ney bigram log-probability
+    under the corpus's own counts — the closest relational analogue of the
+    KenLM-perplexity quality filter used by CCNet/CCNet-descendant corpora
+    (Wenzek et al. 2020): unlike plain interpolation (``bigram_logprob``),
+    the backoff mass goes to CONTINUATION probability (how many distinct
+    contexts a word follows) rather than raw frequency, so "Francisco"
+    (frequent but only ever after "San") stops looking like a good
+    unigram everywhere:
+
+        p_kn(w | prev) = max(c(prev,w) − D, 0) / c(prev·)
+                         + D · N1+(prev,·)/c(prev·) · N1+(·,w)/N1+(··)
+
+    with absolute discount ``D``, ``c(prev·)`` the bigram-token count of
+    the context, ``N1+(prev,·)`` the distinct continuations of the
+    context, ``N1+(·,w)`` the distinct contexts of the word and
+    ``N1+(··)`` the total number of distinct bigram types.
+
+    Every model quantity is an exact integer count — the four count
+    tables all derive from ONE bigram-type aggregation — so the only
+    float surface is the final log, and the per-doc mean is rounded.
+
+    Scale shape: one tokenize+posexplode, the context via a lag window
+    bounded by document length, then a single (prev, token) partial
+    aggregation whose re-aggregations (by prev, by token, global) are all
+    tiny relative to the corpus; scoring re-attaches the model by
+    (prev, token) equi-join with no broadcast hint — the bigram-type
+    table can be billions of rows at corpus scale, so AQE picks the
+    join strategy. Docs with fewer than 2 tokens drop (no bigram
+    evidence).
+
+    Returns (id, n_bigrams, mean_logp_kn).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        id_col,
+        F.posexplode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    bg = toks.withColumn("prev", F.lag("token").over(wd)).filter(
+        F.col("prev").isNotNull()
+    )
+    # the single model aggregation: bigram types with counts; everything
+    # else (context totals, continuation fan-ins, type count) folds from it
+    bi = bg.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bi.groupBy("prev").agg(
+        F.sum("c_bg").alias("c_prev"),
+        F.count(F.lit(1)).alias("n_follow"),
+    )
+    cont = bi.groupBy("token").agg(F.count(F.lit(1)).alias("n_prec"))
+    nbb = bi.groupBy().agg(F.count(F.lit(1)).alias("n_bb"))
+    d = F.lit(float(discount))
+    p_kn = (
+        F.greatest(F.col("c_bg") - d, F.lit(0.0)) / F.col("c_prev")
+        + d * F.col("n_follow") / F.col("c_prev")
+        * F.col("n_prec") / F.col("n_bb")
+    )
+    scored = (
+        bg.join(bi, ["prev", "token"])
+        .join(ctx, "prev")
+        .join(cont, "token")
+        .crossJoin(F.broadcast(nbb))
+        .withColumn("__lp__", F.log(p_kn))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__lp__"), 6).alias("mean_logp_kn"),
+    )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Temperature-based source-mixture weights (the multilingual-LM
+    sampling scheme of mBERT/XLM-R/mT5): upsample small sources and
+    downsample dominant ones by sampling source i proportionally to
+    p_i^alpha instead of its natural share p_i. This implementation pins
+    alpha = 1/2 (sampling temperature tau = 2) because sqrt is the one
+    power IEEE-754 requires to be correctly rounded — both engines
+    produce the bit-identical double, leaving no cross-engine pow()
+    divergence surface; an arbitrary-alpha variant would need an
+    engine-pinned pow implementation to stay hash-stable.
+
+    Scale shape: token counting is one partial-aggregated groupBy on the
+    source key (the corpus's rows never shuffle anywhere else); the
+    resulting frame is source-cardinality-sized, so the share
+    normalization (one-row total broadcast) is free at any corpus scale.
+
+    Returns (group, n_tokens, natural_ppm, temperature_ppm, boost_milli)
+    where the ppm columns are integer parts-per-million shares and
+    boost_milli = 1000 * temperature_share / natural_share (>1000 means
+    the source is upsampled).
+    """
+    per_src = (
+        df.select(F.col(group_col), F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("t_all"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("t_sqrt"),
+    )
+    out = per_src.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_tokens",
+        F.round(F.lit(1000000.0) * F.col("n_tokens") / F.col("t_all"))
+        .cast("long")
+        .alias("natural_ppm"),
+        F.round(
+            F.lit(1000000.0)
+            * F.sqrt(F.col("n_tokens").cast("double"))
+            / F.col("t_sqrt")
+        )
+        .cast("long")
+        .alias("temperature_ppm"),
+        F.round(
+            F.lit(1000.0)
+            * (F.sqrt(F.col("n_tokens").cast("double")) / F.col("t_sqrt"))
+            / (F.col("n_tokens") / F.col("t_all"))
+        )
+        .cast("long")
+        .alias("boost_milli"),
+    )
+    return out

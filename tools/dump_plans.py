@@ -68,6 +68,9 @@ SHOWCASE = {
     "g2_triangle_count": "triangles: degree-oriented wedge equi-join + LeftSemi close; no cartesian anywhere",
     "d16_repeated_span_mask": "span masking: positioned explode -> 60-bit gram keys -> LeftSemi seeds -> per-doc window sweep",
     "p7b_fish_groups": "fish-group recode: ~50-row dim BroadcastHashJoin, no shuffle for the mapping",
+    "t38_kneser_ney_logprob": "Kneser-Ney: ONE bigram-type agg feeds all four count tables; AQE-sized equi-joins, no broadcast hint on the vocab",
+    "t39_temperature_mixture": "temperature mixture: one source-keyed partial agg; corpus rows shuffle once, total is a 1-row broadcast",
+    "e24_ivfpq_topk": "IVFPQ: min_by assignment/encoding aggregates (no per-vector windows), broadcast centroids+codebook+tables, probed-cell equi-join scan",
 }
 
 
