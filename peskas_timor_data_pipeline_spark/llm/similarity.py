@@ -1502,20 +1502,55 @@ def ivfpq_adc_topk(
 
     Returns (query_id, cand_id, rank, adc_dist).
     """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
     sub = dim // m_sub
+    # the coarse centroids / assignment / codebook / tables frames are all
+    # tiny (n_cells, N-row-slim, k_cb, q*n_probe) but each is referenced by
+    # later stages whose plans would otherwise recompute the whole prefix
+    # (and recompile its 64-term generated expressions) per reference — the
+    # e17 power-iteration lesson: cut lineage at every stage boundary
     cents = F.broadcast(
-        ivf_centroids(candidates, id_col, vec_col, n_cells, dim).select(
-            "cell_id", "cvec"
+        materialize(
+            ivf_centroids(candidates, id_col, vec_col, n_cells, dim).select(
+                "cell_id", "cvec"
+            )
         )
     )
 
+    # Distances are higher-order folds, NOT unrolled 64-term expression
+    # chains: at dim 64 the generated chains dominate wall time through
+    # whole-stage-codegen COMPILATION (~2-4s per distinct stage on a warm
+    # JVM), while aggregate(zip_with(...)) compiles in milliseconds and
+    # evaluates the identical left-associated sum ((0+t0)+t1)+... — same
+    # doubles, same oracle hash. The per-element work is a hair slower
+    # interpreted, which is invisible next to the shuffle at any scale.
+    def l2_fold(a: str | Column, b: str | Column) -> Column:
+        sq = F.zip_with(
+            a if not isinstance(a, str) else F.col(a),
+            b if not isinstance(b, str) else F.col(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        return F.aggregate(sq, F.lit(0.0), lambda acc, t: acc + t)
+
+    def res_fold(vec: str, cvec: str, m: int) -> Column:
+        # sum_j ((v[j] - cell_c[j]) - rvec[j])^2 over subvector m, same
+        # association order as the oracle's generated chain
+        sq = F.zip_with(
+            F.zip_with(
+                F.slice(vec, m * sub + 1, sub),
+                F.slice(cvec, m * sub + 1, sub),
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ),
+            F.slice("rvec", m * sub + 1, sub),
+            lambda d, r: (d - r) * (d - r),
+        )
+        return F.aggregate(sq, F.lit(0.0), lambda acc, t: acc + t)
+
     # --- assignment: nearest cell by L2, min_by aggregate (no window) ---
     c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__v__"))
-    l2_cell = sum(
-        (F.col("__v__")[i].cast("double") - F.col("cvec")[i].cast("double"))
-        * (F.col("__v__")[i].cast("double") - F.col("cvec")[i].cast("double"))
-        for i in range(dim)
-    )
+    l2_cell = l2_fold("__v__", "cvec")
     assigned = (
         c.crossJoin(cents)
         .select("cand_id", "__v__", "cell_id", l2_cell.alias("__l2__"))
@@ -1528,28 +1563,16 @@ def ivfpq_adc_topk(
         )
         .join(cents.withColumnRenamed("cvec", "__cv__"), "cell_id")
     )
+    assigned = materialize(assigned)
 
     # --- residual codebook (k_cb-row broadcast) ---
     rcb = F.broadcast(
-        residual_codebook(assigned, "cand_id", k=k_cb, dim=dim)
+        materialize(residual_codebook(assigned, "cand_id", k=k_cb, dim=dim))
     )
 
     # --- encode: all m_sub residual-subvector argmins in one aggregation ---
     enc_dists = [
-        sum(
-            (
-                F.col("__v__")[j].cast("double")
-                - F.col("__cv__")[j].cast("double")
-                - F.col("rvec")[j]
-            )
-            * (
-                F.col("__v__")[j].cast("double")
-                - F.col("__cv__")[j].cast("double")
-                - F.col("rvec")[j]
-            )
-            for j in range(m * sub, (m + 1) * sub)
-        ).alias(f"__d{m}__")
-        for m in range(m_sub)
+        res_fold("__v__", "__cv__", m).alias(f"__d{m}__") for m in range(m_sub)
     ]
     enc_scored = assigned.crossJoin(rcb).select(
         "cand_id", "cell_id", "cid", *enc_dists
@@ -1566,11 +1589,7 @@ def ivfpq_adc_topk(
 
     # --- query probes: n_probe nearest cells by L2 ---
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    l2_q = sum(
-        (F.col("qv")[i].cast("double") - F.col("cvec")[i].cast("double"))
-        * (F.col("qv")[i].cast("double") - F.col("cvec")[i].cast("double"))
-        for i in range(dim)
-    )
+    l2_q = l2_fold("qv", "cvec")
     w_probe = Window.partitionBy("query_id").orderBy(F.asc("__l2__"), F.asc("cell_id"))
     probes = (
         q.crossJoin(cents)
@@ -1582,20 +1601,7 @@ def ivfpq_adc_topk(
 
     # --- per-(query, probed cell) distance tables to the residual codebook ---
     tab_dists = [
-        sum(
-            (
-                F.col("qv")[j].cast("double")
-                - F.col("cvec")[j].cast("double")
-                - F.col("rvec")[j]
-            )
-            * (
-                F.col("qv")[j].cast("double")
-                - F.col("cvec")[j].cast("double")
-                - F.col("rvec")[j]
-            )
-            for j in range(m * sub, (m + 1) * sub)
-        ).alias(f"__t{m}__")
-        for m in range(m_sub)
+        res_fold("qv", "cvec", m).alias(f"__t{m}__") for m in range(m_sub)
     ]
     dtab = probes.crossJoin(rcb).select(
         "query_id", "cell_id", "cid", *tab_dists
@@ -1612,7 +1618,7 @@ def ivfpq_adc_topk(
     )
 
     # --- scan only probed cells' inverted lists; ADC = m_sub lookups ---
-    joined = encoded.join(F.broadcast(tables), "cell_id")
+    joined = encoded.join(F.broadcast(materialize(tables)), "cell_id")
     adc = F.element_at(F.col("__m0__"), F.col("__c0__"))
     for m in range(1, m_sub):
         adc = adc + F.element_at(F.col(f"__m{m}__"), F.col(f"__c{m}__"))
