@@ -45,7 +45,7 @@ _PRIORITY_R05 = (
     "p7b_fish_groups", "d7b_gram_checksum", "d2b_lsh_skew_capped",
     "t37_repetition_signals", "g2_triangle_count", "d16_repeated_span_mask",
     "d5b_dup_clusters_star", "t38_kneser_ney_logprob", "t39_temperature_mixture",
-    "e24_ivfpq_topk",
+    "e24_ivfpq_topk", "e25_mrl_funnel", "d17_band_planner", "m13_bh_fdr",
     # (c) engine or oracle changed in round 5
     "m4b_glmm_1ri", "j10_asof_join", "j10b_asof_forward",
     "j10c_asof_nearest_tolerance", "j12_scd2_temporal",

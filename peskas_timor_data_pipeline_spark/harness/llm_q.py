@@ -5266,3 +5266,151 @@ QUALIFY rank <= 3
 
 
 QUERIES["e24_ivfpq_topk"] = (e24_ivfpq_topk, _e24_sql())
+
+
+# --- E25: Matryoshka funnel retrieval (coarse scan -> full-dim rerank) -----------------
+
+def e25_mrl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive retrieval over Matryoshka embeddings
+    (llm/similarity.py::mrl_funnel_topk): scan at dim 16, shortlist 20
+    per query, rerank the shortlist at dim 64 — full-precision distances
+    are paid on 20 rows per query instead of the corpus. e16 measures
+    the truncation loss; this is the serving path that buys it back."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import mrl_funnel_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    candidates = emb.filter(F.col("vec_id") >= 20)
+    return mrl_funnel_topk(
+        queries, candidates, "vec_id", "embedding",
+        k_top=3, m_shortlist=20, dim_coarse=16, dim=DIM,
+    )
+
+
+E25_ORACLE = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20
+), c AS MATERIALIZED (
+  SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 20
+), coarse AS MATERIALIZED (
+  SELECT query_id, cand_id FROM (
+    SELECT q.query_id, c.cand_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ({_dot16('qv', 'cv')})
+                      / (sqrt({_dot16('qv', 'qv')}) * sqrt({_dot16('cv', 'cv')}))
+                      DESC, c.cand_id
+           ) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 20
+), rer AS (
+  SELECT s.query_id, s.cand_id,
+         ({_dot_sql('q.qv', 'c.cv')})
+         / (sqrt({_dot_sql('q.qv', 'q.qv')}) * sqrt({_dot_sql('c.cv', 'c.cv')}))
+           AS cosine
+  FROM coarse s
+  JOIN q ON q.query_id = s.query_id
+  JOIN c ON c.cand_id = s.cand_id
+)
+SELECT query_id, cand_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank,
+       round(cosine, 6) AS cosine
+FROM rer
+QUALIFY rank <= 3
+"""
+
+QUERIES["e25_mrl_funnel"] = (e25_mrl_funnel, E25_ORACLE)
+
+
+# --- D17: LSH band-config planner (expected recall per band division) ------------------
+
+def d17_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every (n_bands, band_size) division of the 16-hash signature,
+    the expected candidate recall over the corpus's OWN verified
+    near-dup pairs (llm/dedup.py::lsh_band_recall): P(caught at
+    similarity s) = 1 - (1 - s^r)^b, evaluated as the same
+    binary-squaring tree in both engines. d15 scouts the COST of a band
+    config (candidate mass); this tables the RECALL side of the trade."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import lsh_band_recall
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BAND_SIZE)
+    verified = ngram_jaccard(docs, pairs, "doc_id", "text", K_SHINGLE).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return lsh_band_recall(verified, "jaccard", n_hashes=N_HASHES)
+
+
+def _d17_sql() -> str:
+    # binary-squaring expression trees, textually identical association
+    # to the engine's Column trees
+    sp = {1: "s"}
+    e = 2
+    while e <= N_HASHES:
+        sp[e] = f"({sp[e // 2]} * {sp[e // 2]})"
+        e *= 2
+    selects = []
+    b = 1
+    while b <= N_HASHES:
+        r = N_HASHES // b
+        t = {1: f"(1.0::DOUBLE - {sp[r]})"}
+        e = 2
+        while e <= b:
+            t[e] = f"({t[e // 2]} * {t[e // 2]})"
+            e *= 2
+        selects.append(
+            f"SELECT CAST({b} AS INTEGER) AS n_bands,"
+            f" CAST({r} AS INTEGER) AS band_size, n_pairs,"
+            f" p_{b}_{r} AS expected_recall FROM a"
+        )
+        b *= 2
+    avgs = []
+    b = 1
+    while b <= N_HASHES:
+        r = N_HASHES // b
+        t = {1: f"(1.0::DOUBLE - {sp[r]})"}
+        e = 2
+        while e <= b:
+            t[e] = f"({t[e // 2]} * {t[e // 2]})"
+            e *= 2
+        avgs.append(f"round(avg(1.0::DOUBLE - {t[b]}), 6) AS p_{b}_{r}")
+        b *= 2
+    union = "\nUNION ALL ".join(selects)
+    return f"""
+WITH {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM shd GROUP BY doc_id),
+long AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sig),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM long a JOIN long b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+sets AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS set_size FROM sets GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.id_a
+  JOIN sets sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+  GROUP BY p.id_a, p.id_b
+),
+v AS MATERIALIZED (
+  SELECT round(coalesce(n_inter, 0) * 1.0
+               / (za.set_size + zb.set_size - coalesce(n_inter, 0)), 6) AS s
+  FROM pairs p
+  LEFT JOIN inter USING (id_a, id_b)
+  JOIN sizes za ON za.doc_id = p.id_a
+  JOIN sizes zb ON zb.doc_id = p.id_b
+  WHERE coalesce(n_inter, 0) * 1.0
+        / (za.set_size + zb.set_size - coalesce(n_inter, 0)) >= 0.5
+),
+a AS MATERIALIZED (
+  SELECT count(*) AS n_pairs, {', '.join(avgs)} FROM v
+)
+{union}
+"""
+
+
+QUERIES["d17_band_planner"] = (d17_band_planner, _d17_sql())

@@ -1160,3 +1160,167 @@ FROM s_stat s JOIN ties t USING (o_orderpriority)
 """
 
 QUERIES["m12_mann_kendall"] = (m12_mann_kendall, M12_ORACLE)
+
+
+# --- M13: Benjamini-Hochberg FDR over a panel of A/B metrics ---------------------------
+
+# metric name -> per-user conversion predicate (variant = user_id parity,
+# the a29 experiment design, read out across SIX metrics at once — the
+# multiple-comparisons setting BH exists for)
+_M13_METRICS = {
+    "purchase_gt100": "event_type = 'purchase' AND value > 100",
+    "any_purchase": "event_type = 'purchase'",
+    "any_click": "event_type = 'click'",
+    "any_error": "event_type = 'error'",
+    "any_signup": "event_type = 'signup'",
+    "value_gt200": "value > 200",
+}
+
+# Abramowitz-Stegun 26.2.17 polynomial tail of the standard normal CDF:
+# the one transcendental is exp(); every coefficient is written as the
+# SAME literal in both engines so the expression trees are identical
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def m13_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six two-proportion z-tests (user_id-parity variants, one per
+    metric) -> two-sided normal p-values (Abramowitz-Stegun 26.2.17
+    polynomial, identical literal trees in both engines) ->
+    Benjamini-Hochberg step-up at alpha=0.05
+    (operators/estimate.py::bh_adjust). The experimentation-platform
+    readout: which metric movements survive multiple-comparison
+    control."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import bh_adjust
+
+    ev = load(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.expr(pred), 1).otherwise(0)).alias(f"c_{name}")
+            for name, pred in _M13_METRICS.items()
+        ]
+    ).select((F.col("user_id") % 2).alias("variant"), *[f"c_{n}" for n in _M13_METRICS])
+    per = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        *[F.sum(f"c_{n}").cast("long").alias(f"s_{n}") for n in _M13_METRICS],
+    )
+    a = per.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("na"), *[F.col(f"s_{n}").alias(f"ca_{n}") for n in _M13_METRICS]
+    )
+    b = per.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("nb"), *[F.col(f"s_{n}").alias(f"cb_{n}") for n in _M13_METRICS]
+    )
+    j = a.crossJoin(b)
+
+    def z_of(n: str):
+        pa = F.col(f"ca_{n}") / F.col("na")
+        pb = F.col(f"cb_{n}") / F.col("nb")
+        pool = (F.col(f"ca_{n}") + F.col(f"cb_{n}")) / (F.col("na") + F.col("nb"))
+        se = F.sqrt(pool * (1 - pool) * (1 / F.col("na") + 1 / F.col("nb")))
+        return F.when(se > 0, (pa - pb) / se)
+
+    wide = j.select(
+        "na", "nb",
+        *[F.col(f"ca_{n}") for n in _M13_METRICS],
+        *[F.col(f"cb_{n}") for n in _M13_METRICS],
+        *[z_of(n).alias(f"z_{n}") for n in _M13_METRICS],
+    )
+    stack_args = ", ".join(
+        f"'{n}', ca_{n}, cb_{n}, z_{n}" for n in _M13_METRICS
+    )
+    long = wide.select(
+        "na", "nb",
+        F.expr(
+            f"stack({len(_M13_METRICS)}, {stack_args}) as (metric, conv_a, conv_b, z)"
+        ),
+    )
+    az = F.abs(F.col("z"))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    b1, b2, b3, b4, b5 = (F.lit(c) for c in _AS_B)
+    poly = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+    phi = F.exp(-az * az / F.lit(2.0)) * F.lit(_INV_SQRT_2PI)
+    scored = long.select(
+        "metric", "na", "conv_a", "nb", "conv_b",
+        F.round("z", 6).alias("z_stat"),
+        F.round(F.lit(2.0) * phi * poly, 6).alias("p_value"),
+    )
+    return bh_adjust(scored, "metric", "p_value", alpha=0.05, m=len(_M13_METRICS))
+
+
+def _m13_sql() -> str:
+    convs = ",\n         ".join(
+        f"max(CASE WHEN {pred} THEN 1 ELSE 0 END) AS c_{name}"
+        for name, pred in _M13_METRICS.items()
+    )
+    sums = ", ".join(f"CAST(sum(c_{n}) AS BIGINT) AS s_{n}" for n in _M13_METRICS)
+    stack_rows = "\n    UNION ALL ".join(
+        f"SELECT '{n}' AS metric, na, ca_{n} AS conv_a, nb, cb_{n} AS conv_b,"
+        f" z_{n} AS z FROM wide"
+        for n in _M13_METRICS
+    )
+
+    def z_sql(n: str) -> str:
+        return (
+            f"CASE WHEN sqrt(((ca_{n} + cb_{n}) / (na + nb))"
+            f" * (1 - (ca_{n} + cb_{n}) / (na + nb)) * (1 / na + 1 / nb)) > 0"
+            f" THEN (ca_{n} / na - cb_{n} / nb)"
+            f" / sqrt(((ca_{n} + cb_{n}) / (na + nb))"
+            f" * (1 - (ca_{n} + cb_{n}) / (na + nb)) * (1 / na + 1 / nb))"
+            f" END AS z_{n}"
+        )
+
+    zs = ",\n         ".join(z_sql(n) for n in _M13_METRICS)
+    b1, b2, b3, b4, b5 = _AS_B
+    return f"""
+WITH users AS (
+  SELECT user_id % 2 AS variant,
+         {convs}
+  FROM events GROUP BY user_id
+), per AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_users, {sums}
+  FROM users GROUP BY variant
+), a AS (SELECT n_users AS na, {", ".join(f"s_{n} AS ca_{n}" for n in _M13_METRICS)} FROM per WHERE variant = 0),
+b AS (SELECT n_users AS nb, {", ".join(f"s_{n} AS cb_{n}" for n in _M13_METRICS)} FROM per WHERE variant = 1),
+wide AS (
+  SELECT na, nb,
+         {", ".join(f"ca_{n}" for n in _M13_METRICS)},
+         {", ".join(f"cb_{n}" for n in _M13_METRICS)},
+         {zs}
+  FROM a CROSS JOIN b
+), longf AS (
+    {stack_rows}
+), scored AS MATERIALIZED (
+  SELECT metric, na, conv_a, nb, conv_b,
+         round(z, 6) AS z_stat,
+         round(2.0::DOUBLE
+               * (exp(-abs(z) * abs(z) / 2.0::DOUBLE) * {_INV_SQRT_2PI}::DOUBLE)
+               * ((1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(z)))
+                  * ({b1}::DOUBLE
+                     + (1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(z)))
+                     * ({b2}::DOUBLE
+                        + (1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(z)))
+                        * ({b3}::DOUBLE
+                           + (1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(z)))
+                           * ({b4}::DOUBLE
+                              + (1.0::DOUBLE / (1.0::DOUBLE + 0.2316419::DOUBLE * abs(z)))
+                              * {b5}::DOUBLE))))), 6) AS p_value
+  FROM longf
+), ranked AS MATERIALIZED (
+  SELECT *, row_number() OVER (ORDER BY p_value, metric) AS bh_rank
+  FROM scored WHERE p_value IS NOT NULL
+), kmax AS (
+  SELECT max(CASE WHEN p_value <= CAST(bh_rank AS DOUBLE) * 0.05::DOUBLE / 6.0::DOUBLE
+                  THEN bh_rank END) AS k FROM ranked
+)
+SELECT r.metric, r.na, r.conv_a, r.nb, r.conv_b, r.z_stat, r.p_value,
+       CAST(r.bh_rank AS INTEGER) AS bh_rank,
+       r.bh_rank <= coalesce(k.k, 0) AS significant
+FROM ranked r CROSS JOIN kmax k
+UNION ALL
+SELECT metric, na, conv_a, nb, conv_b, z_stat, p_value,
+       CAST(NULL AS INTEGER) AS bh_rank, FALSE AS significant
+FROM scored WHERE p_value IS NULL
+"""
+
+
+QUERIES["m13_bh_fdr"] = (m13_bh_fdr, _m13_sql())

@@ -1074,3 +1074,66 @@ def apply_span_mask(
         )
     )
     return df.join(sp, id_col, "left").withColumn(out_col, masked).drop("__sp__")
+
+
+def lsh_band_recall(
+    verified_pairs: DataFrame,
+    jaccard_col: str = "jaccard",
+    n_hashes: int = 16,
+) -> DataFrame:
+    """LSH band-config planner: for every (n_bands, band_size) division of
+    the ``n_hashes`` signature, the expected candidate recall over the
+    corpus's OWN verified near-duplicate pairs — each pair at similarity s
+    is caught with probability 1 − (1 − s^r)^b, so the table answers
+    "what recall would the bands I am NOT running have achieved on the
+    duplicates I actually have". The cost side of the same trade is
+    d15's scout (candidate-pair mass); together they bracket the tuning.
+
+    Determinism: both engines evaluate s^r and (1−s^r)^b as the SAME
+    binary-squaring multiplication tree (r and b are powers of two for a
+    power-of-two signature), never libm pow() — identical IEEE doubles;
+    s is rounded first, the per-config mean last.
+
+    Scale shape: one aggregation over the (tiny) verified-pair frame
+    computing all configs as parallel partial-aggregated avgs, then a
+    constant 5-row stack unpivot. Nothing here touches the corpus.
+
+    Returns (n_bands, band_size, n_pairs, expected_recall).
+    """
+    assert n_hashes & (n_hashes - 1) == 0, "n_hashes must be a power of two"
+    s = F.round(F.col(jaccard_col), 6)
+    powers = {1: s}
+    e = 2
+    while e <= n_hashes:
+        powers[e] = powers[e // 2] * powers[e // 2]
+        e *= 2
+    configs = []
+    b = 1
+    while b <= n_hashes:
+        configs.append((b, n_hashes // b))
+        b *= 2
+
+    def p_cand(b: int, r: int) -> Column:
+        t = F.lit(1.0) - powers[r]
+        tb = {1: t}
+        e = 2
+        while e <= b:
+            tb[e] = tb[e // 2] * tb[e // 2]
+            e *= 2
+        return F.lit(1.0) - tb[b]
+
+    agg = verified_pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        *[
+            F.round(F.avg(p_cand(b, r)), 6).alias(f"p_{b}_{r}")
+            for b, r in configs
+        ],
+    )
+    stack_args = ", ".join(f"{b}, {r}, p_{b}_{r}" for b, r in configs)
+    return agg.select(
+        F.expr(
+            f"stack({len(configs)}, {stack_args})"
+            " as (n_bands, band_size, expected_recall)"
+        ),
+        "n_pairs",
+    ).select("n_bands", "band_size", "n_pairs", "expected_recall")

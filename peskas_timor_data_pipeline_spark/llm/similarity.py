@@ -1634,3 +1634,57 @@ def ivfpq_adc_topk(
             F.round("__adc__", 6).alias("adc_dist"),
         )
     )
+
+
+def mrl_funnel_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_top: int = 3,
+    m_shortlist: int = 20,
+    dim_coarse: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Matryoshka funnel retrieval (adaptive retrieval over MRL
+    embeddings, Kusupati et al. 2022): rank ALL candidates by the first
+    ``dim_coarse`` dimensions only — the index that is dim/dim_coarse
+    times smaller and cheaper to scan — keep an ``m_shortlist`` per
+    query, then rerank just the shortlist at full dimension. e16
+    measures what truncation costs; THIS is the serving path that buys
+    the loss back: full-precision distances are paid on m rows per
+    query, not the corpus.
+
+    Scale shape: the coarse pass is the brute-force scorer at
+    ``dim_coarse`` (one streaming scan against broadcast queries — at
+    scale, swap in the IVF cell scan; the funnel composes with any
+    candidate generator). The rerank joins the (q x m)-row shortlist
+    back to the candidate vectors as a BROADCAST build side, so the
+    full-dim vectors are only read, never shuffled, and the final
+    window ranks m rows per query.
+
+    Returns (query_id, cand_id, rank, cosine) — rank by FULL-dim cosine.
+    """
+    shortlist = cosine_topk_bruteforce(
+        queries, candidates, id_col, vec_col, k=m_shortlist, dim=dim_coarse
+    ).select("query_id", "cand_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col, dim).alias("qn"),
+    )
+    sl = F.broadcast(shortlist.join(q, "query_id"))
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col, dim).alias("cn"),
+    )
+    rer = c.join(sl, "cand_id").withColumn(
+        "cosine", dot_expr("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

@@ -450,3 +450,55 @@ def impute_pmm_replicates(
         )
         .drop("__fill__")
     )
+
+
+def bh_adjust(
+    pvals: DataFrame,
+    key_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+    m: int | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a frame of test
+    p-values (Benjamini & Hochberg 1995): rank the p-values ascending
+    (ties broken by key), find the largest rank i with
+    p_(i) <= i * alpha / m, and mark every test at or below that rank
+    significant — the standard guard against the "ran 40 experiment
+    metrics, 2 hit p<0.05 by luck" trap.
+
+    ``m`` is the number of tests (defaults to the frame's non-null
+    p-value count). Null p-values (degenerate tests, e.g. a saturated
+    A/B pool with zero pooled variance) pass through unranked and
+    not-significant.
+
+    Scale contract: the input is one row per TEST (metrics, cohorts,
+    feature flags) — dimension-sized by definition — so the global rank
+    window is bounded; the heavy lifting (computing each test's
+    statistic) happens upstream on the event data, never here.
+
+    Returns the input plus (bh_rank int|null, significant boolean).
+    """
+    ranked_src = pvals.filter(F.col(p_col).isNotNull())
+    w = Window.orderBy(F.asc(p_col), F.asc(key_col))
+    wg = Window.partitionBy()
+    m_expr = F.lit(float(m)) if m is not None else F.count(F.lit(1)).over(wg)
+    ranked = ranked_src.withColumn("bh_rank", F.row_number().over(w))
+    passed = F.col(p_col) <= (
+        F.col("bh_rank").cast("double") * F.lit(float(alpha)) / m_expr
+    )
+    flagged = ranked.withColumn(
+        "__kmax__",
+        F.max(F.when(passed, F.col("bh_rank"))).over(wg),
+    ).select(
+        *pvals.columns,
+        F.col("bh_rank").cast("int").alias("bh_rank"),
+        (F.col("bh_rank") <= F.coalesce(F.col("__kmax__"), F.lit(0))).alias(
+            "significant"
+        ),
+    )
+    skipped = pvals.filter(F.col(p_col).isNull()).select(
+        *pvals.columns,
+        F.lit(None).cast("int").alias("bh_rank"),
+        F.lit(False).alias("significant"),
+    )
+    return flagged.unionByName(skipped)

@@ -189,3 +189,82 @@ def test_ivfpq_planted_twins_retrieved(spark, sf_dir):
     top1 = {r.query_id: r.cand_id for r in out if r.rank == 1}
     hits = sum(1 for q, c in top1.items() if c == q + 20)
     assert hits >= 8, f"only {hits}/10 twins at rank 1: {top1}"
+
+
+def test_mrl_funnel_with_full_shortlist_equals_bruteforce(spark, sf_dir):
+    """With the shortlist as large as the corpus, the funnel's coarse
+    pass prunes nothing and the rerank IS the exact full-dim ranking."""
+    from pyspark.sql import functions as F
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        cosine_topk_bruteforce,
+        mrl_funnel_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 10)
+    cands = emb.filter(F.col("vec_id") >= 10)
+    n = cands.count()
+    funnel = mrl_funnel_topk(
+        qs, cands, "vec_id", "embedding",
+        k_top=3, m_shortlist=n, dim_coarse=16, dim=64,
+    ).collect()
+    exact = cosine_topk_bruteforce(
+        qs, cands, "vec_id", "embedding", k=3, dim=64
+    ).collect()
+    assert sorted(map(tuple, funnel)) == sorted(map(tuple, exact))
+
+
+def test_lsh_band_recall_hand_computed(spark):
+    """Exact-duplicate pairs (s=1) are caught by every config; an s=0.5
+    pair's probability follows 1-(1-0.5^r)^b exactly."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import lsh_band_recall
+
+    df = spark.createDataFrame(
+        [(1.0,), (0.5,)], "jaccard double"
+    )
+    got = {(r.n_bands, r.band_size): r for r in lsh_band_recall(df, "jaccard", 16).collect()}
+    assert set(got) == {(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)}
+    for (b, r), row in got.items():
+        assert row.n_pairs == 2
+        want = round((
+            (1.0 - (1.0 - 1.0 ** r) ** b) + (1.0 - (1.0 - 0.5 ** r) ** b)
+        ) / 2, 6)
+        assert abs(row.expected_recall - want) < 1e-6, (b, r, row.expected_recall, want)
+    # more bands of shorter rows catch low-similarity pairs more often
+    assert got[(16, 1)].expected_recall > got[(1, 16)].expected_recall
+
+
+def test_bh_adjust_textbook_example(spark):
+    """The classic BH walk: thresholds i*alpha/m; the largest passing
+    rank gates everything at or below it, nulls pass through unranked."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import bh_adjust
+
+    df = spark.createDataFrame(
+        [("m1", 0.001), ("m2", 0.008), ("m3", 0.039),
+         ("m4", 0.041), ("m5", 0.042), ("m6", None)],
+        "metric string, p double",
+    )
+    got = {r.metric: r for r in bh_adjust(df, "metric", "p", alpha=0.05, m=6).collect()}
+    # thresholds: .00833 .01667 .025 .0333 .04167 .05
+    assert got["m1"].significant and got["m1"].bh_rank == 1
+    assert got["m2"].significant and got["m2"].bh_rank == 2
+    assert not got["m3"].significant and got["m3"].bh_rank == 3
+    assert not got["m4"].significant
+    assert not got["m5"].significant
+    assert got["m6"].bh_rank is None and not got["m6"].significant
+
+
+def test_bh_adjust_step_up_rescues_earlier_rejections(spark):
+    """Step-up semantics: a passing rank k marks ALL p-values at ranks
+    <= k significant even if their own thresholds failed."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import bh_adjust
+
+    # m=4, alpha=0.05: thresholds .0125 .025 .0375 .05
+    # p2=.02 passes rank-2, p3=.03 FAILS rank-3, p4=.05 passes rank-4
+    # -> kmax=4 -> ALL significant
+    df = spark.createDataFrame(
+        [("a", 0.013), ("b", 0.02), ("c", 0.03), ("d", 0.05)],
+        "metric string, p double",
+    )
+    got = {r.metric: r.significant for r in bh_adjust(df, "metric", "p", 0.05, 4).collect()}
+    assert all(got.values()), got

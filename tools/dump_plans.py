@@ -71,6 +71,8 @@ SHOWCASE = {
     "t38_kneser_ney_logprob": "Kneser-Ney: ONE bigram-type agg feeds all four count tables; AQE-sized equi-joins, no broadcast hint on the vocab",
     "t39_temperature_mixture": "temperature mixture: one source-keyed partial agg; corpus rows shuffle once, total is a 1-row broadcast",
     "e24_ivfpq_topk": "IVFPQ: min_by assignment/encoding aggregates (no per-vector windows), broadcast centroids+codebook+tables, probed-cell equi-join scan",
+    "e25_mrl_funnel": "MRL funnel: dim-16 coarse scan + broadcast shortlist rerank — full vectors read once, never shuffled",
+    "m13_bh_fdr": "BH FDR: one per-user agg + 2-row variant rollup; rank windows only over the 6-row metric panel",
 }
 
 
