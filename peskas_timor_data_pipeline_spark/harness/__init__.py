@@ -24,14 +24,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Registry front-of-line for round 5.  The driver records ~50 CORRECTNESS
 # rows per round in registry order.  Front of line: (a) round 4's two red
 # rows, now fixed (d7's ASCII-normalized shingles; e22's memory-shaped
-# oracle), (b) the 18 queries the driver has NEVER sampled (round 4's
-# overflow plus this round's additions: the full fish-group recode, the
-# d7 gram-checksum twin, the LSH skew-cap), then (c) every query whose
+# oracle), (b) the queries the driver has NEVER sampled — round 4's
+# overflow plus everything added in round 5 (fish-group recode, d7
+# checksum twin, LSH skew-cap, repetition signals, triangle count, span
+# masking, star CC, Kneser-Ney, temperature mixture, IVFPQ, MRL funnel,
+# band planner, BH FDR, source diversity), then (c) every query whose
 # engine or oracle changed in round 5 — the TIMESTAMP_NTZ output class
 # (asof joins, SCD2, session window, downsample, tumbling window,
 # sessionization, interval join/union, OHLC, time-to-convert,
 # bounce-rate, session-paths) and the window-form m4b GLMM oracle.
-# 52 oracle-checked entries lead; the two rows-only GLMMs trail (they are
+# Oracle-checked entries lead; the two rows-only GLMMs trail (they are
 # pinned by frozen-fixture hashes in pytest instead).
 _PRIORITY_R05 = (
     # (a) round-4 red rows, fixed this round
@@ -46,6 +48,7 @@ _PRIORITY_R05 = (
     "t37_repetition_signals", "g2_triangle_count", "d16_repeated_span_mask",
     "d5b_dup_clusters_star", "t38_kneser_ney_logprob", "t39_temperature_mixture",
     "e24_ivfpq_topk", "e25_mrl_funnel", "d17_band_planner", "m13_bh_fdr",
+    "t40_source_diversity",
     # (c) engine or oracle changed in round 5
     "m4b_glmm_1ri", "j10_asof_join", "j10b_asof_forward",
     "j10c_asof_nearest_tolerance", "j12_scd2_temporal",

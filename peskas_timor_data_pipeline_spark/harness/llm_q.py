@@ -5414,3 +5414,40 @@ a AS MATERIALIZED (
 
 
 QUERIES["d17_band_planner"] = (d17_band_planner, _d17_sql())
+
+
+# --- T40: per-source lexical diversity (entropy / TTR / hapax) -------------------------
+
+def t40_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token/type counts, TTR, hapax share and unigram Shannon
+    entropy (llm/text.py::source_diversity) — template farms read as low
+    entropy + low TTR, OCR noise as a hapax explosion. Entropy via
+    H = ln(N) - (sum c ln c)/N: one aggregation, no probability join."""
+    from peskas_timor_data_pipeline_spark.llm.text import source_diversity
+
+    docs = load(spark, sf_dir, "documents")
+    return source_diversity(docs, "source", "text")
+
+
+T40_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+), counts AS MATERIALIZED (
+  SELECT source, tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY source, tok
+), agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types,
+         sum(c * ln(c)) AS clnc
+  FROM counts GROUP BY source
+)
+SELECT source, n_tokens, n_types, hapax_types,
+       CAST(round(1000000.0::DOUBLE * n_types / n_tokens) AS BIGINT) AS ttr_ppm,
+       CAST(round(1000000.0::DOUBLE * hapax_types / n_types) AS BIGINT) AS hapax_ppm,
+       round(ln(n_tokens) - clnc / n_tokens, 6) AS entropy_nats
+FROM agg
+"""
+
+QUERIES["t40_source_diversity"] = (t40_source_diversity, T40_ORACLE)

@@ -978,3 +978,53 @@ def temperature_mixture_weights(
         .alias("boost_milli"),
     )
     return out
+
+
+def source_diversity(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-source lexical-diversity report: token/type counts, type-token
+    ratio, hapax share, and unigram Shannon entropy — the standard corpus
+    diagnostics for spotting template farms (low entropy, low TTR) and
+    OCR noise (hapax explosion) before training.
+
+    Entropy uses the identity H = ln(N) − (Σ c·ln c)/N, so it needs no
+    per-term probability: ONE aggregation over the per-source count
+    table computes Σc and Σ c·ln c together. The count table itself is
+    one partial-aggregated groupBy on (source, token); corpus rows cross
+    the shuffle exactly once.
+
+    Returns (group, n_tokens, n_types, hapax_types, ttr_ppm, hapax_ppm,
+    entropy_nats).
+    """
+    counts = (
+        df.select(F.col(group_col), F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = counts.groupBy(group_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias(
+            "hapax_types"
+        ),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("__clnc__"),
+    )
+    return agg.select(
+        group_col,
+        "n_tokens",
+        "n_types",
+        "hapax_types",
+        F.round(F.lit(1000000.0) * F.col("n_types") / F.col("n_tokens"))
+        .cast("long")
+        .alias("ttr_ppm"),
+        F.round(F.lit(1000000.0) * F.col("hapax_types") / F.col("n_types"))
+        .cast("long")
+        .alias("hapax_ppm"),
+        F.round(
+            F.log(F.col("n_tokens")) - F.col("__clnc__") / F.col("n_tokens"), 6
+        ).alias("entropy_nats"),
+    )

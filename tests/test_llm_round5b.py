@@ -268,3 +268,23 @@ def test_bh_adjust_step_up_rescues_earlier_rejections(spark):
     )
     got = {r.metric: r.significant for r in bh_adjust(df, "metric", "p", 0.05, 4).collect()}
     assert all(got.values()), got
+
+
+def test_source_diversity_hand_computed(spark):
+    import math
+    from peskas_timor_data_pipeline_spark.llm.text import source_diversity
+
+    df = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "x y z w")], "source string, text string"
+    )
+    got = {r.source: r for r in source_diversity(df, "source", "text").collect()}
+    r1 = got["s1"]
+    assert (r1.n_tokens, r1.n_types, r1.hapax_types) == (3, 2, 1)
+    assert r1.ttr_ppm == 666667 and r1.hapax_ppm == 500000
+    want = round(math.log(3) - (2 * math.log(2)) / 3, 6)
+    assert abs(r1.entropy_nats - want) < 1e-6
+    r2 = got["s2"]  # uniform: entropy = ln(4), all hapax
+    assert r2.hapax_ppm == 1000000
+    assert abs(r2.entropy_nats - round(math.log(4), 6)) < 1e-6
+    # uniform source is strictly more diverse than the skewed one per token
+    assert r2.entropy_nats > r1.entropy_nats
