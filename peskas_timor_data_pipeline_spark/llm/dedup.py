@@ -1137,3 +1137,32 @@ def lsh_band_recall(
         ),
         "n_pairs",
     ).select("n_bands", "band_size", "n_pairs", "expected_recall")
+
+
+def pick_band_config(
+    recall_table: DataFrame,
+    min_recall: float = 0.95,
+) -> tuple[int, int] | None:
+    """Consume :func:`lsh_band_recall`'s table the way
+    :func:`bucket_cap_from_scout` consumes the d15 scout: choose the
+    CHEAPEST band config meeting a recall floor. Fewer bands means fewer
+    bucket keys per document and a lower background candidate rate, so
+    among configs with expected_recall >= min_recall the one with the
+    smallest n_bands wins (band_size breaks ties toward longer rows —
+    more selective buckets).
+
+    The collect here is contractually safe: the table has one row per
+    divisor of the signature length (5 rows for 16 hashes) regardless of
+    corpus size. Returns (n_bands, band_size), or None if no config
+    reaches the floor (caller keeps the current config and should widen
+    the signature instead).
+    """
+    rows = (
+        recall_table.filter(F.col("expected_recall") >= float(min_recall))
+        .orderBy(F.asc("n_bands"), F.desc("band_size"))
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return None
+    return int(rows[0].n_bands), int(rows[0].band_size)

@@ -288,3 +288,24 @@ def test_source_diversity_hand_computed(spark):
     assert abs(r2.entropy_nats - round(math.log(4), 6)) < 1e-6
     # uniform source is strictly more diverse than the skewed one per token
     assert r2.entropy_nats > r1.entropy_nats
+
+
+def test_pick_band_config_cheapest_meeting_floor(spark):
+    """Among configs clearing the floor, the fewest-bands (cheapest,
+    most selective) one wins; an unreachable floor returns None."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import (
+        lsh_band_recall,
+        pick_band_config,
+    )
+
+    # pairs at s=0.9: p(1,16)=0.185, p(2,8)=0.676, p(4,4)=0.986,
+    # p(8,2)=0.999998 — the cheapest config clearing 0.95 is (4,4)
+    df = spark.createDataFrame([(0.9,), (0.9,)], "jaccard double")
+    table = lsh_band_recall(df, "jaccard", 16)
+    assert pick_band_config(table, 0.95) == (4, 4)
+    assert pick_band_config(table, 0.10) == (1, 16)
+    # at s=0.1 even 16 bands of 1 only reach 1-0.9^16 = 0.815: no config
+    low = lsh_band_recall(
+        spark.createDataFrame([(0.1,)], "jaccard double"), "jaccard", 16
+    )
+    assert pick_band_config(low, 0.95) is None
