@@ -64,6 +64,7 @@ def build_corpus_pipeline(
     *,
     min_quality: float = 0.2,
     max_dup_line_ppm: int = 300_000,
+    kn_tail_frac: float | None = None,
     n_hashes: int = 16,
     band_size: int = 8,
     bucket_cap: int | None = 64,
@@ -73,7 +74,14 @@ def build_corpus_pipeline(
     """Wire the corpus stages onto a runner; call :func:`ingest_corpus`
     first (it owns the ``corpus_raw`` artifact), then ``.run()`` —
     ``incremental=True`` skips every stage whose inputs' artifact versions
-    are unchanged."""
+    are unchanged.
+
+    ``kn_tail_frac`` switches on the CCNet-style LM gate (Wenzek et al.
+    2020): score every quality-gated doc with the corpus-self Kneser-Ney
+    bigram model (llm/text.py::kneser_ney_logprob) and drop the
+    worst-scoring tail fraction before dedup. Off by default — the gate
+    costs one extra corpus pass and only pays off on crawl-grade input.
+    """
     pipe = Pipeline(spark, artifact_dir)
 
     @pipe.stage("normalized", inputs=["corpus_raw"])
@@ -96,9 +104,41 @@ def build_corpus_pipeline(
             .select("doc_id", "text", "norm_text")
         )
 
-    @pipe.stage("exact_deduped", inputs=["quality_gated"])
-    def exact_deduped(spark: SparkSession, quality_gated: DataFrame) -> DataFrame:
-        return exact_dedup(quality_gated, "doc_id", ["norm_text"]).select(
+    dedup_input = "quality_gated"
+    if kn_tail_frac is not None:
+        dedup_input = "lm_gated"
+
+        @pipe.stage("lm_gated", inputs=["quality_gated"])
+        def lm_gated(spark: SparkSession, quality_gated: DataFrame) -> DataFrame:
+            # CCNet keeps the best (1 - tail) of the crawl by LM score;
+            # the threshold is a broadcast percentile scalar (the t13
+            # pattern), NOT a corpus-wide rank window
+            from peskas_timor_data_pipeline_spark.llm.text import (
+                kneser_ney_logprob,
+            )
+
+            kn = kneser_ney_logprob(quality_gated, "doc_id", "norm_text")
+            thr = kn.agg(
+                F.percentile_approx(
+                    "mean_logp_kn", F.lit(float(kn_tail_frac)), F.lit(10000)
+                ).alias("__thr__")
+            )
+            return (
+                quality_gated.join(kn.select("doc_id", "mean_logp_kn"), "doc_id")
+                .crossJoin(F.broadcast(thr))
+                # STRICT >: the approx quantile returns an actual data
+                # value, so >= would keep the threshold doc itself and, on
+                # small inputs where the frac rounds to the minimum, drop
+                # nothing at all; dropping ties at the threshold errs the
+                # CCNet way (toward cleaner data)
+                .filter(F.col("mean_logp_kn") > F.col("__thr__"))
+                .select("doc_id", "text", "norm_text")
+            )
+
+    @pipe.stage("exact_deduped", inputs=[dedup_input])
+    def exact_deduped(spark: SparkSession, **frames: DataFrame) -> DataFrame:
+        gated = frames[dedup_input]
+        return exact_dedup(gated, "doc_id", ["norm_text"]).select(
             "doc_id", "text", "norm_text", "n_dups"
         )
 

@@ -103,3 +103,42 @@ def test_corpus_pipeline_incremental_skip(spark, corpus_dir):
     ingest_corpus(spark, art, src)
     third = build_corpus_pipeline(spark, art).run(incremental=True)
     assert third["packed"] != first["packed"]
+
+
+def test_corpus_pipeline_kn_gate_drops_word_salad(spark, tmp_path):
+    """With kn_tail_frac set, the optional LM stage drops the worst-
+    scoring tail; word salad assembled from common corpus words scores
+    far below coherent docs under the corpus-self Kneser-Ney bigram LM
+    (the unigram-fooling case the bigram gate exists for)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps going with "
+        "more words that make this a perfectly reasonable document"
+    )
+    docs = [
+        (1, base + " variant one here"),
+        (2, base + " variant two there"),
+        (3, base + " variant three again"),
+        # word salad: common words, impossible bigrams
+        (4, "dog the over quick and lazy fox words brown jumps more the going"),
+    ]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        ),
+        str(src),
+    )
+    art = str(tmp_path / "artifacts")
+    os.makedirs(art, exist_ok=True)
+    ingest_corpus(spark, art, str(src))
+    pipe = build_corpus_pipeline(
+        spark, art, kn_tail_frac=0.25, max_dup_line_ppm=1_000_000
+    )
+    pipe.run()
+    gated = read_stage(spark, art, "lm_gated")
+    kept = {r.doc_id for r in gated.select("doc_id").collect()}
+    assert 4 not in kept, "word salad must fall in the KN tail"
+    assert {1, 2, 3} <= kept
