@@ -1459,6 +1459,221 @@ def residual_codebook(
     )
 
 
+def _pq_folds(dim: int, m_sub: int):
+    """Shared fold builders for the IVFPQ build/search paths. Higher-order
+    folds, NOT unrolled 64-term chains: at dim 64 the generated chains
+    dominate wall time through whole-stage-codegen COMPILATION (~2-4s per
+    distinct stage), while aggregate(zip_with(...)) compiles in
+    milliseconds and evaluates the identical left-associated sum
+    ((0+t0)+t1)+... — same doubles, same oracle hash."""
+    sub = dim // m_sub
+
+    def l2_fold(a: str | Column, b: str | Column) -> Column:
+        sq = F.zip_with(
+            a if not isinstance(a, str) else F.col(a),
+            b if not isinstance(b, str) else F.col(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        return F.aggregate(sq, F.lit(0.0), lambda acc, t: acc + t)
+
+    def diff_arr(vec: str, cvec: str) -> Column:
+        return F.zip_with(
+            F.col(vec), F.col(cvec),
+            lambda x, y: x.cast("double") - y.cast("double"),
+        )
+
+    def res_fold(diff_col: str, m: int) -> Column:
+        # sum_j ((v[j] - cell_c[j]) - rvec[j])^2 over subvector m, same
+        # association order as the oracle's generated chain; the (v - c)
+        # diff is HOISTED to one array per vector BEFORE the x k_cb
+        # codebook cross join, so it is computed n times, not n*k_cb
+        sq = F.zip_with(
+            F.slice(diff_col, m * sub + 1, sub),
+            F.slice("rvec", m * sub + 1, sub),
+            lambda d, r: (d - r) * (d - r),
+        )
+        return F.aggregate(sq, F.lit(0.0), lambda acc, t: acc + t)
+
+    return l2_fold, diff_arr, res_fold
+
+
+def ivfpq_build(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    m_sub: int = 8,
+    k_cb: int = 16,
+    n_cells: int = 16,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the IVF-PQ index once (FAISS train+add): seeded coarse
+    centroids, the residual codebook, and the encoded inverted lists —
+    (cand_id, cell_id, m_sub codes, flat vector for optional refine).
+    All three materialize so repeated searches never re-pay assignment
+    or encoding. Returns (cents, rcb, encoded)."""
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    l2_fold, diff_arr, res_fold = _pq_folds(dim, m_sub)
+    cents = F.broadcast(
+        materialize(
+            ivf_centroids(candidates, id_col, vec_col, n_cells, dim).select(
+                "cell_id", "cvec"
+            ),
+            checkpoint_dir,
+        )
+    )
+    # --- assignment: nearest cell by L2, min_by aggregate (no window) ---
+    c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__v__"))
+    assigned = (
+        c.crossJoin(cents)
+        .select("cand_id", "__v__", "cell_id", l2_fold("__v__", "cvec").alias("__l2__"))
+        .groupBy("cand_id")
+        .agg(
+            F.min_by("cell_id", F.struct(F.col("__l2__"), F.col("cell_id"))).alias(
+                "cell_id"
+            ),
+            F.first("__v__").alias("__v__"),
+        )
+        .join(cents.withColumnRenamed("cvec", "__cv__"), "cell_id")
+    )
+    assigned = materialize(
+        assigned.withColumn("__rd__", diff_arr("__v__", "__cv__")),
+        checkpoint_dir,
+    )
+    # --- residual codebook (k_cb-row broadcast) ---
+    rcb = F.broadcast(
+        materialize(
+            residual_codebook(assigned, "cand_id", k=k_cb, dim=dim),
+            checkpoint_dir,
+        )
+    )
+    # --- encode: all m_sub residual-subvector argmins in one aggregation ---
+    enc_dists = [
+        res_fold("__rd__", m).alias(f"__d{m}__") for m in range(m_sub)
+    ]
+    enc_scored = assigned.crossJoin(rcb).select(
+        "cand_id", "cell_id", "cid", "__v__", *enc_dists
+    )
+    encoded = materialize(
+        enc_scored.groupBy("cand_id").agg(
+            F.first("cell_id").alias("cell_id"),
+            F.first("__v__").alias("__v__"),
+            *[
+                F.min_by("cid", F.struct(F.col(f"__d{m}__"), F.col("cid"))).alias(
+                    f"__c{m}__"
+                )
+                for m in range(m_sub)
+            ],
+        ),
+        checkpoint_dir,
+    )
+    return cents, rcb, encoded
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    cents: DataFrame,
+    rcb: DataFrame,
+    encoded: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    m_sub: int = 8,
+    n_probe: int = 4,
+    k_top: int = 3,
+    rerank_m: int | None = None,
+) -> DataFrame:
+    """Search a prebuilt IVF-PQ index (:func:`ivfpq_build`) — the
+    recurring serving cost: probe n_probe cells, compute one k_cb-row
+    distance table per (query, probed cell), rank the probed lists by
+    m_sub map lookups each; optionally refine (FAISS IndexRefineFlat)
+    the ADC top-``rerank_m`` with exact L2 against the index's flat
+    vectors. Per-query work is O(n_probe/n_cells) of the corpus."""
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    l2_fold, diff_arr, res_fold = _pq_folds(dim, m_sub)
+    # --- query probes: n_probe nearest cells by L2 ---
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.asc("__l2__"), F.asc("cell_id"))
+    probes = (
+        q.crossJoin(cents)
+        .select("query_id", "qv", "cell_id", "cvec", l2_fold("qv", "cvec").alias("__l2__"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            "query_id", "qv", "cell_id",
+            diff_arr("qv", "cvec").alias("__qd__"),
+        )
+    )
+    # --- per-(query, probed cell) distance tables to the residual codebook ---
+    tab_dists = [
+        res_fold("__qd__", m).alias(f"__t{m}__") for m in range(m_sub)
+    ]
+    dtab = probes.crossJoin(rcb).select(
+        "query_id", "cell_id", "cid", *tab_dists
+    )
+    # map order is irrelevant (lookup by key) — collect_list nondeterminism
+    # is harmless, same as pq_adc_topk
+    tables = dtab.groupBy("query_id", "cell_id").agg(
+        *[
+            F.map_from_arrays(
+                F.collect_list("cid"), F.collect_list(f"__t{m}__")
+            ).alias(f"__m{m}__")
+            for m in range(m_sub)
+        ]
+    )
+    # --- scan only probed cells' inverted lists; ADC = m_sub lookups ---
+    joined = encoded.join(F.broadcast(materialize(tables)), "cell_id")
+    adc = F.element_at(F.col("__m0__"), F.col("__c0__"))
+    for m in range(1, m_sub):
+        adc = adc + F.element_at(F.col(f"__m{m}__"), F.col(f"__c{m}__"))
+    scored = joined.select("query_id", "cand_id", adc.alias("__adc__"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("__adc__"), F.asc("cand_id"))
+    if rerank_m is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_top)
+            .select(
+                "query_id",
+                "cand_id",
+                "rank",
+                F.round("__adc__", 6).alias("adc_dist"),
+            )
+        )
+    # --- refine (FAISS IndexRefineFlat): exact L2 rerank of the ADC top-m.
+    # The (q x m)-row shortlist broadcasts; the index's flat vectors are
+    # read once via the cand_id equi-join, never shuffled — ADC
+    # quantization error then only costs recall a neighbor pushed BELOW
+    # rank m, not ranking noise inside the shortlist.
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(rerank_m))
+        .select("query_id", "cand_id", "__adc__")
+    )
+    sl = F.broadcast(shortlist.join(q, "query_id"))
+    flat = encoded.select("cand_id", "__v__")
+    exact = flat.join(sl, flat["cand_id"] == sl["cand_id"]).select(
+        sl["query_id"],
+        flat["cand_id"],
+        sl["__adc__"],
+        l2_fold("qv", "__v__").alias("__l2__"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("__l2__"), F.asc("cand_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k_top)
+        .select(
+            "query_id",
+            "cand_id",
+            "rank",
+            F.round("__adc__", 6).alias("adc_dist"),
+            F.round("__l2__", 6).alias("l2_dist"),
+        )
+    )
+
+
 def ivfpq_adc_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -1470,6 +1685,7 @@ def ivfpq_adc_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     k_top: int = 3,
+    rerank_m: int | None = None,
 ) -> DataFrame:
     """IVF-PQ with residual encoding + asymmetric-distance search — the
     composition behind billion-vector ANN serving (FAISS ``IVFADC``,
@@ -1478,7 +1694,11 @@ def ivfpq_adc_topk(
     near-zero-centered, so the same code budget quantizes them far more
     finely than raw vectors), and a query scans only its ``n_probe``
     nearest cells, computing one distance table per probed cell and
-    ranking candidates by ``m_sub`` table lookups each.
+    ranking candidates by ``m_sub`` table lookups each. One-call
+    build+search convenience over :func:`ivfpq_build` /
+    :func:`ivfpq_search` (serving deployments call those directly so the
+    index build amortizes across query batches — see
+    tools/ann_scale_bench.py for the measured split).
 
     Scale shape — every stage is the 100 TB-safe pattern already proven
     by the standalone pieces (e3 IVF / e7 PQ / e8 ADC):
@@ -1500,139 +1720,16 @@ def ivfpq_adc_topk(
     L2; FAISS's default for IVFADC). Deterministic: seeded-sample
     centroids/codebook, fixed-order generated arithmetic, id tie-breaks.
 
-    Returns (query_id, cand_id, rank, adc_dist).
+    Returns (query_id, cand_id, rank, adc_dist) — plus l2_dist when
+    ``rerank_m`` engages the refine pass.
     """
-    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
-
-    sub = dim // m_sub
-    # the coarse centroids / assignment / codebook / tables frames are all
-    # tiny (n_cells, N-row-slim, k_cb, q*n_probe) but each is referenced by
-    # later stages whose plans would otherwise recompute the whole prefix
-    # (and recompile its 64-term generated expressions) per reference — the
-    # e17 power-iteration lesson: cut lineage at every stage boundary
-    cents = F.broadcast(
-        materialize(
-            ivf_centroids(candidates, id_col, vec_col, n_cells, dim).select(
-                "cell_id", "cvec"
-            )
-        )
+    cents, rcb, encoded = ivfpq_build(
+        candidates, id_col, vec_col, dim=dim, m_sub=m_sub, k_cb=k_cb,
+        n_cells=n_cells,
     )
-
-    # Distances are higher-order folds, NOT unrolled 64-term expression
-    # chains: at dim 64 the generated chains dominate wall time through
-    # whole-stage-codegen COMPILATION (~2-4s per distinct stage on a warm
-    # JVM), while aggregate(zip_with(...)) compiles in milliseconds and
-    # evaluates the identical left-associated sum ((0+t0)+t1)+... — same
-    # doubles, same oracle hash. The per-element work is a hair slower
-    # interpreted, which is invisible next to the shuffle at any scale.
-    def l2_fold(a: str | Column, b: str | Column) -> Column:
-        sq = F.zip_with(
-            a if not isinstance(a, str) else F.col(a),
-            b if not isinstance(b, str) else F.col(b),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        )
-        return F.aggregate(sq, F.lit(0.0), lambda acc, t: acc + t)
-
-    def res_fold(vec: str, cvec: str, m: int) -> Column:
-        # sum_j ((v[j] - cell_c[j]) - rvec[j])^2 over subvector m, same
-        # association order as the oracle's generated chain
-        sq = F.zip_with(
-            F.zip_with(
-                F.slice(vec, m * sub + 1, sub),
-                F.slice(cvec, m * sub + 1, sub),
-                lambda x, y: x.cast("double") - y.cast("double"),
-            ),
-            F.slice("rvec", m * sub + 1, sub),
-            lambda d, r: (d - r) * (d - r),
-        )
-        return F.aggregate(sq, F.lit(0.0), lambda acc, t: acc + t)
-
-    # --- assignment: nearest cell by L2, min_by aggregate (no window) ---
-    c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__v__"))
-    l2_cell = l2_fold("__v__", "cvec")
-    assigned = (
-        c.crossJoin(cents)
-        .select("cand_id", "__v__", "cell_id", l2_cell.alias("__l2__"))
-        .groupBy("cand_id")
-        .agg(
-            F.min_by("cell_id", F.struct(F.col("__l2__"), F.col("cell_id"))).alias(
-                "cell_id"
-            ),
-            F.first("__v__").alias("__v__"),
-        )
-        .join(cents.withColumnRenamed("cvec", "__cv__"), "cell_id")
-    )
-    assigned = materialize(assigned)
-
-    # --- residual codebook (k_cb-row broadcast) ---
-    rcb = F.broadcast(
-        materialize(residual_codebook(assigned, "cand_id", k=k_cb, dim=dim))
-    )
-
-    # --- encode: all m_sub residual-subvector argmins in one aggregation ---
-    enc_dists = [
-        res_fold("__v__", "__cv__", m).alias(f"__d{m}__") for m in range(m_sub)
-    ]
-    enc_scored = assigned.crossJoin(rcb).select(
-        "cand_id", "cell_id", "cid", *enc_dists
-    )
-    encoded = enc_scored.groupBy("cand_id").agg(
-        F.first("cell_id").alias("cell_id"),
-        *[
-            F.min_by("cid", F.struct(F.col(f"__d{m}__"), F.col("cid"))).alias(
-                f"__c{m}__"
-            )
-            for m in range(m_sub)
-        ],
-    )
-
-    # --- query probes: n_probe nearest cells by L2 ---
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    l2_q = l2_fold("qv", "cvec")
-    w_probe = Window.partitionBy("query_id").orderBy(F.asc("__l2__"), F.asc("cell_id"))
-    probes = (
-        q.crossJoin(cents)
-        .select("query_id", "qv", "cell_id", "cvec", l2_q.alias("__l2__"))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", "cell_id", "cvec")
-    )
-
-    # --- per-(query, probed cell) distance tables to the residual codebook ---
-    tab_dists = [
-        res_fold("qv", "cvec", m).alias(f"__t{m}__") for m in range(m_sub)
-    ]
-    dtab = probes.crossJoin(rcb).select(
-        "query_id", "cell_id", "cid", *tab_dists
-    )
-    # map order is irrelevant (lookup by key) — collect_list nondeterminism
-    # is harmless, same as pq_adc_topk
-    tables = dtab.groupBy("query_id", "cell_id").agg(
-        *[
-            F.map_from_arrays(
-                F.collect_list("cid"), F.collect_list(f"__t{m}__")
-            ).alias(f"__m{m}__")
-            for m in range(m_sub)
-        ]
-    )
-
-    # --- scan only probed cells' inverted lists; ADC = m_sub lookups ---
-    joined = encoded.join(F.broadcast(materialize(tables)), "cell_id")
-    adc = F.element_at(F.col("__m0__"), F.col("__c0__"))
-    for m in range(1, m_sub):
-        adc = adc + F.element_at(F.col(f"__m{m}__"), F.col(f"__c{m}__"))
-    scored = joined.select("query_id", "cand_id", adc.alias("__adc__"))
-    w = Window.partitionBy("query_id").orderBy(F.asc("__adc__"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_top)
-        .select(
-            "query_id",
-            "cand_id",
-            "rank",
-            F.round("__adc__", 6).alias("adc_dist"),
-        )
+    return ivfpq_search(
+        queries, cents, rcb, encoded, id_col, vec_col, dim=dim,
+        m_sub=m_sub, n_probe=n_probe, k_top=k_top, rerank_m=rerank_m,
     )
 
 
@@ -1686,5 +1783,87 @@ def mrl_funnel_topk(
     return (
         rer.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k_top)
+        .select("query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_build(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    n_cells: int = 16,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index once (FAISS train+add): seeded centroids and
+    the inverted lists (cell_id, cand_id, cv, cn), both materialized so
+    repeated searches never re-pay assignment. Returns (cents, inverted).
+    """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    cents = materialize(
+        ivf_centroids(candidates, id_col, vec_col, n_cells, dim),
+        checkpoint_dir,
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col, dim).alias("cn"),
+    )
+    w_assign = Window.partitionBy("cand_id").orderBy(
+        F.desc("cos_c"), F.asc("cell_id")
+    )
+    inverted = materialize(
+        c.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cos_c", dot_expr("cv", "cvec", dim) / (F.col("cn") * F.col("cnorm"))
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("cell_id", "cand_id", "cv", "cn"),
+        checkpoint_dir,
+    )
+    return cents, inverted
+
+
+def ivf_search(
+    queries: DataFrame,
+    cents: DataFrame,
+    inverted: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    dim: int = 64,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a prebuilt IVF index (:func:`ivf_build`): per query, probe
+    the n_probe nearest cells and rank only those cells' lists — the
+    recurring cost a serving deployment actually pays, O(n_probe/n_cells)
+    of the corpus per query. Same scoring expressions as
+    :func:`cosine_topk_ivf` (which builds and searches in one call)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(vec_col, dim).alias("qn"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q"), F.asc("cell_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cos_q", dot_expr("qv", "cvec", dim) / (F.col("qn") * F.col("cnorm"))
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "qn", "cell_id")
+    )
+    scored = inverted.join(F.broadcast(probes), "cell_id").withColumn(
+        "cosine", dot_expr("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine"))
     )

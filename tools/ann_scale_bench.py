@@ -1,0 +1,167 @@
+"""ANN scale proof: brute force vs IVF vs IVF-PQ on a corpus two orders
+of magnitude past the fixture, with recall measured against the exact
+ranking — the skew_bench.py peer for the similarity-search subsystem.
+
+The fixture embeddings (500 rows) exercise CORRECTNESS; this measures the
+thing the designs exist for: at N where the brute-force scan stops being
+free, the cell-blocked paths must (a) return most of the true neighbors
+and (b) scan a fraction of the corpus. Clustered synthetic vectors
+(deterministic sin-grid centers + uniform noise) give the neighbor
+structure quantization needs — on pure noise, top-k is meaningless for
+ANY index, approximate or not.
+
+Usage:  python tools/ann_scale_bench.py [N] [out.json]
+Writes one JSON line with timings (steady-state, second run of each
+path) and recall@3 vs the exact ranking.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+DIM = 64
+N_CENTERS = 200
+N_QUERIES = 100
+
+
+def synth(spark, n: int):
+    """n clustered vectors: center c = sin-grid row (deterministic), plus
+    U(-0.15, 0.15) noise per dim. Queries are fresh noisy draws around the
+    first N_QUERIES centers, so each query has a true neighborhood."""
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"), (F.col("id") % N_CENTERS).alias("c")
+    )
+    vec = F.array(
+        *[
+            (
+                F.sin(F.col("c") * (7.0 + d) + d * 0.37)
+                + (F.rand(seed=1000 + d) - 0.5) * 0.3
+            ).cast("float")
+            for d in range(DIM)
+        ]
+    )
+    cands = base.select("vec_id", vec.alias("embedding"))
+    qbase = spark.range(N_QUERIES).select(
+        (F.col("id") + 10_000_000).alias("vec_id"), F.col("id").alias("c")
+    )
+    qvec = F.array(
+        *[
+            (
+                F.sin(F.col("c") * (7.0 + d) + d * 0.37)
+                + (F.rand(seed=2000 + d) - 0.5) * 0.3
+            ).cast("float")
+            for d in range(DIM)
+        ]
+    )
+    queries = qbase.select("vec_id", qvec.alias("embedding"))
+    return queries, cands
+
+
+def timed(fn, *args, **kw):
+    """Steady-state seconds (min of two runs — the first pays codegen
+    compile) and the collected rows from the second."""
+    t0 = time.time()
+    fn(*args, **kw).write.mode("overwrite").format("noop").save()
+    first = time.time() - t0
+    t0 = time.time()
+    rows = fn(*args, **kw).collect()
+    second = time.time() - t0
+    return min(first, second), rows
+
+
+def recall(truth_rows, approx_rows) -> float:
+    t, a = {}, {}
+    for r in truth_rows:
+        t.setdefault(r.query_id, set()).add(r.cand_id)
+    for r in approx_rows:
+        a.setdefault(r.query_id, set()).add(r.cand_id)
+    hits = sum(len(t[q] & a.get(q, set())) for q in t)
+    return round(hits / sum(len(v) for v in t.values()), 4)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        cosine_topk_bruteforce,
+        ivf_build,
+        ivf_search,
+        ivfpq_build,
+        ivfpq_search,
+    )
+    from peskas_timor_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="ann_scale_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, cands = synth(spark, n)
+    # pin the synthetic corpus once: every path must read the SAME vectors
+    # (rand() re-draws per action otherwise), and no path should be billed
+    # for generating it
+    queries = materialize(queries)
+    cands = materialize(cands)
+
+    n_cells = max(16, int(math.sqrt(n)))
+    n_probe = max(4, n_cells // 16)
+
+    brute_s, truth = timed(
+        cosine_topk_bruteforce, queries, cands, "vec_id", "embedding",
+        k=3, dim=DIM,
+    )
+    # index BUILD is the one-time amortized cost (FAISS train+add);
+    # SEARCH is what a serving deployment pays per query batch
+    t0 = time.time()
+    cents, inverted = ivf_build(cands, "vec_id", "embedding", dim=DIM, n_cells=n_cells)
+    ivf_build_s = time.time() - t0
+    ivf_s, ivf_rows = timed(
+        ivf_search, queries, cents, inverted, "vec_id", "embedding",
+        k=3, dim=DIM, n_probe=n_probe,
+    )
+    t0 = time.time()
+    pcents, rcb, encoded = ivfpq_build(
+        cands, "vec_id", "embedding", dim=DIM, m_sub=8, k_cb=256,
+        n_cells=n_cells,
+    )
+    ivfpq_build_s = time.time() - t0
+    ivfpq_s, pq_rows = timed(
+        ivfpq_search, queries, pcents, rcb, encoded, "vec_id", "embedding",
+        dim=DIM, m_sub=8, n_probe=n_probe, k_top=3, rerank_m=100,
+    )
+    result = {
+        "n_candidates": n,
+        "n_queries": N_QUERIES,
+        "dim": DIM,
+        "n_cells": n_cells,
+        "n_probe": n_probe,
+        "brute_sec": round(brute_s, 3),
+        "ivf_build_sec": round(ivf_build_s, 3),
+        "ivf_search_sec": round(ivf_s, 3),
+        "ivfpq_build_sec": round(ivfpq_build_s, 3),
+        "ivfpq_search_sec": round(ivfpq_s, 3),
+        "ivf_recall_at3": recall(truth, ivf_rows),
+        "ivfpq_recall_at3": recall(truth, pq_rows),
+        "ivfpq_rerank_m": 100,
+        "scan_fraction": round(n_probe / n_cells, 4),
+        # the trade IVFPQ exists for: the scanned representation is m_sub
+        # bytes of codes per vector vs dim float32s — flat vectors are
+        # touched only for the rerank_m refine rows
+        "ivf_scan_bytes_per_vec": DIM * 4,
+        "ivfpq_scan_bytes_per_vec": 8,
+    }
+    line = json.dumps(result)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
