@@ -48,7 +48,7 @@ _PRIORITY_R05 = (
     "t37_repetition_signals", "g2_triangle_count", "d16_repeated_span_mask",
     "d5b_dup_clusters_star", "t38_kneser_ney_logprob", "t39_temperature_mixture",
     "e24_ivfpq_topk", "e25_mrl_funnel", "d17_band_planner", "m13_bh_fdr",
-    "t40_source_diversity",
+    "t40_source_diversity", "e24b_ivfpq_refine",
     # (c) engine or oracle changed in round 5
     "m4b_glmm_1ri", "j10_asof_join", "j10b_asof_forward",
     "j10c_asof_nearest_tolerance", "j12_scd2_temporal",

@@ -5451,3 +5451,64 @@ FROM agg
 """
 
 QUERIES["t40_source_diversity"] = (t40_source_diversity, T40_ORACLE)
+
+
+# --- E24b: IVFPQ + refine (exact-L2 rerank of the ADC shortlist) -----------------------
+
+def e24b_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAISS IndexRefineFlat composition over the same index as e24:
+    ADC ranks the probed lists, the top-10 per query rerank by exact L2
+    against the index's flat vectors (llm/similarity.py::ivfpq_search
+    with rerank_m). The oracle replays the whole chain INCLUDING the
+    refine, so a shortlist, join, or rerank bug breaks the hash."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import ivfpq_adc_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 50)
+    cands = emb.filter(F.col("vec_id") >= 50)
+    return ivfpq_adc_topk(
+        qs, cands, "vec_id", "embedding",
+        dim=DIM, m_sub=8, k_cb=16, n_cells=16, n_probe=4, k_top=3,
+        rerank_m=10,
+    )
+
+
+def _e24b_sql() -> str:
+    base = _e24_sql()
+    # reuse e24's chain up to the ADC scores; swap the final top-3 for
+    # shortlist -> exact-L2 refine -> top-3
+    head, _tail = base.rsplit("SELECT query_id, cand_id,", 1)
+
+    def l2_full(a: str, b: str) -> str:
+        return " + ".join(
+            f"(CAST({a}[{j}] AS DOUBLE) - CAST({b}[{j}] AS DOUBLE))"
+            f" * (CAST({a}[{j}] AS DOUBLE) - CAST({b}[{j}] AS DOUBLE))"
+            for j in range(1, DIM + 1)
+        )
+
+    return f"""{head}
+, shortlist AS MATERIALIZED (
+  SELECT query_id, cand_id, dist FROM (
+    SELECT query_id, cand_id, dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist, cand_id) AS rn
+    FROM adc
+  ) WHERE rn <= 10
+), refined AS (
+  SELECT s.query_id, s.cand_id, s.dist,
+         {l2_full('q.embedding', 'e2.embedding')} AS l2
+  FROM shortlist s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings e2 ON e2.vec_id = s.cand_id
+)
+SELECT query_id, cand_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY l2, cand_id) AS INTEGER) AS rank,
+       round(dist, 6) AS adc_dist,
+       round(l2, 6) AS l2_dist
+FROM refined
+QUALIFY rank <= 3
+"""
+
+
+QUERIES["e24b_ivfpq_refine"] = (e24b_ivfpq_refine, _e24b_sql())
