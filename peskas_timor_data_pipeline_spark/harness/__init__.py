@@ -21,52 +21,50 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Registry front-of-line for round 5.  The driver records ~50 CORRECTNESS
-# rows per round in registry order.  Front of line: (a) round 4's two red
-# rows, now fixed (d7's ASCII-normalized shingles; e22's memory-shaped
-# oracle), (b) the queries the driver has NEVER sampled — round 4's
-# overflow plus everything added in round 5 (fish-group recode, d7
-# checksum twin, LSH skew-cap, repetition signals, triangle count, span
-# masking, star CC, Kneser-Ney, temperature mixture, IVFPQ, MRL funnel,
-# band planner, BH FDR, source diversity), then (c) every query whose
-# engine or oracle changed in round 5 — the TIMESTAMP_NTZ output class
-# (asof joins, SCD2, session window, downsample, tumbling window,
-# sessionization, interval join/union, OHLC, time-to-convert,
-# bounce-rate, session-paths) and the window-form m4b GLMM oracle.
-# Oracle-checked entries lead; the two rows-only GLMMs trail (they are
-# pinned by frozen-fixture hashes in pytest instead).
-_PRIORITY_R05 = (
-    # (a) round-4 red rows, fixed this round
-    "d7_repeated_grams", "e22_ivf_probe_sweep",
-    # (b) never driver-sampled
-    "a36_sliding_hll", "w15_ohlc", "w16_interval_union",
-    "t30_source_similarity", "p18_fd_audit", "t31_psi_drift",
-    "m11_theil_sen", "m12_mann_kendall", "a38_gini",
-    "e23_embedding_audit", "d14_bloom_decontaminate", "mm13_audio_clipping",
-    "t36_tokenizer_fertility", "d15_dup_rate_scout", "a31_growth_accounting",
-    "p7b_fish_groups", "d7b_gram_checksum", "d2b_lsh_skew_capped",
-    "t37_repetition_signals", "g2_triangle_count", "d16_repeated_span_mask",
-    "d5b_dup_clusters_star", "t38_kneser_ney_logprob", "t39_temperature_mixture",
-    "e24_ivfpq_topk", "e25_mrl_funnel", "d17_band_planner", "m13_bh_fdr",
-    "t40_source_diversity", "e24b_ivfpq_refine",
-    # (c) engine or oracle changed in round 5
-    "m4b_glmm_1ri", "j10_asof_join", "j10b_asof_forward",
-    "j10c_asof_nearest_tolerance", "j12_scd2_temporal",
-    "a23_session_window", "w6_downsample", "a17_tumbling_window",
-    "a6_sessionization", "j11_interval_join", "a33_time_to_convert",
-    "a34_bounce_rate", "w12_session_paths",
-    "d2_minhash_lsh_jaccard", "m2b_length_weight_ll",
-    # high-value standing coverage to round out the ~50-row window
-    "d1_exact_dedup", "d5_dup_clusters", "e3_ivf_ann", "e8_pq_adc_topk",
-    "e11_semdedup", "t1_langid", "t22_bm25_topk", "m6_pmm",
-    "v_combined", "v_metadata", "g1_pagerank", "a35_hll",
-    "p1_pattern_projection", "j5_one_to_one_day_match",
-    "w4_spine_completion", "m9_share_redistribution",
-    # rows-only by design (dense-inverse Henderson solve, frozen-fixture
-    # pinned in tests/test_glmm_frozen_fixture.py): recorded last
+# Registry front-of-line for round 6.  The driver records ~50 CORRECTNESS
+# rows per round in registry order.  Front of line: (a) round 5's two red
+# rows, now root-caused and fixed — d7's oracle had the repo's single
+# HUGEINT output column (sum(CASE..) uncast; pandas/arrow degrades HUGEINT
+# to float64 so the driver's value hash saw "5.0" vs "5" while fetchall
+# locally saw int vs int), e23 hashed an order-dependent rounded float avg,
+# now an exact power-of-two comparison ladder with integer-only outputs —
+# plus their diagnostic twins (d7b re-confirms alongside, d7c is new and
+# localizes any residual shared-count divergence); (b) the re-split
+# oracle-checked crossed GLMMs (the last rows-only entries, retired this
+# round); (c) the freshness rotation VERDICT r05 asked for: ≥20 rows whose
+# last driver sample was r01–r02 (the p/j/a/o/f/w/v/m §2 families), oldest
+# evidence first, so driver verdicts don't go stale while local sweeps
+# drift.
+_PRIORITY_R06 = (
+    # (a) round-5 red rows, fixed this round, + twins
+    "d7_repeated_grams", "e23_embedding_audit",
+    "d7c_shared_checksum", "d7b_gram_checksum",
+    # (b) crossed GLMMs, re-split into oracle-checked form this round
     "m4_glmm", "m4zi_glmm",
+    # (c) stale-evidence rotation: last driver-sampled r01–r02
+    "flagship_cpue",
+    "p1_pattern_projection", "p2_filter_project", "p3_semi_join",
+    "p4_anti_join", "p5_mutate_across", "p6_coalesce_columns",
+    "p7_case_when_recode", "p9_type_casts", "p10_replicate_rows",
+    "p11_sample_deterministic", "p12_distinct_except",
+    "j1_left_join_dims", "j2_inner_join", "j3_right_join_spine",
+    "j4_full_outer_coalesce", "j5_one_to_one_day_match",
+    "j6_reduce_join_unite", "j7_join_nested", "j8_complete_crossfill",
+    "j9_suffix_match_join",
+    "a1_groupby_stats", "a2_summarise_across", "a3_add_count",
+    "a4_conditional_agg", "a5_mode_per_group", "a7_grid_binning",
+    "a8_mad_bounds_grouped", "a9_mad_alert_global", "a10_quantile_group",
+    "a11_pivot_longer", "a11_pivot_wider", "a12_two_level_nest",
+    "a13_rollup_two_level", "a14_time_binned_multisource",
+    "a15_metric_unpivot",
+    "o1_sort_topn", "o2_union_by_name", "o4_set_ops",
+    "f_string_functions", "f_date_functions", "f_math_hash_json",
+    "w1_lead_lag", "w2_top1_per_group", "w3_group_share", "w5_proration",
+    "v_imei", "v_dates", "v_outlier_fishers",
+    "m2_length_weight", "m3_ols_cooks", "m5_impute_replicates",
+    "m7_interpolation", "m8_species_resolution",
 )
-_PRIORITY_R04 = _PRIORITY_R05  # kept name used by registry()
+_PRIORITY_R04 = _PRIORITY_R06  # kept name used by registry()
 
 
 def registry() -> dict[str, tuple[QueryFn, str | None]]:

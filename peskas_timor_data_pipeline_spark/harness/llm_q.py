@@ -1798,8 +1798,14 @@ grams AS MATERIALIZED (
   FROM grams JOIN gd USING (sh) GROUP BY doc_id
 )
 SELECT d.doc_id,
-       coalesce(n_grams, 0) AS n_grams,
-       coalesce(n_shared, 0) AS n_shared,
+       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       -- CAST is load-bearing: sum(CASE..) is HUGEINT in DuckDB, and HUGEINT
+       -- is the one integer type whose pandas/arrow materialization degrades
+       -- to float64/decimal128 ("5.0" vs "5" in a stringified value hash).
+       -- A type census of all 220 oracles found exactly one HUGEINT output
+       -- column: this one — and d7 was the only persistent driver hash-fail
+       -- (r03-r05) while its all-BIGINT twin d7b passed in the same runs.
+       CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
        CAST(CASE WHEN coalesce(n_grams, 0) > 0
                  THEN (coalesce(n_shared, 0) * 1000000) // n_grams
                  ELSE 0 END AS BIGINT) AS dup_ppm
@@ -1857,6 +1863,65 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 QUERIES["d7b_gram_checksum"] = (d7b_gram_checksum, D7B_ORACLE)
+
+
+def d7c_shared_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second diagnostic twin for d7_repeated_grams, one filter away from
+    d7b: checksum (count + md5-48-bit-prefix sum) of each document's
+    SHARED grams only — the distinct 32-grams whose corpus document count
+    exceeds 1. d7b checksums the full gram set and proved per-doc gram
+    CONTENT parity in the r05 driver env while d7 still hash-failed; this
+    twin walks the remaining path (the gram->doc-count aggregation and the
+    __docs__ > 1 filter) with the same BIGINT-everywhere output discipline,
+    so any future d7 divergence localizes to either the shared-set
+    membership (this checksum differs, and says which docs) or the final
+    ppm arithmetic (this passes, dup_ppm differs). n_shared is emitted
+    directly so the d7 column is cross-checked row-by-row."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import shingle_rows
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace(F.col("text"), "[^\\x20-\\x7E]", "").alias("text")
+    )
+    grams = shingle_rows(docs, "doc_id", "text", 32).distinct()
+    gram_docs = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("__docs__"))
+    shared = grams.join(gram_docs, "sh").filter(F.col("__docs__") > 1)
+    agg = shared.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared"),
+        F.sum(
+            F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("long")
+        ).alias("shared_sum"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.coalesce("shared_sum", F.lit(0)).cast("long").alias("shared_sum"),
+        )
+    )
+
+
+D7C_ORACLE = f"""
+WITH norm AS ({_D7_NORM}),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 32) AS sh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 31)) AS i
+        FROM norm WHERE length(t) >= 32)
+), gd AS MATERIALIZED (
+  SELECT sh, count(*) AS docs FROM grams GROUP BY sh
+), agg AS (
+  SELECT doc_id, count(*) AS n_shared,
+         sum(('0x' || substr(md5(sh), 1, 12))::BIGINT) AS shared_sum
+  FROM grams JOIN gd USING (sh) WHERE docs > 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(coalesce(shared_sum, 0) AS BIGINT) AS shared_sum
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+QUERIES["d7c_shared_checksum"] = (d7c_shared_checksum, D7C_ORACLE)
 
 
 # --- MM6: image perceptual-hash near-dedup (dHash + banded hamming LSH) ---------------
@@ -4589,52 +4654,106 @@ QUERIES["t31_psi_drift"] = (t31_psi_drift, T31_ORACLE)
 
 # --- E23: embedding-store health audit --------------------------------------------------
 
+def _pow2_bucket_case(sq_sql: str, lo: int = -8, hi: int = 7) -> str:
+    """floor(log2(sq)) for sq in [2^lo, 2^hi+1) as a pure comparison ladder
+    — NO log call. Power-of-two thresholds are exact in both decimal text
+    and IEEE double, and double comparison is bit-identical across engines,
+    so the bucket id is environment-proof wherever the input expression is
+    (the fixed-order dot fold is). floor(log2()) itself is NOT safe here:
+    every store norm sits at 1.0 +/- 2e-7, exactly on the 2^0 boundary,
+    where a one-ULP log2 implementation difference flips the floor. Values
+    below 2^lo land in bucket lo-1 (an explicit "underflow" bucket).
+    The same string is valid Spark SQL and DuckDB SQL."""
+    branches = " ".join(
+        f"WHEN ({sq_sql}) >= {2.0 ** k!r} THEN {k}" for k in range(hi, lo - 1, -1)
+    )
+    return f"CASE {branches} ELSE {lo - 1} END"
+
+
 def e23_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-indexing health audit of the embedding store: per label,
     counts of NULL vectors, wrong-dimension vectors, vectors containing
-    NaN, all-zero vectors, and a coarse norm histogram (log2 buckets of
-    the squared norm — integer bucket ids off the exact dot expression).
+    NaN, all-zero vectors, and a coarse norm histogram over log2 buckets
+    of the squared norm — integer bucket ids from an exact power-of-two
+    comparison ladder (no float log, no float mean; see _pow2_bucket_case),
+    reported as count/min/max/sum so the hashed output is integer-only.
     The audit every ANN build should run first: a handful of NaN or zero
-    vectors silently poisons centroid training and cosine ranking."""
+    vectors silently poisons centroid training and cosine ranking.
+
+    The r05 version hashed round(avg(log2(sq)), 6) — an order-dependent
+    double reduction whose 6th decimal legitimately differs between
+    Spark's partial-agg order and DuckDB's scan order. That class of
+    output is now banned by tests/test_registry_contract.py."""
     from peskas_timor_data_pipeline_spark.llm.similarity import dot_expr
 
     emb = load(spark, sf_dir, "embeddings")
-    sq = dot_expr("embedding", "embedding", DIM)
-    has_nan = F.expr("exists(embedding, x -> isnan(x))")
+    # Project the 64-term dot fold ONCE: referencing it inside the
+    # 17-branch bucket ladder would inline it per branch (a 16 MB
+    # codegen'd task binary in the first cut of this query).
+    pre = emb.select(
+        "label",
+        F.col("embedding").isNull().alias("is_null"),
+        (F.col("embedding").isNotNull() & (F.size("embedding") != DIM)).alias(
+            "wrong_dim"
+        ),
+        F.expr("exists(embedding, x -> isnan(x))").alias("has_nan"),
+        dot_expr("embedding", "embedding", DIM).alias("sq"),
+    )
+    # NaN guard is belt-and-braces: both engines order NaN above every
+    # double (so the ladder would agree anyway), but the bucket of a NaN
+    # norm is meaningless and the cross-engine agreement is incidental.
+    bucket = F.when(
+        (F.col("sq") > 0) & ~F.col("has_nan"),
+        F.expr(_pow2_bucket_case("sq")).cast("long"),
+    )
     return (
-        emb.groupBy("label")
+        pre.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.sum(F.when(F.col("embedding").isNull(), 1).otherwise(0))
+            F.sum(F.when(F.col("is_null"), 1).otherwise(0))
             .cast("long").alias("n_null"),
-            F.sum(
-                F.when(
-                    F.col("embedding").isNotNull() & (F.size("embedding") != DIM),
-                    1,
-                ).otherwise(0)
-            ).cast("long").alias("n_wrong_dim"),
-            F.sum(F.when(has_nan, 1).otherwise(0)).cast("long").alias("n_nan"),
-            F.sum(
-                F.when(F.col("embedding").isNotNull() & (sq == 0.0), 1).otherwise(0)
-            ).cast("long").alias("n_zero"),
-            F.round(F.avg(F.when(sq > 0, F.log2(sq))), 6).alias("avg_log2_sqnorm"),
+            F.sum(F.when(F.col("wrong_dim"), 1).otherwise(0))
+            .cast("long").alias("n_wrong_dim"),
+            F.sum(F.when(F.col("has_nan"), 1).otherwise(0))
+            .cast("long").alias("n_nan"),
+            F.sum(F.when(~F.col("is_null") & (F.col("sq") == 0.0), 1).otherwise(0))
+            .cast("long").alias("n_zero"),
+            F.count(bucket).alias("n_norm"),
+            F.min(bucket).alias("min_bucket"),
+            F.max(bucket).alias("max_bucket"),
+            F.sum(bucket).alias("sum_bucket"),
         )
         .orderBy("label")
     )
 
 
 E23_ORACLE = f"""
+WITH pre AS (
+  SELECT label,
+         embedding IS NULL AS is_null,
+         embedding IS NOT NULL AND len(embedding) <> {{dim}} AS wrong_dim,
+         len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan,
+         ({{sq}}) AS sq
+  FROM embeddings
+)
 SELECT label,
        CAST(count(*) AS BIGINT) AS n_vectors,
-       CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-       CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> {{dim}} THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
-       CAST(sum(CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
-       CAST(sum(CASE WHEN embedding IS NOT NULL AND ({{sq}}) = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
-       round(avg(CASE WHEN ({{sq}}) > 0 THEN log2({{sq}}) END), 6) AS avg_log2_sqnorm
-FROM embeddings
+       CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN wrong_dim THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+       CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+       CAST(sum(CASE WHEN NOT is_null AND sq = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(count(CASE WHEN sq > 0 AND NOT has_nan THEN 1 END) AS BIGINT) AS n_norm,
+       CAST(min(CASE WHEN sq > 0 AND NOT has_nan THEN ({{bucket}}) END) AS BIGINT) AS min_bucket,
+       CAST(max(CASE WHEN sq > 0 AND NOT has_nan THEN ({{bucket}}) END) AS BIGINT) AS max_bucket,
+       CAST(sum(CASE WHEN sq > 0 AND NOT has_nan THEN ({{bucket}}) END) AS BIGINT) AS sum_bucket
+FROM pre
 GROUP BY label
 ORDER BY label
-""".format(dim=DIM, sq=_dot_sql("embedding", "embedding"))
+""".format(
+    dim=DIM,
+    sq=_dot_sql("embedding", "embedding"),
+    bucket=_pow2_bucket_case("sq"),
+)
 
 QUERIES["e23_embedding_audit"] = (e23_embedding_audit, E23_ORACLE)
 

@@ -69,4 +69,26 @@ def _naive(df: DataFrame) -> DataFrame:
     ]
     for c in ts_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
-    return df
+    return _maybe_shuffle(df)
+
+
+def _maybe_shuffle(df: DataFrame) -> DataFrame:
+    """Order-perturbation axis for the driver-env simulation: with
+    SPARK_GRAFT_SHUFFLE_INPUT=<seed> every table is re-sharded by a seeded
+    hash, destroying the parquet row order that partial aggregations would
+    otherwise fold in. A query whose hashed output survives arbitrary
+    summation order at its declared rounding granularity is robust to the
+    driver host's partitioning; one that flips has an order-dependent
+    float reduction — the class behind e23_embedding_audit's r05 hash-fail
+    — and must be integer-ized or coarsened BEFORE the driver finds it.
+    Off (unset) in normal runs: the driver's own sampling must see the
+    production plan, and an extra shuffle per scan is not it."""
+    import os
+
+    seed = os.environ.get("SPARK_GRAFT_SHUFFLE_INPUT")
+    if not seed:
+        return df
+    from pyspark.sql import functions as F
+
+    salt = F.xxhash64(F.lit(seed), *[F.col(c) for c in df.columns if not c.startswith("__")][:4])
+    return df.repartition(13, salt)
