@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from peskas_timor_data_pipeline_spark.functions.datetime_fns import week_start_sunday
-from peskas_timor_data_pipeline_spark.harness.tables import load
+from peskas_timor_data_pipeline_spark.harness.tables import (
+    exact_avg, exact_avg_sql, exact_sum, exact_sum_sql, load,
+)
 from peskas_timor_data_pipeline_spark.operators.outliers import loc_scale_bounds, mad_alert
 from peskas_timor_data_pipeline_spark.operators.restructure import nest, pivot_longer, pivot_wider, unnest
 from peskas_timor_data_pipeline_spark.operators.windows import mode_per_group, sessionize
@@ -24,8 +26,8 @@ def a1_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias("sum_revenue"),
+        exact_avg("l_extendedprice", 100).alias("avg_price"),
+        exact_sum("l_extendedprice * (1 - l_discount)", 10000, 0).alias("sum_revenue"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
         F.count(F.lit(1)).alias("n"),
@@ -34,11 +36,11 @@ def a1_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-A1_ORACLE = """
+A1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_revenue,
+       {exact_avg_sql('l_extendedprice', 100)} AS avg_price,
+       {exact_sum_sql('l_extendedprice * (1 - l_discount)', 10000, 0)} AS sum_revenue,
        min(l_shipdate) AS first_ship,
        max(l_shipdate) AS last_ship,
        count(*) AS n,
@@ -54,16 +56,16 @@ def a2_summarise_across(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     numeric = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     return li.agg(
-        *[F.round(F.avg(c), 6).alias(f"avg_{c}") for c in numeric],
+        *[exact_avg(c, 100).alias(f"avg_{c}") for c in numeric],
         F.count(F.lit(1)).alias("n"),
     )
 
 
-A2_ORACLE = """
-SELECT round(avg(l_quantity), 6) AS avg_l_quantity,
-       round(avg(l_extendedprice), 6) AS avg_l_extendedprice,
-       round(avg(l_discount), 6) AS avg_l_discount,
-       round(avg(l_tax), 6) AS avg_l_tax,
+A2_ORACLE = f"""
+SELECT {exact_avg_sql('l_quantity', 100)} AS avg_l_quantity,
+       {exact_avg_sql('l_extendedprice', 100)} AS avg_l_extendedprice,
+       {exact_avg_sql('l_discount', 100)} AS avg_l_discount,
+       {exact_avg_sql('l_tax', 100)} AS avg_l_tax,
        count(*) AS n
 FROM lineitem
 """
@@ -204,16 +206,16 @@ def a7_grid_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy("cell_x", "cell_y").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.median("value"), 6).alias("median_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        exact_avg("value", 10000).alias("avg_value"),
     )
 
 
-A7_ORACLE = """
+A7_ORACLE = f"""
 SELECT CAST(floor(value / 25.0) AS BIGINT) AS cell_x,
        CAST(extract(hour FROM ts) AS INTEGER) AS cell_y,
        count(*) AS n,
        round(median(value), 6) AS median_value,
-       round(avg(value), 6) AS avg_value
+       {exact_avg_sql('value', 10000)} AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -487,9 +489,9 @@ FULL JOIN matched USING (week)
 def a15_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias("revenue"),
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_tax")), 0).alias("tax_amount"),
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 0).alias("discount_amount"),
+        exact_sum("l_extendedprice * (1 - l_discount)", 10000, 0).alias("revenue"),
+        exact_sum("l_extendedprice * l_tax", 10000, 0).alias("tax_amount"),
+        exact_sum("l_extendedprice * l_discount", 10000, 0).alias("discount_amount"),
     )
     return pivot_longer(
         per_flag, ["l_returnflag"], ["revenue", "tax_amount", "discount_amount"],
@@ -497,12 +499,12 @@ def a15_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-A15_ORACLE = """
+A15_ORACLE = f"""
 WITH per_flag AS (
   SELECT l_returnflag,
-         round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
-         round(sum(l_extendedprice * l_tax), 0) AS tax_amount,
-         round(sum(l_extendedprice * l_discount), 0) AS discount_amount
+         {exact_sum_sql('l_extendedprice * (1 - l_discount)', 10000, 0)} AS revenue,
+         {exact_sum_sql('l_extendedprice * l_tax', 10000, 0)} AS tax_amount,
+         {exact_sum_sql('l_extendedprice * l_discount', 10000, 0)} AS discount_amount
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, 'revenue' AS metric, revenue AS value FROM per_flag
@@ -626,17 +628,17 @@ def a18_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("level"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 0).alias("total"),
+            exact_sum("o_totalprice", 100, 0).alias("total"),
         )
         .select("n_regionkey", "n_name", "level", "n_orders", "total")
     )
 
 
-A18_ORACLE = """
+A18_ORACLE = f"""
 SELECT n_regionkey, n_name,
        CAST(grouping(n_regionkey) * 2 + grouping(n_name) AS BIGINT) AS level,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 0) AS total
+       {exact_sum_sql('o_totalprice', 100, 0)} AS total
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -1111,12 +1113,12 @@ def a26_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_high"),
         F.round(F.min("__lo__"), 6).alias("p05"),
         F.round(F.min("__hi__"), 6).alias("p95"),
-        F.round(F.avg("l_extendedprice_wins"), 6).alias("avg_wins"),
-        F.round(F.sum("l_extendedprice_wins"), 2).alias("sum_wins"),
+        exact_avg("l_extendedprice_wins", 100).alias("avg_wins"),
+        exact_sum("l_extendedprice_wins", 100, 2).alias("sum_wins"),
     )
 
 
-A26_ORACLE = """
+A26_ORACLE = f"""
 WITH bounds AS (
   SELECT l_returnflag,
          quantile_cont(l_extendedprice, 0.05) AS lo,
@@ -1133,8 +1135,8 @@ SELECT l_returnflag,
        CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
        round(min(lo), 6) AS p05,
        round(min(hi), 6) AS p95,
-       round(avg(wins), 6) AS avg_wins,
-       round(sum(wins), 2) AS sum_wins
+       {exact_avg_sql('wins', 100)} AS avg_wins,
+       {exact_sum_sql('wins', 100, 2)} AS sum_wins
 FROM w GROUP BY l_returnflag
 """
 

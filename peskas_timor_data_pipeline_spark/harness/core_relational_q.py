@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from peskas_timor_data_pipeline_spark.functions.hashing import anonymized_id
-from peskas_timor_data_pipeline_spark.harness.tables import load
+from peskas_timor_data_pipeline_spark.harness.tables import (
+    exact_avg, exact_avg_sql, exact_sum, exact_sum_sql, load,
+)
 from peskas_timor_data_pipeline_spark.operators.joins import (
     complete,
     one_to_one_day_match,
@@ -324,14 +326,14 @@ def j1_left_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+            exact_avg("c_acctbal", 100).alias("avg_acctbal"),
         )
     )
     return out
 
 
-J1_ORACLE = """
-SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 6) AS avg_acctbal
+J1_ORACLE = f"""
+SELECT r_name, count(*) AS n_customers, {exact_avg_sql('c_acctbal', 100)} AS avg_acctbal
 FROM customer
 LEFT JOIN nation ON c_nationkey = n_nationkey
 LEFT JOIN region ON n_regionkey = r_regionkey
@@ -740,16 +742,16 @@ def p1_pattern_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return renamed.groupBy().agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.round(F.avg(c.removeprefix("l_")), 6).alias(f"avg_{c.removeprefix('l_')}") for c in measures],
+        *[exact_avg(c.removeprefix("l_"), 100).alias(f"avg_{c.removeprefix('l_')}") for c in measures],
     )
 
 
-P1_ORACLE = """
+P1_ORACLE = f"""
 SELECT count(*) AS n,
-       round(avg(l_quantity), 6) AS avg_quantity,
-       round(avg(l_extendedprice), 6) AS avg_extendedprice,
-       round(avg(l_discount), 6) AS avg_discount,
-       round(avg(l_tax), 6) AS avg_tax
+       {exact_avg_sql('l_quantity', 100)} AS avg_quantity,
+       {exact_avg_sql('l_extendedprice', 100)} AS avg_extendedprice,
+       {exact_avg_sql('l_discount', 100)} AS avg_discount,
+       {exact_avg_sql('l_tax', 100)} AS avg_tax
 FROM lineitem
 """
 
@@ -823,14 +825,14 @@ def j7_join_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        exact_avg("p_retailprice", 100).alias("avg_price"),
     )
 
 
-J7_ORACLE = """
+J7_ORACLE = f"""
 SELECT p_brand, count(*) AS n,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(avg(p_retailprice), 6) AS avg_price
+       {exact_avg_sql('p_retailprice', 100)} AS avg_price
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """

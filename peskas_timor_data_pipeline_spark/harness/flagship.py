@@ -21,7 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from peskas_timor_data_pipeline_spark.harness.tables import load
+from peskas_timor_data_pipeline_spark.harness.tables import (
+    exact_avg, exact_avg_sql, load,
+)
 from peskas_timor_data_pipeline_spark.operators.restructure import nest, unnest
 
 
@@ -64,7 +66,7 @@ def flagship_cpue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_trips"),
             F.round(F.median("cpue"), 6).alias("median_cpue"),
-            F.round(F.avg("trip_catch"), 6).alias("avg_catch"),
+            exact_avg("trip_catch", 100).alias("avg_catch"),
             F.round(F.sum("trip_catch"), 2).alias("sum_catch"),
             F.max("n_species").alias("max_species"),
         )
@@ -72,7 +74,7 @@ def flagship_cpue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FLAGSHIP_ORACLE = """
+FLAGSHIP_ORACLE = f"""
 WITH per_trip AS (
     SELECT l_orderkey,
            sum(l_quantity) AS trip_catch,
@@ -88,7 +90,7 @@ WITH per_trip AS (
 SELECT o_orderpriority,
        count(*) AS n_trips,
        round(median(cpue), 6) AS median_cpue,
-       round(avg(trip_catch), 6) AS avg_catch,
+       {exact_avg_sql('trip_catch', 100)} AS avg_catch,
        round(sum(trip_catch), 2) AS sum_catch,
        CAST(max(n_species) AS BIGINT) AS max_species
 FROM trips

@@ -27,6 +27,46 @@ TABLES = (
 )
 
 
+def exact_avg(expr: str, scale: int, nd: int = 6):
+    """Order-independent rounded mean for decimal-exact data: per-row
+    scale-and-round to integers (deterministic — both engines compute the
+    identical IEEE expression), sum the integers EXACTLY (long arithmetic,
+    order-free), divide and round once.  ``round(avg(x), 6)`` over raw
+    doubles is NOT order-free: the fixture's money columns are exact
+    cents, so true means sit exactly ON the 5e-7 rounding grid (e.g.
+    sum_cents/(100*n) with n divisible by 10^4) and the engines' different
+    summation orders legitimately flip the 6th decimal — the class behind
+    e23's r05 driver hash-fail, re-found in 5 more queries by the
+    SPARK_GRAFT_SHUFFLE_INPUT sweep."""
+    from pyspark.sql import functions as F
+
+    s = F.sum(F.expr(f"cast(round(({expr}) * {scale}) as bigint)"))
+    return F.round(s / float(scale) / F.count(F.lit(1)), nd)
+
+
+def exact_sum(expr: str, scale: int, nd: int):
+    """Order-independent rounded sum — see exact_avg. Needed whenever the
+    rounding granularity is at or coarser than the data's decimal
+    precision (round(sum(cents_data), 0) flips whenever the true sum ends
+    in .50)."""
+    from pyspark.sql import functions as F
+
+    s = F.sum(F.expr(f"cast(round(({expr}) * {scale}) as bigint)"))
+    return F.round(s / float(scale), nd)
+
+
+def exact_avg_sql(expr: str, scale: int, nd: int = 6) -> str:
+    """DuckDB twin of exact_avg (the HUGEINT sum is an intermediate only;
+    its double conversion is exact below 2^53)."""
+    return (f"round(sum(CAST(round(({expr}) * {scale}) AS BIGINT))"
+            f" / {scale}.0 / count(*), {nd})")
+
+
+def exact_sum_sql(expr: str, scale: int, nd: int) -> str:
+    return (f"round(sum(CAST(round(({expr}) * {scale}) AS BIGINT))"
+            f" / {scale}.0, {nd})")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table; normalizes the session TZ first so
     timestamp->date derivations agree with the naive-timestamp oracle.

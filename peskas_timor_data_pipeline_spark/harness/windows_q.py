@@ -6,7 +6,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from peskas_timor_data_pipeline_spark.harness.tables import load
+from peskas_timor_data_pipeline_spark.harness.tables import (
+    exact_avg, exact_avg_sql, exact_sum, exact_sum_sql, load,
+)
 from peskas_timor_data_pipeline_spark.operators.windows import (
     group_share,
     top1_per_group,
@@ -146,7 +148,7 @@ def w5_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         F.trunc(F.to_date("o_orderdate"), "month").alias("period")
-    ).agg(F.round(F.sum("o_totalprice"), 0).alias("value"))
+    ).agg(exact_sum("o_totalprice", 100, 0).alias("value"))
     w = Window.orderBy("period")
     as_of = F.lit("2001-06-15").cast("date")
     with_next = monthly.withColumn("next_period", F.lead("period").over(w))
@@ -169,10 +171,10 @@ def w5_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-W5_ORACLE = """
+W5_ORACLE = f"""
 WITH monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
-         round(sum(o_totalprice), 0) AS value
+         {exact_sum_sql('o_totalprice', 100, 0)} AS value
   FROM orders GROUP BY 1
 ), with_next AS (
   SELECT *, lead(period) OVER (ORDER BY period) AS next_period FROM monthly
@@ -212,7 +214,7 @@ def w6_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("minute", F.col("ts")).cast("timestamp_ntz").alias("minute"),
     ).agg(
         F.min(F.struct("ts", "event_id", "value")).alias("__first__"),
-        F.round(F.avg("value"), 6).alias("mean_value"),
+        exact_avg("value", 10000).alias("mean_value"),
         F.count(F.lit(1)).alias("n_fixes"),
     )
     return agg.select(
@@ -225,7 +227,7 @@ def w6_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-W6_ORACLE = """
+W6_ORACLE = f"""
 WITH ranked AS (
   SELECT user_id, date_trunc('minute', ts) AS minute, event_id, value,
          row_number() OVER (PARTITION BY user_id, date_trunc('minute', ts)
@@ -237,7 +239,7 @@ WITH ranked AS (
   FROM ranked WHERE rn = 1
 ), means AS (
   SELECT user_id, date_trunc('minute', ts) AS minute,
-         round(avg(value), 6) AS mean_value, count(*) AS n_fixes
+         {exact_avg_sql('value', 10000)} AS mean_value, count(*) AS n_fixes
   FROM events GROUP BY 1, 2
 )
 SELECT user_id, minute, first_event_id, first_value, mean_value, n_fixes

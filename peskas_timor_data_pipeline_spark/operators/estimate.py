@@ -122,6 +122,9 @@ def glmm_random_intercepts(
     max_iter: int = 200,
     tol: float = 1e-8,
     zero_inflated: bool = False,
+    zi_outer_iter: int = 40,
+    zi_inner_iter: int = 25,
+    zi_tol: float = 1e-7,
 ) -> DataFrame:
     """Per-group GLMM with crossed random intercepts — the Spark analogue of
     the reference's ``glmmTMB(n_landings ~ (1|month) + (1|period) +
@@ -235,17 +238,20 @@ def glmm_random_intercepts(
             zi_sol[0] = -1.0
             zi_sigma2 = np.ones(len(qs))
             zhat = np.where(y == 0, 0.5, 0.0)
-            for _ in range(40):  # outer EM
-                sol, sigma2 = pql(C, qs, y, family, 1.0 - zhat, sol, sigma2, 25)
+            for _ in range(zi_outer_iter):  # outer EM
+                sol, sigma2 = pql(
+                    C, qs, y, family, 1.0 - zhat, sol, sigma2, zi_inner_iter
+                )
                 zi_sol, zi_sigma2 = pql(
-                    C, qs, zhat, "binomial", np.ones(n), zi_sol, zi_sigma2, 25
+                    C, qs, zhat, "binomial", np.ones(n), zi_sol, zi_sigma2,
+                    zi_inner_iter,
                 )
                 mu = np.exp(np.clip(C @ sol, -30, 30))
                 pi = 1.0 / (1.0 + np.exp(-np.clip(C @ zi_sol, -30, 30)))
                 new_zhat = np.where(
                     y == 0, pi / np.maximum(pi + (1 - pi) * np.exp(-mu), 1e-12), 0.0
                 )
-                if np.max(np.abs(new_zhat - zhat)) < 1e-7:
+                if np.max(np.abs(new_zhat - zhat)) < zi_tol:
                     zhat = new_zhat
                     break
                 zhat = new_zhat

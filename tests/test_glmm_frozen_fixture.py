@@ -1,11 +1,13 @@
-"""Frozen-fixture pins for the two rows-only registry entries.
+"""Frozen-fixture pins for the crossed-GLMM registry entries.
 
-m4_glmm (crossed random intercepts) and m4zi_glmm (zero-inflated variant)
-have no closed-form SQL oracle (dense-inverse Henderson solve), so the
-driver only rows-checks them. These pins freeze the full value hash of
-their outputs at sf0.001/sf0.01 — regression protection where no oracle
-exists. The hashes were generated by running the queries themselves
-(commit 9f9a81b era) under TZ=America/New_York; outputs are rounded
+Since round 6 m4_glmm and m4zi_glmm are ALSO oracle-checked (the crossed
+design was reduced to (1|month) + (1|half) so the month block eliminates
+in closed form and the 3x3 Schur complement replays in window SQL — see
+stats_q._m4_crossed_sql). These pins stay as defense in depth: they
+freeze the engine-side value hash at sf0.001/sf0.01, catching regressions
+in the generic dense-Henderson numpy path that a matching oracle bug
+could mask. Regenerated for the round-6 semantic change (half factor,
+pinned iterations) under TZ=America/New_York; outputs are rounded
 scalars, so the hash is stable across hosts with the same numpy/BLAS.
 
 Regenerate (only after a DELIBERATE semantic change):
@@ -29,10 +31,10 @@ import pytest
 from tools.selfcheck import value_hash
 
 FROZEN = {
-    ("m4_glmm", "0.001"): ("7f33f3289c3c42b70fcdf1d07c3b9329c0261635ce5a58bbb87abae9ad78e766", 110),
-    ("m4_glmm", "0.01"): ("771bc0f2d5a9cae793e17235ec00b74aae31d185d583ff580a986410f19de210", 110),
-    ("m4zi_glmm", "0.001"): ("4adf48307593c4c1cedf72dafc05abff9d825bead9dad3c32967a6ed01f278c7", 220),
-    ("m4zi_glmm", "0.01"): ("836dad7f6f8f05b66cffa35f856927e77085f37fd7f93b47d88bdce3758ae7a9", 220),
+    ("m4_glmm", "0.001"): ("ebb8ab567bfa2bf52992649861792aa0fb350071612025911616130b24388569", 85),
+    ("m4_glmm", "0.01"): ("6ff0c54e09ac481221a574fbd19d289a2a475ee8d5c9fd5ad2d11a98b20e09a1", 85),
+    ("m4zi_glmm", "0.001"): ("e6f800b15b6656ac4d8b90b9b01e50a15c851b16de3d1dd4700efb816ba3b479", 170),
+    ("m4zi_glmm", "0.01"): ("c42d7fe33e8e43fd5da17a3759bad6437c745b91b2f6744391cc296700681f30", 170),
 }
 
 
