@@ -215,15 +215,27 @@ def connected_components_star(
             .distinct()
         )
         edges = materialize(small, checkpoint_dir)
-        # convergence = FLATNESS, probed with one semi-join instead of a
-        # two-sided exceptAll diff: every emitted edge has a < b with a =
-        # a neighborhood min, so the set is a disjoint union of min-rooted
-        # stars exactly when no edge's smaller endpoint appears as some
-        # other edge's larger endpoint — and stars are fixed points of
-        # both operations, so flat ⇒ converged
+        # convergence = the edge set is a DISJOINT union of min-rooted
+        # stars, which (with every edge canonical a < b) holds exactly
+        # when (1) no edge's smaller endpoint appears as some other
+        # edge's larger endpoint — kills chains — AND (2) no larger
+        # endpoint hangs under two distinct roots — kills shared leaves
+        # like {(1,4),(2,4)}, which the chain probe alone calls flat but
+        # which the next small-star round still rewrites (node 4 would be
+        # emitted under BOTH components; found by ADVICE r05 on the
+        # zig-zag path 2-4-5-6-1). Disjoint stars are fixed points of
+        # both operations, so flat ⇒ converged. One probe job: group the
+        # larger endpoints, flag multiplicity or appearance as a root.
+        a_side = (
+            edges.select(F.col("a").alias("x"))
+            .distinct()
+            .withColumn("__isroot__", F.lit(1))
+        )
         not_flat = (
-            edges.select("a")
-            .join(edges.select(F.col("b").alias("a")), "a", "left_semi")
+            edges.groupBy(F.col("b").alias("x"))
+            .agg(F.count(F.lit(1)).alias("nb"))
+            .join(a_side, "x", "left")
+            .filter((F.col("nb") > 1) | F.col("__isroot__").isNotNull())
             .limit(1)
             .count()
         )

@@ -962,14 +962,23 @@ def shingle_rows_with_pos(
 ) -> DataFrame:
     """(id, pos, sh) long frame of character k-grams WITH their 1-based
     start positions — the positioned variant of :func:`shingle_rows` for
-    span-level work (masking, highlighting). Same let-binding discipline
-    (lower the text once per row, not once per gram)."""
+    span-level work (masking, highlighting).
+
+    Positions index the RAW string; case folding applies per k-char slice
+    (``lower(substring(text, i, k))``). Folding the whole text first and
+    slicing that — the r05 form — shifts every position after a
+    length-expanding lowercase mapping (U+0130 'İ' lowers to 2 codepoints),
+    so downstream maskers hit off-by-N characters (ADVICE r05, reproduced).
+    Per-slice folding keeps O(len·k) work (no quadratic re-lowering: the
+    k-char substring is taken from the raw text, THEN lowered), at the
+    cost that a gram whose raw slice contains an expanding character folds
+    to k+ chars — a gram-identity quirk, not a position error."""
     grams = F.expr(
-        f"transform(array(lower({text_col})), __lt__ -> "
-        f"CASE WHEN length(__lt__) >= {k_shingle} THEN "
-        f"transform(sequence(1, length(__lt__) - {k_shingle - 1}),"
-        f" i -> struct(i AS pos, substring(__lt__, i, {k_shingle}) AS sh)) "
-        f"ELSE array() END)[0]"
+        f"CASE WHEN length({text_col}) >= {k_shingle} THEN "
+        f"transform(sequence(1, length({text_col}) - {k_shingle - 1}),"
+        f" i -> struct(i AS pos,"
+        f" lower(substring({text_col}, i, {k_shingle})) AS sh)) "
+        f"ELSE array() END"
     )
     return _spread(df).select(
         F.col(id_col), F.explode(grams).alias("__g__")

@@ -124,14 +124,26 @@ def build_corpus_pipeline(
                 ).alias("__thr__")
             )
             return (
-                quality_gated.join(kn.select("doc_id", "mean_logp_kn"), "doc_id")
+                # LEFT join: kneser_ney_logprob emits no row for docs with
+                # fewer than 2 tokens, and an inner join here silently
+                # dropped every 0/1-token doc regardless of the threshold
+                # (ADVICE r05). Ungradeable docs pass through with NULL
+                # mean_logp_kn — the LM gate only removes docs the LM
+                # actually scored below the cut; a length gate is the
+                # quality stage's job, not this one's.
+                quality_gated.join(
+                    kn.select("doc_id", "mean_logp_kn"), "doc_id", "left"
+                )
                 .crossJoin(F.broadcast(thr))
                 # STRICT >: the approx quantile returns an actual data
                 # value, so >= would keep the threshold doc itself and, on
                 # small inputs where the frac rounds to the minimum, drop
                 # nothing at all; dropping ties at the threshold errs the
                 # CCNet way (toward cleaner data)
-                .filter(F.col("mean_logp_kn") > F.col("__thr__"))
+                .filter(
+                    F.col("mean_logp_kn").isNull()
+                    | (F.col("mean_logp_kn") > F.col("__thr__"))
+                )
                 .select("doc_id", "text", "norm_text")
             )
 

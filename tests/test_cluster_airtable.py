@@ -111,6 +111,14 @@ def test_star_cc_equals_label_propagation_cc(spark):
         cases.append([(rng.randrange(n), rng.randrange(n)) for _ in range(25)])
     cases.append([(i, i + 1) for i in range(100)])           # long path
     cases.append([(0, 1), (2, 3), (4, 5), (1, 2)])           # mixed comps
+    # zig-zag id paths (ADVICE r05): intermediate states form star forests
+    # with SHARED LEAVES ({(1,4),(2,4)}-shaped), which the chain-only
+    # flatness probe mistook for fixed points — node 4 came back under
+    # TWO components. The probe now also rejects duplicated larger
+    # endpoints; these topologies pin that.
+    cases.append([(2, 4), (4, 5), (5, 6), (1, 6)])           # zig-zag path
+    cases.append([(1, 4), (2, 4)])                           # shared leaf
+    cases.append([(3, 7), (5, 7), (1, 5), (2, 6), (4, 6)])   # two shared-leaf comps
     for edges in cases:
         edges = [(a, b) for a, b in edges if a != b]
         df = spark.createDataFrame(edges, "id_a long, id_b long")

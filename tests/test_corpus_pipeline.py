@@ -120,6 +120,11 @@ def test_corpus_pipeline_kn_gate_drops_word_salad(spark, tmp_path):
         (3, base + " variant three again"),
         # word salad: common words, impossible bigrams
         (4, "dog the over quick and lazy fox words brown jumps more the going"),
+        # single token: kneser_ney_logprob emits no bigram row for it, so
+        # the gate must pass it through as ungradeable (NULL score), not
+        # silently drop it (ADVICE r05 — the r05 inner join ate every
+        # 0/1-token doc regardless of the threshold)
+        (5, "solitary"),
     ]
     src = tmp_path / "docs.parquet"
     pq.write_table(
@@ -135,10 +140,12 @@ def test_corpus_pipeline_kn_gate_drops_word_salad(spark, tmp_path):
     os.makedirs(art, exist_ok=True)
     ingest_corpus(spark, art, str(src))
     pipe = build_corpus_pipeline(
-        spark, art, kn_tail_frac=0.25, max_dup_line_ppm=1_000_000
+        spark, art, kn_tail_frac=0.25, max_dup_line_ppm=1_000_000,
+        min_quality=0.0,
     )
     pipe.run()
     gated = read_stage(spark, art, "lm_gated")
     kept = {r.doc_id for r in gated.select("doc_id").collect()}
     assert 4 not in kept, "word salad must fall in the KN tail"
     assert {1, 2, 3} <= kept
+    assert 5 in kept, "ungradeable (<2-token) docs pass through the LM gate"

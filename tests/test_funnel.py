@@ -103,3 +103,35 @@ def test_pagerank_fixed_point_hand_values(spark):
     got2 = {r.node: r.rank_nanos for r in pagerank_fixed_point(
         chain, "s", "d", "w", n_iter=3).collect()}
     assert got2 == {"A": 75_000_000, "B": 138_750_000}
+
+
+def test_pagerank_weight_contract(spark):
+    """ADVICE r05 retirement: weights are cast to long BEFORE summing and
+    non-positive / sub-1 fractional weights are dropped up front — a node
+    whose only outgoing edges have weight 0 (or 0.4, truncating to 0)
+    contributes no mass but must not NULL-poison the rank frame, and
+    fractional weights >= 1 truncate per edge (2.9 counts as 2)."""
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 2.9),   # truncates to 2
+            (1, 3, 1.0),
+            (2, 3, 0.4),   # truncates to 0 -> dropped: node 2 dangles
+            (3, 1, -5.0),  # dropped: node 3 dangles
+        ],
+        "s long, d long, w double",
+    )
+    got = {r.node: r.rank_nanos
+           for r in pagerank_fixed_point(edges, "s", "d", "w", n_iter=2).collect()}
+    # all 4 endpoint nodes present, every rank a non-null long
+    assert set(got) == {1, 2, 3}
+    assert all(isinstance(v, int) and v > 0 for v in got.values())
+    # node 1 splits 2:1 between 2 and 3 (2.9 -> 2), so rank(2) > rank(3)
+    # after damping from an equal start... iteration 1: contributions to 2
+    # = 2/3 of r1, to 3 = 1/3 of r1; nodes 2,3 send nothing (dropped).
+    assert got[2] > got[3]

@@ -251,3 +251,29 @@ def test_hll_estimate_accuracy_and_merge(spark):
     assert sorted((r.j, r.M) for r in merged.collect()) == sorted(
         (r.j, r.M) for r in whole.collect()
     )
+
+
+def test_hll_small_m_alpha_and_b_guard(spark):
+    """ADVICE r05 retirement: small-m bias constants. At b=4 (m=16) the
+    large-m asymptote 0.7213/(1+1.079/m) is ~4% hot vs Flajolet's
+    dedicated alpha_16 = 0.673 — on a cardinality well above the
+    linear-counting band the estimate must land inside the small-m
+    standard-error envelope (1.04/sqrt(16) = 26%), which the wrong alpha
+    pushes against systematically. b < 4 is unspecified and must raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    df = spark.range(2000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    est = hll_estimate(hll_sketch(df, ["g"], "v", b=4), ["g"], b=4).collect()[0]
+    assert est.m == 16
+    # wide band (m=16 is a toy sketch) but centered: alpha_16 keeps the
+    # relative error of this fixed md5 hash sequence ~8%; the large-m
+    # alpha would shift every estimate up by 1.072/1.0407 ~ +3%
+    assert abs(est.est_distinct - 2000) < 0.30 * 2000
+    with pytest.raises(ValueError, match="b >= 4"):
+        hll_estimate(hll_sketch(df, ["g"], "v", b=4), ["g"], b=3)

@@ -72,6 +72,33 @@ def test_case_insensitive_match_masks_original_case(spark):
     )
 
 
+def test_expanding_lowercase_keeps_raw_positions(spark):
+    """ADVICE r05 repro: U+0130 'İ' lowers to 2 codepoints. The r05 form
+    computed seed positions on lower(text), so every position after the
+    'İ' shifted by one and the mask hit the wrong characters (first
+    repeated char left unmasked, one unrelated char masked). Positions
+    must index the RAW string."""
+    shared = "0123456789abcdefghij"  # 20 shared chars
+    df = spark.createDataFrame(
+        [
+            (1, "İx" + shared + "yy"),  # raw span at [3, 22]
+            (2, "no" + shared + "no"),       # raw span at [3, 22]
+        ],
+        "doc_id long, text string",
+    )
+    spans = repeated_span_mask(df, "doc_id", "text", k_min=K)
+    got = {
+        r.doc_id: (r.span_start, r.span_end) for r in spans.collect()
+    }
+    assert got == {1: (3, 22), 2: (3, 22)}
+    out = {
+        r.doc_id: r.masked_text
+        for r in apply_span_mask(df, spans, "doc_id", "text").collect()
+    }
+    assert out[1] == "İx" + " " * 20 + "yy"
+    assert out[2] == "no" + " " * 20 + "no"
+
+
 def test_mask_passthrough_without_spans(spark):
     df = spark.createDataFrame(
         [(1, "unique one here"), (2, "another unique body")],
