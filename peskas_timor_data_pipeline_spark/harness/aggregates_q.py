@@ -100,8 +100,19 @@ def a4_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("prop_high_discount"),
+        # conditional mean over cents data via exact integer sums (the
+        # e23 order-dependence class; ANSI-safe — the matched count can't
+        # be 0 while the cents sum is non-null, and both NULL out together)
         F.round(
-            F.avg(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 6
+            F.sum(
+                F.expr(
+                    "CASE WHEN l_discount > 0.05 "
+                    "THEN cast(round(l_extendedprice * 100) as bigint) END"
+                )
+            )
+            / 100.0
+            / F.sum(F.when(F.col("l_discount") > 0.05, 1)),
+            6,
         ).alias("avg_price_when_discounted"),
         F.sum(F.when(F.col("l_quantity") > 45, 1)).alias("n_bulk"),
     )
@@ -110,7 +121,9 @@ def a4_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 A4_ORACLE = """
 SELECT l_returnflag,
        round(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / count(*), 6) AS prop_high_discount,
-       round(avg(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 6) AS avg_price_when_discounted,
+       round(sum(CASE WHEN l_discount > 0.05
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) / 100.0
+             / sum(CASE WHEN l_discount > 0.05 THEN 1 END), 6) AS avg_price_when_discounted,
        CAST(sum(CASE WHEN l_quantity > 45 THEN 1 END) AS BIGINT) AS n_bulk
 FROM lineitem GROUP BY l_returnflag
 """
