@@ -1,0 +1,210 @@
+"""End-to-end corpus-DAG scale rehearsal (VERDICT r05 #5).
+
+Runs the full training-corpus pipeline (ingest -> normalize -> quality
+gate -> Kneser-Ney LM gate -> exact dedup -> MinHash/LSH near-dedup ->
+repeated-span masking -> packing; pipeline/corpus_pipeline.py) at two
+scales — the sf0.1 documents table (5k docs) and a 10x synthetic blow-up
+(50k docs: per source doc, 10 deterministic variants with planted exact
+and near duplicates so dedup does real work) — and records per-stage wall
+time, shuffle read/write bytes, input/output bytes, and the per-stage
+maximum task RESULT size (the bytes each task ships back to the driver:
+the "no stage collects megabytes to the driver" proof; threshold scalars
+and LSH bucket histograms are the only driver-side state by design).
+
+Metrics come from the local Spark UI REST API (stage counters diffed
+around each pipeline stage), so the numbers are the engine's own
+accounting, not wall-clock guesswork.
+
+Usage: python tools/corpus_bench.py [--out CORPUSBENCH_r06.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+STAGES = ("normalized", "quality_gated", "lm_gated", "exact_deduped",
+          "near_deduped", "masked", "packed")
+
+
+def _ui(spark):
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    return f"{base}/api/v1/applications/{app}"
+
+
+def _stages(spark) -> list[dict]:
+    try:
+        with urllib.request.urlopen(f"{_ui(spark)}/stages?status=complete",
+                                    timeout=10) as r:
+            return json.load(r)
+    except Exception:
+        return []
+
+
+def _window_metrics(stages: list[dict], after_id: int) -> dict:
+    """Aggregate the Spark stages newer than ``after_id``: shuffle/in/out
+    bytes, spill, and the maximum per-Spark-stage RESULT size (total bytes
+    tasks shipped to the driver — collect()s and scalar aggregates show up
+    here; a pipeline stage collecting megabytes is a scale bug)."""
+    new = [st for st in stages if st.get("stageId", -1) > after_id]
+    return {
+        "n_spark_stages": len(new),
+        "shuffle_read": sum(st.get("shuffleReadBytes", 0) for st in new),
+        "shuffle_write": sum(st.get("shuffleWriteBytes", 0) for st in new),
+        "input": sum(st.get("inputBytes", 0) for st in new),
+        "output": sum(st.get("outputBytes", 0) for st in new),
+        "spill_bytes": sum(st.get("diskBytesSpilled", 0)
+                           + st.get("memoryBytesSpilled", 0) for st in new),
+        # split driver-bound result bytes into Spark's own broadcast
+        # materializations (the withThreadLocalCaptured futures that
+        # BroadcastExchange runs — capped by autoBroadcastJoinThreshold
+        # and replaced by sort-merge joins once a side outgrows it, so
+        # they VANISH at scale) vs everything else (explicit collects —
+        # the class that must stay KB-sized at any scale)
+        "max_broadcast_result_bytes": max(
+            (st.get("resultSize", 0) for st in new
+             if "withThreadLocalCaptured" in st.get("name", "")), default=0),
+        "max_collect_result_bytes": max(
+            (st.get("resultSize", 0) for st in new
+             if "withThreadLocalCaptured" not in st.get("name", "")),
+            default=0),
+    }
+
+
+def synth_10x(spark, src_sf_dir: str, out_path: str) -> int:
+    """50k docs from the 5k sf0.1 documents: variants 0 and 1 are exact
+    copies (planted exact dups), variant 2 appends one char (near dup for
+    LSH), 3..9 get distinct md5 tails (unique mass). Deterministic."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{src_sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    blown = (
+        docs.select(
+            "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("v")
+        )
+        .select(
+            (F.col("doc_id") * 16 + F.col("v")).alias("doc_id"),
+            F.when(F.col("v") <= 1, F.col("text"))
+            .when(F.col("v") == 2, F.concat(F.col("text"), F.lit("!")))
+            .otherwise(
+                F.concat(
+                    F.col("text"), F.lit(" "),
+                    F.md5(F.concat_ws("#", "doc_id", "v")),
+                )
+            )
+            .alias("text"),
+        )
+    )
+    blown.repartition(32).write.mode("overwrite").parquet(out_path)
+    return blown.count()
+
+
+def run_scale(spark, label: str, source_parquet: str, workdir: str) -> dict:
+    from peskas_timor_data_pipeline_spark.pipeline.corpus_pipeline import (
+        build_corpus_pipeline,
+        ingest_corpus,
+    )
+
+    if os.path.exists(workdir):
+        shutil.rmtree(workdir)
+    os.makedirs(workdir)
+    ingest_corpus(spark, workdir, source_parquet)
+    pipe = build_corpus_pipeline(
+        spark, workdir, kn_tail_frac=0.1, min_quality=0.0,
+        max_dup_line_ppm=1_000_000,
+    )
+    per_stage = {}
+    t_all = time.time()
+    for name in STAGES:
+        seen = max((st.get("stageId", -1) for st in _stages(spark)), default=-1)
+        t0 = time.time()
+        pipe.run(only={name})
+        wall = round(time.time() - t0, 2)
+        per_stage[name] = {"wall_s": wall,
+                           **_window_metrics(_stages(spark), seen)}
+    total_wall = round(time.time() - t_all, 2)
+    rows = {
+        name: spark.read.parquet(
+            _latest(workdir, name)
+        ).count()
+        for name in ("corpus_raw", "quality_gated", "lm_gated",
+                     "near_deduped", "packed")
+    }
+    return {"label": label, "total_wall_s": total_wall,
+            "rows": rows, "stages": per_stage}
+
+
+def _latest(artifact_dir: str, name: str) -> str:
+    from peskas_timor_data_pipeline_spark.sources.io import resolve_latest
+
+    return resolve_latest(artifact_dir, name, "parquet")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="CORPUSBENCH_r06.json")
+    args = ap.parse_args()
+
+    from peskas_timor_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus-bench",
+                      extra_conf={"spark.ui.enabled": "true"})
+    base = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "spark-warehouse", "corpusbench")
+    os.makedirs(base, exist_ok=True)
+
+    x10_path = os.path.join(base, "docs_10x.parquet")
+    n10 = synth_10x(spark, SF_DIR, x10_path)
+    print(f"synthesized {n10} docs at {x10_path}")
+
+    r1 = run_scale(spark, "sf0.1 (5k docs)",
+                   f"{SF_DIR}/documents.parquet",
+                   os.path.join(base, "art_1x"))
+    r10 = run_scale(spark, "10x (50k docs)", x10_path,
+                    os.path.join(base, "art_10x"))
+
+    def tot(r, k):
+        return sum(s.get(k, 0) for s in r["stages"].values())
+
+    result = {
+        "runs": [r1, r10],
+        "shuffle_write_ratio_10x_over_1x":
+            round(tot(r10, "shuffle_write") / max(tot(r1, "shuffle_write"), 1), 2),
+        "wall_ratio_10x_over_1x":
+            round(r10["total_wall_s"] / max(r1["total_wall_s"], 0.01), 2),
+        "max_broadcast_result_bytes": max(
+            s.get("max_broadcast_result_bytes", 0)
+            for r in (r1, r10) for s in r["stages"].values()
+        ),
+        "max_collect_result_bytes": max(
+            s.get("max_collect_result_bytes", 0)
+            for r in (r1, r10) for s in r["stages"].values()
+        ),
+        "notes": (
+            "broadcast results are BroadcastExchange materializations "
+            "(auto-bounded by spark.sql.autoBroadcastJoinThreshold, "
+            "plan flips to sort-merge beyond it); collect results are "
+            "the pipeline's explicit driver-side state (LSH bucket "
+            "histogram, LM-gate threshold scalar) and must stay KB-sized"
+        ),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "runs"}))
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
