@@ -39,8 +39,9 @@ _PRIORITY_R06 = (
     # (a) round-5 red rows, fixed this round, + twins
     "d7_repeated_grams", "e23_embedding_audit",
     "d7c_shared_checksum", "d7b_gram_checksum",
-    # (b) crossed GLMMs, re-split into oracle-checked form this round
-    "m4_glmm", "m4zi_glmm",
+    # (b) crossed GLMMs, re-split into oracle-checked form this round,
+    # + queries added in round 6
+    "m4_glmm", "m4zi_glmm", "t41_weighted_reservoir",
     # (c) stale-evidence rotation: last driver-sampled r01–r02
     "flagship_cpue",
     "p1_pattern_projection", "p2_filter_project", "p3_semi_join",

@@ -2090,6 +2090,55 @@ WHERE sample_rank <= 3 * CAST(substr(source, 4) AS INTEGER) + 2
 QUERIES["t17_mixture_sample"] = (t17_mixture_sample, T17_ORACLE)
 
 
+def t41_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus resampling (llm/text.py::
+    weighted_reservoir_sample): 20 docs per source, inclusion probability
+    proportional to a per-doc weight (here a deterministic length-bucket
+    proxy 1 + length % 7) — Efraimidis-Spirakis A-Res with the u^(1/w)
+    reservoir key realized EXACTLY as the max of w seeded 48-bit md5
+    draws, so the oracle replays the identical integer arithmetic (no
+    libm anywhere in the ranking)."""
+    from peskas_timor_data_pipeline_spark.llm.text import (
+        weighted_reservoir_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", (F.length("text") % 7 + 1).alias("w")
+    )
+    out = weighted_reservoir_sample(docs, "doc_id", "source", "w", k=20)
+    return out.select(
+        "source", "doc_id", F.col("weight").cast("long").alias("weight"),
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+    ).orderBy("source", "sample_rank")
+
+
+T41_ORACLE = """
+WITH weighted AS (
+  SELECT doc_id, source,
+         least(CAST(length(text) % 7 + 1 AS BIGINT), 64) AS w
+  FROM documents
+), draws AS (
+  SELECT doc_id, source, w,
+         max(('0x' || substr(md5(concat_ws('#', 'wres42',
+               CAST(doc_id AS VARCHAR), CAST(j AS VARCHAR))), 1, 12))::BIGINT
+         ) AS key
+  FROM (SELECT doc_id, source, w, unnest(generate_series(0, w - 1)) AS j
+        FROM weighted WHERE w > 0)
+  GROUP BY doc_id, source, w
+), ranked AS (
+  SELECT source, doc_id, w AS weight,
+         row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rk
+  FROM draws
+)
+SELECT source, doc_id, CAST(weight AS BIGINT) AS weight,
+       CAST(rk AS INTEGER) AS sample_rank
+FROM ranked WHERE rk <= 20
+ORDER BY source, sample_rank
+"""
+
+QUERIES["t41_weighted_reservoir"] = (t41_weighted_reservoir, T41_ORACLE)
+
+
 # --- T18: interpolated bigram log-probability (perplexity-filter proxy) ---------------
 
 def t18_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

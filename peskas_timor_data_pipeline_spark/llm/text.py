@@ -420,6 +420,81 @@ def mixture_sample(
     )
 
 
+def weighted_reservoir_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wres42",
+    max_weight: int = 64,
+) -> DataFrame:
+    """Per-row WEIGHTED sampling without replacement (Efraimidis &
+    Spirakis 2006 A-Res), integer-exact: the quality-weighted resampling
+    step that mixture_sample's uniform per-group quotas can't express —
+    "keep k docs per source, each with probability proportional to its
+    own weight" (DSIR-style importance RESAMPLING rather than biased
+    top-k; cf. R's sample(prob=) uses in the reference's bootstrap
+    machinery, R/model-catch.R's replicate draws).
+
+    A-Res assigns each row the key u^(1/w) (u uniform) and keeps the k
+    largest per group. For integer w that key is distributed EXACTLY as
+    the max of w independent uniforms (CDF x^w both ways), so the draw is
+    realized as the MAX of w seeded 48-bit md5 integers — no ln, no pow,
+    no libm whose last-ULP differences could flip a rank between engines
+    (the r06 order-dependence discipline applied to sampling). The sample
+    reproduces bit-for-bit anywhere md5 exists.
+
+    Scale shape: one explode bounded by ``max_weight`` (mixture weights
+    are small integers; larger values saturate, documented), a
+    partial-aggregated (group, id) max, one rank window per group — the
+    same shuffle shape as mixture_sample. Rows with weight <= 0 never
+    sample.
+
+    Returns (group, id, weight, sample_rank), rank 1..k by descending key.
+    """
+    from pyspark.sql.window import Window
+
+    w_int = F.least(F.col(weight_col).cast("long"), F.lit(max_weight))
+    draws = (
+        df.select(
+            F.col(id_col), F.col(group_col), w_int.alias("__w__")
+        )
+        .filter(F.col("__w__") > 0)
+        .select(
+            id_col, group_col, "__w__",
+            F.explode(F.expr("sequence(0, __w__ - 1)")).alias("__j__"),
+        )
+        .select(
+            id_col, group_col, "__w__",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#", F.lit(salt),
+                            F.col(id_col).cast("string"),
+                            F.col("__j__").cast("string"),
+                        )
+                    ),
+                    1, 12,
+                ),
+                16, 10,
+            ).cast("long").alias("__key__"),
+        )
+    )
+    keyed = draws.groupBy(group_col, id_col).agg(
+        F.max("__key__").alias("__key__"), F.max("__w__").alias("weight")
+    )
+    rank_w = Window.partitionBy(group_col).orderBy(
+        F.desc("__key__"), F.asc(id_col)
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(rank_w))
+        .filter(F.col("sample_rank") <= k)
+        .select(group_col, id_col, "weight", "sample_rank")
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     id_col: str,

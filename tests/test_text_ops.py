@@ -211,3 +211,34 @@ def test_repetition_signals_hand_computed(spark):
         "doc_id": 3, "n_lines": 0, "dup_line_ppm": 0,
         "dup_char_ppm": 0, "top_bigram_ppm": 0,
     }
+
+
+def test_weighted_reservoir_sample(spark):
+    """A-Res integer form: ranks are 1..k per group, non-positive weights
+    never sample, weights clamp at max_weight, the draw is salt-stable,
+    and high-weight rows dominate the sample (w=8 vs w=1 at 8:1 odds per
+    slot — with k=50 of 100+100 rows the expected w=8 share is ~47/50)."""
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.llm.text import (
+        weighted_reservoir_sample,
+    )
+
+    rows = [(i, "g", 8 if i < 100 else 1) for i in range(200)]
+    rows += [(900, "g", 0), (901, "g", -3)]          # never sampled
+    df = spark.createDataFrame(rows, "id long, grp string, w long")
+    out = weighted_reservoir_sample(df, "id", "grp", "w", k=50).collect()
+    assert sorted(r.sample_rank for r in out) == list(range(1, 51))
+    ids = {r.id for r in out}
+    assert 900 not in ids and 901 not in ids
+    heavy = sum(1 for r in out if r.id < 100)
+    assert heavy > 35, f"w=8 rows should dominate, got {heavy}/50"
+    # deterministic: same salt reproduces the exact sample
+    again = weighted_reservoir_sample(df, "id", "grp", "w", k=50).collect()
+    assert {(r.id, r.sample_rank) for r in again} == {
+        (r.id, r.sample_rank) for r in out
+    }
+    # clamp: weight column reports the saturated value
+    big = spark.createDataFrame([(1, "g", 1000)], "id long, grp string, w long")
+    got = weighted_reservoir_sample(big, "id", "grp", "w", k=1).collect()[0]
+    assert got.weight == 64
