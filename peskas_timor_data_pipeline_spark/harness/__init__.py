@@ -41,7 +41,7 @@ _PRIORITY_R06 = (
     "d7c_shared_checksum", "d7b_gram_checksum",
     # (b) crossed GLMMs, re-split into oracle-checked form this round,
     # + queries added in round 6
-    "m4_glmm", "m4zi_glmm", "t41_weighted_reservoir",
+    "m4_glmm", "m4zi_glmm", "t41_weighted_reservoir", "d18_bbit_minhash",
     # (c) stale-evidence rotation: last driver-sampled r01–r02
     "flagship_cpue",
     "p1_pattern_projection", "p2_filter_project", "p3_semi_join",

@@ -2139,6 +2139,59 @@ ORDER BY source, sample_rank
 QUERIES["t41_weighted_reservoir"] = (t41_weighted_reservoir, T41_ORACLE)
 
 
+def d18_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minhash Jaccard estimation over the LSH candidate pairs
+    (llm/dedup.py::bbit_minhash_jaccard, Li & Koenig 2010): signatures
+    compressed 16x (lowest 2 bits of each of 16 minhashes) still rank the
+    planted near-dups, with the collision-floor correction in exact
+    signed integer ppm. Emits the full-width estimate alongside so the
+    compression's calibration is itself hash-checked."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import (
+        bbit_minhash_jaccard,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BAND_SIZE)
+    return bbit_minhash_jaccard(sigs, pairs, "doc_id", N_HASHES, b=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_D18_AGREE_FULL = " + ".join(
+    f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(N_HASHES)
+)
+_D18_AGREE_BBIT = " + ".join(
+    f"CASE WHEN ('0x' || a.h{j})::BIGINT % 4 = ('0x' || b.h{j})::BIGINT % 4 "
+    "THEN 1 ELSE 0 END" for j in range(N_HASHES)
+)
+
+D18_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+sig AS MATERIALIZED (SELECT doc_id, {_SIG_COLS} FROM shd GROUP BY doc_id),
+long AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sig),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM long a JOIN long b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       CAST({{af}} AS BIGINT) AS n_agree_full,
+       CAST({{ab}} AS BIGINT) AS n_agree_bbit,
+       CAST(floor(({{af}}) * 1000000.0 / {N_HASHES}) AS BIGINT) AS est_full_ppm,
+       CAST(floor((({{ab}}) * 4 - {N_HASHES}) * 1000000.0
+                  / ({N_HASHES} * 3)) AS BIGINT) AS est_bbit_ppm
+FROM pairs p
+JOIN sig a ON a.doc_id = p.id_a
+JOIN sig b ON b.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b
+""".format(af=_D18_AGREE_FULL, ab=_D18_AGREE_BBIT)
+
+QUERIES["d18_bbit_minhash"] = (d18_bbit_minhash, D18_ORACLE)
+
+
 # --- T18: interpolated bigram log-probability (perplexity-filter proxy) ---------------
 
 def t18_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -259,6 +259,73 @@ def lsh_candidate_pairs(
     )
 
 
+def bbit_minhash_jaccard(
+    sigs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    b: int = 2,
+) -> DataFrame:
+    """Jaccard estimation over candidate pairs from b-BIT minhash
+    signatures (Li & Koenig 2010, "b-Bit Minwise Hashing") — the
+    signature-STORAGE scale path: keeping only the lowest ``b`` bits of
+    each 32-bit minhash shrinks the signature store 32/b-fold (16x at
+    b=2), which at 100 TB is the difference between signatures that fit
+    in executor memory for the verification join and ones that don't.
+    The price is collision noise with a known correction: a b-bit slot
+    agrees with probability J + (1-J)/2^b, so
+    J = (agree_frac - 2^-b) / (1 - 2^-b), here in EXACT integer ppm:
+    ``(n_agree * 2^b - n) * 1e6 div (n * (2^b - 1))`` (signed — sampling
+    noise below the collision floor reports negative, by design).
+    The full-width estimate ``n_agree_full * 1e6 div n`` is emitted
+    alongside for calibration.
+
+    Scale shape: two equi-joins of the (LSH-linear) candidate pairs to
+    the signature frame — the pair side is the small one post-LSH, so
+    AQE broadcasts it; nothing pairwise beyond the already-banded
+    candidates; all-integer outputs (the r06 engine-exactness
+    discipline applied to estimation)."""
+    mask = 1 << b
+    def bb(col: str) -> Column:
+        return F.conv(F.col(col), 16, 10).cast("long") % mask
+
+    a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{j}").alias(f"__a{j}__") for j in range(n_hashes)],
+    )
+    bsig = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{j}").alias(f"__b{j}__") for j in range(n_hashes)],
+    )
+    joined = pairs.join(a, "id_a").join(bsig, "id_b")
+    agree_full = sum(
+        F.when(F.col(f"__a{j}__") == F.col(f"__b{j}__"), 1).otherwise(0)
+        for j in range(n_hashes)
+    ).cast("long")
+    agree_b = sum(
+        F.when(bb(f"__a{j}__") == bb(f"__b{j}__"), 1).otherwise(0)
+        for j in range(n_hashes)
+    ).cast("long")
+    # est_bbit can be negative, where Spark's `div` truncates toward zero
+    # but DuckDB's `//` floors — floor over an exact double division keeps
+    # the two engines identical on both signs (numerators are small ints,
+    # the division is the same IEEE op everywhere)
+    est_bbit = F.floor(
+        ((agree_b * mask - n_hashes) * 1000000).cast("double")
+        / (n_hashes * (mask - 1))
+    ).cast("long")
+    est_full = F.floor(
+        (agree_full * 1000000).cast("double") / n_hashes
+    ).cast("long")
+    return joined.select(
+        "id_a", "id_b",
+        agree_full.alias("n_agree_full"),
+        agree_b.alias("n_agree_bbit"),
+        est_full.alias("est_full_ppm"),
+        est_bbit.alias("est_bbit_ppm"),
+    )
+
+
 def ngram_jaccard(
     docs: DataFrame,
     pairs: DataFrame,

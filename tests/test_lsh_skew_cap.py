@@ -125,3 +125,43 @@ def test_bucket_cap_from_scout_consumes_the_estimate(spark):
     )
     nsigs = minhash_signature(normal, "doc_id", "text", N_HASHES, 5)
     assert bucket_cap_from_scout(nsigs, "doc_id", N_HASHES, BAND_SIZE) is None
+
+
+def test_bbit_minhash_estimates_track_full_width(spark):
+    """b-bit compression (Li & Koenig 2010): on a planted exact duplicate
+    every slot agrees (both estimates = 1e6 ppm exactly); on unrelated
+    docs the b-bit agreement sits near the 1/4 collision floor so the
+    corrected estimate lands near 0 (within the n=16 sampling band, which
+    is wide: +/- ~330k ppm at 3 sigma); estimates are exact signed
+    integers (no libm in the ranking path — the r06 discipline)."""
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.llm.dedup import (
+        bbit_minhash_jaccard,
+        minhash_signature,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different content with no shared shingles here xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signature(docs, "doc_id", "text", 16, 5)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r.id_a, r.id_b): r
+        for r in bbit_minhash_jaccard(sigs, pairs, "doc_id", 16, b=2).collect()
+    }
+    dup = got[(1, 2)]
+    assert dup.n_agree_full == 16 and dup.n_agree_bbit == 16
+    assert dup.est_full_ppm == 1000000 and dup.est_bbit_ppm == 1000000
+    far = got[(1, 3)]
+    assert far.n_agree_full == 0
+    # 16 slots at the 1/4 collision floor: E[agree]=4, 3 sigma ~ 5 slots
+    assert far.n_agree_bbit <= 9
+    assert -350000 <= far.est_bbit_ppm <= 420000
