@@ -107,7 +107,7 @@ def a4_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.expr(
                     "CASE WHEN l_discount > 0.05 "
-                    "THEN cast(round(l_extendedprice * 100) as bigint) END"
+                    "THEN cast(floor(l_extendedprice * 100 + 0.5d) as bigint) END"
                 )
             )
             / 100.0
@@ -122,7 +122,7 @@ A4_ORACLE = """
 SELECT l_returnflag,
        round(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / count(*), 6) AS prop_high_discount,
        round(sum(CASE WHEN l_discount > 0.05
-                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) / 100.0
+                 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END) / 100.0
              / sum(CASE WHEN l_discount > 0.05 THEN 1 END), 6) AS avg_price_when_discounted,
        CAST(sum(CASE WHEN l_quantity > 45 THEN 1 END) AS BIGINT) AS n_bulk
 FROM lineitem GROUP BY l_returnflag

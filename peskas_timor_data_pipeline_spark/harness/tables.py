@@ -37,10 +37,17 @@ def exact_avg(expr: str, scale: int, nd: int = 6):
     sum_cents/(100*n) with n divisible by 10^4) and the engines' different
     summation orders legitimately flip the 6th decimal — the class behind
     e23's r05 driver hash-fail, re-found in 5 more queries by the
-    SPARK_GRAFT_SHUFFLE_INPUT sweep."""
+    SPARK_GRAFT_SHUFFLE_INPUT sweep.
+
+    The per-row integerization is ``floor(x*scale + 0.5)``, NOT
+    ``round()``: Spark's round on DOUBLE routes through BigDecimal per row
+    (measured 3x slower on a full-scan agg — the r06 bench regression),
+    while floor stays in double codegen. Equivalent here by the data
+    contract: scaled values sit within ~1e-9 of an INTEGER (never near a
+    half), where floor(+0.5) and round agree for either sign."""
     from pyspark.sql import functions as F
 
-    s = F.sum(F.expr(f"cast(round(({expr}) * {scale}) as bigint)"))
+    s = F.sum(F.expr(f"cast(floor(({expr}) * {scale} + 0.5d) as bigint)"))
     return F.round(s / float(scale) / F.count(F.lit(1)), nd)
 
 
@@ -51,19 +58,19 @@ def exact_sum(expr: str, scale: int, nd: int):
     in .50)."""
     from pyspark.sql import functions as F
 
-    s = F.sum(F.expr(f"cast(round(({expr}) * {scale}) as bigint)"))
+    s = F.sum(F.expr(f"cast(floor(({expr}) * {scale} + 0.5d) as bigint)"))
     return F.round(s / float(scale), nd)
 
 
 def exact_avg_sql(expr: str, scale: int, nd: int = 6) -> str:
     """DuckDB twin of exact_avg (the HUGEINT sum is an intermediate only;
     its double conversion is exact below 2^53)."""
-    return (f"round(sum(CAST(round(({expr}) * {scale}) AS BIGINT))"
+    return (f"round(sum(CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT))"
             f" / {scale}.0 / count(*), {nd})")
 
 
 def exact_sum_sql(expr: str, scale: int, nd: int) -> str:
-    return (f"round(sum(CAST(round(({expr}) * {scale}) AS BIGINT))"
+    return (f"round(sum(CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT))"
             f" / {scale}.0, {nd})")
 
 
