@@ -42,6 +42,7 @@ _PRIORITY_R06 = (
     # (b) crossed GLMMs, re-split into oracle-checked form this round,
     # + queries added in round 6
     "m4_glmm", "m4zi_glmm", "t41_weighted_reservoir", "d18_bbit_minhash",
+    "d19_cluster_safe_split",
     # (c) stale-evidence rotation: last driver-sampled r01–r02
     "flagship_cpue",
     "p1_pattern_projection", "p2_filter_project", "p3_semi_join",

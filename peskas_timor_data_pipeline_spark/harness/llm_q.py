@@ -2192,6 +2192,95 @@ ORDER BY p.id_a, p.id_b
 QUERIES["d18_bbit_minhash"] = (d18_bbit_minhash, D18_ORACLE)
 
 
+def d19_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (llm/cluster.py::
+    cluster_safe_split): the 90/5/5 draw is per near-dup COMPONENT, so
+    near-duplicates never straddle the train/eval boundary. The output
+    hash-checks per-split doc and component counts AND the global
+    straddle count — the zero in ``n_straddling_components`` is the
+    leakage-safety property itself, value-checked end to end through the
+    LSH pair graph and the connected-components step."""
+    from peskas_timor_data_pipeline_spark.llm.cluster import (
+        cluster_safe_split,
+        connected_components,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BAND_SIZE)
+    comp = connected_components(pairs)
+    split = cluster_safe_split(docs, "doc_id", comp)
+    straddle = (
+        split.groupBy("canonical_id")
+        .agg(F.countDistinct("split").alias("__ns__"))
+        .agg(
+            F.sum(F.when(F.col("__ns__") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_straddling_components")
+        )
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical_id").alias("n_components"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .orderBy("split")
+    )
+
+
+D19_ORACLE = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM shd GROUP BY doc_id),
+long AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band_key FROM sig),
+p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM long a JOIN long b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT s AS node, d AS other FROM edges
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN edges e ON r.other = e.s WHERE e.d <> r.node
+),
+comp AS (
+  SELECT node, least(node, min(other)) AS component FROM reach GROUP BY node
+),
+assigned AS (
+  SELECT d.doc_id,
+         coalesce(c.component, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+split AS (
+  SELECT doc_id, canonical_id,
+         CASE WHEN b < 90 THEN 'train'
+              WHEN b < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT *,
+               ('0x' || substr(md5(concat_ws('#', 'split42',
+                   CAST(canonical_id AS VARCHAR))), 1, 12))::BIGINT % 100 AS b
+        FROM assigned)
+),
+straddle AS (
+  SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_straddling_components
+  FROM (SELECT canonical_id, count(DISTINCT split) AS ns
+        FROM split GROUP BY canonical_id)
+)
+SELECT s.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_components,
+       st.n_straddling_components
+FROM split s CROSS JOIN straddle st
+GROUP BY s.split, st.n_straddling_components
+ORDER BY s.split
+"""
+
+QUERIES["d19_cluster_safe_split"] = (d19_cluster_safe_split, D19_ORACLE)
+
+
 # --- T18: interpolated bigram log-probability (perplexity-filter proxy) ---------------
 
 def t18_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

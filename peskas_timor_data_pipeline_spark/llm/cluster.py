@@ -125,6 +125,68 @@ def resolve_duplicates(
     ).drop("component")
 
 
+def cluster_safe_split(
+    docs: DataFrame,
+    id_col: str,
+    components: DataFrame,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    salt: str = "split42",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the split draw is taken per
+    near-dup COMPONENT (its canonical min-id), not per document, so two
+    near-duplicates can never straddle the train/eval boundary — the
+    contamination channel a cluster-blind random split leaves open (the
+    eval doc's near-copy sits in train and inflates the score; the
+    cluster-aware split is the standard fix, cf. the dedup-before-eval
+    discipline of Lee et al. 2021). Docs in no component are their own
+    singleton cluster.
+
+    The draw is integer-exact: 48-bit md5 prefix of (salt, canonical id)
+    mod 100 against cumulative percent cutoffs — no RNG, no floats,
+    reproducible bit-for-bit on any engine (the t41/A-Res discipline).
+
+    Scale shape: one left join of docs to the (node, component) frame
+    (both keyed by id — co-partitioned after the components shuffle) and
+    a narrow map; the components frame itself comes from the LSH pair
+    graph, which is linear post-banding.
+
+    Returns (id, canonical_id, split) with split in train/val/test."""
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component").alias("__comp__")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.lit(salt), F.col("canonical_id").cast("string")
+                    )
+                ),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__comp__", F.col(id_col)).alias("canonical_id"),
+        )
+        .select(
+            id_col,
+            "canonical_id",
+            F.when(bucket < train_pct, "train")
+            .when(bucket < train_pct + val_pct, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -126,3 +126,48 @@ def test_star_cc_equals_label_propagation_cc(spark):
         st = {(r.node, r.component)
               for r in connected_components_star(df).collect()}
         assert st == lp, (sorted(st - lp), sorted(lp - st))
+
+
+def test_cluster_safe_split_never_straddles(spark):
+    """Every member of a component gets its component's split; singletons
+    draw on their own id. By construction no component straddles — pinned
+    here on a graph with a 4-node chain component and singletons, plus
+    the determinism of the md5 draw."""
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.llm.cluster import (
+        cluster_safe_split,
+        connected_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 13), (2, 6)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs)
+    out = cluster_safe_split(docs, "doc_id", comp).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 20
+    # chain component 1-5-9-13: one canonical, one split for all four
+    chain = [by_id[i] for i in (1, 5, 9, 13)]
+    assert len({r.canonical_id for r in chain}) == 1
+    assert len({r.split for r in chain}) == 1
+    assert {by_id[2].split} == {by_id[6].split}
+    # deterministic re-draw
+    again = {r.doc_id: r.split
+             for r in cluster_safe_split(docs, "doc_id", comp).collect()}
+    assert again == {r.doc_id: r.split for r in out}
+    # splits are the three expected labels and roughly 90/5/5 over many ids
+    big = spark.createDataFrame(
+        [(i, "x") for i in range(2000)], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "node long, component long")
+    dist = {
+        r.split: r.n
+        for r in cluster_safe_split(big, "doc_id", empty)
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(dist) == {"train", "val", "test"}
+    assert dist["train"] > 1600 and dist["val"] < 200 and dist["test"] < 200
