@@ -2150,6 +2150,7 @@ def d18_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted near-dups, with the collision-floor correction in exact
     signed integer ppm. Emits the full-width estimate alongside so the
     compression's calibration is itself hash-checked."""
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
     from peskas_timor_data_pipeline_spark.llm.dedup import (
         bbit_minhash_jaccard,
         lsh_candidate_pairs,
@@ -2157,7 +2158,9 @@ def d18_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
+    # the signature frame feeds the banding AND both estimator joins —
+    # materialize once or the shingle+md5 chain runs three times
+    sigs = materialize(minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE))
     pairs = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BAND_SIZE)
     return bbit_minhash_jaccard(sigs, pairs, "doc_id", N_HASHES, b=2).orderBy(
         "id_a", "id_b"

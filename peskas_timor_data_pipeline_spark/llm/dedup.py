@@ -284,7 +284,11 @@ def bbit_minhash_jaccard(
     the signature frame — the pair side is the small one post-LSH, so
     AQE broadcasts it; nothing pairwise beyond the already-banded
     candidates; all-integer outputs (the r06 engine-exactness
-    discipline applied to estimation)."""
+    discipline applied to estimation). Callers should MATERIALIZE the
+    signature frame first when it also feeds the LSH banding: this
+    function references it twice and the banding a third time, and
+    without a lineage cut each reference re-runs the full
+    shingle-explode + md5-chain build (the e17/pagerank lesson)."""
     mask = 1 << b
     def bb(col: str) -> Column:
         return F.conv(F.col(col), 16, 10).cast("long") % mask
