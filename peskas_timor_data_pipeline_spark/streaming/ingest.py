@@ -43,12 +43,21 @@ def dedup_submissions(
     ts_col: str = "_submission_time",
     late_days: int = 28,
 ) -> DataFrame:
-    """Exactly-once submissions: watermark on submission time bounds the
-    dedup state to the reference's 28-day late-submission window; within
-    it, duplicate ids (Kobo re-sends) are dropped."""
-    return stream.withWatermark(ts_col, f"{late_days} days").dropDuplicates(
-        [id_col]
-    )
+    """Exactly-once submissions: duplicate ids (Kobo re-sends) are
+    dropped, with dedup state bounded to the reference's 28-day
+    late-submission window via ``dropDuplicatesWithinWatermark`` — the
+    Spark 3.5+ API built for exactly this key shape. Plain
+    ``dropDuplicates([id])`` under a watermark does NOT evict state
+    unless the event-time column is part of the dedup key, so the r05
+    form's state grew unboundedly (one entry per id, forever) — a real
+    leak at ingest scale; the WithinWatermark variant evicts each id once
+    the watermark passes its event time, which also correctly dedups
+    re-sends whose retransmission carries a slightly LATER timestamp
+    (same id, different event time — a composite (id, ts) key would
+    wrongly keep both)."""
+    return stream.withWatermark(
+        ts_col, f"{late_days} days"
+    ).dropDuplicatesWithinWatermark([id_col])
 
 
 def write_append_sink(

@@ -250,6 +250,10 @@ def test_streaming_dedup_available_now(spark, tmp_path):
     subs = [
         {"_id": "1", "_submission_time": "2023-05-01T10:00:00", "v": "a"},
         {"_id": "1", "_submission_time": "2023-05-01T10:00:00", "v": "a-dup"},
+        # re-send with a LATER retransmission timestamp: the
+        # dropDuplicatesWithinWatermark key is the id alone, so this must
+        # dedup too (a composite (id, ts) key would wrongly keep it)
+        {"_id": "1", "_submission_time": "2023-05-01T10:05:00", "v": "a-resend"},
         {"_id": "2", "_submission_time": "2023-05-02T11:00:00", "v": "b"},
     ]
     with open(landing / "batch1.jsonl", "w") as f:
