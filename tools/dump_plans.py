@@ -73,6 +73,10 @@ SHOWCASE = {
     "e24_ivfpq_topk": "IVFPQ: min_by assignment/encoding aggregates (no per-vector windows), broadcast centroids+codebook+tables, probed-cell equi-join scan",
     "e25_mrl_funnel": "MRL funnel: dim-16 coarse scan + broadcast shortlist rerank — full vectors read once, never shuffled",
     "m13_bh_fdr": "BH FDR: one per-user agg + 2-row variant rollup; rank windows only over the 6-row metric panel",
+    "t41_weighted_reservoir": "A-Res weighted sampling: bounded weight explode -> partial-agg (group,id) max -> per-group rank window; no libm in the ranking",
+    "d18_bbit_minhash": "b-bit minhash: signature frame materialized ONCE (banding + both estimator joins share it); candidate pairs broadcast onto the signature joins",
+    "d19_cluster_safe_split": "cluster-safe split: LSH pair graph -> iterative CC (materialized per round) -> one doc-keyed left join + narrow md5 split map; straddle audit is a component-keyed partial agg",
+    "m4_glmm": "crossed GLMM: one month-frame agg feeds applyInPandas at GROUP granularity (5 priority groups) — the model solve is driver-sized, the data reduction distributed",
 }
 
 
