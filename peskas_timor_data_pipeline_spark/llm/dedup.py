@@ -76,7 +76,15 @@ def shingle_rows(
     """(id, sh) long frame of character k-grams — the shared upstream of
     MinHash signatures and Jaccard verification. Callers running both should
     compute this ONCE (and localCheckpoint it) so the explode — the widest
-    intermediate in the dedup pipeline — is a single pass over the corpus."""
+    intermediate in the dedup pipeline — is a single pass over the corpus.
+
+    Gram-identity caveat: this helper lowers the WHOLE text before slicing,
+    while :func:`shingle_rows_with_pos` lowers each raw k-char slice (it
+    must, to keep positions exact — see its docstring). For texts with
+    length-EXPANDING lowercase mappings (e.g. U+0130 'İ' → 2 codepoints)
+    the two emit different gram keys (and the positioned variant can emit
+    k+1-char grams), so grams from the two helpers must never be joined
+    against each other. Every current consumer uses exactly one of the two."""
     return _spread(df).select(
         F.col(id_col), F.explode(char_shingles(text_col, k_shingle)).alias("sh")
     )

@@ -177,19 +177,31 @@ def publish_dataverse(
         )
     with open(os.path.join(release_dir, "dataset-fields.json")) as f:
         payload = json.load(f)
-    calls = [http_post(
+    create = http_post(
         f"{server}/api/dataverses/{dataverse_id}/datasets",
         headers={"X-Dataverse-key": api_token},
         json=payload,
-    )]
+    )
+    calls = [create]
+    # The native API's add-file endpoint is addressed by the DOI the
+    # create call minted (?persistentId=doi:...); without it every add
+    # would 400. R/export-dataverse.R:70-92 threads the same id.
+    doi = ((create or {}).get("data") or {}).get("persistentId")
+    if not doi:
+        raise ValueError(
+            "dataset-create response carried no data.persistentId (DOI); "
+            "refusing add-file calls the API would reject"
+        )
     for name in sorted(os.listdir(release_dir)):
         if name == "dataset-fields.json":
             continue
-        calls.append(http_post(
-            f"{server}/api/datasets/:persistentId/add",
-            headers={"X-Dataverse-key": api_token},
-            files={"file": name},
-        ))
+        with open(os.path.join(release_dir, name), "rb") as fh:
+            calls.append(http_post(
+                f"{server}/api/datasets/:persistentId/add",
+                params={"persistentId": doi},
+                headers={"X-Dataverse-key": api_token},
+                files={"file": (name, fh.read())},
+            ))
     return calls
 
 
@@ -224,7 +236,11 @@ def compose_sites_report_email(
     turns it into MIME and hands it to a transport."""
     import mimetypes
 
-    month = sent_at.strftime("%b")
+    # Fixed English table, not strftime('%b') (locale-dependent — and so
+    # is calendar.month_abbr, which routes through strftime): the subject
+    # must match the reference's English form on any host locale.
+    month = ("Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
+             "Sep", "Oct", "Nov", "Dec")[sent_at.month - 1]
     year = sent_at.year
     atts = []
     for p in attachment_paths:

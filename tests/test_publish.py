@@ -85,16 +85,29 @@ def test_publish_dataverse_injected_transport(tmp_path):
     calls = []
 
     def recorder(url, **kw):
-        calls.append((url, sorted(kw)))
+        calls.append((url, kw))
+        if url.endswith("/datasets"):  # realistic create payload with DOI
+            return {"status": "OK",
+                    "data": {"id": 42, "persistentId": "doi:10.5072/FK2/X"}}
         return {"status": "OK"}
 
     res = publish_dataverse(str(out), "https://dv.example", "peskas",
                             "KEY", http_post=recorder)
     assert len(res) == 2  # create dataset + one file
     assert calls[0][0].endswith("/api/dataverses/peskas/datasets")
-    assert calls[1][0].endswith("/api/datasets/:persistentId/add")
+    add_url, add_kw = calls[1]
+    assert add_url.endswith("/api/datasets/:persistentId/add")
+    # the DOI from the create response is threaded onto every add call
+    assert add_kw["params"] == {"persistentId": "doi:10.5072/FK2/X"}
+    # the transport receives the staged file's CONTENT, not its name
+    fname, fbody = add_kw["files"]["file"]
+    assert fname == "trips.tsv" and fbody == b"x\n"
     with pytest.raises(NotImplementedError):
         publish_dataverse(str(out), "s", "d", "k")  # no transport, no net
+    # a create response without a DOI aborts before any add call fires
+    with pytest.raises(ValueError, match="persistentId"):
+        publish_dataverse(str(out), "s", "d", "k",
+                          http_post=lambda url, **kw: {"status": "OK"})
 
 
 def test_sites_report_email_compose_and_dry_run(tmp_path):
