@@ -1,7 +1,9 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}. The stdout line carries the slowest
+queries (sized to the driver's ~2000-char capture window); the complete
+per-query map lands in BENCH_FULL.json.
 
 Results are fully materialized via the noop sink (no driver collect, no
 disk write) so the measured time is the distributed compute itself.
@@ -88,7 +90,7 @@ def main() -> None:
 
     total = sum(timings.values())
 
-    line = json.dumps(
+    full_line = json.dumps(
         {
             "metric": "total_query_wall_seconds",
             "value": round(total, 3),
@@ -97,20 +99,38 @@ def main() -> None:
             "sf": sf,
         }
     )
-    print(line)
-    # Persist the FULL per-query map alongside the stdout line: the driver's
-    # BENCH_r{N}.json capture has twice stored only the tail of a long line,
-    # losing the leading timings. This file is the durable record a later
-    # round can diff query by query.
+    # Persist the FULL per-query map to BENCH_FULL.json — this is the
+    # durable record a later round diffs query by query.
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
     )
     try:
         with open(out_path, "w") as f:
-            f.write(line + "\n")
+            f.write(full_line + "\n")
     except OSError as e:
         print(f"# bench: could not persist {out_path}: {e}", file=sys.stderr)
+
+    # The stdout JSON line must stay parseable from the driver's capture
+    # window (it keeps only the last ~2000 chars of output; the full
+    # 224-query map is ~6 KB and has recorded as parse-failures since r04).
+    # Emit the contract keys plus the slowest queries, and point at the
+    # full per-query file.
+    compact = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:30]),
+        "queries_n": len(timings),
+        "queries_full": os.path.basename(out_path),
+        "sf": sf,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # never exceed the capture window
+        compact["queries"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
