@@ -21,52 +21,39 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Registry front-of-line for round 6.  The driver records ~50 CORRECTNESS
-# rows per round in registry order.  Front of line: (a) round 5's two red
-# rows, now root-caused and fixed — d7's oracle had the repo's single
-# HUGEINT output column (sum(CASE..) uncast; pandas/arrow degrades HUGEINT
-# to float64 so the driver's value hash saw "5.0" vs "5" while fetchall
-# locally saw int vs int), e23 hashed an order-dependent rounded float avg,
-# now an exact power-of-two comparison ladder with integer-only outputs —
-# plus their diagnostic twins (d7b re-confirms alongside, d7c is new and
-# localizes any residual shared-count divergence); (b) the re-split
-# oracle-checked crossed GLMMs (the last rows-only entries, retired this
-# round); (c) the freshness rotation VERDICT r05 asked for: ≥20 rows whose
-# last driver sample was r01–r02 (the p/j/a/o/f/w/v/m §2 families), oldest
-# evidence first, so driver verdicts don't go stale while local sweeps
-# drift.
-_PRIORITY_R06 = (
-    # (a) round-5 red rows, fixed this round, + twins
-    "d7_repeated_grams", "e23_embedding_audit",
-    "d7c_shared_checksum", "d7b_gram_checksum",
-    # (b) crossed GLMMs, re-split into oracle-checked form this round,
-    # + queries added in round 6
-    "m4_glmm", "m4zi_glmm", "t41_weighted_reservoir", "d18_bbit_minhash",
-    "d19_cluster_safe_split",
-    # (c) stale-evidence rotation: last driver-sampled r01–r02
-    "flagship_cpue",
-    "p1_pattern_projection", "p2_filter_project", "p3_semi_join",
-    "p4_anti_join", "p5_mutate_across", "p6_coalesce_columns",
-    "p7_case_when_recode", "p9_type_casts", "p10_replicate_rows",
-    "p11_sample_deterministic", "p12_distinct_except",
-    "j1_left_join_dims", "j2_inner_join", "j3_right_join_spine",
-    "j4_full_outer_coalesce", "j5_one_to_one_day_match",
-    "j6_reduce_join_unite", "j7_join_nested", "j8_complete_crossfill",
-    "j9_suffix_match_join",
-    "a1_groupby_stats", "a2_summarise_across", "a3_add_count",
-    "a4_conditional_agg", "a5_mode_per_group", "a7_grid_binning",
-    "a8_mad_bounds_grouped", "a9_mad_alert_global", "a10_quantile_group",
-    "a11_pivot_longer", "a11_pivot_wider", "a12_two_level_nest",
-    "a13_rollup_two_level", "a14_time_binned_multisource",
-    "a15_metric_unpivot",
-    "o1_sort_topn", "o2_union_by_name", "o4_set_ops",
-    "f_string_functions", "f_date_functions", "f_math_hash_json",
-    "w1_lead_lag", "w2_top1_per_group", "w3_group_share", "w5_proration",
-    "v_imei", "v_dates", "v_outlier_fishers",
+# Registry front-of-line for round 7.  The driver records ~50 CORRECTNESS
+# rows per round in registry order.  Round 6 sampled 50/50 green (no red
+# rows to lead with), so round 7 is (a) the five queries added this round
+# — k-core peeling, Neyman allocation, Cohen's kappa, URL canonicalization,
+# incremental signature-store dedup — then (b) the freshness rotation:
+# every query whose last driver sample is r01 or r02, oldest evidence
+# first (the r02 tail that round 6's 50-row window did not reach), topped
+# up with the oldest r03 rows to fill the window.
+_PRIORITY_R07 = (
+    # (a) new in round 7
+    "g3_kcore", "a39_neyman_allocation", "a40_cohen_kappa",
+    "t42_url_hosts", "d20_store_match",
+    # (b) stale-evidence rotation: last driver-sampled r01
+    "a16_salted_agg", "a18_grouping_rollup", "a19_kmv_distinct",
+    "f_math_hash_json",
+    # last driver-sampled r02
+    "a20_kmv_set_ops", "a21_incremental_rollup", "a22_sampled_quantile",
+    "a24_weighted_median", "d3_simhash", "d4_embedding_near_dup",
+    "e1_cosine_topk", "e2_lsh_ann",
     "m2_length_weight", "m3_ols_cooks", "m5_impute_replicates",
-    "m7_interpolation", "m8_species_resolution",
+    "m7_interpolation", "m8_species_resolution", "m9_share_redistribution",
+    "mm1_binary_meta",
+    "t1_langid", "t2_quality_score", "t3_token_counts", "t4_fingerprint",
+    "t5_tfidf", "t6_stratified_sample", "ts1_subsequence_search",
+    "v_categorical", "v_combined", "v_dates", "v_duration", "v_imei",
+    "v_outlier_fishers", "v_price", "v_price_per_kg", "v_regularity",
+    "v_unit_conversion",
+    "w1_lead_lag", "w2_top1_per_group", "w3_group_share",
+    "w4_spine_completion", "w5_proration", "w7_rolling_range",
+    # top-up: oldest r03 rows
+    "a25_count_min", "a27_funnel", "a28_retention_cohorts",
 )
-_PRIORITY_R04 = _PRIORITY_R06  # kept name used by registry()
+_PRIORITY_R04 = _PRIORITY_R07  # kept name used by registry()
 
 
 def registry() -> dict[str, tuple[QueryFn, str | None]]:

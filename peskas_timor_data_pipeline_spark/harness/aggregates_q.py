@@ -1888,3 +1888,179 @@ FROM tri t
 """
 
 QUERIES["g2_triangle_count"] = (g2_triangle_count, G2_ORACLE)
+
+
+# --- G3: k-core peeling over the part co-purchase graph ---------------------------------
+
+def g3_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.py::k_core) on a 1-in-20
+    co-purchase graph: parts adjacent when they share an order, k=8,
+    3 PINNED peeling rounds (both engines replay the identical peeling
+    prefix — run-to-fixpoint would make the row set depend on convergence
+    detection). The 1-in-20 scope keeps the fixture graph sparse enough
+    that peeling actually removes nodes at every SF; the operator itself
+    carries the scale story (per-round: one degree groupBy + two
+    semi-joins, no cartesian)."""
+    from peskas_timor_data_pipeline_spark.operators.graph import k_core
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    return k_core(pairs, "src", "dst", k=8, n_rounds=3)
+
+
+def _g3_sql(k: int = 8, n_rounds: int = 3) -> str:
+    ctes = ["""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 20 = 0)""", """e0 AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y USING (l_orderkey)
+  WHERE x.l_partkey < y.l_partkey
+)"""]
+    for i in range(n_rounds):
+        ctes.append(f"""d{i} AS MATERIALIZED (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM e{i} UNION ALL SELECT b FROM e{i}
+  ) GROUP BY n
+)""")
+        ctes.append(f"""e{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{i}
+  WHERE a IN (SELECT n FROM d{i} WHERE d >= {k})
+    AND b IN (SELECT n FROM d{i} WHERE d >= {k})
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(count(*) AS BIGINT) AS degree,
+       {k} AS k, {n_rounds} AS n_rounds
+FROM (SELECT a AS node FROM e{n_rounds} UNION ALL SELECT b FROM e{n_rounds})
+GROUP BY node HAVING count(*) >= {k}"""
+    )
+
+
+QUERIES["g3_kcore"] = (g3_kcore, _g3_sql())
+
+
+# --- A39: Neyman-optimal stratified allocation ------------------------------------------
+
+def a39_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation (operators/estimate.py::neyman_allocation) of a
+    1000-row QA sample across (l_returnflag, l_linestatus) strata weighted
+    by quantity variance: per-stratum moments are exact integer
+    aggregates, every derived float is a fixed per-row IEEE expression,
+    and the one cross-strata float sum is a pinned sorted fold — the only
+    way a float reduction enters a hashed output (SURVEY §7.4)."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        neyman_allocation,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    return neyman_allocation(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity", total_n=1000
+    )
+
+
+A39_ORACLE = """
+WITH per AS MATERIALIZED (
+  SELECT l_returnflag, l_linestatus,
+         count(*) AS n_rows,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_m,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS sum_m2
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+), wv AS (
+  SELECT *,
+         CASE WHEN n_rows >= 2
+              THEN CAST(n_rows * sum_m2 - sum_m * sum_m AS DOUBLE)
+                   / CAST(n_rows * (n_rows - 1) AS DOUBLE)
+              ELSE 0.0::DOUBLE END AS var_d,
+         CAST(n_rows AS DOUBLE)
+           * sqrt(CASE WHEN n_rows >= 2
+                       THEN CAST(n_rows * sum_m2 - sum_m * sum_m AS DOUBLE)
+                            / CAST(n_rows * (n_rows - 1) AS DOUBLE)
+                       ELSE 0.0::DOUBLE END) AS w
+  FROM per
+), tot AS (
+  SELECT list_reduce([0.0::DOUBLE] || list_sort(list(w)), (a, b) -> a + b)
+         AS wsum
+  FROM wv
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       sum_m,
+       CAST(floor(var_d * 1000000 + 0.5) AS BIGINT) AS var_micro,
+       CASE WHEN t.wsum > 0
+            THEN CAST(floor(1000.0::DOUBLE * w / t.wsum + 0.5) AS BIGINT)
+            ELSE 0 END AS alloc_n
+FROM wv CROSS JOIN tot t
+"""
+
+QUERIES["a39_neyman_allocation"] = (a39_neyman_allocation, A39_ORACLE)
+
+
+# --- A40: Cohen's kappa inter-rater agreement -------------------------------------------
+
+def a40_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (operators/estimate.py::cohen_kappa) between two
+    deterministic 'annotators' over orders: priority-derived vs fixed
+    price-tercile labels on the shared {high, med, low} set. Exact
+    integer contingency arithmetic end to end; the final signed ratio is
+    floor()ed over the one double division identically in both engines
+    (truncating div would differ on negative kappa)."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import cohen_kappa
+
+    o = load(spark, sf_dir, "orders")
+    labeled = o.select(
+        F.when(F.substring("o_orderpriority", 1, 1).isin("1", "2"), "high")
+        .when(F.substring("o_orderpriority", 1, 1) == "3", "med")
+        .otherwise("low")
+        .alias("rater_a"),
+        F.when(F.expr("floor(o_totalprice * 100 + 0.5d)") >= 33000000, "high")
+        .when(F.expr("floor(o_totalprice * 100 + 0.5d)") >= 16500000, "med")
+        .otherwise("low")
+        .alias("rater_b"),
+    )
+    return cohen_kappa(labeled, "rater_a", "rater_b")
+
+
+A40_ORACLE = """
+WITH labeled AS (
+  SELECT CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2') THEN 'high'
+              WHEN substr(o_orderpriority, 1, 1) = '3' THEN 'med'
+              ELSE 'low' END AS la,
+         CASE WHEN floor(o_totalprice * 100 + 0.5) >= 33000000 THEN 'high'
+              WHEN floor(o_totalprice * 100 + 0.5) >= 16500000 THEN 'med'
+              ELSE 'low' END AS lb
+  FROM orders
+), cont AS MATERIALIZED (
+  SELECT la, lb, count(*) AS c FROM labeled GROUP BY la, lb
+), marg AS (
+  SELECT coalesce(CAST(sum(CAST(ra.s AS BIGINT) * CAST(cb.s AS BIGINT))
+                       AS BIGINT), 0) AS pe_num
+  FROM (SELECT la, sum(c) AS s FROM cont GROUP BY la) ra
+  JOIN (SELECT lb, sum(c) AS s FROM cont GROUP BY lb) cb ON ra.la = cb.lb
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT) AS n_agree
+  FROM cont
+)
+SELECT t.n, t.n_agree, m.pe_num,
+       CAST(t.n_agree * 1000000 // t.n AS BIGINT) AS po_ppm,
+       CAST(m.pe_num * 1000000 // (t.n * t.n) AS BIGINT) AS pe_ppm,
+       CASE WHEN t.n * t.n != m.pe_num THEN
+         CAST(floor(1000000.0::DOUBLE * (t.n * t.n_agree - m.pe_num)
+                    / (t.n * t.n - m.pe_num)) AS BIGINT) END AS kappa_micro
+FROM tot t CROSS JOIN marg m
+"""
+
+QUERIES["a40_cohen_kappa"] = (a40_cohen_kappa, A40_ORACLE)

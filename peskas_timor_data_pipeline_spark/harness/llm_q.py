@@ -5829,3 +5829,191 @@ QUALIFY rank <= 3
 
 
 QUERIES["e24b_ivfpq_refine"] = (e24b_ivfpq_refine, _e24b_sql())
+
+
+# --- T42: URL extraction + canonical host accounting ------------------------------------
+
+def t42_url_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + canonicalization (llm/text.py::
+    extract_canonical_urls) rolled up per canonical host — the
+    crawl-pipeline accounting view (which domains dominate the corpus).
+    The word-salad corpus has no URLs, so they are injected
+    deterministically from doc ids (mixed-case hosts, www prefixes,
+    query/fragment junk, trailing slashes, and a duplicate URL per
+    doc_id%8 doc so canonical-dedup counts diverge from raw counts)."""
+    from peskas_timor_data_pipeline_spark.llm.text import (
+        extract_canonical_urls,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with_urls = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" see https://WWW.Example"),
+                         F.col("doc_id") % 7,
+                         F.lit(".com/Path/"), F.col("doc_id"),
+                         F.lit("?utm=x#frag")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(F.lit(" ref http://cdn.example"),
+                         F.col("doc_id") % 5, F.lit(".org/lib/")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 8 == 0,
+                F.concat(F.lit(" again http://example"),
+                         F.col("doc_id") % 7,
+                         F.lit(".com/Path/"), F.col("doc_id")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    urls = extract_canonical_urls(with_urls, "doc_id", "text")
+    return (
+        urls.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("canonical").alias("n_canonical"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .select("host",
+                F.col("n_urls").cast("long").alias("n_urls"),
+                F.col("n_canonical").cast("long").alias("n_canonical"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("min_doc").cast("long").alias("min_doc"))
+    )
+
+
+T42_ORACLE = r"""
+WITH with_urls AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' see https://WWW.Example' || (doc_id % 7)
+                      || '.com/Path/' || doc_id || '?utm=x#frag'
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN ' ref http://cdn.example' || (doc_id % 5) || '.org/lib/'
+                 ELSE '' END
+         || CASE WHEN doc_id % 8 = 0
+                 THEN ' again http://example' || (doc_id % 7)
+                      || '.com/Path/' || doc_id
+                 ELSE '' END AS text
+  FROM documents
+), raw AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(/[^\s]*)?', 0))
+           AS url
+  FROM with_urls
+), canon AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '^https?://', ''),
+               '^www\.', ''),
+             '[?#].*$', ''),
+           '/$', '') AS canonical
+  FROM raw
+)
+SELECT split_part(canonical, '/', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM canon
+GROUP BY 1
+"""
+
+QUERIES["t42_url_hosts"] = (t42_url_hosts, T42_ORACLE)
+
+
+# --- D20: incremental batch-vs-signature-store dedup ------------------------------------
+
+_D20_MIN_AGREE = 12
+
+
+def d20_store_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted signature store
+    (llm/dedup.py::match_signature_store): the corpus's MinHash
+    signatures stand in for the store; the incoming batch is a recrawl
+    slice (identical text under new ids, doc_id%10==0) plus a perturbed
+    slice (appended tail, doc_id%10==5) — the steady-state 100 TB shape
+    where new slices match against signatures WITHOUT touching corpus
+    text. Similarity is signature-slot agreement (>= 12 of 16 slots);
+    best store match per batch doc, ties to the smallest store id."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import (
+        match_signature_store, minhash_signature,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"),
+                         F.lit(" fresh crawl tail segment")).alias("text"),
+            )
+        )
+    )
+    store_sigs = minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
+    batch_sigs = minhash_signature(batch, "doc_id", "text", N_HASHES, K_SHINGLE)
+    return match_signature_store(
+        batch_sigs, store_sigs, "doc_id", N_HASHES, BAND_SIZE,
+        min_agree=_D20_MIN_AGREE,
+    )
+
+
+def _d20_sql() -> str:
+    agree = " + ".join(
+        f"CASE WHEN b.h{j} = s.h{j} THEN 1 ELSE 0 END" for j in range(N_HASHES)
+    )
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, text, 0 AS is_batch FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, 1 FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' fresh crawl tail segment', 1
+  FROM documents WHERE doc_id % 10 = 5
+), sh AS MATERIALIZED (
+  SELECT doc_id, is_batch,
+         substr(lower(text), CAST(i AS INTEGER), {K_SHINGLE}) AS sh
+  FROM (SELECT doc_id, is_batch, text,
+               unnest(generate_series(1, length(text) - {K_SHINGLE - 1})) AS i
+        FROM corpus)
+), shd AS (
+  SELECT doc_id, is_batch, sh, {_DIG_SQL} AS dig FROM sh
+), sig AS MATERIALIZED (
+  SELECT doc_id, is_batch, {_SIG_COLS} FROM shd GROUP BY doc_id, is_batch
+), bb AS (
+  SELECT doc_id AS batch_id, unnest([{_BAND_LIST}]) AS band_key
+  FROM sig WHERE is_batch = 1
+), sb AS (
+  SELECT doc_id AS store_id, unnest([{_BAND_LIST}]) AS band_key
+  FROM sig WHERE is_batch = 0
+), cand AS MATERIALIZED (
+  SELECT DISTINCT batch_id, store_id FROM bb JOIN sb USING (band_key)
+), scored AS MATERIALIZED (
+  SELECT c.batch_id, c.store_id, ({agree}) AS n_agree
+  FROM cand c
+  JOIN sig b ON b.doc_id = c.batch_id AND b.is_batch = 1
+  JOIN sig s ON s.doc_id = c.store_id AND s.is_batch = 0
+)
+SELECT batch_id, store_id,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       CAST(n_agree * 1000000 // {N_HASHES} AS BIGINT) AS est_jaccard_ppm
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY batch_id
+                               ORDER BY n_agree DESC, store_id) AS rn
+  FROM scored WHERE n_agree >= {_D20_MIN_AGREE}
+) WHERE rn = 1
+"""
+
+
+QUERIES["d20_store_match"] = (d20_store_match, _d20_sql())

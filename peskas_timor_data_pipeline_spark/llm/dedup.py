@@ -1254,3 +1254,69 @@ def pick_band_config(
     if not rows:
         return None
     return int(rows[0].n_bands), int(rows[0].band_size)
+
+
+def match_signature_store(
+    batch_sigs: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    band_size: int,
+    min_agree: int,
+) -> DataFrame:
+    """Incremental dedup of a NEW batch against an existing signature
+    STORE — the steady-state shape of a 100 TB crawl pipeline: the corpus
+    is deduped once, its MinHash signatures are persisted, and every
+    incoming slice is matched against the store WITHOUT recomputing (or
+    even reading) the corpus text. Similarity is estimated store-side from
+    signature-slot agreement alone (agree/n_hashes is an unbiased Jaccard
+    estimator), so the store needs signatures only — no shingle sets.
+
+    Shape: band keys for both sides (store bands are computable once and
+    persistable too), one equi-join on band_key (batch x store bucket
+    mates only — never a cross product), a distinct on candidate pairs,
+    then one join per side back to the signature frames for the slot
+    comparison. Output is the best store match per batch doc
+    (max agreement, min store id on ties) with agreement >= ``min_agree``
+    slots; batch docs with no candidate or only weak ones emit nothing —
+    they are the genuinely-new content that proceeds into the corpus.
+
+    Returns (batch_id, store_id, n_agree, est_jaccard_ppm) with
+    est_jaccard_ppm = n_agree * 1e6 div n_hashes (exact integer).
+    """
+    from pyspark.sql.window import Window
+
+    bb = band_rows(batch_sigs, id_col, n_hashes, band_size).withColumnRenamed(
+        id_col, "batch_id"
+    )
+    sb = band_rows(store_sigs, id_col, n_hashes, band_size).withColumnRenamed(
+        id_col, "store_id"
+    )
+    cand = bb.join(sb, "band_key").select("batch_id", "store_id").distinct()
+    agree = sum(
+        F.when(F.col(f"ba.h{j}") == F.col(f"sa.h{j}"), 1).otherwise(0)
+        for j in range(n_hashes)
+    )
+    scored = (
+        cand.join(batch_sigs.alias("ba"),
+                  cand["batch_id"] == F.col(f"ba.{id_col}"))
+        .join(store_sigs.alias("sa"),
+              cand["store_id"] == F.col(f"sa.{id_col}"))
+        .select("batch_id", "store_id", agree.cast("int").alias("n_agree"))
+        .filter(F.col("n_agree") >= min_agree)
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("n_agree").desc(), F.col("store_id").asc()
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            "batch_id",
+            "store_id",
+            F.col("n_agree").cast("long").alias("n_agree"),
+            F.expr(f"n_agree * 1000000L div {n_hashes}L").alias(
+                "est_jaccard_ppm"
+            ),
+        )
+    )

@@ -1103,3 +1103,51 @@ def source_diversity(
             F.log(F.col("n_tokens")) - F.col("__clnc__") / F.col("n_tokens"), 6
         ).alias("entropy_nats"),
     )
+
+
+# URL grammar shared by the extractor and its DuckDB oracle twin: scheme,
+# host (letters/digits/dots/dashes), optional path of non-space chars.
+# Kept inside the Java-regex/RE2 COMMON SUBSET (no backrefs, no lookaround)
+# so both engines compile the identical pattern.
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(/[^\s]*)?"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of one URL column — the CommonCrawl-style dedup key:
+    lowercase, scheme stripped, leading ``www.`` stripped, query/fragment
+    dropped, trailing slash trimmed. Pure regexp_replace chain (JVM-side,
+    whole-stage codegen; each step is a fixed anchored pattern)."""
+    c = F.lower(url)
+    c = F.regexp_replace(c, "^https?://", "")
+    c = F.regexp_replace(c, "^www\\.", "")
+    c = F.regexp_replace(c, "[?#].*$", "")
+    return F.regexp_replace(c, "/$", "")
+
+
+def extract_canonical_urls(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, url, canonical, host) long frame of URLs found in the text —
+    the upstream of URL-level dedup, per-domain corpus accounting, and
+    domain blocklist joins in a crawl pipeline. One regexp_extract_all +
+    explode (the only row-expanding step; bounded by URL count, not text
+    length), then the canonicalization chain and a substring_index for the
+    host — no shuffle at all until the caller aggregates.
+
+    Canonical-key caveat: scheme, www-prefix, query and fragment are
+    treated as identity-free (http://www.a.com/x?q=1 == https://a.com/x),
+    the usual crawl-dedup convention; ports and %-escapes pass through
+    untouched."""
+    urls = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+        ).alias("url"),
+    )
+    canon = canonical_url(F.col("url"))
+    return urls.select(
+        id_col,
+        "url",
+        canon.alias("canonical"),
+        F.substring_index(canon, "/", 1).alias("host"),
+    )

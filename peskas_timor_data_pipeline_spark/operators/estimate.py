@@ -508,3 +508,143 @@ def bh_adjust(
         F.lit(False).alias("significant"),
     )
     return flagged.unionByName(skipped)
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    measure_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: n_h proportional to
+    N_h * S_h (Neyman 1934) — the survey-sampling counterpart of the
+    reference's stratified estimation (R/estimate-catch.R's region x month
+    strata); at corpus scale it sizes per-source human-eval or QA samples
+    so high-variance sources get proportionally more budget than a fixed
+    per-stratum quota (the t6 policy) would give them.
+
+    Determinism contract: ``measure_col`` must be integer-exact after
+    ``cast("long")`` (counts, quantities, cents). The per-stratum moments
+    (n, sum, sum of squares) are then EXACT integer aggregates —
+    order-free on any engine — and every float that follows (the variance
+    ratio, sqrt, the allocation share) is a fixed per-row IEEE expression
+    over those integers, bit-identical across engines. The one cross-strata
+    reduction, sum(N_h*S_h), is folded in pinned (sorted) order because
+    float addition is not associative.
+
+    Shape: one partial-aggregated groupBy over the strata (dimension-sized
+    output), one sorted-fold over the strata frame broadcast back — the
+    fact table is touched exactly once.
+
+    Returns one row per stratum: strata cols, n_rows, sum_m, var_micro
+    (sample variance in micro-units), alloc_n (floor(total_n*share+0.5);
+    strata with zero variance or n<2 get weight 0).
+    """
+    m = F.col(measure_col).cast("long")
+    per = df.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(m).alias("sum_m"),
+        F.sum(m * m).alias("sum_m2"),
+    )
+    # exact integer numerator/denominator of the sample variance
+    var_expr = F.when(
+        F.col("n_rows") >= 2,
+        (
+            F.col("n_rows") * F.col("sum_m2") - F.col("sum_m") * F.col("sum_m")
+        ).cast("double")
+        / (F.col("n_rows") * (F.col("n_rows") - F.lit(1))).cast("double"),
+    ).otherwise(F.lit(0.0))
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    # materialize the strata frame: it feeds BOTH the weight-total fold
+    # and the final projection — without the lineage cut the plan scans
+    # the fact table twice (seen in PLANS.md) just to re-derive 6 rows
+    per = materialize(
+        per.withColumn("__var__", var_expr).withColumn(
+            "__w__", F.col("n_rows").cast("double") * F.sqrt(F.col("__var__"))
+        )
+    )
+    # pinned-order fold of the strata weights (tiny frame): sort the
+    # collected list, fold with 0.0 init — identical order both engines
+    total = per.agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(__w__)), 0D, (a, x) -> a + x)"
+        ).alias("__wsum__")
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            *strata_cols,
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_m").cast("long").alias("sum_m"),
+            F.expr("cast(floor(__var__ * 1000000 + 0.5d) as bigint)").alias(
+                "var_micro"
+            ),
+            F.when(F.col("__wsum__") > 0,
+                   F.expr(f"cast(floor({total_n}D * __w__ / __wsum__ + 0.5d)"
+                          " as bigint)"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("alloc_n"),
+        )
+    )
+
+
+def cohen_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement over two categorical columns
+    with a shared label set — the labeled-training-data QA gate (how well
+    do two annotation passes or a model-vs-human pair agree beyond
+    chance). kappa = (p_o - p_e) / (1 - p_e) with p_e from the raters'
+    marginal distributions.
+
+    Everything up to the final ratio is EXACT integer arithmetic from
+    contingency counts: p_o = n_agree/n and p_e = sum_k(rowsum_k *
+    colsum_k)/n^2 reduce to the signed integer expression
+    kappa = (n*n_agree - pe_num) / (n^2 - pe_num). The output is
+    integer-exact ppm: truncating div for the non-negative p terms,
+    floor() over the one double division for the (signed) kappa — floor
+    agrees across engines for either sign, truncation does not.
+
+    Shape: one groupBy over the label-pair contingency (|labels|^2 rows),
+    marginals derived from it — the fact table is scanned once; null
+    labels in either rater are excluded (standard pairwise deletion).
+
+    Returns one row: n, n_agree, pe_num, po_ppm, pe_ppm, kappa_micro
+    (NULL when chance agreement is certain, pe_num == n^2).
+    """
+    pairs = (
+        df.filter(F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull())
+        .groupBy(F.col(rater_a).alias("__la__"), F.col(rater_b).alias("__lb__"))
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    row_m = pairs.groupBy("__la__").agg(F.sum("__c__").alias("__ra__"))
+    col_m = pairs.groupBy("__lb__").agg(F.sum("__c__").alias("__cb__"))
+    # coalesce: raters with NO shared label produce an empty marginal
+    # join, whose sum is NULL — the true pe mass over shared labels is 0
+    pe = (
+        row_m.join(col_m, row_m["__la__"] == col_m["__lb__"])
+        .agg(F.coalesce(
+            F.sum(F.col("__ra__") * F.col("__cb__")), F.lit(0)
+        ).alias("pe_num"))
+    )
+    tot = pairs.agg(
+        F.sum("__c__").alias("n"),
+        F.sum(F.when(F.col("__la__") == F.col("__lb__"), F.col("__c__"))
+              .otherwise(F.lit(0))).alias("n_agree"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_agree").cast("long").alias("n_agree"),
+            F.col("pe_num").cast("long").alias("pe_num"),
+            F.expr("n_agree * 1000000L div n").alias("po_ppm"),
+            F.expr("pe_num * 1000000L div (n * n)").alias("pe_ppm"),
+            # pe == 1 (chance agreement is certain) leaves kappa undefined;
+            # NULL, not a division-by-zero (ANSI mode throws on the latter)
+            F.expr(
+                "CASE WHEN n * n != pe_num THEN"
+                " cast(floor(1000000D * (n * n_agree - pe_num)"
+                " / (n * n - pe_num)) as bigint) END"
+            ).alias("kappa_micro"),
+        )
+    )

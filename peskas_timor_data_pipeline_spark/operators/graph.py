@@ -175,3 +175,67 @@ def triangle_count(
         F.lit(n_edges).cast("long").alias("n_edges"),
         F.col("n_triangles").cast("long"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    n_rounds: int = 4,
+) -> DataFrame:
+    """k-core peeling (Seidman 1983) over an undirected simple graph:
+    repeatedly delete nodes of degree < k; what survives ``n_rounds``
+    rounds is (a superset converging to) the k-core — the standard dense
+    subgraph primitive for spam-farm / boilerplate-hub detection in link
+    graphs and for trimming weakly-connected noise before community
+    passes. The round count is PINNED (not run-to-fixpoint) so any two
+    engines replay the identical prefix of the peeling sequence; each
+    round removes a monotone set, so n_rounds only truncates convergence,
+    never changes what the converged core would be.
+
+    Scale shape per round: one partial-aggregated degree groupBy on the
+    surviving edge list and two semi-joins (src-alive, dst-alive) — all on
+    the same node key, no cartesian anywhere; the surviving edge frame is
+    materialized each round to cut the k-deep lineage (the g1 lesson).
+    Degree-0 isolation is implicit: a node with no surviving edge simply
+    stops appearing.
+
+    Input is normalized to undirected-simple first (direction, self-loops,
+    duplicates dropped). Returns the surviving nodes as
+    (node, degree, k, n_rounds).
+    """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    e = materialize(
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    for _ in range(n_rounds):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= k).select("n")
+        e = materialize(
+            e.join(alive.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("n", "b"), "b", "left_semi")
+        )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.filter(F.col("degree") >= k).select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.lit(k).cast("int").alias("k"),
+        F.lit(n_rounds).cast("int").alias("n_rounds"),
+    )

@@ -77,6 +77,11 @@ SHOWCASE = {
     "d18_bbit_minhash": "b-bit minhash: signature frame materialized ONCE (banding + both estimator joins share it); candidate pairs broadcast onto the signature joins",
     "d19_cluster_safe_split": "cluster-safe split: LSH pair graph -> iterative CC (materialized per round) -> one doc-keyed left join + narrow md5 split map; straddle audit is a component-keyed partial agg",
     "m4_glmm": "crossed GLMM: one month-frame agg feeds applyInPandas at GROUP granularity (5 priority groups) — the model solve is driver-sized, the data reduction distributed",
+    "g3_kcore": "k-core: per-round degree partial-agg + two LeftSemi joins on the node key, edge frame materialized each round — no cartesian, lineage cut per round",
+    "a39_neyman_allocation": "Neyman allocation: ONE partial-agg groupBy over the fact table; strata frame (6 rows) folds its weights sorted and broadcasts the total back",
+    "a40_cohen_kappa": "Cohen's kappa: one contingency groupBy scan; marginals and the pe product join run on the |labels|^2 frame only",
+    "t42_url_hosts": "URL hosts: regexp_extract_all+explode bounded by URL count, canonicalization fully codegen'd, one host-keyed partial agg",
+    "d20_store_match": "store match: band-key equi-join batch x store (bucket mates only), distinct pairs, two signature joins, per-batch rank-1 window",
 }
 
 
