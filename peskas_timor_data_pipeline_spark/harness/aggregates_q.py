@@ -2064,3 +2064,62 @@ FROM tot t CROSS JOIN marg m
 """
 
 QUERIES["a40_cohen_kappa"] = (a40_cohen_kappa, A40_ORACLE)
+
+
+# --- G4: deterministic label propagation communities -------------------------------------
+
+def g4_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-tie label propagation
+    (operators/graph.py::label_propagation) on the same sparse 1-in-20
+    co-purchase graph as g3, 3 pinned rounds. Unlike connected
+    components, LPA can split a component into several communities; the
+    determinism pins (synchronous rounds + smallest-label ties) make the
+    community assignment a pure function of the graph, hash-checkable
+    against the oracle's window replay."""
+    from peskas_timor_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    return label_propagation(pairs, "src", "dst", n_rounds=3)
+
+
+def _g4_sql(n_rounds: int = 3) -> str:
+    ctes = ["""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 20 = 0)""", """und AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y USING (l_orderkey)
+  WHERE x.l_partkey < y.l_partkey
+)""", """bo AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+)""", """l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM bo)"""]
+    for i in range(n_rounds):
+        ctes.append(f"""l{i + 1} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT b.v AS node, l.label, count(*) AS c,
+           row_number() OVER (PARTITION BY b.v
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM bo b JOIN l{i} l ON l.node = b.u
+    GROUP BY b.v, l.label
+  ) WHERE rn = 1
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label, {n_rounds} AS n_rounds FROM l{n_rounds}"
+    )
+
+
+QUERIES["g4_label_propagation"] = (g4_label_propagation, _g4_sql())

@@ -6017,3 +6017,44 @@ FROM (
 
 
 QUERIES["d20_store_match"] = (d20_store_match, _d20_sql())
+
+
+# --- T43: PMI collocations ---------------------------------------------------------------
+
+def t43_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked adjacent-token collocations
+    (llm/text.py::pmi_collocations): boilerplate-phrase / tokenizer-merge
+    candidate mining. All counts exact integers; the single ln sits on
+    integer inputs and rounds at 6dp (t40 convention)."""
+    from peskas_timor_data_pipeline_spark.llm.text import pmi_collocations
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return pmi_collocations(docs, "doc_id", "text", min_count=5)
+
+
+T43_ORACLE = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), uni AS MATERIALIZED (
+  SELECT tok AS w, count(*) AS c
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+), bg AS MATERIALIZED (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+), big AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+), n AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM uni)
+SELECT b.w1, b.w2,
+       CAST(b.c12 AS BIGINT) AS c12,
+       CAST(u1.c AS BIGINT) AS c1,
+       CAST(u2.c AS BIGINT) AS c2,
+       round(ln(CAST(b.c12 AS DOUBLE) * CAST(n.nt AS DOUBLE)
+                / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+FROM big b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN n
+"""
+
+QUERIES["t43_pmi_collocations"] = (t43_pmi_collocations, T43_ORACLE)

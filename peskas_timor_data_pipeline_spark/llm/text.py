@@ -1151,3 +1151,67 @@ def extract_canonical_urls(
         canon.alias("canonical"),
         F.substring_index(canon, "/", 1).alias("host"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations over adjacent token
+    pairs — the classic corpus-linguistics multiword-expression miner
+    (Church & Hanks 1990), used in training-data pipelines to surface
+    boilerplate phrases and tokenizer-merge candidates.
+    PMI(w1,w2) = ln(c12 * N / (c1 * c2)) with all four counts EXACT
+    integers; the single ln sits on integer inputs and is rounded at 6dp
+    (the t40/t15 house convention for cross-engine libm surfaces).
+
+    Shape: one token explode (the widest step, linear in corpus tokens),
+    bigrams via a length-offset self-zip inside the same row (no join),
+    then three partial-aggregated counts joined on vocabulary-sized keys.
+    ``min_count`` prunes the bigram tail BEFORE the unigram joins, so the
+    join fan-in is the frequent-bigram set, not the corpus.
+
+    Returns (w1, w2, c12, c1, c2, pmi) for bigrams with c12 >= min_count.
+    """
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("__t__")
+    ).filter(F.size("__t__") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t__) - 1),"
+                " i -> struct(__t__[i - 1] AS w1, __t__[i] AS w2))"
+            )
+        ).alias("__bg__")
+    ).select("__bg__.w1", "__bg__.w2")
+    unigrams = df.select(
+        F.explode(tokens(text_col)).alias("w")
+    ).groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    big = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    n_tokens = unigrams.agg(F.sum("c").alias("__n__"))
+    return (
+        big.join(unigrams.withColumnRenamed("w", "w1")
+                 .withColumnRenamed("c", "c1"), "w1")
+        .join(unigrams.withColumnRenamed("w", "w2")
+              .withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(n_tokens))
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.col("c1").cast("long").alias("c1"),
+            F.col("c2").cast("long").alias("c2"),
+            F.round(
+                F.log(
+                    F.col("c12").cast("double") * F.col("__n__").cast("double")
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -239,3 +239,64 @@ def k_core(
         F.lit(k).cast("int").alias("k"),
         F.lit(n_rounds).cast("int").alias("n_rounds"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al. 2007
+    made engine-replayable): labels start as the node id; each round every
+    node adopts its neighbors' most frequent label, ties broken by the
+    SMALLEST label — the two determinism pins (synchronous update + total
+    tie order) that turn LPA's usual run-to-run jitter into a pure
+    function of the graph. Round count is PINNED like :func:`k_core`.
+    Unlike connected components, LPA can split a component into several
+    communities — it is the cheap community primitive for near-dup
+    cluster refinement and link-farm grouping.
+
+    Scale shape per round: one edge->label equi-join (labels frame is
+    |V| rows), one (node, label) partial-aggregated count, one rank-1
+    window per node (bounded by the node's distinct neighbor labels) —
+    no cartesian; the label frame is materialized per round to cut the
+    k-deep lineage. Isolated nodes keep their own label.
+
+    Returns (node, label, n_rounds).
+    """
+    from pyspark.sql.window import Window
+
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    und = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    und = materialize(und)
+    both = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    nodes = both.select(F.col("u").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("__c__").desc(), F.col("label").asc()
+    )
+    for _ in range(n_rounds):
+        labels = materialize(labels)
+        nbr = both.join(
+            labels.withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"), "label")
+        voted = (
+            nbr.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("__c__"))
+            .withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select("node", "label")
+        )
+        # every non-isolated node has >= 1 neighbor vote, so the vote
+        # frame covers all of `nodes`; keep the select explicit anyway
+        labels = voted
+    return labels.select(
+        "node", "label", F.lit(n_rounds).cast("int").alias("n_rounds")
+    )

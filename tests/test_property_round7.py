@@ -206,3 +206,67 @@ def test_signature_store_exact_match_and_novelty(spark, seed):
     assert out[100].n_agree == 16
     assert out[100].est_jaccard_ppm == 1_000_000
     assert 101 not in out
+
+
+def _py_lpa(edges: set[tuple[int, int]], rounds: int):
+    """Independent synchronous min-tie LPA replay."""
+    e = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbrs: dict[int, list[int]] = {}
+    for a, b in e:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    labels = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n, ns in nbrs.items():
+            counts: dict[int, int] = {}
+            for m in ns:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            new[n] = min(
+                (lab for lab in counts),
+                key=lambda lab: (-counts[lab], lab),
+            )
+        labels = new
+    return labels
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1, max_size=30,
+    ),
+    rounds=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_label_propagation_matches_reference(spark, edges, rounds):
+    """For ANY small graph the pinned-round synchronous min-tie LPA
+    equals the independent Python replay — community assignment is a
+    pure function of the graph."""
+    from peskas_timor_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    expected = _py_lpa(set(edges), rounds)
+    df = spark.createDataFrame(list(edges), "src int, dst int")
+    got = {r.node: r.label for r in
+           label_propagation(df, "src", "dst", n_rounds=rounds).collect()}
+    assert got == expected
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """Counts and the PMI value match the direct computation on a tiny
+    corpus with one planted collocation."""
+    import math
+
+    from peskas_timor_data_pipeline_spark.llm.text import pmi_collocations
+
+    rows = [(i, "new york is big and new york is old") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.w1, r.w2): r for r in
+           pmi_collocations(df, "doc_id", "text", min_count=6).collect()}
+    r = out[("new", "york")]
+    # per doc: 'new york' twice, 9 tokens; 3 docs
+    assert (r.c12, r.c1, r.c2) == (6, 6, 6)
+    n_tokens = 27
+    assert r.pmi == round(math.log(6 * n_tokens / (6 * 6)), 6)
+    assert ("york", "is") in out and ("is", "big") not in out  # c12=3 < 6

@@ -82,6 +82,8 @@ SHOWCASE = {
     "a40_cohen_kappa": "Cohen's kappa: one contingency groupBy scan; marginals and the pe product join run on the |labels|^2 frame only",
     "t42_url_hosts": "URL hosts: regexp_extract_all+explode bounded by URL count, canonicalization fully codegen'd, one host-keyed partial agg",
     "d20_store_match": "store match: band-key equi-join batch x store (bucket mates only), distinct pairs, two signature joins, per-batch rank-1 window",
+    "g4_label_propagation": "LPA: per-round label join + (node,label) partial-agg + rank-1 window bounded by distinct neighbor labels; labels materialized per round",
+    "t43_pmi_collocations": "PMI: one token explode; bigrams in-row (no join); min_count prunes before the vocabulary-keyed unigram joins",
 }
 
 
