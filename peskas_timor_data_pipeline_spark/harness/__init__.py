@@ -33,7 +33,8 @@ _PRIORITY_R07 = (
     # (a) new in round 7
     "g3_kcore", "a39_neyman_allocation", "a40_cohen_kappa",
     "t42_url_hosts", "d20_store_match", "g4_label_propagation",
-    "t43_pmi_collocations",
+    "t43_pmi_collocations", "e26_mutual_knn", "t44_zipf_slope",
+    "m14_capture_recapture",
     # (b) stale-evidence rotation: last driver-sampled r01
     "a16_salted_agg", "a18_grouping_rollup", "a19_kmv_distinct",
     "f_math_hash_json",

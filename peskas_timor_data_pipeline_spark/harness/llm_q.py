@@ -6058,3 +6058,123 @@ CROSS JOIN n
 """
 
 QUERIES["t43_pmi_collocations"] = (t43_pmi_collocations, T43_ORACLE)
+
+
+# --- E26: mutual kNN pairs (reciprocal-NN graph) ------------------------------------------
+
+def e26_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-nearest-neighbor pairs (llm/similarity.py::mutual_knn):
+    reciprocal top-5 by cosine over the IVF probed-cell path — the
+    hub-suppressing near-dup graph. The oracle replays the whole chain
+    (centroid seeding, assignment, probing, k+1 ranking, self-drop,
+    mutualization), so a probe or reciprocity bug breaks the hash."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import mutual_knn
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return mutual_knn(
+        emb, "vec_id", "embedding", k=5, dim=DIM, n_cells=16, n_probe=4
+    )
+
+
+E26_ORACLE = f"""
+WITH coll AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+),
+cents AS (
+  SELECT vec_id AS cell_id, embedding AS cvec
+  FROM coll
+  ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM coll),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM coll),
+assign AS MATERIALIZED (
+  SELECT cand_id, cell_id, cv FROM (
+    SELECT cand_id, cell_id, cv,
+           row_number() OVER (
+             PARTITION BY cand_id
+             ORDER BY ({_dot_sql('cv', 'cvec')})
+                      / (sqrt({_dot_sql('cv', 'cv')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
+                      cell_id
+           ) AS rn
+    FROM c CROSS JOIN cents
+  ) WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT query_id, qv, cell_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY ({_dot_sql('qv', 'cvec')})
+                      / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
+                      cell_id
+           ) AS rn
+    FROM q CROSS JOIN cents
+  ) WHERE rn <= 4
+),
+scored AS MATERIALIZED (
+  SELECT query_id, cand_id,
+         ({_dot_sql('qv', 'cv')})
+         / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
+  FROM probes JOIN assign USING (cell_id)
+),
+knn AS MATERIALIZED (
+  SELECT query_id, cand_id, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id) AS rank
+    FROM scored
+  ) WHERE rank <= 6 AND query_id != cand_id
+)
+SELECT f.id_a, f.id_b, round(f.cosine, 6) AS cosine
+FROM (SELECT query_id AS id_a, cand_id AS id_b, cosine
+      FROM knn WHERE query_id < cand_id) f
+JOIN (SELECT cand_id AS id_a, query_id AS id_b
+      FROM knn WHERE query_id > cand_id) r USING (id_a, id_b)
+"""
+
+QUERIES["e26_mutual_knn"] = (e26_mutual_knn, E26_ORACLE)
+
+
+# --- T44: Zipf-slope vocabulary QA --------------------------------------------------------
+
+def t44_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency Zipf fit (llm/text.py::zipf_slope): OLS of ln(freq)
+    on ln(rank) over the top-100 types. The four OLS sums fold over the
+    rank-sorted collected array (pinned order — the only way a float
+    reduction enters a hashed output, SURVEY §7.4)."""
+    from peskas_timor_data_pipeline_spark.llm.text import zipf_slope
+
+    docs = load(spark, sf_dir, "documents").select("text")
+    return zipf_slope(docs, "text", top_r=100)
+
+
+T44_ORACLE = r"""
+WITH counts AS MATERIALIZED (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+        FROM documents)
+  WHERE tok != '' GROUP BY tok
+), top AS MATERIALIZED (
+  SELECT rank, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+  FROM (SELECT freq,
+               row_number() OVER (ORDER BY freq DESC, tok) AS rank
+        FROM counts)
+  WHERE rank <= 100
+), folded AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_points,
+         list_reduce([0.0::DOUBLE] || list(x ORDER BY rank), (a, b) -> a + b) AS sx,
+         list_reduce([0.0::DOUBLE] || list(y ORDER BY rank), (a, b) -> a + b) AS sy,
+         list_reduce([0.0::DOUBLE] || list(x * y ORDER BY rank), (a, b) -> a + b) AS sxy,
+         list_reduce([0.0::DOUBLE] || list(x * x ORDER BY rank), (a, b) -> a + b) AS sxx
+  FROM top
+)
+SELECT n_points,
+       round((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_points AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+       round((sy - (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n_points AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n_points AS DOUBLE), 6) AS intercept
+FROM folded
+"""
+
+QUERIES["t44_zipf_slope"] = (t44_zipf_slope, T44_ORACLE)

@@ -1604,3 +1604,44 @@ FROM scored WHERE p_value IS NULL
 
 
 QUERIES["m13_bh_fdr"] = (m13_bh_fdr, _m13_sql())
+
+
+# --- M14: Chapman capture-recapture --------------------------------------------------------
+
+def m14_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman's bias-corrected two-pass population estimate
+    (operators/estimate.py::chapman_estimate) — the Lincoln-Petersen
+    family used for boat/fisher population sizing: pass 1 = customers
+    seen in 1-in-3 orders, pass 2 = customers in 1-in-5 orders, overlap
+    via semi-join. Integer n_hat by truncating div (all terms
+    non-negative); Seber variance as a floored per-row double (its exact
+    integer numerator can pass 2^63)."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        chapman_estimate,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    first = o.filter(F.col("o_orderkey") % 3 == 0).select("o_custkey")
+    second = o.filter(F.col("o_orderkey") % 5 == 0).select("o_custkey")
+    return chapman_estimate(first, second, "o_custkey")
+
+
+M14_ORACLE = """
+WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 3 = 0),
+s AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 5 = 0),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS n1,
+         (SELECT CAST(count(*) AS BIGINT) FROM s) AS n2,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM f WHERE o_custkey IN (SELECT o_custkey FROM s)) AS m
+)
+SELECT n1, n2, m,
+       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS n_hat,
+       CAST(floor(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+                  * CAST(n1 - m AS DOUBLE) * CAST(n2 - m AS DOUBLE)
+                  / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+                     * CAST(m + 2 AS DOUBLE))) AS BIGINT) AS var_floor
+FROM stats
+"""
+
+QUERIES["m14_capture_recapture"] = (m14_capture_recapture, M14_ORACLE)

@@ -1867,3 +1867,48 @@ def ivf_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def mutual_knn(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Mutual k-nearest-neighbor pairs over one embedding collection —
+    the reciprocal-NN graph that seeds density-aware clustering and
+    conservative near-dup verdicts (a pair counts only if EACH side
+    retrieves the other, which suppresses hub vectors that appear in
+    everyone's neighbor list but reciprocate almost nobody).
+
+    kNN edges come from the IVF probed-cell path (never a cross join);
+    each vector queries the collection with k+1 slots so its own
+    guaranteed self-hit doesn't consume a neighbor slot, the self edge is
+    dropped, and mutuality is one equi-join of the forward (a<b) edge set
+    against the reversed (a>b) edge set. The kNN frame is materialized
+    once — both directions read the same computed edges, not two replays
+    of the IVF chain (the d18 lesson).
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded 6dp
+    (both directions compute the identical IEEE expression).
+    """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    knn = materialize(
+        cosine_topk_ivf(
+            df, df, id_col, vec_col,
+            k=k + 1, dim=dim, n_cells=n_cells, n_probe=n_probe,
+        ).filter(F.col("query_id") != F.col("cand_id"))
+    )
+    fwd = knn.filter(F.col("query_id") < F.col("cand_id")).select(
+        F.col("query_id").alias("id_a"),
+        F.col("cand_id").alias("id_b"),
+        "cosine",
+    )
+    rev = knn.filter(F.col("query_id") > F.col("cand_id")).select(
+        F.col("cand_id").alias("id_a"), F.col("query_id").alias("id_b")
+    )
+    return fwd.join(rev, ["id_a", "id_b"], "left_semi")

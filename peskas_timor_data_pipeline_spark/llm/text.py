@@ -1215,3 +1215,79 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str,
+    top_r: int = 100,
+) -> DataFrame:
+    """Zipf-law fit over the rank-frequency curve: OLS of ln(freq) on
+    ln(rank) for the ``top_r`` most frequent types — the vocabulary
+    health check of corpus QA (natural text sits near slope -1; synthetic
+    or template-heavy corpora drift flat or cliff off). A 100-row
+    regression is dimension-sized by construction, so ranking and the fit
+    cost nothing next to the one token-count aggregation.
+
+    Determinism: ranks are integers over (freq desc, token asc); the
+    per-point lns are fixed per-row IEEE expressions; the four OLS sums
+    are folded over the rank-sorted collected array (the a39 pinned-fold
+    idiom — float addition is not associative, so the order is pinned
+    explicitly on both engines).
+
+    Returns one row: (n_points, sum checks, slope, intercept), slope and
+    intercept rounded 6dp.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # orderBy().limit() compiles to TakeOrderedAndProject (per-partition
+    # top-R + driver merge — no global sort shuffle), so the full
+    # vocabulary never lands on one partition; the rank window then runs
+    # on the R-row result only
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    top = (
+        counts.orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(top_r)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    pts = top.select(
+        F.col("rank"),
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    folded = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(rank, x, y))), 0D,"
+            " (a, s) -> a + s.x)"
+        ).alias("sx"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(rank, x, y))), 0D,"
+            " (a, s) -> a + s.y)"
+        ).alias("sy"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(rank, x, y))), 0D,"
+            " (a, s) -> a + s.x * s.y)"
+        ).alias("sxy"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(rank, x, y))), 0D,"
+            " (a, s) -> a + s.x * s.x)"
+        ).alias("sxx"),
+    )
+    n = F.col("n_points").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return folded.select(
+        "n_points",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / n, 6
+        ).alias("intercept"),
+    )

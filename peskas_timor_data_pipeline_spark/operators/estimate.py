@@ -648,3 +648,48 @@ def cohen_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
             ).alias("kappa_micro"),
         )
     )
+
+
+def chapman_estimate(
+    first: DataFrame, second: DataFrame, key_col: str
+) -> DataFrame:
+    """Chapman's bias-corrected capture-recapture estimator (Chapman
+    1951; the Lincoln-Petersen family the reference's domain literature
+    uses for boat/fisher population sizing from two survey passes):
+    N_hat = (n1+1)(n2+1)/(m+1) - 1 over the distinct keys seen in each
+    pass and their overlap, with Seber's variance. Both passes can be
+    arbitrarily large frames; the estimate reduces to three distinct
+    counts (two aggs and one semi-joined agg — no pairwise anything).
+
+    Integer outputs: n_hat uses truncating integer division (all terms
+    non-negative); the variance — whose exact integer numerator can
+    overflow 2^63 at large n — is the fixed per-row IEEE double
+    expression (n1+1)(n2+1)(n1-m)(n2-m) / ((m+1)^2 (m+2)), floored.
+
+    Returns one row: (n1, n2, m, n_hat, var_floor).
+    """
+    f = first.select(F.col(key_col).alias("__k__")).distinct()
+    s = second.select(F.col(key_col).alias("__k__")).distinct()
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    f, s = materialize(f), materialize(s)
+    n1 = f.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s.agg(F.count(F.lit(1)).alias("n2"))
+    m = f.join(s, "__k__", "left_semi").agg(F.count(F.lit(1)).alias("m"))
+    return (
+        n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("m").cast("long").alias("m"),
+            F.expr(
+                "(n1 + 1L) * (n2 + 1L) div (m + 1L) - 1L"
+            ).alias("n_hat"),
+            F.expr(
+                "cast(floor(cast(n1 + 1 as double) * cast(n2 + 1 as double)"
+                " * cast(n1 - m as double) * cast(n2 - m as double)"
+                " / (cast(m + 1 as double) * cast(m + 1 as double)"
+                " * cast(m + 2 as double))) as bigint)"
+            ).alias("var_floor"),
+        )
+    )

@@ -225,3 +225,63 @@ def session_counts(
             "n",
         )
     )
+
+
+def store_dedup_sink(
+    doc_stream: DataFrame,
+    store_sigs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    band_size: int = 8,
+    k_shingle: int = 5,
+    min_agree: int = 12,
+    trigger_available_now: bool = True,
+) -> DataStreamWriter:
+    """Streaming front door for the incremental signature-store dedup
+    (llm/dedup.py::match_signature_store): each micro-batch of incoming
+    documents computes its MinHash signatures and matches them against
+    the PERSISTED corpus signature store, writing match verdicts to a
+    parquet sink. This is the d20 batch operator mounted on a stream —
+    the continuous-crawl shape where new slices are deduped as they land,
+    without re-reading (or re-shingling) the corpus.
+
+    foreachBatch rather than native stream ops, deliberately: the matcher
+    needs a per-batch groupBy (signature mins) and a rank-1 window (best
+    match), both of which are batch-only operators; inside foreachBatch
+    each micro-batch IS a batch frame, so the exact hash-checked batch
+    code runs unchanged. The store side is re-read per micro-batch, so a
+    compaction or store refresh is picked up without restarting the
+    query. Checkpointed batch ids + overwrite-by-batch-partition keep the
+    sink effectively-once on replay.
+    """
+    from pyspark.sql import functions as F
+
+    from peskas_timor_data_pipeline_spark.llm.dedup import (
+        match_signature_store, minhash_signature,
+    )
+
+    def match_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        bsig = minhash_signature(batch, id_col, text_col, n_hashes, k_shingle)
+        # the matcher's own batch_id column is the DOC id; the micro-batch
+        # sequence number gets its own name to avoid shadowing it
+        verdicts = match_signature_store(
+            bsig, store_sigs, id_col, n_hashes, band_size, min_agree
+        ).withColumn("micro_batch_id", F.lit(batch_id))
+        (
+            verdicts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("micro_batch_id")
+            .parquet(out_path)
+        )
+
+    writer = doc_stream.writeStream.foreachBatch(match_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer

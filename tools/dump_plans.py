@@ -84,6 +84,9 @@ SHOWCASE = {
     "d20_store_match": "store match: band-key equi-join batch x store (bucket mates only), distinct pairs, two signature joins, per-batch rank-1 window",
     "g4_label_propagation": "LPA: per-round label join + (node,label) partial-agg + rank-1 window bounded by distinct neighbor labels; labels materialized per round",
     "t43_pmi_collocations": "PMI: one token explode; bigrams in-row (no join); min_count prunes before the vocabulary-keyed unigram joins",
+    "e26_mutual_knn": "mutual kNN: IVF probed-cell kNN materialized ONCE, mutuality = one LeftSemi of forward vs reversed edges — no cross join, no chain replay",
+    "t44_zipf_slope": "Zipf fit: TakeOrderedAndProject top-100 (no global sort/window over the vocabulary), pinned-order OLS fold on the 100-row frame",
+    "m14_capture_recapture": "Chapman: two distinct aggs + one LeftSemi overlap count — population estimate from three scalars",
 }
 
 
