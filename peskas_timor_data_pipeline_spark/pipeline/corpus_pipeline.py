@@ -7,7 +7,13 @@ run resumes from the last stage and an unchanged shard skips the whole
 branch via input fingerprints.
 
     normalize -> quality gate -> exact dedup -> near-dedup (MinHash/LSH
-    with the hot-bucket cap) -> repeated-span masking -> packing
+    with the hot-bucket cap) -> signature store -> repeated-span masking
+    -> packing
+
+plus the steady-state increment: :func:`dedup_incoming_slice` matches a
+new crawl slice against the persisted ``signature_store`` artifact (the
+d20 operator), so recrawls are flagged and only genuinely new content
+enters the next full build — the corpus text is never re-read.
 
 Every stage is one lazy Catalyst plan ending in a versioned parquet write;
 stage outputs are inspectable, re-runnable artifacts (the corpus-audit
@@ -167,6 +173,15 @@ def build_corpus_pipeline(
             "doc_id", "text", "norm_text"
         )
 
+    @pipe.stage("signature_store", inputs=["near_deduped"])
+    def signature_store(spark: SparkSession, near_deduped: DataFrame) -> DataFrame:
+        # the persisted store the steady-state path matches new slices
+        # against (dedup_incoming_slice) — signatures only, no text, so
+        # the incremental pass never re-reads or re-shingles the corpus
+        return minhash_signature(
+            near_deduped, "doc_id", "norm_text", n_hashes=n_hashes
+        )
+
     @pipe.stage("masked", inputs=["near_deduped"])
     def masked(spark: SparkSession, near_deduped: DataFrame) -> DataFrame:
         spans = repeated_span_mask(near_deduped, "doc_id", "norm_text", k_min=k_span)
@@ -185,3 +200,46 @@ def build_corpus_pipeline(
         return bins.join(with_tokens.select("doc_id", "masked_text"), "doc_id")
 
     return pipe
+
+
+def dedup_incoming_slice(
+    spark: SparkSession,
+    artifact_dir: str,
+    slice_df: DataFrame,
+    *,
+    n_hashes: int = 16,
+    band_size: int = 8,
+    min_agree: int = 12,
+) -> tuple[DataFrame, DataFrame]:
+    """The steady-state incremental path: match one incoming crawl slice
+    against the pipeline's persisted ``signature_store`` artifact WITHOUT
+    touching corpus text (llm/dedup.py::match_signature_store — the d20
+    operator; streaming front door in streaming/ingest.py::
+    store_dedup_sink). The slice must carry (doc_id, norm_text) — run
+    :func:`llm.text.normalize_text` upstream so slice grams use the same
+    normalization the store was built with, or the match rate silently
+    collapses.
+
+    Returns ``(new_docs, verdicts)``: the slice rows with no store match
+    (the genuinely new content that proceeds into the next full corpus
+    build) and the per-matched-doc verdict frame (batch_id, store_id,
+    n_agree, est_jaccard_ppm) for the dedup audit trail.
+    """
+    from peskas_timor_data_pipeline_spark.llm.dedup import (
+        match_signature_store,
+    )
+    from peskas_timor_data_pipeline_spark.sources.io import read_stage
+
+    store_sigs = read_stage(spark, artifact_dir, "signature_store")
+    slice_sigs = minhash_signature(
+        slice_df, "doc_id", "norm_text", n_hashes=n_hashes
+    )
+    verdicts = match_signature_store(
+        slice_sigs, store_sigs, "doc_id", n_hashes, band_size, min_agree
+    )
+    new_docs = slice_df.join(
+        verdicts.select(F.col("batch_id").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+    return new_docs, verdicts

@@ -149,3 +149,41 @@ def test_corpus_pipeline_kn_gate_drops_word_salad(spark, tmp_path):
     assert 4 not in kept, "word salad must fall in the KN tail"
     assert {1, 2, 3} <= kept
     assert 5 in kept, "ungradeable (<2-token) docs pass through the LM gate"
+
+
+def test_incremental_slice_dedup_against_store(spark, corpus_dir):
+    """The steady-state path: after one full build, an incoming slice is
+    matched against the persisted signature store — recrawled content is
+    flagged with its store twin, genuinely new content passes through —
+    without the corpus text ever being re-read."""
+    from peskas_timor_data_pipeline_spark.llm.text import normalize_text
+    from peskas_timor_data_pipeline_spark.pipeline.corpus_pipeline import (
+        dedup_incoming_slice,
+    )
+
+    src, art = corpus_dir
+    os.makedirs(art, exist_ok=True)
+    ingest_corpus(spark, art, src)
+    build_corpus_pipeline(
+        spark, art, n_hashes=16, band_size=4, k_span=50, pack_budget=64
+    ).run()
+
+    # slice: a recrawl of doc 2 under a new id + one novel doc
+    slice_raw = spark.createDataFrame(
+        [
+            (102, "an entirely different second document discussing completely "
+                  "other topics such as sailing weather currents and navigation "
+                  "charts for the northern passage routes"),
+            (200, "genuinely new content about volcanic soil composition and "
+                  "terraced agriculture on steep island hillsides far inland"),
+        ],
+        "doc_id long, text string",
+    )
+    slice_df = normalize_text(slice_raw, "text", out_col="norm_text")
+    new_docs, verdicts = dedup_incoming_slice(
+        spark, art, slice_df, n_hashes=16, band_size=4
+    )
+    v = {r.batch_id: r for r in verdicts.collect()}
+    assert set(v) == {102}
+    assert v[102].store_id == 2 and v[102].n_agree == 16
+    assert {r.doc_id for r in new_docs.collect()} == {200}
