@@ -1281,13 +1281,17 @@ def zipf_slope(
         ).alias("sxx"),
     )
     n = F.col("n_points").cast("double")
-    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    # empty/degenerate input (fewer than 2 distinct ranks) leaves the OLS
+    # system singular: NULL fit, not an ANSI divide-by-zero
+    slope = F.when(
+        denom != 0.0,
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom,
     )
     return folded.select(
         "n_points",
         F.round(slope, 6).alias("slope"),
         F.round(
-            (F.col("sy") - slope * F.col("sx")) / n, 6
+            F.when(n > 0, (F.col("sy") - slope * F.col("sx")) / n), 6
         ).alias("intercept"),
     )

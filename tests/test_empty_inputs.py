@@ -223,3 +223,53 @@ def test_round4_operators_on_empty_and_degenerate_inputs(spark):
     # state) — that is the fingerprint of emptiness, not an error
     fp = {r.column_name: r for r in dataset_fingerprint(empty_docs).collect()}
     assert fp["text"].n_rows == 0 and fp["text"].n_null == 0
+
+
+def test_empty_frames_through_round7_operators(spark):
+    from peskas_timor_data_pipeline_spark.llm.dedup import (
+        match_signature_store, minhash_signature,
+    )
+    from peskas_timor_data_pipeline_spark.llm.similarity import mutual_knn
+    from peskas_timor_data_pipeline_spark.llm.text import (
+        extract_canonical_urls, pmi_collocations, zipf_slope,
+    )
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        chapman_estimate, cohen_kappa, neyman_allocation,
+    )
+    from peskas_timor_data_pipeline_spark.operators.graph import (
+        k_core, label_propagation,
+    )
+
+    edges = _empty(spark, "src int, dst int")
+    assert k_core(edges, "src", "dst", k=2).count() == 0
+    assert label_propagation(edges, "src", "dst").count() == 0
+
+    docs = _empty(spark, "doc_id long, text string")
+    assert extract_canonical_urls(docs, "doc_id", "text").count() == 0
+    assert pmi_collocations(docs, "doc_id", "text").count() == 0
+    # zipf over nothing: no points, NULL fit rather than a crash
+    z = zipf_slope(docs, "text").collect()
+    assert len(z) == 1 and z[0].n_points == 0 and z[0].slope is None
+
+    strata = _empty(spark, "s string, m long")
+    assert neyman_allocation(strata, ["s"], "m", 100).count() == 0
+    # kappa over nothing: the contingency is empty -> no rows (callers
+    # treat an absent verdict as "nothing to agree on")
+    assert cohen_kappa(strata, "s", "m").count() in (0, 1)
+
+    keys = _empty(spark, "k long")
+    row = chapman_estimate(keys, keys, "k").collect()[0]
+    assert (row.n1, row.n2, row.m) == (0, 0, 0)
+    assert row.n_hat == 0  # (0+1)(0+1)//(0+1) - 1
+
+    emb = _empty(spark, "vec_id long, embedding array<double>")
+    assert mutual_knn(emb, "vec_id", "embedding", k=1, dim=4).count() == 0
+
+    # empty batch against a real store / real batch against an empty store
+    store = spark.createDataFrame(
+        [(1, "stored body text " * 4)], "doc_id long, text string"
+    )
+    ssig = minhash_signature(store, "doc_id", "text", 16, 5)
+    bsig_empty = minhash_signature(docs, "doc_id", "text", 16, 5)
+    assert match_signature_store(bsig_empty, ssig, "doc_id", 16, 8, 12).count() == 0
+    assert match_signature_store(ssig, bsig_empty, "doc_id", 16, 8, 12).count() == 0
