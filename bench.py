@@ -105,10 +105,12 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
     )
+    full_written = True
     try:
         with open(out_path, "w") as f:
             f.write(full_line + "\n")
     except OSError as e:
+        full_written = False
         print(f"# bench: could not persist {out_path}: {e}", file=sys.stderr)
 
     # The stdout JSON line must stay parseable from the driver's capture
@@ -122,7 +124,9 @@ def main() -> None:
         "unit": "sec",
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:30]),
         "queries_n": len(timings),
-        "queries_full": os.path.basename(out_path),
+        # only advertise the full map if this run actually wrote it — a
+        # stale pointer would read as the prior round's timings
+        "queries_full": os.path.basename(out_path) if full_written else None,
         "sf": sf,
     }
     line = json.dumps(compact)

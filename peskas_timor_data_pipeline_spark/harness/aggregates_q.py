@@ -1832,6 +1832,28 @@ FROM ranked GROUP BY event_type
 QUERIES["a38_gini"] = (a38_gini, A38_ORACLE)
 
 
+def _copurchase_pairs(spark, sf_dir: str, modulus: int):
+    """Shared part co-purchase edge builder for the graph queries (g2/g3/
+    g4): parts are adjacent when they share an order, scoped to a
+    deterministic 1-in-``modulus`` order sample. Bounded BY THE BASKET
+    (<= 7 lineitems per order -> <= 21 pairs) — the market-basket
+    guarantee that keeps the self-join linear in orders."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % modulus == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    return (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+
+
 def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over the part co-purchase graph (parts are
     adjacent when they share an order) via the degree-ordered
@@ -1849,21 +1871,7 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unoriented 3-way join under a DuckDB memory cap) cannot hold. The
     # operator itself is the scale path; the fixture query checks
     # correctness on a graph sized to the grading harness.
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 5 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = li.alias("x"), li.alias("y")
-    pairs = (
-        x.join(y, "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-        )
-    )
-    return triangle_count(pairs, "src", "dst")
+    return triangle_count(_copurchase_pairs(spark, sf_dir, 5), "src", "dst")
 
 
 G2_ORACLE = """
@@ -1903,21 +1911,8 @@ def g3_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joins, no cartesian)."""
     from peskas_timor_data_pipeline_spark.operators.graph import k_core
 
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 20 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = li.alias("x"), li.alias("y")
-    pairs = (
-        x.join(y, "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-        )
-    )
-    return k_core(pairs, "src", "dst", k=8, n_rounds=3)
+    return k_core(_copurchase_pairs(spark, sf_dir, 20), "src", "dst",
+                  k=8, n_rounds=3)
 
 
 def _g3_sql(k: int = 8, n_rounds: int = 3) -> str:
@@ -1975,19 +1970,24 @@ WITH per AS MATERIALIZED (
   SELECT l_returnflag, l_linestatus,
          count(*) AS n_rows,
          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_m,
-         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
-              AS BIGINT) AS sum_m2
+         sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT))
+           AS sum_m2
   FROM lineitem GROUP BY l_returnflag, l_linestatus
 ), wv AS (
   SELECT *,
          CASE WHEN n_rows >= 2
-              THEN CAST(n_rows * sum_m2 - sum_m * sum_m AS DOUBLE)
-                   / CAST(n_rows * (n_rows - 1) AS DOUBLE)
+              THEN CAST(CAST(n_rows AS HUGEINT) * sum_m2
+                        - CAST(sum_m AS HUGEINT) * CAST(sum_m AS HUGEINT)
+                        AS DOUBLE)
+                   / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0))
               ELSE 0.0::DOUBLE END AS var_d,
          CAST(n_rows AS DOUBLE)
            * sqrt(CASE WHEN n_rows >= 2
-                       THEN CAST(n_rows * sum_m2 - sum_m * sum_m AS DOUBLE)
-                            / CAST(n_rows * (n_rows - 1) AS DOUBLE)
+                       THEN CAST(CAST(n_rows AS HUGEINT) * sum_m2
+                                 - CAST(sum_m AS HUGEINT) * CAST(sum_m AS HUGEINT)
+                                 AS DOUBLE)
+                            / (CAST(n_rows AS DOUBLE)
+                               * (CAST(n_rows AS DOUBLE) - 1.0))
                        ELSE 0.0::DOUBLE END) AS w
   FROM per
 ), tot AS (
@@ -2056,7 +2056,9 @@ WITH labeled AS (
 )
 SELECT t.n, t.n_agree, m.pe_num,
        CAST(t.n_agree * 1000000 // t.n AS BIGINT) AS po_ppm,
-       CAST(m.pe_num * 1000000 // (t.n * t.n) AS BIGINT) AS pe_ppm,
+       CAST(floor(1000000.0::DOUBLE * m.pe_num
+                  / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)))
+            AS BIGINT) AS pe_ppm,
        CASE WHEN t.n * t.n != m.pe_num THEN
          CAST(floor(1000000.0::DOUBLE * (t.n * t.n_agree - m.pe_num)
                     / (t.n * t.n - m.pe_num)) AS BIGINT) END AS kappa_micro
@@ -2080,21 +2082,8 @@ def g4_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_propagation,
     )
 
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 20 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    x, y = li.alias("x"), li.alias("y")
-    pairs = (
-        x.join(y, "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-        )
-    )
-    return label_propagation(pairs, "src", "dst", n_rounds=3)
+    return label_propagation(_copurchase_pairs(spark, sf_dir, 20),
+                             "src", "dst", n_rounds=3)
 
 
 def _g4_sql(n_rounds: int = 3) -> str:

@@ -5905,7 +5905,7 @@ WITH with_urls AS (
   FROM documents
 ), raw AS MATERIALIZED (
   SELECT doc_id,
-         unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(/[^\s]*)?', 0))
+         unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(/[!-~]*)?', 0))
            AS url
   FROM with_urls
 ), canon AS (

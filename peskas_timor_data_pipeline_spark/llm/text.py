@@ -1106,10 +1106,14 @@ def source_diversity(
 
 
 # URL grammar shared by the extractor and its DuckDB oracle twin: scheme,
-# host (letters/digits/dots/dashes), optional path of non-space chars.
-# Kept inside the Java-regex/RE2 COMMON SUBSET (no backrefs, no lookaround)
-# so both engines compile the identical pattern.
-URL_PATTERN = r"https?://[A-Za-z0-9.-]+(/[^\s]*)?"
+# host (letters/digits/dots/dashes), optional path of printable-ASCII
+# chars. Kept inside the Java-regex/RE2 COMMON SUBSET (no backrefs, no
+# lookaround) — and no \\s shorthand either: Java's \\s includes U+000B
+# vertical tab, RE2's does not, so `[^\\s]*` would extract different path
+# spans per engine on VT-bearing text. The explicit `[!-~]` range
+# (printable ASCII minus space) means the same thing to both engines;
+# non-ASCII path bytes are %-encoded in real URLs anyway.
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(/[!-~]*)?"
 
 
 def canonical_url(url: Column) -> Column:

@@ -530,7 +530,11 @@ def neyman_allocation(
     ratio, sqrt, the allocation share) is a fixed per-row IEEE expression
     over those integers, bit-identical across engines. The one cross-strata
     reduction, sum(N_h*S_h), is folded in pinned (sorted) order because
-    float addition is not associative.
+    float addition is not associative. The squared moments run in
+    DECIMAL(38,0) — cents-scale measures overflow BIGINT (1M rows at
+    10^4 cents puts sum_m^2 at 10^20 > 2^63; ANSI mode would throw),
+    while the 38-digit envelope matches the oracle's HUGEINT path; the
+    decimal->double conversion is round-to-nearest in both engines.
 
     Shape: one partial-aggregated groupBy over the strata (dimension-sized
     output), one sorted-fold over the strata frame broadcast back — the
@@ -541,18 +545,26 @@ def neyman_allocation(
     strata with zero variance or n<2 get weight 0).
     """
     m = F.col(measure_col).cast("long")
+    md = m.cast("decimal(19,0)")
     per = df.groupBy(*strata_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(m).alias("sum_m"),
-        F.sum(m * m).alias("sum_m2"),
+        F.sum(md * md).alias("sum_m2"),
     )
-    # exact integer numerator/denominator of the sample variance
+    # exact variance numerator in DECIMAL(38,0) (overflow-safe for cents
+    # at billions of rows); denominator in double (n*(n-1) as LONG would
+    # itself overflow past ~3e9 rows)
     var_expr = F.when(
         F.col("n_rows") >= 2,
         (
-            F.col("n_rows") * F.col("sum_m2") - F.col("sum_m") * F.col("sum_m")
+            F.col("n_rows").cast("decimal(38,0)") * F.col("sum_m2")
+            - F.col("sum_m").cast("decimal(38,0)")
+            * F.col("sum_m").cast("decimal(38,0)")
         ).cast("double")
-        / (F.col("n_rows") * (F.col("n_rows") - F.lit(1))).cast("double"),
+        / (
+            F.col("n_rows").cast("double")
+            * (F.col("n_rows").cast("double") - F.lit(1.0))
+        ),
     ).otherwise(F.lit(0.0))
     from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
 
@@ -610,6 +622,10 @@ def cohen_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
 
     Returns one row: n, n_agree, pe_num, po_ppm, pe_ppm, kappa_micro
     (NULL when chance agreement is certain, pe_num == n^2).
+    Contract: n <= ~3e9 pairs so n*n (the degenerate guard and the kappa
+    numerator) stays inside BIGINT — pe_ppm is already overflow-free via
+    its double form; 3 billion labeled pairs is far past any real
+    annotation QA set.
     """
     pairs = (
         df.filter(F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull())
@@ -638,7 +654,14 @@ def cohen_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
             F.col("n_agree").cast("long").alias("n_agree"),
             F.col("pe_num").cast("long").alias("pe_num"),
             F.expr("n_agree * 1000000L div n").alias("po_ppm"),
-            F.expr("pe_num * 1000000L div (n * n)").alias("pe_ppm"),
+            # pe_num is O(n^2), so pe_num * 1e6 overflows BIGINT past
+            # n ~ 3e6 pairs; floor over the identical double expression
+            # keeps both engines bit-equal at any n (and agrees with the
+            # integer div exactly while pe_num * 1e6 < 2^53)
+            F.expr(
+                "cast(floor(1000000D * pe_num"
+                " / (cast(n as double) * cast(n as double))) as bigint)"
+            ).alias("pe_ppm"),
             # pe == 1 (chance agreement is certain) leaves kappa undefined;
             # NULL, not a division-by-zero (ANSI mode throws on the latter)
             F.expr(

@@ -261,7 +261,10 @@ def label_propagation(
     |V| rows), one (node, label) partial-aggregated count, one rank-1
     window per node (bounded by the node's distinct neighbor labels) —
     no cartesian; the label frame is materialized per round to cut the
-    k-deep lineage. Isolated nodes keep their own label.
+    k-deep lineage. Nodes exist only as endpoints of non-self-loop
+    edges: a node with no such edge (isolated, or self-loops only)
+    does not appear in the output at all — singleton communities are
+    the caller's complement set, not rows here.
 
     Returns (node, label, n_rounds).
     """

@@ -207,7 +207,6 @@ def dedup_incoming_slice(
     artifact_dir: str,
     slice_df: DataFrame,
     *,
-    n_hashes: int = 16,
     band_size: int = 8,
     min_agree: int = 12,
 ) -> tuple[DataFrame, DataFrame]:
@@ -224,13 +223,28 @@ def dedup_incoming_slice(
     (the genuinely new content that proceeds into the next full corpus
     build) and the per-matched-doc verdict frame (batch_id, store_id,
     n_agree, est_jaccard_ppm) for the dedup audit trail.
+
+    The signature geometry (``n_hashes``) is DERIVED from the store
+    artifact's h-columns rather than taken as a parameter — a caller
+    passing a different value than the store was built with would
+    silently compare a slot subset (or fail on missing columns); the
+    store schema is the single source of truth.
     """
+    import re
+
     from peskas_timor_data_pipeline_spark.llm.dedup import (
         match_signature_store,
     )
     from peskas_timor_data_pipeline_spark.sources.io import read_stage
 
     store_sigs = read_stage(spark, artifact_dir, "signature_store")
+    n_hashes = sum(
+        1 for c in store_sigs.columns if re.fullmatch(r"h\d+", c)
+    )
+    if n_hashes == 0:
+        raise ValueError(
+            "signature_store artifact carries no h* signature columns"
+        )
     slice_sigs = minhash_signature(
         slice_df, "doc_id", "norm_text", n_hashes=n_hashes
     )

@@ -229,7 +229,7 @@ def session_counts(
 
 def store_dedup_sink(
     doc_stream: DataFrame,
-    store_sigs: DataFrame,
+    store_sigs: DataFrame | str,
     out_path: str,
     checkpoint: str,
     id_col: str = "doc_id",
@@ -252,10 +252,14 @@ def store_dedup_sink(
     needs a per-batch groupBy (signature mins) and a rank-1 window (best
     match), both of which are batch-only operators; inside foreachBatch
     each micro-batch IS a batch frame, so the exact hash-checked batch
-    code runs unchanged. The store side is re-read per micro-batch, so a
-    compaction or store refresh is picked up without restarting the
-    query. Checkpointed batch ids + overwrite-by-batch-partition keep the
-    sink effectively-once on replay.
+    code runs unchanged. Pass ``store_sigs`` as a PATH for long-running
+    queries: the frame is then re-created per micro-batch, so a store
+    refresh or compaction is picked up without restarting the query. A
+    pre-built DataFrame is also accepted, but it PINS its parquet file
+    listing at creation — compacting the store under it fails the next
+    micro-batch with missing-file errors; fine for availableNow drains,
+    wrong for continuous mode. Checkpointed batch ids + overwrite-by-
+    batch-partition keep the sink effectively-once on replay.
     """
     from pyspark.sql import functions as F
 
@@ -266,11 +270,16 @@ def store_dedup_sink(
     def match_batch(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return
+        store = (
+            batch.sparkSession.read.parquet(store_sigs)
+            if isinstance(store_sigs, str)
+            else store_sigs
+        )
         bsig = minhash_signature(batch, id_col, text_col, n_hashes, k_shingle)
         # the matcher's own batch_id column is the DOC id; the micro-batch
         # sequence number gets its own name to avoid shadowing it
         verdicts = match_signature_store(
-            bsig, store_sigs, id_col, n_hashes, band_size, min_agree
+            bsig, store, id_col, n_hashes, band_size, min_agree
         ).withColumn("micro_batch_id", F.lit(batch_id))
         (
             verdicts.write.mode("overwrite")

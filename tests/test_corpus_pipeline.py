@@ -181,7 +181,7 @@ def test_incremental_slice_dedup_against_store(spark, corpus_dir):
     )
     slice_df = normalize_text(slice_raw, "text", out_col="norm_text")
     new_docs, verdicts = dedup_incoming_slice(
-        spark, art, slice_df, n_hashes=16, band_size=4
+        spark, art, slice_df, band_size=4
     )
     v = {r.batch_id: r for r in verdicts.collect()}
     assert set(v) == {102}

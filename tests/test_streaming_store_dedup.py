@@ -67,9 +67,10 @@ def test_store_dedup_sink_matches_per_batch(spark, tmp_path):
         "b2.jsonl",
         [{"doc_id": 205, "text": "stored corpus document body number 1 " * 4}],
     )
+    # PATH variant: the store is re-read per micro-batch (refresh-safe)
     q2 = store_dedup_sink(
         stream_landed_files(spark, str(landing), SCHEMA),
-        spark.read.parquet(store_path),
+        store_path,
         out,
         checkpoint=ckpt,
     ).start()
