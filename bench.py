@@ -130,9 +130,14 @@ def main() -> None:
         "sf": sf,
     }
     line = json.dumps(compact)
-    if len(line) > 1900:  # never exceed the capture window
+    # Never exceed the capture window: halve the slowest-N subset until the
+    # line fits, flooring at the contract keys alone (empty queries map) —
+    # a one-shot retry could still overflow on pathologically long names.
+    top_n = 30
+    while len(line) > 1900 and top_n > 0:
+        top_n //= 2
         compact["queries"] = dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+            sorted(timings.items(), key=lambda kv: -kv[1])[:top_n])
         line = json.dumps(compact)
     print(line)
 

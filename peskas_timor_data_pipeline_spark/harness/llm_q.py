@@ -6034,7 +6034,10 @@ def t43_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T43_ORACLE = r"""
 WITH toks AS MATERIALIZED (
-  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
 ), uni AS MATERIALIZED (
   SELECT tok AS w, count(*) AS c
   FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1

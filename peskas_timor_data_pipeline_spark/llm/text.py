@@ -1178,10 +1178,18 @@ def pmi_collocations(
     join fan-in is the frequent-bigram set, not the corpus.
 
     Returns (w1, w2, c12, c1, c2, pmi) for bigrams with c12 >= min_count.
+
+    Empty-string tokens (from leading/trailing whitespace in the split)
+    are dropped BEFORE adjacency is formed — '' is not a token, and
+    keeping it would both pollute the collocate list and break adjacency
+    across a document's leading whitespace (same filter zipf_slope
+    applies to its unigram counts).
     """
-    toks = df.select(
-        F.col(id_col), tokens(text_col).alias("__t__")
-    ).filter(F.size("__t__") >= 2)
+    filtered = df.select(
+        F.col(id_col),
+        F.filter(tokens(text_col), lambda t: t != F.lit("")).alias("__t__"),
+    )
+    toks = filtered.filter(F.size("__t__") >= 2)
     bigrams = toks.select(
         F.explode(
             F.expr(
@@ -1190,8 +1198,8 @@ def pmi_collocations(
             )
         ).alias("__bg__")
     ).select("__bg__.w1", "__bg__.w2")
-    unigrams = df.select(
-        F.explode(tokens(text_col)).alias("w")
+    unigrams = filtered.select(
+        F.explode("__t__").alias("w")
     ).groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     big = (
         bigrams.groupBy("w1", "w2")

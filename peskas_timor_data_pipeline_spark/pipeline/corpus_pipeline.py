@@ -245,6 +245,15 @@ def dedup_incoming_slice(
         raise ValueError(
             "signature_store artifact carries no h* signature columns"
         )
+    if n_hashes // band_size == 0:
+        # n_hashes // band_size bands: zero bands would emit zero band
+        # keys, so every slice doc would silently pass as new (e.g. a
+        # store built at minhash_signature's default n_hashes=6 against
+        # the default band_size=8)
+        raise ValueError(
+            f"band_size={band_size} exceeds the store's signature width "
+            f"n_hashes={n_hashes}: zero bands would match nothing"
+        )
     slice_sigs = minhash_signature(
         slice_df, "doc_id", "norm_text", n_hashes=n_hashes
     )

@@ -268,6 +268,8 @@ def store_dedup_sink(
     )
 
     def match_batch(batch: DataFrame, batch_id: int) -> None:
+        import re
+
         if not batch.take(1):
             return
         store = (
@@ -275,6 +277,29 @@ def store_dedup_sink(
             if isinstance(store_sigs, str)
             else store_sigs
         )
+        # The store schema is the single source of truth for signature
+        # geometry (same contract as pipeline.corpus_pipeline.
+        # dedup_incoming_slice): a caller-supplied n_hashes that differs
+        # from the persisted store would silently compare a slot subset
+        # (wrong est_jaccard_ppm, missed matches) or fail every
+        # micro-batch on missing columns.
+        store_n = sum(
+            1 for c in store.columns if re.fullmatch(r"h\d+", c)
+        )
+        if store_n == 0:
+            raise ValueError(
+                "signature store carries no h* signature columns"
+            )
+        if store_n != n_hashes:
+            raise ValueError(
+                f"signature geometry mismatch: store has {store_n} hash "
+                f"slots, caller asked for n_hashes={n_hashes}"
+            )
+        if n_hashes // band_size == 0:
+            raise ValueError(
+                f"band_size={band_size} exceeds n_hashes={n_hashes}: "
+                "zero bands would match nothing"
+            )
         bsig = minhash_signature(batch, id_col, text_col, n_hashes, k_shingle)
         # the matcher's own batch_id column is the DOC id; the micro-batch
         # sequence number gets its own name to avoid shadowing it

@@ -187,3 +187,29 @@ def test_incremental_slice_dedup_against_store(spark, corpus_dir):
     assert set(v) == {102}
     assert v[102].store_id == 2 and v[102].n_agree == 16
     assert {r.doc_id for r in new_docs.collect()} == {200}
+
+
+def test_incremental_slice_rejects_zero_bands(spark, corpus_dir):
+    """A band_size wider than the store's signature would derive zero
+    bands and silently treat every slice doc as new; the derivation must
+    refuse instead."""
+    from peskas_timor_data_pipeline_spark.llm.text import normalize_text
+    from peskas_timor_data_pipeline_spark.pipeline.corpus_pipeline import (
+        dedup_incoming_slice,
+    )
+
+    src, art = corpus_dir
+    os.makedirs(art, exist_ok=True)
+    ingest_corpus(spark, art, src)
+    build_corpus_pipeline(
+        spark, art, n_hashes=6, band_size=3, k_span=50, pack_budget=64
+    ).run()
+    slice_df = normalize_text(
+        spark.createDataFrame(
+            [(900, "some incoming slice text " * 4)], "doc_id long, text string"
+        ),
+        "text",
+        out_col="norm_text",
+    )
+    with pytest.raises(ValueError, match="zero bands"):
+        dedup_incoming_slice(spark, art, slice_df, band_size=8)

@@ -80,3 +80,72 @@ def test_store_dedup_sink_matches_per_batch(spark, tmp_path):
     assert set(rows) == {103, 205}
     assert rows[205].store_id == 1
     assert rows[103].micro_batch_id != rows[205].micro_batch_id
+
+
+def test_store_dedup_sink_rejects_geometry_mismatch(spark, tmp_path):
+    """The persisted store's h* columns are the single source of truth for
+    signature geometry: a caller-supplied n_hashes that differs must fail
+    loudly, not silently compare a slot subset."""
+    import pytest
+
+    from peskas_timor_data_pipeline_spark.llm.dedup import minhash_signature
+    from peskas_timor_data_pipeline_spark.streaming.ingest import (
+        store_dedup_sink,
+        stream_landed_files,
+    )
+
+    store_docs = spark.createDataFrame(
+        [(i, f"stored corpus document body number {i} " * 4) for i in range(3)],
+        "doc_id long, text string",
+    )
+    # store built at 8 slots; the sink below asks for the default 16
+    minhash_signature(store_docs, "doc_id", "text", 8, 5).write.parquet(
+        str(tmp_path / "store8")
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _write_batch(landing, "b1.jsonl", [{"doc_id": 1, "text": "anything " * 8}])
+
+    q = store_dedup_sink(
+        stream_landed_files(spark, str(landing), SCHEMA),
+        str(tmp_path / "store8"),
+        str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+    ).start()
+    with pytest.raises(Exception, match="geometry mismatch"):
+        q.awaitTermination(120)
+        raise AssertionError("query should have failed")
+
+
+def test_store_dedup_sink_rejects_zero_bands(spark, tmp_path):
+    """band_size > n_hashes would build zero bands and silently match
+    nothing; the sink refuses up front."""
+    import pytest
+
+    from peskas_timor_data_pipeline_spark.llm.dedup import minhash_signature
+    from peskas_timor_data_pipeline_spark.streaming.ingest import (
+        store_dedup_sink,
+        stream_landed_files,
+    )
+
+    store_docs = spark.createDataFrame(
+        [(0, "stored corpus document body " * 4)], "doc_id long, text string"
+    )
+    minhash_signature(store_docs, "doc_id", "text", 6, 5).write.parquet(
+        str(tmp_path / "store6")
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _write_batch(landing, "b1.jsonl", [{"doc_id": 1, "text": "anything " * 8}])
+
+    q = store_dedup_sink(
+        stream_landed_files(spark, str(landing), SCHEMA),
+        str(tmp_path / "store6"),
+        str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        n_hashes=6,
+        band_size=8,
+    ).start()
+    with pytest.raises(Exception, match="zero bands"):
+        q.awaitTermination(120)
+        raise AssertionError("query should have failed")
