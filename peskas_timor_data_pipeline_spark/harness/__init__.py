@@ -21,41 +21,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Registry front-of-line for round 7.  The driver records ~50 CORRECTNESS
-# rows per round in registry order.  Round 6 sampled 50/50 green (no red
-# rows to lead with), so round 7 is (a) the five queries added this round
-# — k-core peeling, Neyman allocation, Cohen's kappa, URL canonicalization,
-# incremental signature-store dedup — then (b) the freshness rotation:
-# every query whose last driver sample is r01 or r02, oldest evidence
-# first (the r02 tail that round 6's 50-row window did not reach), topped
-# up with the oldest r03 rows to fill the window.
-_PRIORITY_R07 = (
-    # (a) new in round 7
-    "g3_kcore", "a39_neyman_allocation", "a40_cohen_kappa",
-    "t42_url_hosts", "d20_store_match", "g4_label_propagation",
-    "t43_pmi_collocations", "e26_mutual_knn", "t44_zipf_slope",
-    "m14_capture_recapture",
-    # (b) stale-evidence rotation: last driver-sampled r01
-    "a16_salted_agg", "a18_grouping_rollup", "a19_kmv_distinct",
-    "f_math_hash_json",
-    # last driver-sampled r02
-    "a20_kmv_set_ops", "a21_incremental_rollup", "a22_sampled_quantile",
-    "a24_weighted_median", "d3_simhash", "d4_embedding_near_dup",
-    "e1_cosine_topk", "e2_lsh_ann",
-    "m2_length_weight", "m3_ols_cooks", "m5_impute_replicates",
-    "m7_interpolation", "m8_species_resolution", "m9_share_redistribution",
-    "mm1_binary_meta",
-    "t1_langid", "t2_quality_score", "t3_token_counts", "t4_fingerprint",
-    "t5_tfidf", "t6_stratified_sample", "ts1_subsequence_search",
-    "v_categorical", "v_combined", "v_dates", "v_duration", "v_imei",
-    "v_outlier_fishers", "v_price", "v_price_per_kg", "v_regularity",
-    "v_unit_conversion",
-    "w1_lead_lag", "w2_top1_per_group", "w3_group_share",
-    "w4_spine_completion", "w5_proration", "w7_rolling_range",
-    # top-up: oldest r03 rows
+# Registry front-of-line for round 8.  The driver records ~50 CORRECTNESS
+# rows per round in registry order.  Round 7 sampled 50/50 green (no red
+# rows to lead with), so round 8 is (a) the queries added this round,
+# then (b) the full stale-evidence tail: both r02 leftovers and EVERY
+# query whose last driver sample is r03 (verdict r07 ask #2 — after this
+# window no query's evidence predates r04), then (c) the oldest r04 rows
+# as top-up.
+_PRIORITY_R08 = (
+    # (a) new in round 8 (names uncommented as each lands)
+    # (b) last driver-sampled r02
+    "w5_proration", "w7_rolling_range",
+    # last driver-sampled r03 (complete set, alphabetical)
     "a25_count_min", "a27_funnel", "a28_retention_cohorts",
+    "d10_lsh_eval", "d6_decontaminate", "d8_cross_source_overlap",
+    "d9_segment_dedup", "e10_ann_recall", "e11_semdedup", "e12_mmr_topk",
+    "e8_pq_adc_topk", "e9_silhouette", "m4_poisson_glm",
+    "mm2_resize_plumbing", "mm3_image_decode", "mm4_audio_decode",
+    "mm5_video_frame_sample", "mm6_phash_neardup", "mm7_silence_runs",
+    "mm8_image_resize", "mm9_scene_cuts",
+    "p13_snapshot_diff", "p14_profile_columns",
+    "t10_heavy_hitters", "t11_shuffle_shards", "t12_chunking",
+    "t13_quality_gate", "t14_group_split", "t15_unigram_logprob",
+    "t16_pack_sequences", "t17_mixture_sample", "t18_bigram_logprob",
+    "t19_quality_buckets", "t24_dsir_select",
+    "t7_redact", "t8_weighted_sample", "t9_repetition",
+    "ts3_seasonal_decompose", "ts4_cusum_changepoint",
+    "w8_cumulative_distinct", "w9_rolling_slope",
+    # (c) top-up: oldest r04 rows
+    "a26_winsorize", "a29_ab_test", "a30_log_histogram_quantiles",
 )
-_PRIORITY_R04 = _PRIORITY_R07  # kept name used by registry()
+_PRIORITY_R04 = _PRIORITY_R08  # kept name used by registry()
 
 
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
