@@ -6,7 +6,9 @@ serially (R/estimate-catch.R:24-60); in Spark the region is just another
 group key, so the "embarrassingly parallel" loop disappears into the
 shuffle.
 
-Steps: per (region, month) trip aggregates -> month-spine completion ->
+Steps: imei->modal-region fill on merged trips (fill_missing_regions,
+R/estimate-catch.R:561-581) -> per (region, month) trip aggregates ->
+month-spine completion ->
 linear-interpolation imputation (M7 replaces Amelia; deterministic) ->
 catch = landing_catch x n_landings_per_boat x n_boats -> national rollup
 (mean of municipal means / sum of sums, A13, R/estimate-catch.R:487-532).
@@ -18,6 +20,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from peskas_timor_data_pipeline_spark.operators.interpolate import interpolate_linear
+from peskas_timor_data_pipeline_spark.operators.windows import mode_per_group
+
+
+def fill_missing_regions(
+    trips: DataFrame,
+    region_col: str = "region",
+    imei_col: str = "tracker_imei",
+) -> DataFrame:
+    """Fill NULL regions from the boat tracker's modal region —
+    `fill_missing_regions` (R/estimate-catch.R:561-581, applied to merged
+    trips at R/estimate-catch.R:30 and R/format-public-data.R:34): a boat
+    whose trips usually land in one municipality almost certainly landed
+    its unlabelled trips there too.
+
+    Composition of two green operators: A5 `mode_per_group` (most
+    frequent non-null region per imei, ties broken by region name — the
+    reference's count() emits groups region-ascending so `first()` after
+    a stable desc-n arrange resolves ties the same way) and the J4
+    join+coalesce. The reference full-joins; every imei in the fill dim
+    comes FROM trips, so no right-only rows can exist and a left join is
+    plan-identical — broadcast-able, since the dim is bounded by the
+    fleet size (thousands of imeis), never by trip count.
+
+    Trips with a NULL imei, or whose imei has no labelled trip anywhere,
+    keep their NULL region (same as the reference)."""
+    imei_regions = mode_per_group(
+        trips.filter(
+            F.col(imei_col).isNotNull() & F.col(region_col).isNotNull()
+        ),
+        [imei_col],
+        region_col,
+        out_col="__region_fill__",
+    )
+    return (
+        trips.join(F.broadcast(imei_regions), imei_col, "left")
+        .withColumn(
+            region_col, F.coalesce(F.col(region_col), F.col("__region_fill__"))
+        )
+        .drop("__region_fill__")
+    )
 
 
 def monthly_indicators(trips: DataFrame) -> DataFrame:

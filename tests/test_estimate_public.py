@@ -232,3 +232,40 @@ def test_impute_pmm_draws_only_observed_values(spark):
     assert out[("B", "p1")].v == 7.0
     # no donors at all: stays null but flagged
     assert out[("C", "p0")].v is None and out[("C", "p0")].is_imputed
+
+
+def test_fill_missing_regions(spark):
+    """The imei->modal-municipality fill (R/estimate-catch.R:561-581):
+    NULL regions inherit the boat tracker's most frequent labelled region;
+    ties break on region name; null-imei trips and imeis with no labelled
+    trip anywhere stay NULL."""
+    from peskas_timor_data_pipeline_spark.pipeline.estimate_pipeline import (
+        fill_missing_regions,
+    )
+
+    rows = [
+        # imei 100: Dili twice, Baucau once -> modal is Dili
+        (1, 100, "Dili"),
+        (2, 100, "Dili"),
+        (3, 100, "Baucau"),
+        (4, 100, None),          # filled with Dili
+        # imei 200: tie Aileu/Baucau -> alphabetical first (Aileu)
+        (5, 200, "Baucau"),
+        (6, 200, "Aileu"),
+        (7, 200, None),          # filled with Aileu
+        # imei 300: never labelled -> stays NULL
+        (8, 300, None),
+        # no tracker at all -> stays NULL
+        (9, None, None),
+    ]
+    trips = spark.createDataFrame(
+        rows, "landing_id int, tracker_imei int, region string"
+    )
+    out = {r.landing_id: r.region for r in fill_missing_regions(trips).collect()}
+    assert out == {
+        1: "Dili", 2: "Dili", 3: "Baucau", 4: "Dili",
+        5: "Baucau", 6: "Aileu", 7: "Aileu",
+        8: None, 9: None,
+    }
+    # labelled rows are never overwritten and row count is preserved
+    assert len(out) == len(rows)
