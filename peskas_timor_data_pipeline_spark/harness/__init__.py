@@ -29,7 +29,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # window no query's evidence predates r04), then (c) the oldest r04 rows
 # as top-up.
 _PRIORITY_R08 = (
-    # (a) new in round 8 (names uncommented as each lands)
+    # (a) new in round 8 (names appended as each lands)
+    "d20b_store_match_banded",
     # (b) last driver-sampled r02
     "w5_proration", "w7_rolling_range",
     # last driver-sampled r03 (complete set, alphabetical)

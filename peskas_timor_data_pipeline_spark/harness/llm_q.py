@@ -6019,6 +6019,55 @@ FROM (
 QUERIES["d20_store_match"] = (d20_store_match, _d20_sql())
 
 
+def d20b_store_match_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d20 through the BANDED store path: the store's LSH band rows are
+    persisted hive-partitioned on the band-key prefix
+    (llm/dedup.py::store_band_rows; corpus pipeline ``band_store``
+    artifact) and the matcher (match_signature_store with
+    ``store_bands``) prunes its store-side scan to the prefixes the batch
+    collides with, never re-deriving the store's bands. Pruning is
+    lossless — candidates need band_key equality and equal keys share
+    every prefix — so the verdicts are bit-identical to d20 and this
+    query shares d20's oracle. The steady-state crawl shape: per-batch
+    store IO tracks the colliding fraction, not store size."""
+    import tempfile
+
+    from peskas_timor_data_pipeline_spark.llm.dedup import (
+        match_signature_store, minhash_signature, store_band_rows,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"),
+                         F.lit(" fresh crawl tail segment")).alias("text"),
+            )
+        )
+    )
+    store_sigs = minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
+    batch_sigs = minhash_signature(batch, "doc_id", "text", N_HASHES, K_SHINGLE)
+    path = tempfile.mkdtemp(prefix="band_store_") + "/bands"
+    (
+        store_band_rows(store_sigs, "doc_id", N_HASHES, BAND_SIZE)
+        .repartition("band_pfx")
+        .write.mode("overwrite")
+        .partitionBy("band_pfx")
+        .parquet(path)
+    )
+    return match_signature_store(
+        batch_sigs, store_sigs, "doc_id", N_HASHES, BAND_SIZE,
+        min_agree=_D20_MIN_AGREE,
+        store_bands=spark.read.parquet(path),
+    )
+
+
+QUERIES["d20b_store_match_banded"] = (d20b_store_match_banded, _d20_sql())
+
+
 # --- T43: PMI collocations ---------------------------------------------------------------
 
 def t43_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:

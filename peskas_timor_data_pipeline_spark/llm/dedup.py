@@ -133,11 +133,16 @@ def minhash_signature(
 
 
 def band_rows(
-    signatures: DataFrame, id_col: str, n_hashes: int, band_size: int
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    band_size: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, band_key) long frame of LSH band bucket keys — the shared
-    upstream of candidate pairing, the duplication-rate scout, and the
-    bucket-cap policy."""
+    """(id, band_key[, *carry]) long frame of LSH band bucket keys — the
+    shared upstream of candidate pairing, the duplication-rate scout, the
+    bucket-cap policy, and (with ``carry``) the persistable band store
+    whose rows keep the signature columns alongside each key."""
     n_bands = n_hashes // band_size
     bands = [
         F.md5(
@@ -149,8 +154,9 @@ def band_rows(
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
-    return signatures.select(F.col(id_col), *bands).select(
+    return signatures.select(F.col(id_col), *carry, *bands).select(
         id_col,
+        *carry,
         F.explode(
             F.array(*[F.col(f"band{b}") for b in range(n_bands)])
         ).alias("band_key"),
@@ -1256,6 +1262,48 @@ def pick_band_config(
     return int(rows[0].n_bands), int(rows[0].band_size)
 
 
+def store_band_rows(
+    store_sigs: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    band_size: int,
+    prefix_len: int = 2,
+    include_sigs: bool = True,
+) -> DataFrame:
+    """The persistable band-row layout of a signature store:
+    (store_id[, h0..h{n-1}], band_key, band_pfx) where ``band_pfx`` is
+    the leading ``prefix_len`` hex chars of the band key — md5 output, so
+    the 16^len prefix values split the store uniformly (256 partitions at
+    the default). Write it hive-partitioned on ``band_pfx`` (one
+    repartition on the prefix keeps files per partition bounded) and the
+    steady-state matcher (:func:`match_signature_store` with
+    ``store_bands``) prunes its store-side scan to the partitions an
+    incoming batch actually collides with, and never re-derives the
+    store's bands — the two costs that otherwise grow linearly with store
+    size per micro-batch.
+
+    ``include_sigs`` denormalizes the signature slots INTO each band row
+    (n_bands-fold duplication of the h columns — a few hundred bytes per
+    doc, nothing next to corpus text): the slot comparison then runs on
+    the already-pruned band rows and the match never touches the separate
+    signature store at all, making per-batch store IO proportional to the
+    COLLIDING store fraction with no residual full-store scan."""
+    carry = tuple(f"h{j}" for j in range(n_hashes)) if include_sigs else ()
+    rows = band_rows(store_sigs, id_col, n_hashes, band_size, carry=carry)
+    if id_col != "store_id":
+        rows = rows.withColumnRenamed(id_col, "store_id")
+    return rows.withColumn(
+        "band_pfx", F.substring("band_key", 1, prefix_len)
+    ).withColumn(
+        # band keys are md5(band_index | h...h) — a batch banded at a
+        # DIFFERENT band_size would produce disjoint keys and silently
+        # match nothing, so the artifact carries its build geometry (a
+        # constant column RLE-compresses to nothing) for readers to
+        # validate against
+        "band_size", F.lit(band_size)
+    )
+
+
 def match_signature_store(
     batch_sigs: DataFrame,
     store_sigs: DataFrame,
@@ -1263,6 +1311,7 @@ def match_signature_store(
     n_hashes: int,
     band_size: int,
     min_agree: int,
+    store_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup of a NEW batch against an existing signature
     STORE — the steady-state shape of a 100 TB crawl pipeline: the corpus
@@ -1283,28 +1332,119 @@ def match_signature_store(
 
     Returns (batch_id, store_id, n_agree, est_jaccard_ppm) with
     est_jaccard_ppm = n_agree * 1e6 div n_hashes (exact integer).
+
+    ``store_bands`` (from :func:`store_band_rows`, usually read back from
+    a hive-partitioned parquet artifact) switches on the banded-store
+    path: the store's band rows are NOT re-derived, and when the frame
+    carries a ``band_pfx`` partition column the store-side scan is pruned
+    to the prefixes the batch actually produces — the batch's distinct
+    prefixes are a bounded driver-side set (at most 16^prefix_len values,
+    256 at the default — a policy aggregate, not a data-path collect), so
+    the IN filter lands in the scan's PartitionFilters and non-colliding
+    store partitions contribute zero IO. Pruning is lossless: candidates
+    require band_key equality, and equal keys share every prefix.
+
+    When the band rows also carry the signature slots (store_band_rows
+    ``include_sigs``, the default artifact layout), the slot comparison
+    runs directly on the pruned band rows and ``store_sigs`` is never
+    scanned — without this, the candidate->signature join still reads
+    the full signature store every batch.
     """
+    import re
+
     from pyspark.sql.window import Window
 
     bb = band_rows(batch_sigs, id_col, n_hashes, band_size).withColumnRenamed(
         id_col, "batch_id"
     )
-    sb = band_rows(store_sigs, id_col, n_hashes, band_size).withColumnRenamed(
-        id_col, "store_id"
-    )
-    cand = bb.join(sb, "band_key").select("batch_id", "store_id").distinct()
-    agree = sum(
-        F.when(F.col(f"ba.h{j}") == F.col(f"sa.h{j}"), 1).otherwise(0)
-        for j in range(n_hashes)
-    )
-    scored = (
-        cand.join(batch_sigs.alias("ba"),
-                  cand["batch_id"] == F.col(f"ba.{id_col}"))
-        .join(store_sigs.alias("sa"),
-              cand["store_id"] == F.col(f"sa.{id_col}"))
-        .select("batch_id", "store_id", agree.cast("int").alias("n_agree"))
-        .filter(F.col("n_agree") >= min_agree)
-    )
+    carried = False
+    if store_bands is None:
+        sb = band_rows(store_sigs, id_col, n_hashes, band_size).withColumnRenamed(
+            id_col, "store_id"
+        )
+    else:
+        sb = store_bands
+        hcols = sorted(
+            (c for c in sb.columns if re.fullmatch(r"h\d+", c)),
+            key=lambda c: int(c[1:]),
+        )
+        if hcols and len(hcols) != n_hashes:
+            raise ValueError(
+                f"signature geometry mismatch: store band rows carry "
+                f"{len(hcols)} hash slots, caller asked for "
+                f"n_hashes={n_hashes}"
+            )
+        carried = bool(hcols)
+        if "band_size" in sb.columns:
+            # the artifact carries its build geometry; a batch banded at
+            # a different band_size would produce disjoint md5 keys and
+            # silently match nothing — refuse instead
+            g = sb.select("band_size").first()
+            if g is not None and g[0] != band_size:
+                raise ValueError(
+                    f"band geometry mismatch: store bands were built at "
+                    f"band_size={g[0]}, caller asked for {band_size}"
+                )
+        keep = ["store_id", "band_key", *hcols]
+        if "band_pfx" in sb.columns:
+            # prefix width from ONE store row (limit-1 scan, not a pass)
+            probe = sb.select("band_pfx").first()
+            if probe is None:
+                # empty store: no candidates by construction
+                sb = sb.select(*keep)
+            else:
+                plen = len(probe[0])
+                # batch side computes once, feeds both the prefix set and
+                # the join (without the cut the signature lineage runs
+                # twice)
+                bb = materialize(bb)
+                pfx = sorted(
+                    r[0]
+                    for r in bb.select(
+                        F.substring("band_key", 1, plen).alias("p")
+                    )
+                    .distinct()
+                    .collect()
+                )
+                sb = sb.filter(F.col("band_pfx").isin(pfx)).select(*keep)
+        else:
+            sb = sb.select(*keep)
+        if carried:
+            # disambiguate from the batch signature's h columns
+            sb = sb.select(
+                "store_id",
+                "band_key",
+                *[F.col(f"h{j}").alias(f"__sh{j}") for j in range(n_hashes)],
+            )
+    if carried:
+        # slot comparison directly on the pruned band rows: the separate
+        # signature store is never read — per-batch store IO is the
+        # colliding band partitions, full stop
+        pairs = bb.join(sb, "band_key").dropDuplicates(["batch_id", "store_id"])
+        agree = sum(
+            F.when(F.col(f"ba.h{j}") == F.col(f"__sh{j}"), 1).otherwise(0)
+            for j in range(n_hashes)
+        )
+        scored = (
+            pairs.join(batch_sigs.alias("ba"),
+                       pairs["batch_id"] == F.col(f"ba.{id_col}"))
+            .select("batch_id", "store_id", agree.cast("int").alias("n_agree"))
+            .filter(F.col("n_agree") >= min_agree)
+        )
+    else:
+        cand = bb.join(sb, "band_key").select("batch_id", "store_id").distinct()
+        agree = sum(
+            F.when(F.col(f"ba.h{j}") == F.col(f"sa.h{j}"), 1).otherwise(0)
+            for j in range(n_hashes)
+        )
+        scored = (
+            cand.join(batch_sigs.alias("ba"),
+                      cand["batch_id"] == F.col(f"ba.{id_col}"))
+            .join(store_sigs.alias("sa"),
+                  cand["store_id"] == F.col(f"sa.{id_col}"))
+            .select("batch_id", "store_id", agree.cast("int").alias("n_agree"))
+            .filter(F.col("n_agree") >= min_agree)
+        )
     w = Window.partitionBy("batch_id").orderBy(
         F.col("n_agree").desc(), F.col("store_id").asc()
     )

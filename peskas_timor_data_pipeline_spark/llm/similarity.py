@@ -1525,17 +1525,24 @@ def ivfpq_build(
         )
     )
     # --- assignment: nearest cell by L2, min_by aggregate (no window) ---
+    # The xN_cells expansion carries ONLY (cand_id, cell_id, l2): routing
+    # the dim-double vector array through the expanded rows and the agg
+    # buffers is pure memcpy (n x n_cells x 8*dim bytes — the dominant
+    # build cost at the r07 profile); vectors rejoin by id afterwards,
+    # one slim shuffle of n rows.
     c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__v__"))
-    assigned = (
+    assign_codes = (
         c.crossJoin(cents)
-        .select("cand_id", "__v__", "cell_id", l2_fold("__v__", "cvec").alias("__l2__"))
+        .select("cand_id", "cell_id", l2_fold("__v__", "cvec").alias("__l2__"))
         .groupBy("cand_id")
         .agg(
             F.min_by("cell_id", F.struct(F.col("__l2__"), F.col("cell_id"))).alias(
                 "cell_id"
-            ),
-            F.first("__v__").alias("__v__"),
+            )
         )
+    )
+    assigned = (
+        assign_codes.join(c, "cand_id")
         .join(cents.withColumnRenamed("cvec", "__cv__"), "cell_id")
     )
     assigned = materialize(
@@ -1550,22 +1557,27 @@ def ivfpq_build(
         )
     )
     # --- encode: all m_sub residual-subvector argmins in one aggregation ---
+    # same slimming as assignment: the x k_cb codebook expansion carries
+    # only the code ids and fold distances (n x k_cb rows of a few dozen
+    # bytes instead of two dim-double arrays each); the flat vector for
+    # the optional refine path rejoins by id at the end
     enc_dists = [
         res_fold("__rd__", m).alias(f"__d{m}__") for m in range(m_sub)
     ]
-    enc_scored = assigned.crossJoin(rcb).select(
-        "cand_id", "cell_id", "cid", "__v__", *enc_dists
+    enc_scored = assigned.crossJoin(rcb).select("cand_id", "cid", *enc_dists)
+    codes = enc_scored.groupBy("cand_id").agg(
+        *[
+            F.min_by("cid", F.struct(F.col(f"__d{m}__"), F.col("cid"))).alias(
+                f"__c{m}__"
+            )
+            for m in range(m_sub)
+        ],
     )
     encoded = materialize(
-        enc_scored.groupBy("cand_id").agg(
-            F.first("cell_id").alias("cell_id"),
-            F.first("__v__").alias("__v__"),
-            *[
-                F.min_by("cid", F.struct(F.col(f"__d{m}__"), F.col("cid"))).alias(
-                    f"__c{m}__"
-                )
-                for m in range(m_sub)
-            ],
+        codes.join(assigned.select("cand_id", "cell_id", "__v__"), "cand_id")
+        .select(
+            "cand_id", "cell_id", "__v__",
+            *[f"__c{m}__" for m in range(m_sub)],
         ),
         checkpoint_dir,
     )

@@ -41,6 +41,7 @@ from peskas_timor_data_pipeline_spark.llm.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signature,
+    store_band_rows,
     repeated_span_mask,
 )
 from peskas_timor_data_pipeline_spark.llm.cluster import resolve_duplicates
@@ -182,6 +183,19 @@ def build_corpus_pipeline(
             near_deduped, "doc_id", "norm_text", n_hashes=n_hashes
         )
 
+    @pipe.stage(
+        "band_store", inputs=["signature_store"], partition_cols=["band_pfx"]
+    )
+    def band_store(spark: SparkSession, signature_store: DataFrame) -> DataFrame:
+        # the store's LSH band rows, persisted hive-partitioned on the
+        # band-key prefix: the steady-state matcher prunes its store-side
+        # scan to the prefixes an incoming batch collides with and never
+        # re-derives the store's bands — without this, every micro-batch
+        # re-bands and re-shuffles the WHOLE store (linear in store size)
+        return store_band_rows(
+            signature_store, "doc_id", n_hashes, band_size
+        ).repartition("band_pfx")
+
     @pipe.stage("masked", inputs=["near_deduped"])
     def masked(spark: SparkSession, near_deduped: DataFrame) -> DataFrame:
         spans = repeated_span_mask(near_deduped, "doc_id", "norm_text", k_min=k_span)
@@ -229,15 +243,31 @@ def dedup_incoming_slice(
     passing a different value than the store was built with would
     silently compare a slot subset (or fail on missing columns); the
     store schema is the single source of truth.
+
+    When the pipeline's ``band_store`` artifact exists (hive-partitioned
+    band rows, built by the full run), the match uses it: the store's
+    bands are not re-derived and the store-side scan prunes to the
+    band-key prefixes the slice actually collides with — per-slice cost
+    then tracks the COLLIDING store fraction, not total store size.
+    Falls back to on-the-fly banding for stores built before the
+    artifact existed.
     """
     import re
 
     from peskas_timor_data_pipeline_spark.llm.dedup import (
         match_signature_store,
     )
-    from peskas_timor_data_pipeline_spark.sources.io import read_stage
+    from peskas_timor_data_pipeline_spark.sources.io import (
+        read_stage,
+        resolve_latest,
+    )
 
     store_sigs = read_stage(spark, artifact_dir, "signature_store")
+    store_bands = (
+        read_stage(spark, artifact_dir, "band_store")
+        if resolve_latest(artifact_dir, "band_store", "parquet") is not None
+        else None
+    )
     n_hashes = sum(
         1 for c in store_sigs.columns if re.fullmatch(r"h\d+", c)
     )
@@ -258,7 +288,8 @@ def dedup_incoming_slice(
         slice_df, "doc_id", "norm_text", n_hashes=n_hashes
     )
     verdicts = match_signature_store(
-        slice_sigs, store_sigs, "doc_id", n_hashes, band_size, min_agree
+        slice_sigs, store_sigs, "doc_id", n_hashes, band_size, min_agree,
+        store_bands=store_bands,
     )
     new_docs = slice_df.join(
         verdicts.select(F.col("batch_id").alias("doc_id")),

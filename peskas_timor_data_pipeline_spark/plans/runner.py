@@ -26,6 +26,7 @@ from peskas_timor_data_pipeline_spark.sources.io import (
     read_stage,
     resolve_latest,
     write_stage,
+    write_stage_partitioned,
 )
 
 log = logging.getLogger(__name__)
@@ -36,6 +37,7 @@ class Stage:
     name: str
     fn: Callable[..., DataFrame]          # (spark, **input_dfs) -> DataFrame
     inputs: list[str] = field(default_factory=list)  # upstream stage names
+    partition_cols: list[str] = field(default_factory=list)  # hive layout
 
 
 @dataclass
@@ -44,11 +46,19 @@ class Pipeline:
     artifact_dir: str
     stages: list[Stage] = field(default_factory=list)
 
-    def stage(self, name: str, inputs: list[str] | None = None):
-        """Decorator registration: @pipe.stage("merged", inputs=["v1","v2"])."""
+    def stage(
+        self,
+        name: str,
+        inputs: list[str] | None = None,
+        partition_cols: list[str] | None = None,
+    ):
+        """Decorator registration: @pipe.stage("merged", inputs=["v1","v2"]).
+        ``partition_cols`` writes the stage artifact hive-partitioned so
+        downstream readers filtering on those columns prune at the
+        directory level (e.g. the band store's band-key prefix)."""
 
         def deco(fn: Callable[..., DataFrame]) -> Callable[..., DataFrame]:
-            self.stages.append(Stage(name, fn, inputs or []))
+            self.stages.append(Stage(name, fn, inputs or [], partition_cols or []))
             return fn
 
         return deco
@@ -98,7 +108,12 @@ class Pipeline:
             }
             log.info("stage %s: running (inputs=%s)", st.name, st.inputs)
             out = st.fn(self.spark, **upstream)
-            paths[st.name] = write_stage(out, self.artifact_dir, st.name)
+            if st.partition_cols:
+                paths[st.name] = write_stage_partitioned(
+                    out, self.artifact_dir, st.name, st.partition_cols
+                )
+            else:
+                paths[st.name] = write_stage(out, self.artifact_dir, st.name)
             with open(self._meta_path(st), "w") as f:
                 json.dump({"inputs": fp}, f)
             log.info("stage %s -> %s", st.name, paths[st.name])

@@ -239,6 +239,7 @@ def store_dedup_sink(
     k_shingle: int = 5,
     min_agree: int = 12,
     trigger_available_now: bool = True,
+    band_store: str | None = None,
 ) -> DataStreamWriter:
     """Streaming front door for the incremental signature-store dedup
     (llm/dedup.py::match_signature_store): each micro-batch of incoming
@@ -260,6 +261,15 @@ def store_dedup_sink(
     micro-batch with missing-file errors; fine for availableNow drains,
     wrong for continuous mode. Checkpointed batch ids + overwrite-by-
     batch-partition keep the sink effectively-once on replay.
+
+    ``band_store``: path to the store's persisted band rows
+    (llm/dedup.py::store_band_rows written hive-partitioned on
+    ``band_pfx`` — the corpus pipeline's ``band_store`` artifact). With
+    it, each micro-batch neither re-derives nor re-shuffles the store's
+    bands: the equi-join reads only the band-prefix partitions the batch
+    collides with, so per-batch store IO tracks the colliding fraction
+    instead of total store size — the difference between O(store) and
+    O(batch) work per micro-batch on a crawl-scale store.
     """
     from pyspark.sql import functions as F
 
@@ -301,10 +311,16 @@ def store_dedup_sink(
                 "zero bands would match nothing"
             )
         bsig = minhash_signature(batch, id_col, text_col, n_hashes, k_shingle)
+        store_bands = (
+            batch.sparkSession.read.parquet(band_store)
+            if band_store is not None
+            else None
+        )
         # the matcher's own batch_id column is the DOC id; the micro-batch
         # sequence number gets its own name to avoid shadowing it
         verdicts = match_signature_store(
-            bsig, store, id_col, n_hashes, band_size, min_agree
+            bsig, store, id_col, n_hashes, band_size, min_agree,
+            store_bands=store_bands,
         ).withColumn("micro_batch_id", F.lit(batch_id))
         (
             verdicts.write.mode("overwrite")

@@ -32,7 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 STAGES = ("normalized", "quality_gated", "lm_gated", "exact_deduped",
-          "near_deduped", "masked", "packed")
+          "near_deduped", "signature_store", "band_store", "masked",
+          "packed")
 
 
 def _ui(spark):
@@ -145,6 +146,129 @@ def run_scale(spark, label: str, source_parquet: str, workdir: str) -> dict:
             "rows": rows, "stages": per_stage}
 
 
+def synth_unique(spark, src_sf_dir: str, out_path: str, mult: int) -> int:
+    """``mult`` genuinely-unique variants per source doc: the text is a
+    40-token md5 soup keyed on (doc_id, variant, i), so no two docs share
+    shingles — the store for the incremental-scaling measurement must
+    actually BE 10x bigger after dedup (the planted-dup corpus of
+    synth_10x collapses back to ~1x, by design)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{src_sf_dir}/documents.parquet").select("doc_id")
+    blown = (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("v"),
+        )
+        .select(
+            (F.col("doc_id") * 16 + F.col("v")).alias("doc_id"),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, 40),"
+                    " i -> md5(concat_ws('#', doc_id, v, i)))"
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    blown.repartition(32).write.mode("overwrite").parquet(out_path)
+    return blown.count()
+
+
+def build_store_only(spark, source_parquet: str, workdir: str) -> None:
+    """Minimal pipeline run that materializes the signature_store and
+    band_store artifacts (gates open so the token-soup corpus survives)."""
+    from peskas_timor_data_pipeline_spark.pipeline.corpus_pipeline import (
+        build_corpus_pipeline,
+        ingest_corpus,
+    )
+
+    if os.path.exists(workdir):
+        shutil.rmtree(workdir)
+    os.makedirs(workdir)
+    ingest_corpus(spark, workdir, source_parquet)
+    build_corpus_pipeline(
+        spark, workdir, min_quality=0.0, max_dup_line_ppm=1_000_000,
+    ).run(only={"normalized", "quality_gated", "exact_deduped",
+                "near_deduped", "signature_store", "band_store"})
+
+
+def run_incremental(spark, label: str, workdir: str) -> dict:
+    """Steady-state slice dedup against the store built in ``workdir``:
+    a fixed 24-doc incoming slice (12 recrawls + 12 novel) matched via
+    the BANDED store path (band_store artifact: hive-partitioned band
+    rows carrying the signature slots, prefix-pruned scan, store never
+    re-banded) and, as the contrast, via the signature-only path (full
+    store scan + re-band per batch). Each path runs once unmeasured
+    (file-listing + codegen warmup) then once measured. The banded
+    store-side scan must track the COLLIDING fraction (bounded by the
+    slice's band-key count / 256 partitions) as the store grows 10x;
+    the unbanded path's scan grows with the store by construction."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import (
+        match_signature_store,
+        minhash_signature,
+    )
+    from peskas_timor_data_pipeline_spark.pipeline.corpus_pipeline import (
+        dedup_incoming_slice,
+    )
+
+    store_rows = spark.read.parquet(_latest(workdir, "near_deduped")).select(
+        "doc_id", "norm_text"
+    )
+    recrawl = store_rows.orderBy("doc_id").limit(12).collect()
+    slice_rows = [
+        (int(r.doc_id) + 10_000_000, r.norm_text) for r in recrawl
+    ] + [
+        (20_000_000 + i, f"novel slice document {i} " * 12) for i in range(12)
+    ]
+    slice_df = spark.createDataFrame(
+        slice_rows, "doc_id long, norm_text string"
+    )
+
+    def window(fn):
+        fn()  # warmup: listing, codegen, broadcast build
+        seen = max((st.get("stageId", -1) for st in _stages(spark)), default=-1)
+        t0 = time.time()
+        n = fn()
+        wall = round(time.time() - t0, 2)
+        return {"wall_s": wall, "verdicts": n,
+                **_window_metrics(_stages(spark), seen)}
+
+    # banded path (band_store artifact present after the full build)
+    banded = window(
+        lambda: dedup_incoming_slice(spark, workdir, slice_df)[1].count()
+    )
+    # signature-only contrast: full store scan + re-band per batch
+    store_sigs = spark.read.parquet(_latest(workdir, "signature_store"))
+    slice_sigs = minhash_signature(slice_df, "doc_id", "norm_text", n_hashes=16)
+    unbanded = window(
+        lambda: match_signature_store(
+            slice_sigs, store_sigs, "doc_id", 16, 8, 12
+        ).count()
+    )
+
+    def _tree_bytes(path):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, files in os.walk(path)
+            for f in files
+        )
+
+    band_bytes = _tree_bytes(_latest(workdir, "band_store"))
+    sig_bytes = _tree_bytes(_latest(workdir, "signature_store"))
+    return {
+        "label": label,
+        "slice_rows": len(slice_rows),
+        "band_store_bytes": band_bytes,
+        "signature_store_bytes": sig_bytes,
+        "banded_scan_fraction_of_band_store": round(
+            banded["input"] / max(band_bytes, 1), 3
+        ),
+        "banded": banded,
+        "unbanded": unbanded,
+    }
+
+
 def _latest(artifact_dir: str, name: str) -> str:
     from peskas_timor_data_pipeline_spark.sources.io import resolve_latest
 
@@ -173,12 +297,51 @@ def main() -> int:
                    os.path.join(base, "art_1x"))
     r10 = run_scale(spark, "10x (50k docs)", x10_path,
                     os.path.join(base, "art_10x"))
+    # incremental-path scaling needs stores that genuinely ARE 1x and
+    # 10x after dedup (the planted-dup corpus collapses back to ~1x)
+    u1_path = os.path.join(base, "docs_u1.parquet")
+    u10_path = os.path.join(base, "docs_u10.parquet")
+    synth_unique(spark, SF_DIR, u1_path, 1)
+    synth_unique(spark, SF_DIR, u10_path, 10)
+    build_store_only(spark, u1_path, os.path.join(base, "store_u1"))
+    build_store_only(spark, u10_path, os.path.join(base, "store_u10"))
+    inc1 = run_incremental(spark, "slice vs 1x store (5k unique docs)",
+                           os.path.join(base, "store_u1"))
+    inc10 = run_incremental(spark, "slice vs 10x store (50k unique docs)",
+                            os.path.join(base, "store_u10"))
 
     def tot(r, k):
         return sum(s.get(k, 0) for s in r["stages"].values())
 
     result = {
         "runs": [r1, r10],
+        "incremental": {
+            "runs": [inc1, inc10],
+            "banded_store_input_ratio_10x_over_1x": round(
+                inc10["banded"]["input"] / max(inc1["banded"]["input"], 1), 2
+            ),
+            "unbanded_store_input_ratio_10x_over_1x": round(
+                inc10["unbanded"]["input"]
+                / max(inc1["unbanded"]["input"], 1), 2
+            ),
+            "banded_wall_ratio_10x_over_1x": round(
+                inc10["banded"]["wall_s"]
+                / max(inc1["banded"]["wall_s"], 0.01), 2
+            ),
+            "notes": (
+                "fixed 24-doc slice vs the 1x and 10x stores; banded = "
+                "band_store artifact (prefix-pruned, signatures carried "
+                "in band rows, store never re-banded), unbanded = "
+                "signature-only store re-banded per batch. 'input' is "
+                "the engine-accounted scan bytes in each window. At this "
+                "toy scale the banded path's absolute wall is HIGHER "
+                "(256-partition listing + prefix-set overhead dwarf a "
+                "2MB full scan); the scale signal is the bytes: banded "
+                "store-side scan is flat in store size (bounded by the "
+                "slice's colliding partitions), unbanded grows with the "
+                "store."
+            ),
+        },
         "shuffle_write_ratio_10x_over_1x":
             round(tot(r10, "shuffle_write") / max(tot(r1, "shuffle_write"), 1), 2),
         "wall_ratio_10x_over_1x":
