@@ -29,8 +29,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # window no query's evidence predates r04), then (c) the oldest r04 rows
 # as top-up.
 _PRIORITY_R08 = (
-    # (a) new in round 8 (names appended as each lands)
-    "d20b_store_match_banded",
+    # (a) new in round 8
+    "d20b_store_match_banded", "d21_winnow_fingerprints", "m15_ks_drift",
+    "t45_js_divergence", "g5_ktruss", "m16_isotonic_calibration",
     # (b) last driver-sampled r02
     "w5_proration", "w7_rolling_range",
     # last driver-sampled r03 (complete set, alphabetical)

@@ -2112,3 +2112,54 @@ def _g4_sql(n_rounds: int = 3) -> str:
 
 
 QUERIES["g4_label_propagation"] = (g4_label_propagation, _g4_sql())
+
+
+def g5_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss peeling (operators/graph.py::k_truss) on the 1-in-20
+    co-purchase graph: edges must sit in >= k-2 triangles, 3 PINNED
+    peeling rounds (same pinned-prefix contract as g3's k-core — both
+    engines replay the identical peeling sequence). Strictly stronger
+    cohesion than the k-core: every surviving edge has k-2 triangle
+    witnesses on the survivor set."""
+    from peskas_timor_data_pipeline_spark.operators.graph import k_truss
+
+    return k_truss(_copurchase_pairs(spark, sf_dir, 20), "src", "dst",
+                   k=4, n_rounds=3)
+
+
+def _g5_sql(k: int = 4, n_rounds: int = 3) -> str:
+    ctes = ["""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 20 = 0)""", """e0 AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y USING (l_orderkey)
+  WHERE x.l_partkey < y.l_partkey
+)"""]
+    for i in range(n_rounds):
+        ctes.append(f"""tri{i} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e{i} e1 JOIN e{i} e2 ON e1.b = e2.a
+  WHERE EXISTS (SELECT 1 FROM e{i} e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+)""")
+        ctes.append(f"""sup{i} AS MATERIALIZED (
+  SELECT e.a, e.b, coalesce(c.support, 0) AS support
+  FROM e{i} e LEFT JOIN (
+    SELECT a, b, count(*) AS support FROM (
+      SELECT x AS a, y AS b FROM tri{i}
+      UNION ALL SELECT y AS a, z AS b FROM tri{i}
+      UNION ALL SELECT x AS a, z AS b FROM tri{i}
+    ) GROUP BY a, b
+  ) c USING (a, b)
+)""")
+        ctes.append(f"""e{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM sup{i} WHERE support >= {k - 2}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT a, b, CAST(support AS BIGINT) AS support,
+       {k} AS k, {n_rounds} AS n_rounds
+FROM sup{n_rounds - 1} WHERE support >= {k - 2}"""
+    )
+
+
+QUERIES["g5_ktruss"] = (g5_ktruss, _g5_sql())

@@ -6230,3 +6230,142 @@ FROM folded
 """
 
 QUERIES["t44_zipf_slope"] = (t44_zipf_slope, T44_ORACLE)
+
+
+# --- T45: Jensen-Shannon corpus drift ------------------------------------------------------
+
+def t45_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution JSD between the even- and odd-doc_id halves
+    of the corpus (llm/text.py::js_divergence) — the symmetric, bounded
+    mixture-drift measure. Per-token ln terms reduce via the house
+    scale-and-round idiom (floor(term*1e9 + 0.5) -> exact integer sum),
+    so the fold is order-independent on both engines."""
+    from peskas_timor_data_pipeline_spark.llm.text import js_divergence
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return js_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "text",
+    )
+
+
+T45_ORACLE = r"""
+WITH ta AS MATERIALIZED (
+  SELECT tok AS w, count(*) AS ca FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x != '')) AS tok
+    FROM documents WHERE doc_id % 2 = 0
+  ) GROUP BY 1
+), tb AS MATERIALIZED (
+  SELECT tok AS w, count(*) AS cb FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x != '')) AS tok
+    FROM documents WHERE doc_id % 2 = 1
+  ) GROUP BY 1
+), j AS MATERIALIZED (
+  SELECT coalesce(ta.ca, 0) AS ca, coalesce(tb.cb, 0) AS cb
+  FROM ta FULL OUTER JOIN tb USING (w)
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM j
+), terms AS (
+  SELECT
+    CASE WHEN ca > 0 THEN
+      (CAST(ca AS DOUBLE) / na)
+      * ln((CAST(ca AS DOUBLE) / na)
+           / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2.0))
+    ELSE 0.0 END AS term_a,
+    CASE WHEN cb > 0 THEN
+      (CAST(cb AS DOUBLE) / nb)
+      * ln((CAST(cb AS DOUBLE) / nb)
+           / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2.0))
+    ELSE 0.0 END AS term_b,
+    na, nb
+  FROM j CROSS JOIN tot
+)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(max(na) AS BIGINT) AS n_tokens_a,
+       CAST(max(nb) AS BIGINT) AS n_tokens_b,
+       round((sum(CAST(floor(term_a * 1000000000.0 + 0.5) AS BIGINT))
+              + sum(CAST(floor(term_b * 1000000000.0 + 0.5) AS BIGINT)))
+             / 2000000000.0, 6) AS jsd_nats
+FROM terms
+"""
+
+QUERIES["t45_js_divergence"] = (t45_js_divergence, T45_ORACLE)
+
+
+# --- D21: winnowing fingerprints (MOSS) ----------------------------------------------------
+
+def d21_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summary per document
+    (llm/dedup.py::winnow_fingerprints, Schleimer et al. 2003): k=16-char
+    grams, window 8, rightmost-min selection via the engine-portable
+    sortable-key encoding. Output is the per-doc fingerprint count, the
+    position sum, and the 48-bit-extension checksum of the selected
+    hashes (the d7b localization idiom), so any divergence names the
+    documents whose SELECTED set differs."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(
+            F.regexp_replace(F.col("text"), "[^\\x20-\\x7E]", "")
+        ).alias("text"),
+    )
+    fps = winnow_fingerprints(docs, "doc_id", "text", k_gram=16, window=8)
+    agg = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.sum("fp_pos").alias("pos_sum"),
+        F.sum(
+            F.conv(F.substring(F.md5("fp"), 1, 12), 16, 10).cast("long")
+        ).alias("fp_sum"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
+            F.coalesce("pos_sum", F.lit(0)).cast("long").alias("pos_sum"),
+            F.coalesce("fp_sum", F.lit(0)).cast("long").alias("fp_sum"),
+        )
+    )
+
+
+D21_ORACLE = f"""
+WITH norm AS ({_D7_NORM}),
+grams AS MATERIALIZED (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         substr(md5(substr(t, CAST(i AS INTEGER), 16)), 1, 8) AS h
+  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 15)) AS i
+        FROM norm WHERE length(t) >= 16)
+), keyed AS MATERIALIZED (
+  SELECT doc_id, pos,
+         h || '#' || lpad(CAST(10000000 - pos AS VARCHAR), 7, '0') AS k,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM grams
+), winmin AS MATERIALIZED (
+  SELECT doc_id, pos, n,
+         min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+  FROM keyed
+), sel AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         10000000 - CAST(substr(wmin, 10, 7) AS INTEGER) AS fp_pos,
+         substr(wmin, 1, 8) AS fp
+  FROM winmin
+  WHERE pos <= greatest(n - 8 + 1, 1)
+), agg AS (
+  SELECT doc_id, count(*) AS n_fps, sum(fp_pos) AS pos_sum,
+         sum(('0x' || substr(md5(fp), 1, 12))::BIGINT) AS fp_sum
+  FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_fps, 0) AS BIGINT) AS n_fps,
+       CAST(coalesce(pos_sum, 0) AS BIGINT) AS pos_sum,
+       CAST(coalesce(fp_sum, 0) AS BIGINT) AS fp_sum
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+QUERIES["d21_winnow_fingerprints"] = (d21_winnow_fingerprints, D21_ORACLE)

@@ -1645,3 +1645,133 @@ FROM stats
 """
 
 QUERIES["m14_capture_recapture"] = (m14_capture_recapture, M14_ORACLE)
+
+
+# --- M15: two-sample Kolmogorov-Smirnov drift test -----------------------------------------
+
+def m15_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (operators/estimate.py::ks_two_sample):
+    KS D between the click and purchase event-value distributions on a
+    1/100 value lattice (floor quantization — exact both engines), with
+    the Smirnov 5% critical value. Cumulative counts are exact integers;
+    the single division/abs/max chain is per-row + order-independent, so
+    no pinned-fold machinery is needed."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        ks_two_sample,
+    )
+
+    e = load(spark, sf_dir, "events")
+    return ks_two_sample(e, "event_type", "value", "click", "purchase")
+
+
+M15_ORACLE = """
+WITH t AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS bin,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+  FROM events WHERE event_type IN ('click', 'purchase')
+), pb AS MATERIALIZED (
+  SELECT bin, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb
+  FROM t GROUP BY bin
+), cum AS MATERIALIZED (
+  SELECT CAST(sum(ca) OVER (ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+  FROM pb
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+  FROM pb
+), agg AS (
+  SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+         max(CASE WHEN n_a > 0 AND n_b > 0 THEN
+             abs(CAST(cum_a AS DOUBLE) / n_a - CAST(cum_b AS DOUBLE) / n_b)
+             END) AS d
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN round(d, 6) END AS d_stat,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         round(1.358::DOUBLE * sqrt(CAST(n_a + n_b AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
+       END AS d_crit_95,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         CAST(d > 1.358::DOUBLE * sqrt(CAST(n_a + n_b AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS INTEGER)
+       END AS drift_95
+FROM agg
+"""
+
+QUERIES["m15_ks_drift"] = (m15_ks_drift, M15_ORACLE)
+
+
+# --- M16: isotonic calibration (closed-form PAV) --------------------------------------------
+
+def m16_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned isotonic calibration (operators/estimate.py::isotonic_fit,
+    minimax form of pool-adjacent-violators): scores are the fractional
+    parts of event values (uniform [0,1)), labels are md5-seeded
+    Bernoulli draws with P(y=1)=score — calibrated by construction, so
+    the monotone fit should hug the diagonal. Bin means are exact-integer
+    ratios; running-min/max over doubles are order-independent."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        isotonic_fit,
+    )
+
+    e = load(spark, sf_dir, "events")
+    scored = e.select(
+        (F.col("value") - F.floor(F.col("value"))).alias("p"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long") % 1000000
+            < F.floor(
+                (F.col("value") - F.floor(F.col("value"))) * 1000000
+            ).cast("long")
+        ).cast("int").alias("y"),
+    )
+    return isotonic_fit(scored, "p", "y", n_bins=20)
+
+
+M16_ORACLE = """
+WITH scored AS MATERIALIZED (
+  SELECT value - floor(value) AS p,
+         CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000
+              < CAST(floor((value - floor(value)) * 1000000) AS BIGINT)
+         THEN 1 ELSE 0 END AS y
+  FROM events
+), b AS (
+  SELECT least(CAST(floor(p * 20) AS INTEGER), 19) AS bin, y
+  FROM scored WHERE p >= 0
+), per_bin AS MATERIALIZED (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM b GROUP BY bin
+), pre AS MATERIALIZED (
+  SELECT bin, n, pos,
+         CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+         CAST(sum(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+  FROM per_bin
+), pairs AS MATERIALIZED (
+  SELECT lo.bin AS i, hi.bin AS j,
+         CAST(hi.cp - (lo.cp - lo.pos) AS DOUBLE)
+         / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS avg
+  FROM pre lo JOIN pre hi ON lo.bin <= hi.bin
+), rmins AS MATERIALIZED (
+  SELECT i, j,
+         min(avg) OVER (PARTITION BY i ORDER BY j DESC
+                        ROWS UNBOUNDED PRECEDING) AS rm
+  FROM pairs
+), iso AS (
+  SELECT j AS bin, max(rm) AS iso FROM rmins GROUP BY j
+)
+SELECT CAST(pb.bin AS INTEGER) AS bin,
+       round(pb.bin / 20.0, 6) AS bin_lo,
+       pb.n, pb.pos,
+       round(CAST(pb.pos AS DOUBLE) / pb.n, 6) AS frac_pos,
+       round(iso.iso, 6) AS iso_p
+FROM per_bin pb JOIN iso USING (bin)
+"""
+
+QUERIES["m16_isotonic_calibration"] = (m16_isotonic_calibration, M16_ORACLE)

@@ -1460,3 +1460,86 @@ def match_signature_store(
             ),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_gram: int = 16,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilks & Aiken 2003 —
+    the MOSS algorithm): hash every ``k_gram``-char shingle, slide a
+    window of ``window`` consecutive hashes, and select each window's
+    RIGHTMOST minimal hash. The selected set is a deterministic ~2/(w+1)
+    density sample with the guarantee that any shared substring of length
+    >= k_gram + window - 1 contributes at least one IDENTICAL fingerprint
+    to both documents — the exact-substring-match primitive behind
+    plagiarism/near-dup detection that gram-set Jaccard (d7) and MinHash
+    (d2) only approximate.
+
+    Rightmost-min inside an engine-portable window frame: (hash, pos) is
+    encoded into ONE sortable string hash8 || '#' || zero-padded
+    (10^7 - pos), so ``min`` over the frame IS min-by (hash asc, pos
+    desc) in any SQL dialect — no min_by/struct-ordering dialect
+    divergence. Contract: < 10^7 grams per document (the pad width).
+
+    Window starts are positions 1..max(n-w+1, 1) (a document shorter than
+    one window winnows to the min of what exists, as MOSS does).
+
+    Scale shape: one shingle explode (the linear step), ONE window pass
+    partitioned by document (per-document sequentiality is inherent to
+    winnowing — the partition key is the doc, so 100 TB parallelism is
+    across documents), then a partial-aggregated distinct. No UDFs, no
+    driver state.
+
+    Returns (id, fp_pos, fp) distinct selected fingerprints, fp_pos
+    1-based gram position, fp the 8-hex-char gram-hash prefix.
+    """
+    from pyspark.sql.window import Window
+
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            # sequence(1, 0) DESCENDS in Spark ([1, 0]) — a doc shorter
+            # than one gram must yield an empty array explicitly
+            F.expr(
+                f"CASE WHEN length({text_col}) < {k_gram} THEN array() "
+                f"ELSE transform(sequence(1, length({text_col}) - {k_gram} + 1),"
+                f" i -> substring({text_col}, i, {k_gram})) END"
+            )
+        ).alias("__p0__", "__g__"),
+    ).select(
+        id_col,
+        (F.col("__p0__") + 1).alias("pos"),
+        F.substring(F.md5("__g__"), 1, 8).alias("__h__"),
+    )
+    key = F.concat(
+        F.col("__h__"),
+        F.lit("#"),
+        F.lpad((F.lit(10_000_000) - F.col("pos")).cast("string"), 7, "0"),
+    )
+    w_frame = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    w_part = Window.partitionBy(id_col)
+    winnowed = (
+        grams.select(
+            F.col(id_col),
+            "pos",
+            F.min(key.alias("k")).over(w_frame).alias("__wmin__"),
+            F.count(F.lit(1)).over(w_part).alias("__n__"),
+        )
+        .filter(F.col("pos") <= F.greatest(F.col("__n__") - window + 1, F.lit(1)))
+        .select(
+            id_col,
+            (F.lit(10_000_000)
+             - F.substring("__wmin__", 10, 7).cast("int")).alias("fp_pos"),
+            F.substring("__wmin__", 1, 8).alias("fp"),
+        )
+        .distinct()
+    )
+    return winnowed

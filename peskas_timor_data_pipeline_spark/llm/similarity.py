@@ -1560,10 +1560,27 @@ def ivfpq_build(
     # same slimming as assignment: the x k_cb codebook expansion carries
     # only the code ids and fold distances (n x k_cb rows of a few dozen
     # bytes instead of two dim-double arrays each); the flat vector for
-    # the optional refine path rejoins by id at the end
-    enc_dists = [
-        res_fold("__rd__", m).alias(f"__d{m}__") for m in range(m_sub)
-    ]
+    # the optional refine path rejoins by id at the end. The per-subvector
+    # distances here are UNROLLED element chains, not aggregate/zip_with
+    # folds: higher-order-function lambdas evaluate INTERPRETED (outside
+    # whole-stage codegen) and allocate slice/zip arrays per joined row —
+    # at n x k_cb rows that interpretation was most of the r07 build cost.
+    # At sub = dim/m_sub elements a chain is 8 terms: milliseconds to
+    # compile, codegen'd, zero allocation. Same left-associated sum as the
+    # fold ((0+t0)+t1... == t0+t1..., bit-identical), so e24/e24b hashes
+    # are unchanged.
+    sub = dim // m_sub
+
+    def unrolled(m: int) -> Column:
+        total = None
+        for i in range(sub):
+            idx = m * sub + i
+            d = F.col("__rd__")[idx] - F.col("rvec")[idx]
+            sq = d * d
+            total = sq if total is None else total + sq
+        return total
+
+    enc_dists = [unrolled(m).alias(f"__d{m}__") for m in range(m_sub)]
     enc_scored = assigned.crossJoin(rcb).select("cand_id", "cid", *enc_dists)
     codes = enc_scored.groupBy("cand_id").agg(
         *[

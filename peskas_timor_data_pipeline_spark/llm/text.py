@@ -1307,3 +1307,91 @@ def zipf_slope(
             F.when(n > 0, (F.col("sy") - slope * F.col("sx")) / n), 6
         ).alias("intercept"),
     )
+
+
+def js_divergence(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpora's unigram
+    distributions — the standard symmetric, bounded (<= ln 2) drift
+    measure for training-data mixtures: did the new crawl slice's token
+    distribution move against the reference corpus / does domain A's
+    vocabulary usage diverge from domain B's? (Lin 1991.)
+
+    JSD = 0.5*KL(P||M) + 0.5*KL(Q||M) with M = (P+Q)/2 over the UNION
+    vocabulary; zero-count terms contribute 0 by the 0*ln(0) = 0
+    convention, and M > 0 wherever either side has mass, so no smoothing
+    is needed (unlike plain KL, which is infinite on vocabulary gaps).
+
+    Shape: two token explodes -> two partial-aggregated count tables ->
+    ONE full-outer join on the vocabulary key -> broadcast totals -> one
+    aggregation. No UDFs, no driver-side state beyond the two totals.
+
+    Determinism: the per-token terms are ln-bearing doubles, so the
+    reduction uses the house scale-and-round idiom (per-row
+    floor(term*1e9 + 0.5) -> exact integer sum -> one divide+round),
+    making the fold order-independent on both engines; per-row ln inputs
+    are ratios of exact integers, identical IEEE on both sides.
+
+    Returns one row: (vocab_size, n_tokens_a, n_tokens_b, jsd_nats).
+    """
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(text_col)).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    ca = counts(corpus_a, "ca")
+    cb = counts(corpus_b, "cb")
+    # the joined count table feeds BOTH the totals and the final
+    # aggregation — materialize once (vocabulary-sized) or the two token
+    # explodes and the outer join run twice
+    j = materialize(
+        ca.join(cb, "w", "full_outer")
+        .select(
+            "w",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = j.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    p = F.col("ca") / F.col("na")
+    q = F.col("cb") / F.col("nb")
+    m = (p + q) / F.lit(2.0)
+    term_a = F.when(F.col("ca") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    term_b = F.when(F.col("cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+
+    def nano_sum(term: Column) -> Column:
+        return F.sum(
+            F.floor(term * F.lit(1_000_000_000.0) + F.lit(0.5)).cast("bigint")
+        )
+
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.max("na").alias("n_tokens_a"),
+            F.max("nb").alias("n_tokens_b"),
+            nano_sum(term_a).alias("__sa__"),
+            nano_sum(term_b).alias("__sb__"),
+        )
+        .select(
+            "vocab_size",
+            "n_tokens_a",
+            "n_tokens_b",
+            F.round(
+                (F.col("__sa__") + F.col("__sb__"))
+                / F.lit(2_000_000_000.0),
+                6,
+            ).alias("jsd_nats"),
+        )
+    )

@@ -716,3 +716,182 @@ def chapman_estimate(
             ).alias("var_floor"),
         )
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    grid: int = 100,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test (M15): D = sup over x of
+    |ECDF_a(x) - ECDF_b(x)| between the ``value_col`` distributions of two
+    groups — the standard distribution-drift monitor for training-data
+    pipelines (did this month's quality scores / prices / token counts
+    shift against the reference slice?). Large-sample 5% critical value
+    c(0.05)*sqrt((n_a+n_b)/(n_a*n_b)) with c = 1.358 (Smirnov asymptote).
+
+    Values are quantized onto a 1/``grid`` lattice via floor(value*grid)
+    (exact double multiply + floor — identical IEEE both engines; round()
+    would flip on grid-exact values between HALF_UP dialects). The ECDF
+    axis is therefore the quantized-value vocabulary, NOT the row count:
+    after one partial-aggregated groupBy on the bin, the cumulative sums
+    run on a dimension-sized frame, so the single-partition ordering
+    window is bounded by the lattice span (grid x value range), never by
+    corpus size — the same bounded-axis trick as the log-histogram
+    quantiles (a30). Quantization moves D by at most the mass in any
+    half-open lattice cell; at drift-monitoring granularity that is the
+    bin resolution the caller chose.
+
+    Returns one row: (n_a, n_b, d_stat, d_crit_95, drift_95) with the
+    doubles rounded 6dp (cumulative counts are exact integers; the single
+    division + abs + max are per-row/order-independent, so no pinned-fold
+    machinery is needed). Degenerate inputs (either side empty) emit NULL
+    statistics rather than tripping ANSI division.
+    """
+    tagged = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.floor(F.col(value_col) * grid).cast("long").alias("bin"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
+        F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("ib"),
+    )
+    per_bin = tagged.groupBy("bin").agg(
+        F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_bin.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = per_bin.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.abs(
+                    F.col("cum_a") / F.col("n_a")
+                    - F.col("cum_b") / F.col("n_b")
+                ),
+            )
+        ).alias("__d__"),
+    ).select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(F.col("__d__"), 6),
+        ).alias("d_stat"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.lit(1.358)
+                * F.sqrt(
+                    (F.col("n_a") + F.col("n_b"))
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                6,
+            ),
+        ).alias("d_crit_95"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            (F.col("__d__")
+             > F.lit(1.358)
+             * F.sqrt(
+                 (F.col("n_a") + F.col("n_b"))
+                 / (F.col("n_a").cast("double") * F.col("n_b"))
+             )).cast("int"),
+        ).alias("drift_95"),
+    )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 50,
+) -> DataFrame:
+    """Binned isotonic calibration (M16): fit the best monotone
+    non-decreasing map from a score in [0,1) to P(label=1) — the standard
+    calibration step for quality/relevance classifiers in training-data
+    pipelines (a filter threshold is only meaningful if the score is
+    calibrated). Equivalent to pool-adjacent-violators on the bin means,
+    but computed CLOSED-FORM via the minimax characterization
+    (Robertson, Wright & Dykstra 1988):
+
+        iso[p] = max_{i <= p} min_{j >= p} mean(y over bins i..j)
+
+    PAV itself is inherently sequential; the minimax form is pure
+    relational algebra on the BIN grid: one partial-aggregated groupBy
+    onto <= n_bins rows, prefix sums, the i<=j pair frame (n_bins^2/2
+    rows — dimension-sized by construction, like a pivot header), a
+    reversed running-min window per i, and a final group-max. The only
+    data-sized step is the first aggregation; everything after is
+    O(n_bins^2) regardless of corpus size.
+
+    min_{j>=p} mean(i..j) for i<=p equals the reversed running min
+    rm(i, j=p), so no inequality join is needed: iso[p] =
+    max over i of rm(i, p) — a plain groupBy on the pair frame.
+
+    Determinism: bin means are ratios of exact integer prefix sums (one
+    correctly-rounded division per pair row); running min / group max of
+    doubles are order-independent; output rounds 6dp once.
+
+    Returns one row per NON-EMPTY bin: (bin, bin_lo, n, pos, frac_pos,
+    iso_p) with iso_p monotone non-decreasing in bin.
+    """
+    b = df.select(
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        F.col(label_col).cast("long").alias("y"),
+    ).filter(F.col("bin") >= 0)
+    per_bin = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    w_pre = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = per_bin.select(
+        "bin", "n", "pos",
+        F.sum("n").over(w_pre).alias("cn"),
+        F.sum("pos").over(w_pre).alias("cp"),
+    )
+    lo = pre.select(
+        F.col("bin").alias("i"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+        (F.col("cp") - F.col("pos")).alias("cp0"),
+    )
+    hi = pre.select(
+        F.col("bin").alias("j"), F.col("cn").alias("cnj"), F.col("cp").alias("cpj")
+    )
+    pairs = lo.join(hi, F.col("i") <= F.col("j")).select(
+        "i", "j",
+        ((F.col("cpj") - F.col("cp0"))
+         / (F.col("cnj") - F.col("cn0"))).alias("avg"),
+    )
+    w_rm = (
+        Window.partitionBy("i")
+        .orderBy(F.col("j").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    iso = (
+        pairs.withColumn("rm", F.min("avg").over(w_rm))
+        .groupBy("j")
+        .agg(F.max("rm").alias("__iso__"))
+        .withColumnRenamed("j", "bin")
+    )
+    return (
+        per_bin.join(iso, "bin")
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.round(F.col("bin") / F.lit(float(n_bins)), 6).alias("bin_lo"),
+            F.col("n").cast("long").alias("n"),
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("pos") / F.col("n"), 6).alias("frac_pos"),
+            F.round(F.col("__iso__"), 6).alias("iso_p"),
+        )
+    )

@@ -303,3 +303,84 @@ def label_propagation(
     return labels.select(
         "node", "label", F.lit(n_rounds).cast("int").alias("n_rounds")
     )
+
+
+def k_truss(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    n_rounds: int = 3,
+) -> DataFrame:
+    """k-truss peeling (Cohen 2008) over an undirected simple graph:
+    repeatedly delete edges whose SUPPORT (number of triangles through
+    the edge) is below k-2; the k-truss is a strictly stronger cohesion
+    filter than the k-core (every k-truss edge sits inside k-2 triangle
+    witnesses) — the standard community-kernel / spam-clique primitive.
+    Round count is PINNED like k_core's: both engines replay the same
+    peeling prefix; each round removes a monotone edge set, so truncation
+    only delays convergence, never changes the fixpoint.
+
+    Scale shape per round: triangles are enumerated once on the surviving
+    a<b edge list via the degree-oriented wedge join idiom (e1.b == e2.a
+    plus the closing-edge equi-join — every join is an equi-join on node
+    keys, no cartesian), exploded to their three member edges and
+    partial-agg counted; the peeled edge list is materialized per round
+    to cut the lineage (the g1/g3 lesson). Per-round cost is the triangle
+    count's, which the surviving subgraph only shrinks.
+
+    Returns the edges surviving ``n_rounds`` peels as
+    (a, b, support, k, n_rounds) — ``support`` is the value that
+    justified the final keep (computed on the round-(n-1) survivor set,
+    the well-defined pinned-prefix semantics).
+    """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    e = materialize(
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sup = None
+    for _ in range(n_rounds):
+        tri = (
+            e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            .join(
+                e.select(F.col("a").alias("y"), F.col("b").alias("z")), "y"
+            )
+            .join(
+                e.select(F.col("a").alias("x"), F.col("b").alias("z")),
+                ["x", "z"],
+                "left_semi",
+            )
+        )
+        member = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                    F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+                    F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+                )
+            ).alias("__e__")
+        ).select("__e__.a", "__e__.b")
+        counts = member.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+        scored = e.join(counts, ["a", "b"], "left").select(
+            "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+        )
+        # one materialize per round holds both the next round's edge list
+        # and the surviving support values (no re-run of the triangle
+        # pass at action time)
+        sup = materialize(scored.filter(F.col("support") >= k - 2))
+        e = sup.select("a", "b")
+    return sup.select(
+        "a",
+        "b",
+        F.col("support").cast("long").alias("support"),
+        F.lit(k).cast("int").alias("k"),
+        F.lit(n_rounds).cast("int").alias("n_rounds"),
+    )

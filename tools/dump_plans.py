@@ -87,6 +87,12 @@ SHOWCASE = {
     "e26_mutual_knn": "mutual kNN: IVF probed-cell kNN materialized ONCE, mutuality = one LeftSemi of forward vs reversed edges — no cross join, no chain replay",
     "t44_zipf_slope": "Zipf fit: TakeOrderedAndProject top-100 (no global sort/window over the vocabulary), pinned-order OLS fold on the 100-row frame",
     "m14_capture_recapture": "Chapman: two distinct aggs + one LeftSemi overlap count — population estimate from three scalars",
+    "d20b_store_match_banded": "banded store match: batch prefix set lands in PartitionFilters, ONE parquet scan (signatures carried in band rows), store never re-banded",
+    "d21_winnow_fingerprints": "winnowing: one gram explode + ONE doc-partitioned window (rightmost-min via sortable key), partial-agg distinct",
+    "m15_ks_drift": "KS drift: bin-lattice partial agg, cumulative window on the dimension-sized grid, per-row division only",
+    "t45_js_divergence": "JSD: two token-count partial aggs + ONE vocab outer join (materialized once), scale-and-round integer fold",
+    "g5_ktruss": "k-truss: per-round wedge equi-join + LeftSemi close + member explode partial-agg; survivor frame materialized per round",
+    "m16_isotonic_calibration": "isotonic: one data-sized agg to bins; minimax PAV = prefix sums + pair frame + reversed running-min, all dimension-sized",
 }
 
 
