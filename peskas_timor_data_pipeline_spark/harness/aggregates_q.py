@@ -2163,3 +2163,169 @@ FROM sup{n_rounds - 1} WHERE support >= {k - 2}"""
 
 
 QUERIES["g5_ktruss"] = (g5_ktruss, _g5_sql())
+
+
+# --- G6: link prediction (common neighbors + Adamic-Adar) --------------------------------
+
+def g6_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors / Adamic-Adar link prediction
+    (operators/graph.py::link_prediction_scores) on the same sparse
+    1-in-20 co-purchase graph as g3: score non-adjacent part pairs
+    sharing an order-mate and keep the global top 50. Per-center AA
+    terms round to integer micro-units BEFORE the pair sum, so the
+    hashed aggregate is a BIGINT sum; the top-50 ordering is total
+    (cn desc, aa desc, x, y)."""
+    from peskas_timor_data_pipeline_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    return link_prediction_scores(
+        _copurchase_pairs(spark, sf_dir, 20), "src", "dst", top_r=50
+    )
+
+
+G6_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0
+), e AS MATERIALIZED (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y USING (l_orderkey)
+  WHERE x.l_partkey < y.l_partkey
+), deg AS MATERIALIZED (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY n
+), adj AS MATERIALIZED (
+  SELECT c, x,
+         CASE WHEN d > 1
+              THEN CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)) + 0.5) AS BIGINT)
+              ELSE 0 END AS aa_w
+  FROM (SELECT a AS c, b AS x FROM e UNION ALL SELECT b AS c, a AS x FROM e) u
+  JOIN deg ON u.c = deg.n
+), wedge AS (
+  SELECT a1.x AS u, a2.x AS v, a1.aa_w
+  FROM adj a1 JOIN adj a2 USING (c)
+  WHERE a1.x < a2.x
+), cand AS (
+  SELECT u, v, aa_w FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.u AND e.b = w.v)
+), scored AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(sum(aa_w) AS BIGINT) AS aa_micro
+  FROM cand GROUP BY u, v
+)
+SELECT u AS x, v AS y, common_neighbors, aa_micro
+FROM scored
+ORDER BY common_neighbors DESC, aa_micro DESC, x, y
+LIMIT 50
+"""
+
+QUERIES["g6_link_prediction"] = (g6_link_prediction, G6_ORACLE)
+
+
+# --- G7: pointer-jump hierarchy closure ---------------------------------------------------
+
+def g7_tree_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rooted-tree transitive closure by pointer jumping
+    (operators/graph.py::pointer_jump_closure) on the deterministic
+    halving hierarchy parent(k) = max(k div 2, 1) over part keys — a
+    binary category tree of depth log2(max key), flattened in 5 PINNED
+    doubling rounds (resolves depth <= 32; the fixture's deepest node is
+    ~18). The oracle replays the chain with a recursive CTE — the naive
+    O(depth) recursion the doubling operator exists to avoid."""
+    from peskas_timor_data_pipeline_spark.operators.graph import (
+        pointer_jump_closure,
+    )
+
+    part = load(spark, sf_dir, "part")
+    nodes = part.select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") <= 1, F.col("p_partkey"))
+        .otherwise(F.expr("p_partkey div 2"))
+        .alias("parent"),
+    )
+    out = pointer_jump_closure(nodes, "node", "parent", n_rounds=5)
+    return out.select(
+        "node", "root", "depth", F.col("resolved").cast("int").alias("resolved")
+    )
+
+
+G7_ORACLE = """
+WITH RECURSIVE nodes AS (
+  SELECT p_partkey AS node,
+         CASE WHEN p_partkey <= 1 THEN p_partkey ELSE p_partkey // 2 END AS parent
+  FROM part
+), walk(node, anc, depth) AS (
+  SELECT node, parent, CASE WHEN parent = node THEN 0 ELSE 1 END FROM nodes
+  UNION ALL
+  SELECT w.node, n.parent, w.depth + 1
+  FROM walk w JOIN nodes n ON w.anc = n.node
+  WHERE n.parent <> w.anc
+)
+SELECT w.node, w.anc AS root, CAST(w.depth AS BIGINT) AS depth,
+       1 AS resolved
+FROM walk w JOIN nodes n ON w.anc = n.node
+WHERE n.parent = n.node
+"""
+
+QUERIES["g7_tree_closure"] = (g7_tree_closure, G7_ORACLE)
+
+
+# --- A41: pairwise association rules ------------------------------------------------------
+
+def a41_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules
+    (operators/affinity.py::association_rules): orders are baskets,
+    part brands are items, min_support 20 — support/confidence/lift
+    for every surviving brand pair, both rule directions. The Apriori
+    prune broadcasts the frequent-brand set before pair generation;
+    confidence/lift are single IEEE expressions over exact integer
+    counts (never a float sum)."""
+    from peskas_timor_data_pipeline_spark.operators.affinity import (
+        association_rules,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    bi = li.join(
+        part.select("p_partkey", "p_brand"), li.l_partkey == part.p_partkey
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    return association_rules(bi, "basket", "item", min_support=20)
+
+
+A41_ORACLE = """
+WITH bi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), sup AS MATERIALIZED (
+  SELECT item, CAST(count(*) AS BIGINT) AS sup
+  FROM bi GROUP BY item HAVING count(*) >= 20
+), pruned AS (
+  SELECT basket, item FROM bi WHERE item IN (SELECT item FROM sup)
+), pairs AS MATERIALIZED (
+  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS ps
+  FROM pruned a JOIN pruned b USING (basket)
+  WHERE a.item < b.item
+  GROUP BY a.item, b.item HAVING count(*) >= 20
+), nb AS (
+  SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM bi
+), directed AS (
+  SELECT ia AS antecedent, ib AS consequent, ps FROM pairs
+  UNION ALL
+  SELECT ib AS antecedent, ia AS consequent, ps FROM pairs
+)
+SELECT d.antecedent, d.consequent,
+       d.ps AS pair_support,
+       sa.sup AS antecedent_support,
+       sc.sup AS consequent_support,
+       nb.n AS n_baskets,
+       round(CAST(d.ps AS DOUBLE) / sa.sup, 6) AS confidence,
+       round(CAST(d.ps AS DOUBLE) * nb.n
+             / (CAST(sa.sup AS DOUBLE) * sc.sup), 6) AS lift
+FROM directed d
+JOIN sup sa ON d.antecedent = sa.item
+JOIN sup sc ON d.consequent = sc.item
+CROSS JOIN nb
+"""
+
+QUERIES["a41_assoc_rules"] = (a41_assoc_rules, A41_ORACLE)

@@ -6369,3 +6369,132 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 QUERIES["d21_winnow_fingerprints"] = (d21_winnow_fingerprints, D21_ORACLE)
+
+
+# --- T46: Flesch readability scoring ------------------------------------------------------
+
+def t46_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease gate (llm/text.py::readability_scores) over
+    the documents table: engine-portable word/sentence/vowel-run
+    counting (identical Java-regex / RE2 semantics), score a single
+    fixed IEEE expression over exact integer counts."""
+    from peskas_timor_data_pipeline_spark.llm.text import readability_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return readability_scores(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+T46_ORACLE = """
+WITH counted AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n]+')) AS BIGINT)
+           AS n_words,
+         greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                  1) AS n_sentences,
+         CAST(COALESCE(list_sum(list_transform(
+                regexp_extract_all(lower(text), '[^ \\t\\n]+'),
+                w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)
+              )), 0) AS BIGINT) AS n_syllables
+  FROM documents
+), scored AS (
+  SELECT *,
+         206.835
+           - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+           - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS fl
+  FROM counted
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN round(fl, 6) END AS flesch,
+       CASE WHEN n_words > 0 THEN
+         CASE WHEN fl >= 90 THEN 'very_easy'
+              WHEN fl >= 80 THEN 'easy'
+              WHEN fl >= 70 THEN 'fairly_easy'
+              WHEN fl >= 60 THEN 'standard'
+              WHEN fl >= 50 THEN 'fairly_hard'
+              WHEN fl >= 30 THEN 'hard'
+              ELSE 'very_hard' END
+       END AS band
+FROM scored
+"""
+
+QUERIES["t46_readability"] = (t46_readability, T46_ORACLE)
+
+
+# --- E27: rank-2 PCA by power iteration + deflation --------------------------------------
+
+def e27_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal directions (llm/similarity.py::pca_top2) of the
+    first 8 embedding dims: one corpus moments pass, two pinned
+    3-iteration power chains with Hotelling deflation between them, all
+    arithmetic rounded per step so the oracle replays identical
+    rationals (the e17 convention, extended through the deflation)."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import pca_top2
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pca_top2(emb, "embedding", dim=8, n_iter=3)
+
+
+def _e27_sql() -> str:
+    dim, r, n_iter = 8, 6, 3
+    sums = ", ".join(
+        f"sum(CAST(embedding[{i}] AS DOUBLE)) AS s{i}" for i in range(1, dim + 1)
+    )
+    prods = ", ".join(
+        f"sum(CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{j}] AS DOUBLE)) AS p{i}_{j}"
+        for i in range(1, dim + 1) for j in range(i, dim + 1)
+    )
+    cov_arms = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, "
+        f"round((p{min(i,j)}_{max(i,j)} - s{i} * s{j} / n) / n, {r}) AS c FROM m"
+        for i in range(1, dim + 1) for j in range(1, dim + 1)
+    )
+    start = ", ".join(f"({j}, 1.0)" for j in range(1, dim + 1))
+
+    def chain(mat: str, pre: str) -> str:
+        out = []
+        for k in range(1, n_iter + 1):
+            prev = f"{pre}{k - 1}"
+            out.append(f""",
+{pre}cv{k} AS MATERIALIZED (
+  SELECT {mat}.i, round(sum({mat}.c * {prev}.v), {r}) AS cv
+  FROM {mat} JOIN {prev} ON {mat}.j = {prev}.j GROUP BY {mat}.i
+),
+{pre}piv{k} AS MATERIALIZED (
+  SELECT cv FROM {pre}cv{k} ORDER BY abs(cv) DESC, i LIMIT 1
+),
+{pre}{k} AS MATERIALIZED (
+  SELECT i AS j, round(cv / (SELECT cv FROM {pre}piv{k}), {r}) AS v
+  FROM {pre}cv{k}
+)""")
+        return "".join(out)
+
+    return f"""
+WITH m AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n, {sums}, {prods} FROM embeddings
+),
+cov AS MATERIALIZED ({cov_arms}),
+v0(j, v) AS (VALUES {start}){chain('cov', 'v')},
+vv AS MATERIALIZED (SELECT round(sum(v * v), {r}) AS vv FROM v{n_iter}),
+e1 AS MATERIALIZED (SELECT abs(cv) AS e FROM vpiv{n_iter}),
+cov2 AS MATERIALIZED (
+  SELECT cov.i, cov.j,
+         round(cov.c - e1.e * vi.v * vj.v / vv.vv, {r}) AS c
+  FROM cov
+  JOIN v{n_iter} vi ON cov.i = vi.j
+  JOIN v{n_iter} vj ON cov.j = vj.j
+  CROSS JOIN vv CROSS JOIN e1
+),
+u0(j, v) AS (VALUES {start}){chain('cov2', 'u')}
+SELECT 1 AS comp, CAST(j AS BIGINT) AS i, v AS loading,
+       (SELECT abs(cv) FROM vpiv{n_iter}) AS eigenvalue
+FROM v{n_iter}
+UNION ALL
+SELECT 2 AS comp, CAST(j AS BIGINT) AS i, v AS loading,
+       (SELECT abs(cv) FROM upiv{n_iter}) AS eigenvalue
+FROM u{n_iter}
+"""
+
+
+QUERIES["e27_pca_top2"] = (e27_pca_top2, _e27_sql())

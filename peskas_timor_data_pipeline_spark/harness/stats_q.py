@@ -1775,3 +1775,129 @@ FROM per_bin pb JOIN iso USING (bin)
 """
 
 QUERIES["m16_isotonic_calibration"] = (m16_isotonic_calibration, M16_ORACLE)
+
+
+# --- M17: Mann-Whitney U rank-sum test ---------------------------------------------------
+
+def m17_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum location-shift test (operators/estimate.py::
+    mann_whitney_u) between the click and purchase event-value
+    distributions on the same 1/100 lattice as the KS monitor (m15):
+    midranks are exact half-integers accumulated as DECIMAL(38,0), the
+    tie-corrected z is one fixed IEEE expression over those exact
+    moments."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        mann_whitney_u,
+    )
+
+    e = load(spark, sf_dir, "events")
+    return mann_whitney_u(e, "event_type", "value", "click", "purchase")
+
+
+M17_ORACLE = """
+WITH t AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS bin,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+  FROM events WHERE event_type IN ('click', 'purchase')
+), pb AS MATERIALIZED (
+  SELECT bin, CAST(sum(ia) AS HUGEINT) AS ca,
+         CAST(sum(ia) + sum(ib) AS HUGEINT) AS t
+  FROM t GROUP BY bin
+), cum AS MATERIALIZED (
+  SELECT ca, t,
+         CAST(sum(t) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+           AS cum_t
+  FROM pb
+), mom AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(t - ca) AS BIGINT) AS n_b,
+         sum(ca * (2 * (cum_t - t) + t + 1)) AS r2_a,
+         sum(t * t * t - t) AS tie_sum
+  FROM cum
+), m2 AS (
+  SELECT n_a, n_b,
+         CAST(r2_a AS DOUBLE)
+           - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) AS u2,
+         CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+         CAST(tie_sum AS DOUBLE) AS ties
+  FROM mom
+), m3 AS (
+  SELECT *,
+         CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+           * ((n + 1.0) - ties / (n * (n - 1.0))) AS var
+  FROM m2
+), m4 AS (
+  SELECT *,
+         (u2 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           / (2.0 * sqrt(var)) AS z,
+         (n_a > 0 AND n_b > 0 AND var > 0) AS ok
+  FROM m3
+)
+SELECT n_a, n_b,
+       CASE WHEN ok THEN round(u2 / 2.0, 6) END AS u_a,
+       CASE WHEN ok THEN round(z, 6) END AS z,
+       CASE WHEN ok THEN CAST(abs(z) > 1.959964 AS INTEGER) END AS shift_95
+FROM m4
+"""
+
+QUERIES["m17_mann_whitney"] = (m17_mann_whitney, M17_ORACLE)
+
+
+# --- M18: chi-square independence test ---------------------------------------------------
+
+def m18_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table independence QA (operators/estimate.py::
+    chi_square_independence) between order status and priority: per-cell
+    Pearson contributions in exact integer micro-units, BIGINT-summed
+    into the table statistic — no float sum touches the hashed output."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        chi_square_independence,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    return chi_square_independence(o, "o_orderstatus", "o_orderpriority")
+
+
+M18_ORACLE = """
+WITH cells AS MATERIALIZED (
+  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), rt AS (
+  SELECT o_orderstatus, CAST(sum(obs) AS BIGINT) AS rt
+  FROM cells GROUP BY o_orderstatus
+), ct AS (
+  SELECT o_orderpriority, CAST(sum(obs) AS BIGINT) AS ct
+  FROM cells GROUP BY o_orderpriority
+), tot AS (
+  SELECT CAST(sum(obs) AS HUGEINT) AS n,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nr,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nc
+  FROM cells
+), scored AS MATERIALIZED (
+  SELECT c.o_orderstatus, c.o_orderpriority, c.obs,
+         round(CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+               / CAST(tot.n AS DOUBLE), 6) AS expected,
+         CAST(floor(
+           1000000.0
+           * CAST(CAST(c.obs AS HUGEINT) * tot.n
+                  - CAST(rt.rt AS HUGEINT) * CAST(ct.ct AS HUGEINT) AS DOUBLE)
+           * CAST(CAST(c.obs AS HUGEINT) * tot.n
+                  - CAST(rt.rt AS HUGEINT) * CAST(ct.ct AS HUGEINT) AS DOUBLE)
+           / (CAST(tot.n AS DOUBLE) * CAST(rt.rt AS DOUBLE)
+              * CAST(ct.ct AS DOUBLE))
+           + 0.5) AS BIGINT) AS contrib_micro,
+         (tot.nr - 1) * (tot.nc - 1) AS dof
+  FROM cells c
+  JOIN rt USING (o_orderstatus)
+  JOIN ct USING (o_orderpriority)
+  CROSS JOIN tot
+), table_stat AS (
+  SELECT CAST(sum(contrib_micro) AS BIGINT) AS chi2_micro FROM scored
+)
+SELECT s.o_orderpriority, s.o_orderstatus, s.obs, s.expected,
+       s.contrib_micro, t.chi2_micro, s.dof
+FROM scored s CROSS JOIN table_stat t
+"""
+
+QUERIES["m18_chi_square"] = (m18_chi_square, M18_ORACLE)

@@ -993,3 +993,144 @@ FROM islands GROUP BY user_id
 """
 
 QUERIES["w16_interval_union"] = (w16_interval_union, W16_ORACLE)
+
+
+# --- TS5: autocorrelation function --------------------------------------------------------
+
+def ts5_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample ACF at lags 1..10 (operators/timeseries.py::
+    autocorrelation) of the daily event-count series, spine-completed so
+    missing days enter as explicit zeros and lag alignment is positional
+    truth. Every moment is an exact DECIMAL(38,0) aggregate; each lag's
+    r is one integer-ratio division."""
+    from peskas_timor_data_pipeline_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    bounds = daily.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff(F.col("d1"), F.col("d0")))
+        ).alias("i"),
+        "d0",
+    )
+    series = (
+        spine.join(
+            daily.crossJoin(F.broadcast(bounds)).select(
+                F.datediff(F.col("d"), F.col("d0")).alias("i"),
+                "x",
+            ),
+            "i",
+            "left",
+        )
+        .select("i", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    return autocorrelation(series, "i", "x", max_lag=10)
+
+
+TS5_ORACLE = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY CAST(ts AS DATE)
+), bounds AS (
+  SELECT min(d) AS d0, max(d) AS d1 FROM daily
+), spine AS (
+  SELECT unnest(generate_series(0,
+           (SELECT date_diff('day', d0, d1) FROM bounds), 1)) AS i
+), series AS MATERIALIZED (
+  SELECT CAST(s.i AS BIGINT) AS i, CAST(COALESCE(dl.x, 0) AS HUGEINT) AS x
+  FROM spine s
+  LEFT JOIN (
+    SELECT date_diff('day', b.d0, d) AS i, x FROM daily CROSS JOIN bounds b
+  ) dl USING (i)
+), gmom AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s, sum(x * x) AS ss
+  FROM series
+), lags AS (
+  SELECT unnest(generate_series(1, 10, 1)) AS lag
+), pairs AS (
+  SELECT l.lag, a.x AS xa, b.x AS xb
+  FROM lags l
+  JOIN series a ON TRUE
+  JOIN series b ON b.i = a.i + l.lag
+), per AS MATERIALIZED (
+  SELECT lag, CAST(count(*) AS HUGEINT) AS np,
+         sum(xa * xb) AS p, sum(xa) AS a, sum(xb) AS b
+  FROM pairs GROUP BY lag
+), calc AS (
+  SELECT lag, np,
+         CAST(g.n * g.n * per.p - g.n * g.s * (per.a + per.b)
+              + (g.n - CAST(lag AS HUGEINT)) * g.s * g.s AS DOUBLE) AS num,
+         CAST(g.n * g.n * g.ss - g.n * g.s * g.s AS DOUBLE) AS den
+  FROM per CROSS JOIN gmom g
+)
+SELECT CAST(lag AS INTEGER) AS lag, CAST(np AS BIGINT) AS n_pairs,
+       CASE WHEN den > 0 THEN round(num / den, 6) END AS acf
+FROM calc
+"""
+
+QUERIES["ts5_acf"] = (ts5_acf, TS5_ORACLE)
+
+
+# --- W17: multi-touch attribution ---------------------------------------------------------
+
+def w17_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch + linear conversion attribution (operators/funnel.py::
+    multi_touch_attribution): purchases are conversions, the window is
+    the run of a user's events since their previous purchase, channels
+    are event types. Linear credit rounds to micro-units per touch
+    before the BIGINT sum; ordering ties break on event_id."""
+    from peskas_timor_data_pipeline_spark.operators.funnel import (
+        multi_touch_attribution,
+    )
+
+    e = load(spark, sf_dir, "events")
+    return multi_touch_attribution(
+        e.select("user_id", "ts", "event_id", "event_type"),
+        "user_id",
+        ["ts", "event_id"],
+        "event_type",
+        "purchase",
+    )
+
+
+W17_ORACLE = """
+WITH tagged AS MATERIALIZED (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM events
+), touches AS (
+  SELECT user_id, cum AS seg, ts, event_id, event_type
+  FROM tagged WHERE c = 0
+), convs AS (
+  SELECT user_id, cum - 1 AS seg FROM tagged WHERE c = 1
+), closed AS MATERIALIZED (
+  SELECT t.* FROM touches t
+  WHERE EXISTS (SELECT 1 FROM convs c
+                WHERE c.user_id = t.user_id AND c.seg = t.seg)
+), scored AS (
+  SELECT event_type AS channel,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, seg
+                                      ORDER BY ts DESC, event_id DESC) = 1
+              THEN 1 ELSE 0 END AS last_t,
+         CAST(floor(1000000.0
+                    / count(*) OVER (PARTITION BY user_id, seg)
+                    + 0.5) AS BIGINT) AS lin
+  FROM closed
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(last_t) AS BIGINT) AS last_touch_conversions,
+       CAST(sum(lin) AS BIGINT) AS linear_credit_micro
+FROM scored GROUP BY channel
+"""
+
+QUERIES["w17_attribution"] = (w17_attribution, W17_ORACLE)

@@ -1042,9 +1042,26 @@ def top_eigenvector(
     Returns (i, component, eigenvalue) — eigenvalue is the pivot magnitude
     of the LAST un-normalized iterate (the dominant-eigenvalue estimate).
     """
-    from pyspark.sql.window import Window
+    cov = _cov_matrix(df, vec_col, dim, round_to, checkpoint_dir)
+    v = _power_iterate(df.sparkSession, cov, dim, n_iter, round_to,
+                       checkpoint_dir)
+    return v.select(
+        F.col("j").alias("i"),
+        F.col("v").alias("component"),
+        F.col("__eig__").alias("eigenvalue"),
+    )
 
-    spark = df.sparkSession
+
+def _cov_matrix(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    round_to: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """One corpus-scale moments pass -> materialized (i, j, c) covariance
+    frame with entries rounded BEFORE any iteration (top_eigenvector /
+    pca_top2 shared core; see top_eigenvector's docstring)."""
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for i in range(1, dim + 1):
         aggs.append(
@@ -1072,17 +1089,35 @@ def top_eigenvector(
     # moments pass) several times; without a lineage cut the optimized plan
     # carried 28 copies of the moments aggregate — materialize the 64-row
     # matrix once and each KB-scale iterate, so the corpus is scanned ONCE
-    cov = materialize(
+    return materialize(
         moments.selectExpr(
             f"stack({dim * dim}, {', '.join(entries)}) AS (i, j, c)"
         ),
         checkpoint_dir,
     )
+
+
+def _power_iterate(
+    spark,
+    cov: DataFrame,
+    dim: int,
+    n_iter: int,
+    round_to: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Pinned-round power iteration on a materialized (i, j, c) matrix
+    frame from the all-ones start vector: per round one broadcast join +
+    KB groupBy, signed-pivot normalization (abs desc, index asc), round
+    to ``round_to`` — both engines iterate identical rationals. Returns
+    (j, v, __eig__) with __eig__ the final pivot magnitude."""
+    from pyspark.sql.window import Window
+
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
     v = spark.range(1, dim + 1).select(
         F.col("id").alias("j"), F.lit(1.0).alias("v")
     )
     w = Window.orderBy(F.desc(F.abs(F.col("cv"))), F.asc("i"))
-    eig = None
     for _ in range(n_iter):
         cv = (
             cov.join(F.broadcast(v), cov.j == v.j)
@@ -1095,20 +1130,86 @@ def top_eigenvector(
             .select(F.col("cv").alias("pivot"))
         )
         normed = cv.crossJoin(F.broadcast(pivot))
-        eig = F.abs(F.col("pivot"))
         v = materialize(
             normed.select(
                 F.col("i").alias("j"),
                 F.round(F.col("cv") / F.col("pivot"), round_to).alias("v"),
-                eig.alias("__eig__"),
+                F.abs(F.col("pivot")).alias("__eig__"),
             ),
             checkpoint_dir,
         )
-    return v.select(
+    return v
+
+
+def pca_top2(
+    df: DataFrame,
+    vec_col: str,
+    dim: int = 8,
+    n_iter: int = 3,
+    round_to: int = 6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Top TWO principal directions by power iteration + Hotelling
+    deflation (E27) — the rank-2 PCA sketch behind embedding-store
+    whitening previews, 2-D drift plots, and cheap anisotropy checks
+    (is the store collapsing onto one axis?). Same pinned-arithmetic
+    contract as ``top_eigenvector``: covariance entries round before
+    iterating, every iterate pivot-normalizes and rounds, and the
+    deflated matrix C2 = round(C - eig1 * v1 v1^T / (v1^T v1)) rounds
+    entry-wise, so both engines replay identical rationals end to end
+    (covariance is PSD, so the pivot magnitude IS the signed dominant
+    eigenvalue estimate and deflation needs no sign fix).
+
+    Scale shape: ONE corpus-scale moments pass (shared with
+    ``top_eigenvector`` via ``_cov_matrix``); both iteration chains and
+    the deflation run on KB-sized matrix/vector frames — the corpus is
+    never rescanned for the second component.
+
+    Returns 2*dim rows: (comp 1|2, i, loading, eigenvalue).
+    """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    spark = df.sparkSession
+    cov = _cov_matrix(df, vec_col, dim, round_to, checkpoint_dir)
+    v1 = _power_iterate(spark, cov, dim, n_iter, round_to, checkpoint_dir)
+    vv = v1.agg(
+        F.round(F.sum(F.col("v") * F.col("v")), round_to).alias("vv"),
+        F.max("__eig__").alias("eig1"),
+    )
+    cov2 = materialize(
+        cov.join(
+            F.broadcast(v1.select(F.col("j").alias("i"), F.col("v").alias("vi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(v1.select(F.col("j"), F.col("v").alias("vj"))), "j"
+        )
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("c")
+                - F.col("eig1") * F.col("vi") * F.col("vj") / F.col("vv"),
+                round_to,
+            ).alias("c"),
+        ),
+        checkpoint_dir,
+    )
+    v2 = _power_iterate(spark, cov2, dim, n_iter, round_to, checkpoint_dir)
+    one = v1.select(
+        F.lit(1).cast("int").alias("comp"),
         F.col("j").alias("i"),
-        F.col("v").alias("component"),
+        F.col("v").alias("loading"),
         F.col("__eig__").alias("eigenvalue"),
     )
+    two = v2.select(
+        F.lit(2).cast("int").alias("comp"),
+        F.col("j").alias("i"),
+        F.col("v").alias("loading"),
+        F.col("__eig__").alias("eigenvalue"),
+    )
+    return one.unionAll(two)
 
 
 def ivf_cell_stats(

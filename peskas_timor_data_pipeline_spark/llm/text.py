@@ -1395,3 +1395,88 @@ def js_divergence(
             ).alias("jsd_nats"),
         )
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Flesch reading-ease readability scoring (T46) — the standard
+    cheap complexity gate in corpus-quality stacks (C4/Gopher-style
+    filters bucket documents by readability before expensive model
+    scoring). Flesch RE = 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words), with the usual dictionary-free syllable
+    proxy: vowel-group runs per word, floored at one per word (Flesch
+    1948; the vowel-run proxy is the textstat convention).
+
+    Engine-portable counting rules (identical Java-regex / RE2
+    semantics, the t42 lesson):
+    - words: maximal runs of non-whitespace, ``[^ \\t\\n]+``
+    - sentences: maximal runs of ``[.!?]``, floored at one
+    - syllables: per word, count of ``[aeiouy]+`` runs in the
+      lowercased word, floored at one (so "rhythm" counts 1, not 0)
+
+    Shape: everything is one projection — regexp_extract_all +
+    transform/aggregate over the word array, all inside whole-stage
+    codegen; no UDF, no shuffle beyond the caller's. The per-word
+    floor forces the per-document transform() pass; its lambda reads
+    each word once (no repeated re-lowering of the document — the CDC
+    inlining trap doesn't apply because the lambda input is the
+    already-split word).
+
+    Returns (id, n_words, n_sentences, n_syllables, flesch, band)
+    with flesch one fixed IEEE expression over exact integer counts,
+    rounded 6dp; empty/whitespace-only texts emit NULL score. Bands
+    follow the conventional 30/50/60/70/80/90 cut points.
+    """
+    words = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[^ \\\\t\\\\n]+', 0)"
+    )
+    n_words = F.size(words).cast("long")
+    n_sentences = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit("[.!?]+")).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    n_syllables = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+                F.lit(1),
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s,
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    ok = F.col("n_words") > 0
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return base.select(
+        "id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(ok, F.round(flesch, 6)).alias("flesch"),
+        F.when(
+            ok,
+            F.when(flesch >= 90, F.lit("very_easy"))
+            .when(flesch >= 80, F.lit("easy"))
+            .when(flesch >= 70, F.lit("fairly_easy"))
+            .when(flesch >= 60, F.lit("standard"))
+            .when(flesch >= 50, F.lit("fairly_hard"))
+            .when(flesch >= 30, F.lit("hard"))
+            .otherwise(F.lit("very_hard")),
+        ).alias("band"),
+    )

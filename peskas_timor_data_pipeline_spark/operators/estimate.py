@@ -895,3 +895,150 @@ def isotonic_fit(
             F.round(F.col("__iso__"), 6).alias("iso_p"),
         )
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    grid: int = 100,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U / Wilcoxon rank-sum test (M17): the
+    nonparametric location-shift companion to the KS drift monitor
+    (``ks_two_sample``) — "did the new slice's values systematically
+    rank above the reference's?" without any normality assumption.
+    Normal approximation with the standard tie correction
+    (Lehmann, *Nonparametrics*, eq. 1.38).
+
+    Same bounded-lattice shape as M15: values quantize onto a
+    1/``grid`` lattice (floor — exact IEEE both engines), one
+    partial-aggregated groupBy collapses the corpus to the lattice
+    vocabulary, and the single-partition rank window runs on that
+    dimension-sized frame, never on rows. Tied ranks use the midrank
+    convention, which on the lattice is EXACT integer arithmetic in
+    half-units: 2*R_a = sum over bins of ca * (2*cum_before + t + 1),
+    accumulated as DECIMAL(38,0) (BIGINT overflows past ~3e9 rows —
+    the a39/a40 overflow lesson). Every float (z, the tie-corrected
+    sigma) is one fixed IEEE expression over those exact moments.
+
+    Returns one row: (n_a, n_b, u_a, z, shift_95) with u_a the exact
+    U statistic of group A (a half-integer, rounded 6dp for the hashed
+    output), z its tie-corrected normal deviate, shift_95 the 5%
+    two-sided verdict. Degenerate inputs (either side empty, or every
+    value in one tied bin) emit NULL statistics rather than tripping
+    ANSI division.
+    """
+    tagged = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.floor(F.col(value_col) * grid).cast("long").alias("bin"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
+        F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("ib"),
+    )
+    per_bin = tagged.groupBy("bin").agg(
+        F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    d38 = "decimal(38,0)"
+    ranked = per_bin.select(
+        F.col("ca").cast(d38).alias("ca"),
+        (F.col("ca") + F.col("cb")).cast(d38).alias("t"),
+        F.sum(F.col("ca") + F.col("cb")).over(w).cast(d38).alias("cum_t"),
+    )
+    mom = ranked.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum(F.col("t") - F.col("ca")).cast("long").alias("n_b"),
+        F.sum(
+            F.col("ca")
+            * (F.lit(2).cast(d38) * (F.col("cum_t") - F.col("t"))
+               + F.col("t") + F.lit(1).cast(d38))
+        ).cast(d38).alias("r2_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast(d38)
+        .alias("tie_sum"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n = n_a + n_b
+    u2 = F.col("r2_a").cast("double") - n_a * (n_a + 1.0)  # 2*U_a
+    var = (
+        n_a * n_b / 12.0
+        * ((n + 1.0) - F.col("tie_sum").cast("double") / (n * (n - 1.0)))
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0)
+    z = (u2 - n_a * n_b) / (F.lit(2.0) * F.sqrt(var))
+    return mom.select(
+        "n_a",
+        "n_b",
+        F.when(ok, F.round(u2 / 2.0, 6)).alias("u_a"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok, (F.abs(z) > 1.959964).cast("int")).alias("shift_95"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square test of independence (M18) between two categorical
+    columns — the standard contingency-table QA check (is label
+    distribution independent of source shard? is the status mix
+    independent of priority?). Per-cell Pearson contributions plus the
+    table-level statistic and degrees of freedom on every row.
+
+    Shape: one partial-aggregated groupBy builds the contingency cells;
+    row totals, column totals and the grand total are three aggregates
+    of the CELL frame (dimension-sized, broadcast back) — the corpus is
+    read exactly once. At 100 TB the cell frame is |A|x|B|, a dimension
+    table by construction.
+
+    Determinism: each cell's contribution is computed from exact
+    integer moments — diff = obs*n - rt*ct as DECIMAL(38,0) (exact to
+    ~1e19-row tables), squared/divided in one fixed IEEE expression —
+    and rounded to integer micro-units; the table statistic is the
+    order-independent BIGINT sum of those micro-units (SURVEY §7.4:
+    float sums never enter hashed outputs unrounded).
+
+    Returns one row per observed cell: (col_a, col_b, obs, expected,
+    contrib_micro, chi2_micro, dof).
+    """
+    d38 = "decimal(38,0)"
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("obs"))
+    rt = cells.groupBy(col_a).agg(F.sum("obs").alias("rt"))
+    ct = cells.groupBy(col_b).agg(F.sum("obs").alias("ct"))
+    tot = cells.agg(
+        F.sum("obs").cast(d38).alias("n"),
+        F.countDistinct(col_a).alias("n_rows_dim"),
+        F.countDistinct(col_b).alias("n_cols_dim"),
+    )
+    diff = (
+        F.col("obs").cast(d38) * F.col("n")
+        - F.col("rt").cast(d38) * F.col("ct").cast(d38)
+    ).cast("double")
+    denom = (
+        F.col("n").cast("double")
+        * F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+    )
+    scored = (
+        cells.join(F.broadcast(rt), col_a)
+        .join(F.broadcast(ct), col_b)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            col_a,
+            col_b,
+            F.col("obs").cast("long").alias("obs"),
+            F.round(
+                F.col("rt").cast("double") * F.col("ct") / F.col("n"), 6
+            ).alias("expected"),
+            F.floor(F.lit(1e6) * diff * diff / denom + 0.5)
+            .cast("long")
+            .alias("contrib_micro"),
+            ((F.col("n_rows_dim") - 1) * (F.col("n_cols_dim") - 1))
+            .cast("long")
+            .alias("dof"),
+        )
+    )
+    table = scored.agg(F.sum("contrib_micro").cast("long").alias("chi2_micro"))
+    return scored.crossJoin(F.broadcast(table))

@@ -10,6 +10,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def funnel(
@@ -207,4 +208,78 @@ def growth_accounting(
                 for c in ("active", "new", "retained", "resurrected", "churned")
             ],
         )
+    )
+
+
+def multi_touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    order_cols: Sequence[str],
+    type_col: str,
+    conversion_type: str,
+    channel_col: str | None = None,
+) -> DataFrame:
+    """Multi-touch conversion attribution (W17): split credit for each
+    conversion across the touch events that preceded it — the standard
+    marketing/product question ("which channel actually drives
+    purchases?") and, in a training-data pipeline, the provenance
+    question ("which upstream source feeds the retained documents?").
+    Emits the two canonical models side by side: LAST-TOUCH (the final
+    touch before the conversion gets the whole credit) and LINEAR
+    (every touch in the window shares it equally).
+
+    A conversion's attribution window is the run of events since the
+    user's previous conversion (or first event). That makes the whole
+    operator per-user window arithmetic: one running conversion count
+    assigns every event a window id, one groupBy sizes each window, one
+    row_number picks the last touch — all partitioned by user, so work
+    distributes with user cardinality and no window ever spans users.
+
+    Determinism: rows order by ``order_cols`` (caller supplies a
+    tie-breaking suffix, e.g. the event id). Linear credit is rounded
+    to integer micro-units PER TOUCH (floor(1e6/k + .5)) and summed as
+    BIGINT — order-independent, per SURVEY §7.4; a window's micro total
+    may differ from 1e6 by <= k/2 micro-units (documented quantization,
+    not drift).
+
+    Returns one row per ``channel_col`` (default: the event type) over
+    touches in CONVERTED windows: (channel, n_touches,
+    last_touch_conversions, linear_credit_micro).
+    """
+    channel = channel_col or type_col
+    order_exprs = [F.col(c) for c in order_cols]
+    w_run = (
+        Window.partitionBy("__u__")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_conv = (F.col(type_col) == conversion_type).cast("long")
+    tagged = df.select(
+        F.col(user_col).alias("__u__"),
+        *[F.col(c) for c in dict.fromkeys([*order_cols, channel])],
+        is_conv.alias("__c__"),
+    ).withColumn("__cum__", F.sum("__c__").over(w_run))
+    touches = tagged.filter(F.col("__c__") == 0).select(
+        "__u__",
+        F.col("__cum__").alias("__seg__"),
+        *[F.col(c) for c in dict.fromkeys([*order_cols, channel])],
+    )
+    convs = tagged.filter(F.col("__c__") == 1).select(
+        "__u__", (F.col("__cum__") - 1).alias("__seg__")
+    )
+    # touches in windows that actually closed with a conversion
+    closed = touches.join(convs, ["__u__", "__seg__"], "left_semi")
+    w_seg = Window.partitionBy("__u__", "__seg__")
+    w_last = w_seg.orderBy(*[F.desc(c) for c in order_cols])
+    scored = closed.select(
+        F.col(channel).alias("channel"),
+        (F.row_number().over(w_last) == 1).cast("long").alias("__last__"),
+        F.floor(
+            F.lit(1_000_000.0) / F.count(F.lit(1)).over(w_seg) + 0.5
+        ).cast("long").alias("__lin__"),
+    )
+    return scored.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("__last__").cast("long").alias("last_touch_conversions"),
+        F.sum("__lin__").cast("long").alias("linear_credit_micro"),
     )

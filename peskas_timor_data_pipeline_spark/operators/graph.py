@@ -384,3 +384,175 @@ def k_truss(
         F.lit(k).cast("int").alias("k"),
         F.lit(n_rounds).cast("int").alias("n_rounds"),
     )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    top_r: int = 50,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbors + Adamic-Adar link prediction (Liben-Nowell &
+    Kleinberg 2003) over an undirected simple graph: score every
+    NON-adjacent pair (x, y) that shares at least one neighbor and keep
+    the global top ``top_r`` — the classic "people you may know" /
+    co-purchase-recommendation primitive.
+
+    Scale shape: candidate pairs are generated as wedges through their
+    common neighbor c (one self-equi-join on the center key — no
+    cartesian), existing edges are removed with one anti-join, and both
+    scores aggregate per pair with map-side partial aggregation. Wedge
+    fan-out is quadratic in the CENTER degree, so hubs dominate cost
+    while contributing the least signal (AA weights a center by
+    1/ln(deg)); ``max_center_degree`` drops centers above the threshold
+    before the wedge join — the standard documented-estimator-bias
+    escape hatch at crawl scale (exact when every degree is under the
+    cap, as fixture graphs are).
+
+    Determinism: the Adamic-Adar term of EACH center is rounded to
+    integer micro-units (floor(1e6/ln d + 0.5)) before the per-pair sum,
+    so the aggregate is an order-independent BIGINT sum — the same
+    exact-integer-aggregation rule every hashed float sum in this repo
+    follows (SURVEY §7.4). Global top-R goes through a single
+    sort+limit (TakeOrderedAndProject), never a global window.
+
+    Returns (x, y, common_neighbors, aa_micro) — the top_r best pairs
+    by (common_neighbors DESC, aa_micro DESC, x, y).
+    """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    und = materialize(
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # adjacency oriented both ways, carrying the center's AA micro-weight
+    adj = (
+        und.select(F.col("a").alias("c"), F.col("b").alias("x"))
+        .unionAll(und.select(F.col("b").alias("c"), F.col("a").alias("x")))
+        .join(deg.withColumnRenamed("n", "c"), "c")
+    )
+    if max_center_degree is not None:
+        adj = adj.filter(F.col("d") <= F.lit(max_center_degree))
+    # materialized: both wedge sides read it (the g1/g3 lineage lesson)
+    adj = materialize(
+        adj.withColumn(
+            "aa_w",
+            F.when(
+                F.col("d") > 1,
+                F.floor(
+                    F.lit(1_000_000.0) / F.log(F.col("d").cast("double")) + 0.5
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ).select("c", "x", "aa_w")
+    )
+    wedges = (
+        adj.select("c", F.col("x").alias("u"), "aa_w")
+        .join(adj.select("c", F.col("x").alias("v")), "c")
+        .filter(F.col("u") < F.col("v"))
+    )
+    cand = wedges.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    scored = cand.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum("aa_w").alias("aa_micro"),
+    )
+    return (
+        scored.select(
+            F.col("u").alias("x"),
+            F.col("v").alias("y"),
+            F.col("common_neighbors").cast("long").alias("common_neighbors"),
+            F.col("aa_micro").cast("long").alias("aa_micro"),
+        )
+        .orderBy(
+            F.desc("common_neighbors"), F.desc("aa_micro"), "x", "y"
+        )
+        .limit(top_r)
+    )
+
+
+def pointer_jump_closure(
+    nodes: DataFrame,
+    node_col: str,
+    parent_col: str,
+    n_rounds: int = 5,
+) -> DataFrame:
+    """Rooted-forest transitive closure by POINTER JUMPING (the classic
+    PRAM doubling trick; Vishkin 1984): each round every node replaces
+    its current ancestor pointer with that ancestor's pointer and adds
+    the two path lengths, so the known-ancestor distance DOUBLES per
+    round — depth-d hierarchies (org charts, BOM trees, category trees,
+    reply threads) flatten in ceil(log2 d) shuffles instead of the d
+    self-joins of naive recursion. This is the reason the operator
+    exists on Spark: a 1M-deep chain is 20 equi-joins, not 1M.
+
+    Contract: roots are rows whose parent equals the node itself (a
+    self-loop); ``n_rounds`` is PINNED, resolving ancestors up to depth
+    2**n_rounds (deeper nodes report their 2**n_rounds-step ancestor and
+    resolved=false) — the same pinned-prefix determinism rule as
+    k_core/k_truss/label_propagation. Each round's state is materialized
+    to cut lineage (the g1/g3 lesson; without it round r re-runs rounds
+    1..r-1 at action time).
+
+    Returns (node, root, depth, resolved): ``root`` the resolved
+    ancestor, ``depth`` the path length to it (0 for roots).
+    """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    state = materialize(
+        nodes.select(
+            F.col(node_col).alias("node"),
+            F.col(parent_col).alias("anc"),
+            F.when(F.col(node_col) == F.col(parent_col), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("dist"),
+        )
+    )
+    for _ in range(n_rounds):
+        hop = state.select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("dist").alias("dist2"),
+        )
+        # left join: a dangling parent (anc outside the node set) freezes
+        # in place instead of silently dropping the subtree
+        state = materialize(
+            state.join(hop, "anc", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("anc2"), F.col("anc")).alias("anc"),
+                (F.col("dist") + F.coalesce(F.col("dist2"), F.lit(0))).alias(
+                    "dist"
+                ),
+            )
+        )
+    # a node is resolved iff its final ancestor's own pointer is a
+    # self-loop — one more equi-join on the same key, no broadcast
+    # assumption about the root count (forests can have many roots)
+    anc_state = state.select(
+        F.col("node").alias("anc"), F.col("anc").alias("anc_anc")
+    )
+    return state.join(anc_state, "anc", "left").select(
+        "node",
+        F.col("anc").alias("root"),
+        F.col("dist").alias("depth"),
+        F.coalesce(F.col("anc_anc") == F.col("anc"), F.lit(False)).alias(
+            "resolved"
+        ),
+    )

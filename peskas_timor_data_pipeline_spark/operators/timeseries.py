@@ -304,3 +304,84 @@ def dtw_to_pattern_expr(
         ).alias(out_col),
         F.size("__sorted__").alias("n_points"),
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    idx_col: str,
+    value_col: str,
+    max_lag: int = 10,
+) -> DataFrame:
+    """Sample autocorrelation function (TS5) of an integer-valued,
+    contiguously-indexed series at lags 1..``max_lag`` — the classic
+    seasonality / burstiness fingerprint for ingest-rate and
+    daily-count monitoring (which lag echoes: 7 for weekly traffic,
+    1 for momentum). Standard ACF estimator with the GLOBAL mean and
+    GLOBAL variance denominator (Box-Jenkins): r_l =
+    sum_{t<=n-l}(x_t - m)(x_{t+l} - m) / sum(x_t - m)^2.
+
+    Caller contract: ``idx_col`` is a dense 0..n-1 integer index (run a
+    spine completion first — a missing day must enter as an explicit
+    zero, not silently splice distant days together) and ``value_col``
+    is integral (counts). Under that contract every moment is an EXACT
+    integer aggregate, and the whole ACF reduces to one fixed IEEE
+    division per lag: with S = sum x, SS = sum x^2 (DECIMAL(38,0) —
+    overflow lesson), P_l = sum x_t*x_{t+l}, A_l/B_l the lagged margin
+    sums, r_l = (n^2*P_l - n*S*(A_l+B_l) + (n-l)*S^2) / (n^2*SS - n*S^2)
+    — numerator and denominator are exact integers, so hashes cannot
+    drift on float summation order.
+
+    Shape: the series frame is the OUTPUT of an upstream aggregation
+    (days, hours — dimension-sized), so the lag alignment is one
+    equi-join of the frame against itself shifted by an exploded lag
+    list, one groupBy on lag, and a broadcast of the three global
+    moments. Corpus-scale cost lives in the upstream groupBy that built
+    the series, not here.
+
+    Returns one row per lag: (lag, n_pairs, acf) with acf rounded 6dp;
+    degenerate series (constant, or shorter than the lag) emit NULL.
+    """
+    d38 = "decimal(38,0)"
+    base = series.select(
+        F.col(idx_col).cast("long").alias("i"),
+        F.col(value_col).cast(d38).alias("x"),
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("ss"),
+    )
+    lags = F.explode(
+        F.sequence(F.lit(1), F.lit(int(max_lag)))
+    ).alias("lag")
+    pairs = (
+        base.select(lags, "i", F.col("x").alias("xa"))
+        .withColumn("j", F.col("i") + F.col("lag"))
+        .join(
+            base.select(F.col("i").alias("j"), F.col("x").alias("xb")),
+            "j",
+        )
+    )
+    per_lag = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(d38).alias("n_pairs"),
+        F.sum(F.col("xa") * F.col("xb")).cast(d38).alias("p"),
+        F.sum("xa").cast(d38).alias("a"),
+        F.sum("xb").cast(d38).alias("b"),
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("p")
+        - F.col("n") * F.col("s") * (F.col("a") + F.col("b"))
+        + (F.col("n") - F.col("lag").cast(d38)) * F.col("s") * F.col("s")
+    ).cast("double")
+    den = (
+        F.col("n") * F.col("n") * F.col("ss")
+        - F.col("n") * F.col("s") * F.col("s")
+    ).cast("double")
+    return (
+        per_lag.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.when(den > 0, F.round(num / den, 6)).alias("acf"),
+        )
+    )

@@ -1,0 +1,347 @@
+"""Unit tests for the round-8 batch-2 operator families: association
+rules, link prediction, pointer-jump closure, Mann-Whitney, chi-square,
+ACF, multi-touch attribution, readability, rank-2 PCA.
+
+Each test pins the operator against an independently-computed
+fixture-sized truth (hand arithmetic or a tiny Python replay), the same
+strategy as test_property_round7.py — the sf0.01 DuckDB oracles are the
+scale check; these are the semantics check.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- association rules -------------------------------------------------------
+
+
+def test_association_rules_counts_and_lift(spark):
+    from peskas_timor_data_pipeline_spark.operators.affinity import (
+        association_rules,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),  # duplicate item collapses
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"), (4, "c"),
+        (5, "a"),
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = association_rules(df, "basket", "item", min_support=2)
+    got = {(r["antecedent"], r["consequent"]): r for r in out.collect()}
+    # pair (a,b) in baskets 1,2 -> support 2; a in 4 baskets, b in 3
+    ab = got[("a", "b")]
+    assert ab["pair_support"] == 2
+    assert ab["antecedent_support"] == 4
+    assert ab["consequent_support"] == 3
+    assert ab["n_baskets"] == 5
+    assert ab["confidence"] == pytest.approx(2 / 4)
+    assert ab["lift"] == pytest.approx(2 * 5 / (4 * 3))
+    # both directions emitted
+    assert ("b", "a") in got
+    # (a,c) support 1 < 2 -> pruned
+    assert ("a", "c") not in got
+
+
+def test_association_rules_infrequent_item_pruned(spark):
+    from peskas_timor_data_pipeline_spark.operators.affinity import (
+        association_rules,
+    )
+
+    rows = [(1, "a"), (1, "z"), (2, "a"), (2, "b"), (3, "a"), (3, "b")]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = association_rules(df, "basket", "item", min_support=2).collect()
+    items = {r["antecedent"] for r in out} | {r["consequent"] for r in out}
+    assert "z" not in items
+
+
+# --- link prediction ---------------------------------------------------------
+
+
+def test_link_prediction_scores_path_graph(spark):
+    from peskas_timor_data_pipeline_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    # path 1-2-3-4 plus 2-5: non-edges sharing a neighbor:
+    # (1,3) via 2, (2,4) via 3, (1,5) via 2, (3,5) via 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5)], "src int, dst int"
+    )
+    out = {
+        (r["x"], r["y"]): r
+        for r in link_prediction_scores(edges, "src", "dst", top_r=10).collect()
+    }
+    assert set(out) == {(1, 3), (2, 4), (1, 5), (3, 5)}
+    assert all(r["common_neighbors"] == 1 for r in out.values())
+    # center 2 has degree 3, center 3 degree 2
+    aa2 = math.floor(1e6 / math.log(3) + 0.5)
+    aa3 = math.floor(1e6 / math.log(2) + 0.5)
+    assert out[(1, 3)]["aa_micro"] == aa2
+    assert out[(2, 4)]["aa_micro"] == aa3
+
+
+def test_link_prediction_center_degree_cap(spark):
+    from peskas_timor_data_pipeline_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    # star around hub 0 (degree 4) plus a path through node 9 (degree 2)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 9), (9, 2)],
+        "src int, dst int",
+    )
+    capped = link_prediction_scores(
+        edges, "src", "dst", top_r=100, max_center_degree=2
+    ).collect()
+    # hub-centered wedges (pairs among 1,2,3,4 through 0) dropped; what
+    # survives: (0,9) through centers 1 and 2, (1,2) through center 9
+    assert {(r["x"], r["y"]): r["common_neighbors"] for r in capped} == {
+        (0, 9): 2,
+        (1, 2): 1,
+    }
+    full = link_prediction_scores(edges, "src", "dst", top_r=100).collect()
+    assert len(full) > len(capped)
+
+
+# --- pointer-jump closure ----------------------------------------------------
+
+
+def test_pointer_jump_closure_resolves_log_depth(spark):
+    from peskas_timor_data_pipeline_spark.operators.graph import (
+        pointer_jump_closure,
+    )
+
+    # chain 1 <- 2 <- 3 ... <- 20 (depth up to 19), root 1
+    rows = [(k, max(k - 1, 1)) for k in range(1, 21)]
+    nodes = spark.createDataFrame(rows, "node int, parent int")
+    out = {r["node"]: r for r in
+           pointer_jump_closure(nodes, "node", "parent", n_rounds=5).collect()}
+    assert out[1]["depth"] == 0 and out[1]["resolved"]
+    assert out[20]["depth"] == 19 and out[20]["root"] == 1
+    assert all(r["resolved"] for r in out.values())
+    # 2**5 = 32 >= 19: resolved; with 2 rounds only depth <= 4 resolves
+    shallow = {r["node"]: r for r in
+               pointer_jump_closure(nodes, "node", "parent", n_rounds=2).collect()}
+    assert shallow[20]["resolved"] is False
+    assert shallow[5]["resolved"] is True  # depth 4 = 2**2
+
+
+def test_pointer_jump_closure_forest_and_dangling(spark):
+    from peskas_timor_data_pipeline_spark.operators.graph import (
+        pointer_jump_closure,
+    )
+
+    # two roots (1, 10); node 30's parent 99 is absent -> freezes, unresolved
+    rows = [(1, 1), (2, 1), (10, 10), (11, 10), (12, 11), (30, 99)]
+    nodes = spark.createDataFrame(rows, "node int, parent int")
+    out = {r["node"]: r for r in
+           pointer_jump_closure(nodes, "node", "parent", n_rounds=4).collect()}
+    assert out[2]["root"] == 1 and out[2]["depth"] == 1
+    assert out[12]["root"] == 10 and out[12]["depth"] == 2
+    assert out[30]["root"] == 99 and out[30]["resolved"] is False
+
+
+# --- Mann-Whitney ------------------------------------------------------------
+
+
+def test_mann_whitney_matches_scipy_convention(spark):
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        mann_whitney_u,
+    )
+
+    # a = [1,2,3], b = [4,5,6]: U_a = 0 (every a below every b)
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert out["n_a"] == 3 and out["n_b"] == 3
+    assert out["u_a"] == 0.0
+    # z = (0 - 4.5) / sqrt(3*3*7/12) = -4.5 / 2.2913
+    assert out["z"] == pytest.approx(-4.5 / math.sqrt(3 * 3 * 7 / 12), abs=1e-6)
+
+
+def test_mann_whitney_ties_midrank(spark):
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        mann_whitney_u,
+    )
+
+    # all six values tied -> U_a = n_a*n_b/2, var = 0 -> NULL stats
+    rows = [("a", 2.0)] * 3 + [("b", 2.0)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert out["u_a"] is None and out["z"] is None
+
+
+# --- chi-square --------------------------------------------------------------
+
+
+def test_chi_square_independence_2x2(spark):
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        chi_square_independence,
+    )
+
+    # classic 2x2: rows (10,20 / 30,40) -> chi2 = 100*1/(30*70)*...
+    rows = (
+        [("r1", "c1")] * 10 + [("r1", "c2")] * 20
+        + [("r2", "c1")] * 30 + [("r2", "c2")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi_square_independence(df, "a", "b").collect()
+    assert len(out) == 4
+    assert out[0]["dof"] == 1
+    # chi2 for this table = 100 * (10*40 - 20*30)^2 / (30*70*40*60)
+    expect = 100 * (10 * 40 - 20 * 30) ** 2 / (30 * 70 * 40 * 60)
+    assert out[0]["chi2_micro"] / 1e6 == pytest.approx(expect, abs=4e-6)
+    cell = {(r["a"], r["b"]): r for r in out}[("r1", "c1")]
+    assert cell["obs"] == 10
+    assert cell["expected"] == pytest.approx(30 * 40 / 100)
+
+
+# --- ACF ---------------------------------------------------------------------
+
+
+def test_autocorrelation_alternating_series(spark):
+    from peskas_timor_data_pipeline_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    xs = [1, 0] * 10  # strict alternation
+    df = spark.createDataFrame(list(enumerate(xs)), "i int, x int")
+    out = {r["lag"]: r for r in autocorrelation(df, "i", "x", max_lag=3).collect()}
+    # numpy-checked truth for the biased (global-denominator) estimator
+    n = len(xs)
+    m = sum(xs) / n
+    den = sum((x - m) ** 2 for x in xs)
+
+    def ref(l):
+        return round(sum((xs[t] - m) * (xs[t + l] - m) for t in range(n - l)) / den, 6)
+
+    for lag in (1, 2, 3):
+        assert out[lag]["acf"] == pytest.approx(ref(lag), abs=1e-6)
+        assert out[lag]["n_pairs"] == n - lag
+
+
+def test_autocorrelation_constant_series_null(spark):
+    from peskas_timor_data_pipeline_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    df = spark.createDataFrame([(i, 5) for i in range(8)], "i int, x int")
+    out = autocorrelation(df, "i", "x", max_lag=2).collect()
+    assert all(r["acf"] is None for r in out)
+
+
+# --- attribution -------------------------------------------------------------
+
+
+def test_multi_touch_attribution_credits(spark):
+    from peskas_timor_data_pipeline_spark.operators.funnel import (
+        multi_touch_attribution,
+    )
+
+    rows = [
+        # user 1: ad, email, PURCHASE -> window of 2 touches
+        (1, 1, "ad"), (1, 2, "email"), (1, 3, "purchase"),
+        # user 1 second window: ad then PURCHASE -> 1 touch
+        (1, 4, "ad"), (1, 5, "purchase"),
+        # user 2: touches but no conversion -> no credit
+        (2, 1, "ad"), (2, 2, "email"),
+    ]
+    df = spark.createDataFrame(rows, "u int, t int, typ string")
+    out = {r["channel"]: r for r in multi_touch_attribution(
+        df, "u", ["t"], "typ", "purchase").collect()}
+    assert set(out) == {"ad", "email"}
+    # last touch: email closes window 1, ad closes window 2
+    assert out["email"]["last_touch_conversions"] == 1
+    assert out["ad"]["last_touch_conversions"] == 1
+    # linear: window 1 splits 500000/500000; window 2 gives ad 1000000
+    assert out["ad"]["linear_credit_micro"] == 500000 + 1000000
+    assert out["email"]["linear_credit_micro"] == 500000
+    assert out["ad"]["n_touches"] == 2
+
+
+def test_multi_touch_attribution_empty_window(spark):
+    from peskas_timor_data_pipeline_spark.operators.funnel import (
+        multi_touch_attribution,
+    )
+
+    # back-to-back purchases: second window empty, no crash, no rows
+    rows = [(1, 1, "purchase"), (1, 2, "purchase")]
+    df = spark.createDataFrame(rows, "u int, t int, typ string")
+    assert multi_touch_attribution(df, "u", ["t"], "typ", "purchase").count() == 0
+
+
+# --- readability -------------------------------------------------------------
+
+
+def test_readability_scores_known_text(spark):
+    from peskas_timor_data_pipeline_spark.llm.text import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, ""), (3, "rhythm")],
+        "doc_id int, text string",
+    )
+    out = {r["id"]: r for r in readability_scores(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    # 6 one-syllable words (vowel runs: e/a, a, a, e, o, a)
+    assert r1["n_syllables"] == 6
+    expect = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert r1["flesch"] == pytest.approx(expect, abs=1e-6)
+    assert r1["band"] == "very_easy"
+    # empty text -> NULL score, zero counts
+    assert out[2]["n_words"] == 0 and out[2]["flesch"] is None
+    # no vowels -> floor of one syllable
+    assert out[3]["n_syllables"] == 1
+
+
+# --- rank-2 PCA --------------------------------------------------------------
+
+
+def test_pca_top2_recovers_axes(spark):
+    from peskas_timor_data_pipeline_spark.llm.similarity import pca_top2
+
+    # synthetic 4-dim data: dim1 variance >> dim3 variance >> rest
+    rows = []
+    for i in range(40):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[0] = 10.0 if i % 2 == 0 else -10.0
+        v[2] = 3.0 if i % 4 < 2 else -3.0
+        v[3] = 0.01 * (i % 5)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "id int, embedding array<double>")
+    out = pca_top2(df, "embedding", dim=4, n_iter=3).collect()
+    comp1 = {r["i"]: r["loading"] for r in out if r["comp"] == 1}
+    comp2 = {r["i"]: r["loading"] for r in out if r["comp"] == 2}
+    eig1 = [r["eigenvalue"] for r in out if r["comp"] == 1][0]
+    eig2 = [r["eigenvalue"] for r in out if r["comp"] == 2][0]
+    # dominant direction is axis 1, second is axis 3 (1-indexed)
+    assert abs(comp1[1]) == pytest.approx(1.0)
+    assert abs(comp1[3]) < 0.05
+    assert abs(comp2[3]) == pytest.approx(1.0, abs=0.05)
+    assert abs(comp2[1]) < 0.05
+    assert eig1 > eig2 > 0
+    assert len(out) == 8
+
+
+def test_pca_top2_matches_top_eigenvector_for_comp1(spark):
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        pca_top2,
+        top_eigenvector,
+    )
+
+    rows = [(i, [float(i % 7), float((3 * i) % 5), float(i % 2)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "id int, embedding array<double>")
+    solo = {r["i"]: (r["component"], r["eigenvalue"])
+            for r in top_eigenvector(df, "embedding", dim=3, n_iter=3).collect()}
+    duo = {r["i"]: (r["loading"], r["eigenvalue"])
+           for r in pca_top2(df, "embedding", dim=3, n_iter=3).collect()
+           if r["comp"] == 1}
+    assert solo == duo

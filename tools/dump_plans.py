@@ -93,6 +93,15 @@ SHOWCASE = {
     "t45_js_divergence": "JSD: two token-count partial aggs + ONE vocab outer join (materialized once), scale-and-round integer fold",
     "g5_ktruss": "k-truss: per-round wedge equi-join + LeftSemi close + member explode partial-agg; survivor frame materialized per round",
     "m16_isotonic_calibration": "isotonic: one data-sized agg to bins; minimax PAV = prefix sums + pair frame + reversed running-min, all dimension-sized",
+    "a41_assoc_rules": "association rules: frequent-item broadcast prune BEFORE the basket self-equi-join; conf/lift pure codegen over counts",
+    "g6_link_prediction": "link prediction: wedge equi-join through the center + anti-join vs edges; AA pre-rounded so the pair agg is integer; top-50 = TakeOrderedAndProject",
+    "g7_tree_closure": "pointer jumping: 5 doubling equi-joins (depth 32), state materialized per round; resolved = one more self equi-join, no broadcast of the root set",
+    "m17_mann_whitney": "Mann-Whitney: bin-lattice partial agg, rank cumsum on the dimension grid, DECIMAL moments, one-row z",
+    "m18_chi_square": "chi-square: one contingency groupBy scan; margins broadcast back onto the |A|x|B| cell frame only",
+    "ts5_acf": "ACF: corpus -> daily partial agg; lag align = ONE equi-join on the dimension-sized spine; exact integer moments",
+    "w17_attribution": "attribution: user-partitioned running-count windows + LeftSemi closed-window filter; no cross-user state",
+    "t46_readability": "readability: regex counting + per-word transform fold, all codegen, zero Python, zero Exchange",
+    "e27_pca_top2": "rank-2 PCA: corpus scanned ONCE (shared moments pass); deflation + both power chains on KB matrix frames",
 }
 
 
