@@ -58,6 +58,8 @@ _PRIORITY_R08 = (
     "a41_assoc_rules", "g6_link_prediction", "g7_tree_closure",
     "m17_mann_whitney", "m18_chi_square", "ts5_acf", "w17_attribution",
     "t46_readability", "e27_pca_top2",
+    "m19_kruskal_wallis", "m20_spearman", "ts6_holt_linear",
+    "e28_pca_project",
 )
 _PRIORITY_R04 = _PRIORITY_R08  # kept name used by registry()
 

@@ -6498,3 +6498,101 @@ FROM u{n_iter}
 
 
 QUERIES["e27_pca_top2"] = (e27_pca_top2, _e27_sql())
+
+
+# --- E28: per-document PCA projection scores ---------------------------------------------
+
+def e28_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA scores per embedding (llm/similarity.py::pca_scores):
+    mean-centered projections onto the e27 component pair — the 2-D
+    corpus-drift/outlier map. Loadings + rounded means broadcast as one
+    row; each score is a single left-associated codegen chain."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import pca_scores
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pca_scores(emb, "vec_id", "embedding", dim=8, n_iter=3).select(
+        F.col("id").alias("vec_id"), "score1", "score2"
+    )
+
+
+def _e28_sql() -> str:
+    dim, r, n_iter = 8, 6, 3
+    sums = ", ".join(
+        f"sum(CAST(embedding[{i}] AS DOUBLE)) AS s{i}" for i in range(1, dim + 1)
+    )
+    prods = ", ".join(
+        f"sum(CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{j}] AS DOUBLE)) AS p{i}_{j}"
+        for i in range(1, dim + 1) for j in range(i, dim + 1)
+    )
+    cov_arms = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, "
+        f"round((p{min(i,j)}_{max(i,j)} - s{i} * s{j} / n) / n, {r}) AS c FROM m"
+        for i in range(1, dim + 1) for j in range(1, dim + 1)
+    )
+    start = ", ".join(f"({j}, 1.0)" for j in range(1, dim + 1))
+
+    def chain(mat: str, pre: str) -> str:
+        out = []
+        for k in range(1, n_iter + 1):
+            prev = f"{pre}{k - 1}"
+            out.append(f""",
+{pre}cv{k} AS MATERIALIZED (
+  SELECT {mat}.i, round(sum({mat}.c * {prev}.v), {r}) AS cv
+  FROM {mat} JOIN {prev} ON {mat}.j = {prev}.j GROUP BY {mat}.i
+),
+{pre}piv{k} AS MATERIALIZED (
+  SELECT cv FROM {pre}cv{k} ORDER BY abs(cv) DESC, i LIMIT 1
+),
+{pre}{k} AS MATERIALIZED (
+  SELECT i AS j, round(cv / (SELECT cv FROM {pre}piv{k}), {r}) AS v
+  FROM {pre}cv{k}
+)""")
+        return "".join(out)
+
+    means = ", ".join(
+        f"round(s{i} / n, {r}) AS m{i}" for i in range(1, dim + 1)
+    )
+    w1 = ", ".join(
+        f"max(CASE WHEN j = {i} THEN v END) AS w1_{i}"
+        for i in range(1, dim + 1)
+    )
+    w2 = ", ".join(
+        f"max(CASE WHEN j = {i} THEN v END) AS w2_{i}"
+        for i in range(1, dim + 1)
+    )
+    s1 = " + ".join(
+        f"(CAST(embedding[{i}] AS DOUBLE) - m{i}) * w1_{i}"
+        for i in range(1, dim + 1)
+    )
+    s2 = " + ".join(
+        f"(CAST(embedding[{i}] AS DOUBLE) - m{i}) * w2_{i}"
+        for i in range(1, dim + 1)
+    )
+    return f"""
+WITH m AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n, {sums}, {prods} FROM embeddings
+),
+cov AS MATERIALIZED ({cov_arms}),
+v0(j, v) AS (VALUES {start}){chain('cov', 'v')},
+vv AS MATERIALIZED (SELECT round(sum(v * v), {r}) AS vv FROM v{n_iter}),
+e1 AS MATERIALIZED (SELECT abs(cv) AS e FROM vpiv{n_iter}),
+cov2 AS MATERIALIZED (
+  SELECT cov.i, cov.j,
+         round(cov.c - e1.e * vi.v * vj.v / vv.vv, {r}) AS c
+  FROM cov
+  JOIN v{n_iter} vi ON cov.i = vi.j
+  JOIN v{n_iter} vj ON cov.j = vj.j
+  CROSS JOIN vv CROSS JOIN e1
+),
+u0(j, v) AS (VALUES {start}){chain('cov2', 'u')},
+mw AS MATERIALIZED (SELECT {means} FROM m),
+w1w AS MATERIALIZED (SELECT {w1} FROM v{n_iter}),
+w2w AS MATERIALIZED (SELECT {w2} FROM u{n_iter})
+SELECT vec_id,
+       round({s1}, {r}) AS score1,
+       round({s2}, {r}) AS score2
+FROM embeddings CROSS JOIN mw CROSS JOIN w1w CROSS JOIN w2w
+"""
+
+
+QUERIES["e28_pca_project"] = (e28_pca_project, _e28_sql())

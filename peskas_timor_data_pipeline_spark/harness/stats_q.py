@@ -1901,3 +1901,128 @@ FROM scored s CROSS JOIN table_stat t
 """
 
 QUERIES["m18_chi_square"] = (m18_chi_square, M18_ORACLE)
+
+
+# --- M19: Kruskal-Wallis k-sample rank test ----------------------------------------------
+
+def m19_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H (operators/estimate.py::
+    kruskal_wallis) across ALL FOUR event types' value distributions on
+    the m15/m17 lattice — the k-sample generalization of m17. The one
+    cross-group float reduction folds in pinned sorted order."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        kruskal_wallis,
+    )
+
+    e = load(spark, sf_dir, "events")
+    return kruskal_wallis(e, "event_type", "value")
+
+
+M19_ORACLE = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(floor(value * 100) AS BIGINT) AS bin
+  FROM events
+), pgb AS MATERIALIZED (
+  SELECT bin, grp, CAST(count(*) AS BIGINT) AS cg FROM t GROUP BY bin, grp
+), pb AS MATERIALIZED (
+  SELECT bin, CAST(sum(cg) AS HUGEINT) AS t FROM pgb GROUP BY bin
+), br AS MATERIALIZED (
+  SELECT bin, t,
+         CAST(sum(t) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+           AS cum_t
+  FROM pb
+), pg AS MATERIALIZED (
+  SELECT grp, CAST(sum(cg) AS HUGEINT) AS n_g,
+         sum(CAST(cg AS HUGEINT) * (2 * (cum_t - t) + t + 1)) AS r2_g
+  FROM pgb JOIN br USING (bin) GROUP BY grp
+), terms AS (
+  SELECT n_g,
+         CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+           / (4.0 * CAST(n_g AS DOUBLE)) AS term
+  FROM pg
+), folded AS (
+  SELECT list_reduce([0.0::DOUBLE] || list_sort(list(term)), (a, b) -> a + b)
+           AS s,
+         CAST(count(*) AS BIGINT) AS k_groups,
+         CAST(sum(n_g) AS HUGEINT) AS n
+  FROM terms
+), ties AS (
+  SELECT sum(t * t * t - t) AS tie_sum FROM pb
+), calc AS (
+  SELECT k_groups, n,
+         12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s
+           - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+         1.0 - CAST(tie_sum AS DOUBLE) / CAST(n * n * n - n AS DOUBLE)
+           AS corr
+  FROM folded CROSS JOIN ties
+)
+SELECT CAST(n AS BIGINT) AS n_total, k_groups,
+       CAST(k_groups - 1 AS BIGINT) AS dof,
+       CASE WHEN n >= 2 AND k_groups >= 2 AND corr > 0
+            THEN round(h, 6) END AS h,
+       CASE WHEN n >= 2 AND k_groups >= 2 AND corr > 0
+            THEN round(h / corr, 6) END AS h_corrected
+FROM calc
+"""
+
+QUERIES["m19_kruskal_wallis"] = (m19_kruskal_wallis, M19_ORACLE)
+
+
+# --- M20: Spearman rank correlation ------------------------------------------------------
+
+def m20_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho (operators/estimate.py::spearman_correlation)
+    between lineitem quantity and extended price: midranks off each
+    column's own lattice grid, five exact DECIMAL(38,0) rank moments,
+    rho one fixed IEEE expression."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        spearman_correlation,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    return spearman_correlation(
+        li, "l_quantity", "l_extendedprice", grid_x=1, grid_y=100
+    )
+
+
+M20_ORACLE = """
+WITH b AS MATERIALIZED (
+  SELECT CAST(floor(l_quantity * 1) AS BIGINT) AS qx,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS qy
+  FROM lineitem
+), pairs AS MATERIALIZED (
+  SELECT qx, qy, CAST(count(*) AS HUGEINT) AS c FROM b GROUP BY qx, qy
+), cx AS MATERIALIZED (
+  SELECT qx, CAST(sum(c) AS HUGEINT) AS cnt FROM pairs GROUP BY qx
+), rx AS MATERIALIZED (
+  SELECT qx,
+         2 * (CAST(sum(cnt) OVER (ORDER BY qx ROWS UNBOUNDED PRECEDING)
+                   AS HUGEINT) - cnt) + cnt + 1 AS r_x
+  FROM cx
+), cy AS MATERIALIZED (
+  SELECT qy, CAST(sum(c) AS HUGEINT) AS cnt FROM pairs GROUP BY qy
+), ry AS MATERIALIZED (
+  SELECT qy,
+         2 * (CAST(sum(cnt) OVER (ORDER BY qy ROWS UNBOUNDED PRECEDING)
+                   AS HUGEINT) - cnt) + cnt + 1 AS r_y
+  FROM cy
+), mom AS (
+  SELECT CAST(sum(c) AS HUGEINT) AS n,
+         sum(c * r_x) AS sx, sum(c * r_y) AS sy,
+         sum(c * r_x * r_x) AS sxx, sum(c * r_y * r_y) AS syy,
+         sum(c * r_x * r_y) AS sxy
+  FROM pairs JOIN rx USING (qx) JOIN ry USING (qy)
+), calc AS (
+  SELECT n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS vy
+  FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN vx > 0 AND vy > 0
+            THEN round(num / sqrt(vx * vy), 6) END AS rho
+FROM calc
+"""
+
+QUERIES["m20_spearman"] = (m20_spearman, M20_ORACLE)

@@ -1134,3 +1134,60 @@ FROM scored GROUP BY channel
 """
 
 QUERIES["w17_attribution"] = (w17_attribution, W17_ORACLE)
+
+
+# --- TS6: Holt double exponential smoothing -----------------------------------------------
+
+def ts6_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing (operators/timeseries.py::holt_linear,
+    alpha=0.5 beta=0.3) of the per-event-type daily count series: the
+    sequential recursion runs as ONE pinned sorted in-row fold per
+    series (the ts2/t44 idiom), identical left-to-right IEEE sequence in
+    both engines. Observation-sequence semantics: missing days are
+    skipped, not zero-filled (contrast ts5's spine contract)."""
+    from peskas_timor_data_pipeline_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return holt_linear(daily, "event_type", "d", "x", alpha=0.5, beta=0.3)
+
+
+# NOTE: deliberately a recursive CTE, not a list_reduce fold — DuckDB's
+# list_reduce mutates the accumulator struct IN PLACE field by field, so a
+# later field expression reading an acc field an earlier field already
+# overwrote (exactly the l/b coupled recurrence) computes garbage; the
+# recursive-CTE row update is simultaneous, like Spark's aggregate().
+TS6_ORACLE = """
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), pts AS MATERIALIZED (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+         CAST(x AS DOUBLE) AS x
+  FROM daily
+), walk(event_type, i, l, b) AS (
+  SELECT event_type, i, x, 0.0::DOUBLE FROM pts WHERE i = 1
+  UNION ALL
+  SELECT w.event_type, p.i,
+         0.5::DOUBLE * p.x + (1.0::DOUBLE - 0.5::DOUBLE) * (w.l + w.b),
+         0.3::DOUBLE
+           * ((0.5::DOUBLE * p.x
+               + (1.0::DOUBLE - 0.5::DOUBLE) * (w.l + w.b)) - w.l)
+           + (1.0::DOUBLE - 0.3::DOUBLE) * w.b
+  FROM walk w JOIN pts p
+    ON p.event_type = w.event_type AND p.i = w.i + 1
+), last AS (
+  SELECT event_type, max(i) AS n FROM pts GROUP BY event_type
+)
+SELECT w.event_type, CAST(w.i AS BIGINT) AS n_points,
+       round(w.l, 6) AS level, round(w.b, 6) AS trend,
+       round(w.l + w.b, 6) AS forecast_1
+FROM walk w JOIN last ON w.event_type = last.event_type AND w.i = last.n
+"""
+
+QUERIES["ts6_holt_linear"] = (ts6_holt_linear, TS6_ORACLE)

@@ -1052,16 +1052,18 @@ def top_eigenvector(
     )
 
 
-def _cov_matrix(
+def _moments(
     df: DataFrame,
     vec_col: str,
     dim: int,
-    round_to: int,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """One corpus-scale moments pass -> materialized (i, j, c) covariance
-    frame with entries rounded BEFORE any iteration (top_eigenvector /
-    pca_top2 shared core; see top_eigenvector's docstring)."""
+    """The ONE corpus-scale pass of the PCA family: a single materialized
+    1-row frame holding n, the dim sums and the dim*(dim+1)/2 cross sums
+    — covariance, means and every iteration derive from it without ever
+    rescanning the corpus."""
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for i in range(1, dim + 1):
         aggs.append(
@@ -1075,7 +1077,19 @@ def _cov_matrix(
                     * F.element_at(F.col(vec_col), j).cast("double")
                 ).alias(f"p{i}_{j}")
             )
-    moments = df.agg(*aggs)
+    return materialize(df.agg(*aggs), checkpoint_dir)
+
+
+def _cov_from_moments(
+    moments: DataFrame,
+    dim: int,
+    round_to: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(i, j, c) covariance frame off the materialized moments row, with
+    entries rounded BEFORE any iteration (see top_eigenvector)."""
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
     entries = []
     for i in range(1, dim + 1):
         for j in range(1, dim + 1):
@@ -1083,16 +1097,28 @@ def _cov_matrix(
             entries.append(
                 f"{i}L, {j}L, round((p{lo}_{hi} - s{i} * s{j} / n) / n, {round_to})"
             )
-    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
-
-    # every iteration references cov (and, transitively, the corpus-scale
-    # moments pass) several times; without a lineage cut the optimized plan
-    # carried 28 copies of the moments aggregate — materialize the 64-row
-    # matrix once and each KB-scale iterate, so the corpus is scanned ONCE
+    # every iteration references cov several times; without a lineage cut
+    # the optimized plan carried 28 copies of the moments aggregate —
+    # materialize the dim*dim matrix once, so the corpus is scanned ONCE
     return materialize(
         moments.selectExpr(
             f"stack({dim * dim}, {', '.join(entries)}) AS (i, j, c)"
         ),
+        checkpoint_dir,
+    )
+
+
+def _cov_matrix(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    round_to: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """One corpus-scale moments pass -> materialized (i, j, c) covariance
+    frame (top_eigenvector / pca_top2 / pca_scores shared core)."""
+    return _cov_from_moments(
+        _moments(df, vec_col, dim, checkpoint_dir), dim, round_to,
         checkpoint_dir,
     )
 
@@ -1167,10 +1193,38 @@ def pca_top2(
 
     Returns 2*dim rows: (comp 1|2, i, loading, eigenvalue).
     """
-    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
-
     spark = df.sparkSession
     cov = _cov_matrix(df, vec_col, dim, round_to, checkpoint_dir)
+    v1, v2 = _pca_two_vectors(spark, cov, dim, n_iter, round_to,
+                              checkpoint_dir)
+    one = v1.select(
+        F.lit(1).cast("int").alias("comp"),
+        F.col("j").alias("i"),
+        F.col("v").alias("loading"),
+        F.col("__eig__").alias("eigenvalue"),
+    )
+    two = v2.select(
+        F.lit(2).cast("int").alias("comp"),
+        F.col("j").alias("i"),
+        F.col("v").alias("loading"),
+        F.col("__eig__").alias("eigenvalue"),
+    )
+    return one.unionAll(two)
+
+
+def _pca_two_vectors(
+    spark,
+    cov: DataFrame,
+    dim: int,
+    n_iter: int,
+    round_to: int,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared pca_top2/pca_scores core: pinned power chain on ``cov``,
+    Hotelling deflation (rounded entry-wise), second pinned chain.
+    Returns the two (j, v, __eig__) iterate frames."""
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
     v1 = _power_iterate(spark, cov, dim, n_iter, round_to, checkpoint_dir)
     vv = v1.agg(
         F.round(F.sum(F.col("v") * F.col("v")), round_to).alias("vv"),
@@ -1197,19 +1251,75 @@ def pca_top2(
         checkpoint_dir,
     )
     v2 = _power_iterate(spark, cov2, dim, n_iter, round_to, checkpoint_dir)
-    one = v1.select(
-        F.lit(1).cast("int").alias("comp"),
-        F.col("j").alias("i"),
-        F.col("v").alias("loading"),
-        F.col("__eig__").alias("eigenvalue"),
+    return v1, v2
+
+
+def pca_scores(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 8,
+    n_iter: int = 3,
+    round_to: int = 6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Project every embedding onto the top-2 principal directions (E28)
+    — the per-document companion of ``pca_top2``: mean-centered scores
+    along the two dominant axes, i.e. the 2-D map used for corpus drift
+    plots, cluster sanity views, and cheap outlier flags (a score far
+    outside the bulk on either axis). Same pinned-arithmetic contract as
+    e17/e27: loadings and the (rounded) per-dimension means come out of
+    the shared moments pass, and each score is ONE fixed left-associated
+    IEEE chain over the row's ``dim`` elements — fully codegen, no UDF.
+
+    Scale shape: the corpus is scanned twice total — once for the shared
+    moments pass (`_moments`), once for the projection itself — and the
+    projection side only crossJoin-broadcasts a single 1-row frame of
+    means + loadings; nothing row-wise ever shuffles.
+
+    Returns (id, score1, score2) rounded ``round_to``dp.
+    """
+    from functools import reduce as _reduce
+
+    spark = df.sparkSession
+    mom = _moments(df, vec_col, dim, checkpoint_dir)
+    cov = _cov_from_moments(mom, dim, round_to, checkpoint_dir)
+    v1, v2 = _pca_two_vectors(spark, cov, dim, n_iter, round_to,
+                              checkpoint_dir)
+    means = mom.selectExpr(
+        *[f"round(s{i} / n, {round_to}) AS m{i}" for i in range(1, dim + 1)]
     )
-    two = v2.select(
-        F.lit(2).cast("int").alias("comp"),
-        F.col("j").alias("i"),
-        F.col("v").alias("loading"),
-        F.col("__eig__").alias("eigenvalue"),
+    w1 = v1.agg(
+        *[
+            F.max(F.when(F.col("j") == i, F.col("v"))).alias(f"w1_{i}")
+            for i in range(1, dim + 1)
+        ]
     )
-    return one.unionAll(two)
+    w2 = v2.agg(
+        *[
+            F.max(F.when(F.col("j") == i, F.col("v"))).alias(f"w2_{i}")
+            for i in range(1, dim + 1)
+        ]
+    )
+
+    def chain(prefix: str):
+        terms = [
+            (F.element_at(F.col(vec_col), i).cast("double") - F.col(f"m{i}"))
+            * F.col(f"{prefix}_{i}")
+            for i in range(1, dim + 1)
+        ]
+        return _reduce(lambda a, b: a + b, terms)
+
+    return (
+        df.crossJoin(F.broadcast(means))
+        .crossJoin(F.broadcast(w1))
+        .crossJoin(F.broadcast(w2))
+        .select(
+            F.col(id_col).alias("id"),
+            F.round(chain("w1"), round_to).alias("score1"),
+            F.round(chain("w2"), round_to).alias("score2"),
+        )
+    )
 
 
 def ivf_cell_stats(

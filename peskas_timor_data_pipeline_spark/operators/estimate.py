@@ -1042,3 +1042,166 @@ def chi_square_independence(
     )
     table = scored.agg(F.sum("contrib_micro").cast("long").alias("chi2_micro"))
     return scored.crossJoin(F.broadcast(table))
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    grid: int = 100,
+) -> DataFrame:
+    """Kruskal-Wallis k-sample rank test (M19): does ANY of k slices'
+    value distributions sit systematically above the others — the
+    one-shot generalization of the Mann-Whitney pair test (``H`` reduces
+    to it at k=2) used to monitor a metric across many sources/shards at
+    once. Tie-corrected H (Kruskal & Wallis 1952, eq. 2.4).
+
+    Same bounded-lattice determinism as m15/m17: values quantize onto a
+    1/``grid`` floor lattice; per-(bin, group) and per-bin counts are
+    exact integer aggregates; doubled midranks make every group rank sum
+    an exact DECIMAL(38,0); the one cross-group float reduction
+    (sum of R_g^2/n_g) folds in pinned sorted order (the a39 rule —
+    float addition is not associative, and group count k is
+    dimension-sized). The tie term N^3 - N stays exact in DECIMAL.
+
+    Returns one row: (n_total, k_groups, dof, h, h_corrected) rounded
+    6dp; degenerate inputs (all values in one tied bin, n < 2, k < 2)
+    emit NULL statistics.
+    """
+    d38 = "decimal(38,0)"
+    tagged = df.select(
+        F.col(group_col).alias("grp"),
+        F.floor(F.col(value_col) * grid).cast("long").alias("bin"),
+    )
+    per_gb = tagged.groupBy("bin", "grp").agg(
+        F.count(F.lit(1)).alias("cg")
+    )
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    per_gb = materialize(per_gb)
+    per_bin = per_gb.groupBy("bin").agg(F.sum("cg").alias("t"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    bin_rank = per_bin.select(
+        "bin",
+        F.col("t").cast(d38).alias("t"),
+        F.sum("t").over(w).cast(d38).alias("cum_t"),
+    )
+    per_group = (
+        per_gb.join(bin_rank, "bin")
+        .groupBy("grp")
+        .agg(
+            F.sum("cg").cast(d38).alias("n_g"),
+            F.sum(
+                F.col("cg").cast(d38)
+                * (F.lit(2).cast(d38) * (F.col("cum_t") - F.col("t"))
+                   + F.col("t") + F.lit(1).cast(d38))
+            ).cast(d38).alias("r2_g"),
+        )
+        .withColumn(
+            "__term__",
+            F.col("r2_g").cast("double") * F.col("r2_g").cast("double")
+            / (F.lit(4.0) * F.col("n_g").cast("double")),
+        )
+    )
+    per_group = materialize(per_group)
+    folded = per_group.agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(__term__)), 0D, (a, x) -> a + x)"
+        ).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("n_g").cast(d38).alias("n"),
+    )
+    ties = per_bin.agg(
+        F.sum(
+            F.col("t").cast(d38) * F.col("t").cast(d38) * F.col("t").cast(d38)
+            - F.col("t").cast(d38)
+        ).cast(d38).alias("tie_sum")
+    )
+    nd = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) / (nd * (nd + 1.0)) * F.col("s")
+        - F.lit(3.0) * (nd + 1.0)
+    )
+    corr = F.lit(1.0) - F.col("tie_sum").cast("double") / (
+        F.col("n") * F.col("n") * F.col("n") - F.col("n")
+    ).cast("double")
+    ok = (F.col("n") >= 2) & (F.col("k_groups") >= 2) & (corr > 0)
+    return folded.crossJoin(F.broadcast(ties)).select(
+        F.col("n").cast("long").alias("n_total"),
+        "k_groups",
+        (F.col("k_groups") - 1).cast("long").alias("dof"),
+        F.when(ok, F.round(h, 6)).alias("h"),
+        F.when(ok, F.round(h / corr, 6)).alias("h_corrected"),
+    )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    grid_x: int = 1,
+    grid_y: int = 100,
+) -> DataFrame:
+    """Spearman rank correlation (M20) between two numeric columns —
+    the monotone-association QA check (does quality score track document
+    length? does price track quantity?) that Pearson's r gets wrong on
+    heavy tails. Computed as Pearson over midranks with full tie
+    handling.
+
+    Determinism: both columns quantize onto floor lattices; each
+    column's midrank map is built from exact integer cumulative counts
+    on its OWN dimension-sized bin grid (one window each), joined back
+    by bin key. DOUBLED midranks are exact integers, so all five rank
+    moments are exact DECIMAL(38,0) sums (the doubling cancels in the
+    ratio); the final rho is one fixed IEEE expression. Decimal budget:
+    n*Sxy stays inside 38 digits to ~1e9 rows (documented contract, the
+    a39 convention); the variance product is cast to double per factor
+    BEFORE multiplying (their product overflows any fixed precision).
+
+    Returns one row: (n, rho) with rho rounded 6dp; constant columns
+    emit NULL.
+    """
+    d38 = "decimal(38,0)"
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    binned = materialize(
+        df.select(
+            F.floor(F.col(x_col) * grid_x).cast("long").alias("bx"),
+            F.floor(F.col(y_col) * grid_y).cast("long").alias("by"),
+        )
+    )
+
+    def rank_map(col: str) -> DataFrame:
+        per = binned.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return per.select(
+            col,
+            (
+                F.lit(2).cast(d38)
+                * (F.sum("c").over(w).cast(d38) - F.col("c").cast(d38))
+                + F.col("c").cast(d38) + F.lit(1).cast(d38)
+            ).alias(f"r_{col}"),
+        )
+
+    ranked = (
+        binned.groupBy("bx", "by")
+        .agg(F.count(F.lit(1)).cast(d38).alias("c"))
+        .join(rank_map("bx"), "bx")
+        .join(rank_map("by"), "by")
+    )
+    mom = ranked.agg(
+        F.sum("c").cast(d38).alias("n"),
+        F.sum(F.col("c") * F.col("r_bx")).cast(d38).alias("sx"),
+        F.sum(F.col("c") * F.col("r_by")).cast(d38).alias("sy"),
+        F.sum(F.col("c") * F.col("r_bx") * F.col("r_bx")).cast(d38).alias("sxx"),
+        F.sum(F.col("c") * F.col("r_by") * F.col("r_by")).cast(d38).alias("syy"),
+        F.sum(F.col("c") * F.col("r_bx") * F.col("r_by")).cast(d38).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    den = F.sqrt(vx * vy)
+    return mom.select(
+        F.col("n").cast("long").alias("n"),
+        F.when((vx > 0) & (vy > 0), F.round(num / den, 6)).alias("rho"),
+    )

@@ -385,3 +385,65 @@ def autocorrelation(
             F.when(den > 0, F.round(num / den, 6)).alias("acf"),
         )
     )
+
+
+def holt_linear(
+    series: DataFrame,
+    key_col: str,
+    idx_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt double exponential smoothing (TS6; Holt 1957) per series —
+    level + trend state with the one-step-ahead forecast, the standard
+    short-horizon ingest-rate / volume forecaster one notch above the
+    EWMA (w13) because it tracks drift instead of lagging it.
+
+    The recursion l_t = a*x_t + (1-a)(l+b), b_t = B(l_t-l) + (1-B)b is
+    inherently sequential, so it runs as ONE in-row fold over the
+    series' (idx, value) list, exactly the ts2/t44 pinned-fold idiom:
+    sort_array fixes the order, the fold is the identical left-to-right
+    IEEE sequence in both engines, and initialization (l=x_0, b=0) is a
+    branch INSIDE the fold, so empty/length-1 series degrade cleanly.
+    Caller contract: ``series`` is an upstream AGGREGATION OUTPUT
+    (per-key daily/hourly points, dimension-sized lists) — the same
+    contract as ``autocorrelation``; the corpus-scale work is the
+    groupBy that built it, never the fold.
+
+    Returns one row per key: (key, n_points, level, trend, forecast_1)
+    rounded 6dp; forecast_1 = level + trend. Series with n=0 vanish
+    (groupBy), n=1 yields trend 0 and forecast = the point.
+    """
+    a, b = float(alpha), float(beta)
+    fold = f"""
+    aggregate(
+      transform(
+        sort_array(collect_list(struct({idx_col} AS i, {value_col} AS x))),
+        s -> cast(s.x AS double)
+      ),
+      named_struct('l', 0.0d, 'b', 0.0d, 'k', 0L),
+      (acc, e) -> case
+        when acc.k = 0L then named_struct('l', e, 'b', 0.0d, 'k', 1L)
+        else named_struct(
+          'l', {a}d * e + (1.0d - {a}d) * (acc.l + acc.b),
+          'b', {b}d * (({a}d * e + (1.0d - {a}d) * (acc.l + acc.b)) - acc.l)
+               + (1.0d - {b}d) * acc.b,
+          'k', acc.k + 1L
+        )
+      end
+    )
+    """
+    return (
+        series.groupBy(key_col)
+        .agg(F.expr(fold).alias("__st__"))
+        .select(
+            key_col,
+            F.col("__st__.k").cast("long").alias("n_points"),
+            F.round(F.col("__st__.l"), 6).alias("level"),
+            F.round(F.col("__st__.b"), 6).alias("trend"),
+            F.round(F.col("__st__.l") + F.col("__st__.b"), 6).alias(
+                "forecast_1"
+            ),
+        )
+    )

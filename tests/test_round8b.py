@@ -345,3 +345,135 @@ def test_pca_top2_matches_top_eigenvector_for_comp1(spark):
            for r in pca_top2(df, "embedding", dim=3, n_iter=3).collect()
            if r["comp"] == 1}
     assert solo == duo
+
+
+# --- Kruskal-Wallis ----------------------------------------------------------
+
+
+def test_kruskal_wallis_textbook_example(spark):
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        kruskal_wallis,
+    )
+
+    # three clearly separated groups, no ties -> big H
+    rows = (
+        [("a", float(v)) for v in (1, 2, 3)]
+        + [("b", float(v)) for v in (4, 5, 6)]
+        + [("c", float(v)) for v in (7, 8, 9)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = kruskal_wallis(df, "g", "v").collect()[0]
+    # ranks 1..9; R_a=6, R_b=15, R_c=24; H = 12/(9*10)*(36/3+225/3+576/3)-30
+    expect = 12 / 90 * ((36 + 225 + 576) / 3) - 30
+    assert out["n_total"] == 9 and out["k_groups"] == 3 and out["dof"] == 2
+    assert out["h"] == pytest.approx(expect, abs=1e-6)
+    assert out["h_corrected"] == pytest.approx(expect, abs=1e-6)  # no ties
+
+
+def test_kruskal_wallis_all_tied_null(spark):
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        kruskal_wallis,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0)] * 3 + [("b", 1.0)] * 3, "g string, v double"
+    )
+    out = kruskal_wallis(df, "g", "v").collect()[0]
+    assert out["h"] is None and out["h_corrected"] is None
+
+
+# --- Spearman ----------------------------------------------------------------
+
+
+def test_spearman_perfect_monotone(spark):
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        spearman_correlation,
+    )
+
+    rows = [(float(i), float(i * i)) for i in range(1, 11)]  # monotone, nonlinear
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = spearman_correlation(df, "x", "y", grid_x=1, grid_y=1).collect()[0]
+    assert out["n"] == 10
+    assert out["rho"] == pytest.approx(1.0)
+    anti = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(1, 11)], "x double, y double"
+    )
+    out2 = spearman_correlation(anti, "x", "y", grid_x=1, grid_y=1).collect()[0]
+    assert out2["rho"] == pytest.approx(-1.0)
+
+
+def test_spearman_ties_match_scipy_convention(spark):
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        spearman_correlation,
+    )
+
+    xs = [1.0, 2.0, 2.0, 3.0]
+    ys = [10.0, 20.0, 20.0, 10.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    out = spearman_correlation(df, "x", "y", grid_x=1, grid_y=1).collect()[0]
+    # midranks x: 1, 2.5, 2.5, 4; y: 1.5, 3.5, 3.5, 1.5 -> pearson of those
+    import statistics as st
+    rx, ry = [1, 2.5, 2.5, 4], [1.5, 3.5, 3.5, 1.5]
+    mx, my = st.mean(rx), st.mean(ry)
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)) ** 0.5
+    assert out["rho"] == pytest.approx(num / den, abs=1e-6)
+
+
+# --- Holt linear -------------------------------------------------------------
+
+
+def test_holt_linear_matches_sequential_replay(spark):
+    from peskas_timor_data_pipeline_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    xs = [10, 12, 15, 14, 18, 21, 20, 25]
+    df = spark.createDataFrame(
+        [("s", i, x) for i, x in enumerate(xs)], "k string, i int, x int"
+    )
+    out = holt_linear(df, "k", "i", "x", alpha=0.5, beta=0.3).collect()[0]
+    l, b = float(xs[0]), 0.0
+    for x in xs[1:]:
+        l2 = 0.5 * x + 0.5 * (l + b)
+        b = 0.3 * (l2 - l) + 0.7 * b
+        l = l2
+    assert out["n_points"] == len(xs)
+    assert out["level"] == pytest.approx(l, abs=1e-6)
+    assert out["trend"] == pytest.approx(b, abs=1e-6)
+    assert out["forecast_1"] == pytest.approx(l + b, abs=1e-6)
+
+
+def test_holt_linear_single_point(spark):
+    from peskas_timor_data_pipeline_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    df = spark.createDataFrame([("s", 0, 7)], "k string, i int, x int")
+    out = holt_linear(df, "k", "i", "x").collect()[0]
+    assert out["n_points"] == 1
+    assert out["level"] == 7.0 and out["trend"] == 0.0
+    assert out["forecast_1"] == 7.0
+
+
+# --- PCA scores --------------------------------------------------------------
+
+
+def test_pca_scores_separate_clusters(spark):
+    from peskas_timor_data_pipeline_spark.llm.similarity import pca_scores
+
+    # two clusters offset along dim 1 -> score1 separates them
+    rows = []
+    for i in range(40):
+        base = 5.0 if i % 2 == 0 else -5.0
+        rows.append((i, [base + 0.01 * (i % 3), 0.1 * (i % 5), 0.0]))
+    df = spark.createDataFrame(rows, "id int, embedding array<double>")
+    out = pca_scores(df, "id", "embedding", dim=3, n_iter=3).collect()
+    s_even = [r["score1"] for r in out if r["id"] % 2 == 0]
+    s_odd = [r["score1"] for r in out if r["id"] % 2 == 1]
+    # same sign within cluster, opposite across
+    assert all(v > 2 for v in s_even) != all(v > 2 for v in s_odd)
+    assert abs(sum(s_even) / len(s_even) - sum(s_odd) / len(s_odd)) > 5
+    # scores are centered: overall mean ~ 0
+    allv = [r["score1"] for r in out]
+    assert abs(sum(allv) / len(allv)) < 0.5

@@ -102,6 +102,10 @@ SHOWCASE = {
     "w17_attribution": "attribution: user-partitioned running-count windows + LeftSemi closed-window filter; no cross-user state",
     "t46_readability": "readability: regex counting + per-word transform fold, all codegen, zero Python, zero Exchange",
     "e27_pca_top2": "rank-2 PCA: corpus scanned ONCE (shared moments pass); deflation + both power chains on KB matrix frames",
+    "m19_kruskal_wallis": "Kruskal-Wallis: lattice partial agg, rank cumsum on the bin grid, pinned-sorted cross-group fold",
+    "m20_spearman": "Spearman: two dimension-sized rank maps joined back, one exact-moment agg, zero windows over rows",
+    "ts6_holt_linear": "Holt: corpus -> per-series daily agg, recursion = ONE in-row fold, no joins, no Python",
+    "e28_pca_project": "PCA scores: two corpus scans total (moments + projection), 1-row loadings broadcast, codegen chains",
 }
 
 
