@@ -2329,3 +2329,74 @@ CROSS JOIN nb
 """
 
 QUERIES["a41_assoc_rules"] = (a41_assoc_rules, A41_ORACLE)
+
+
+# --- G8: HITS hubs and authorities --------------------------------------------------------
+
+def g8_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (operators/graph.py::hits_scores) on the directed
+    customer -> part purchase graph from a 1-in-10 order sample: 3
+    PINNED nano-integer rounds, top-25 per side. Every half-round is an
+    exact BIGINT sum + DECIMAL(38,0) integral-div normalization — no
+    float enters the iteration, so the oracle replays identical
+    integers."""
+    from peskas_timor_data_pipeline_spark.operators.graph import hits_scores
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+    )
+    return hits_scores(edges, "src", "dst", n_rounds=3, top_r=25)
+
+
+def _g8_sql(n_rounds: int = 3, top_r: int = 25) -> str:
+    nano = 1_000_000_000
+    ctes = ["""e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS s, l_partkey AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderkey % 10 = 0
+)""", f"""h0 AS MATERIALIZED (
+  SELECT DISTINCT s AS n, CAST({nano} AS BIGINT) AS h FROM e
+)"""]
+    for r in range(1, n_rounds + 1):
+        ctes.append(f"""ar{r} AS MATERIALIZED (
+  SELECT d, CAST(sum(h) AS BIGINT) AS a_raw
+  FROM e JOIN h{r - 1} ON e.s = h{r - 1}.n GROUP BY d
+)""")
+        ctes.append(f"""a{r} AS MATERIALIZED (
+  SELECT d AS n,
+         CAST((CAST(a_raw AS HUGEINT) * {nano})
+              // CAST((SELECT max(a_raw) FROM ar{r}) AS HUGEINT) AS BIGINT)
+           AS a
+  FROM ar{r}
+)""")
+        ctes.append(f"""hr{r} AS MATERIALIZED (
+  SELECT s, CAST(sum(a) AS BIGINT) AS h_raw
+  FROM e JOIN a{r} ON e.d = a{r}.n GROUP BY s
+)""")
+        ctes.append(f"""h{r} AS MATERIALIZED (
+  SELECT s AS n,
+         CAST((CAST(h_raw AS HUGEINT) * {nano})
+              // CAST((SELECT max(h_raw) FROM hr{r}) AS HUGEINT) AS BIGINT)
+           AS h
+  FROM hr{r}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT * FROM (
+  SELECT 'hub' AS side, n AS node, h AS score_nano FROM h{n_rounds}
+  ORDER BY score_nano DESC, node LIMIT {top_r}
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'authority' AS side, n AS node, a AS score_nano FROM a{n_rounds}
+  ORDER BY score_nano DESC, node LIMIT {top_r}
+)"""
+    )
+
+
+QUERIES["g8_hits"] = (g8_hits, _g8_sql())

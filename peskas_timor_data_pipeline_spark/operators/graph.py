@@ -556,3 +556,99 @@ def pointer_jump_closure(
             "resolved"
         ),
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    n_rounds: int = 3,
+    top_r: int = 25,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    list — the complement of PageRank (g1) for BIPARTITE-flavored
+    graphs: on a customer->product graph, authority ranks products by
+    how strong their buyers are, hub ranks buyers by how authoritative
+    their products are; the same pair drives query->document and
+    crawler seed-page scoring.
+
+    Determinism contract (the g1 convention): scores live in integer
+    NANO units. Each half-round is one partial-aggregated BIGINT sum
+    over the edge list followed by max-normalization via exact integer
+    division (``div``; all values non-negative, so the truncate-vs-
+    floor engine divergence cannot bite) — no float ever enters the
+    iteration, so both engines replay identical integers. ``n_rounds``
+    is PINNED like k_core/LPA. The normalization numerator raw*1e9 runs
+    in DECIMAL(38,0) (a BIGINT numerator would cap max in-degree at 9 —
+    the a39/r07 overflow class, caught before it shipped); the divide is
+    integral ``div``, emitting a <=1e9 BIGINT score.
+
+    Shape per round: two equi-joins + two partial-agg groupBys on the
+    edge endpoints (authority pass then hub pass), each normalized
+    against a 1-row broadcast max; edge frame materialized once. Final
+    top-``top_r`` per side via sort+limit (TakeOrderedAndProject).
+
+    Returns (side 'hub'|'authority', node, score_nano) — the top_r
+    best per side by (score desc, node asc).
+    """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    e = materialize(
+        edges.select(
+            F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+        ).distinct()
+    )
+    hubs = e.select(F.col("s").alias("n")).distinct().select(
+        "n", F.lit(NANO).cast("long").alias("h")
+    )
+    auth = None
+    for _ in range(n_rounds):
+        a_raw = (
+            e.join(hubs.withColumnRenamed("n", "s"), "s")
+            .groupBy("d")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        a_max = a_raw.agg(F.max("a_raw").alias("m"))
+        auth = materialize(
+            a_raw.crossJoin(F.broadcast(a_max)).select(
+                F.col("d").alias("n"),
+                F.expr(
+                    f"CAST((CAST(a_raw AS DECIMAL(38,0)) * {NANO}L)"
+                    f" div CAST(m AS DECIMAL(38,0)) AS BIGINT)"
+                ).alias("a"),
+            )
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("n", "d"), "d")
+            .groupBy("s")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h_max = h_raw.agg(F.max("h_raw").alias("m"))
+        hubs = materialize(
+            h_raw.crossJoin(F.broadcast(h_max)).select(
+                F.col("s").alias("n"),
+                F.expr(
+                    f"CAST((CAST(h_raw AS DECIMAL(38,0)) * {NANO}L)"
+                    f" div CAST(m AS DECIMAL(38,0)) AS BIGINT)"
+                ).alias("h"),
+            )
+        )
+    top_h = (
+        hubs.select(
+            F.lit("hub").alias("side"), "n",
+            F.col("h").alias("score_nano"),
+        )
+        .orderBy(F.desc("score_nano"), "n")
+        .limit(top_r)
+    )
+    top_a = (
+        auth.select(
+            F.lit("authority").alias("side"), "n",
+            F.col("a").alias("score_nano"),
+        )
+        .orderBy(F.desc("score_nano"), "n")
+        .limit(top_r)
+    )
+    return top_h.unionAll(top_a).select(
+        "side", F.col("n").alias("node"), "score_nano"
+    )

@@ -477,3 +477,54 @@ def test_pca_scores_separate_clusters(spark):
     # scores are centered: overall mean ~ 0
     allv = [r["score1"] for r in out]
     assert abs(sum(allv) / len(allv)) < 0.5
+
+
+# --- HITS --------------------------------------------------------------------
+
+
+def test_hits_scores_bipartite_hand_graph(spark):
+    from peskas_timor_data_pipeline_spark.operators.graph import hits_scores
+
+    # hubs 1,2,3 -> authorities 10,20: node 10 cited by all three,
+    # 20 by one; hub 1 points at both, hubs 2,3 only at 10
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (3, 10)], "src int, dst int"
+    )
+    out = hits_scores(edges, "src", "dst", n_rounds=3, top_r=10).collect()
+    hubs = {r["node"]: r["score_nano"] for r in out if r["side"] == "hub"}
+    auth = {r["node"]: r["score_nano"] for r in out if r["side"] == "authority"}
+    # python replay of the integer recursion
+    NANO = 1_000_000_000
+    h = {1: NANO, 2: NANO, 3: NANO}
+    a = {}
+    E = [(1, 10), (1, 20), (2, 10), (3, 10)]
+    for _ in range(3):
+        raw_a = {}
+        for s, d in E:
+            raw_a[d] = raw_a.get(d, 0) + h[s]
+        m = max(raw_a.values())
+        a = {d: v * NANO // m for d, v in raw_a.items()}
+        raw_h = {}
+        for s, d in E:
+            raw_h[s] = raw_h.get(s, 0) + a[d]
+        m = max(raw_h.values())
+        h = {s: v * NANO // m for s, v in raw_h.items()}
+    assert hubs == h
+    assert auth == a
+    # structural sanity: 10 is the top authority, 1 the top hub
+    assert max(auth, key=auth.get) == 10
+    assert max(hubs, key=hubs.get) == 1
+
+
+def test_hits_top_r_truncates_deterministically(spark):
+    from peskas_timor_data_pipeline_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [(s, d) for s in range(6) for d in range(100, 104)],
+        "src int, dst int",
+    )
+    out = hits_scores(edges, "src", "dst", n_rounds=2, top_r=3).collect()
+    assert sum(1 for r in out if r["side"] == "hub") == 3
+    assert sum(1 for r in out if r["side"] == "authority") == 3
+    # complete bipartite: every score saturates at NANO; tie-break by node
+    assert [r["node"] for r in out if r["side"] == "hub"] == [0, 1, 2]

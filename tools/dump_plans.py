@@ -106,6 +106,7 @@ SHOWCASE = {
     "m20_spearman": "Spearman: two dimension-sized rank maps joined back, one exact-moment agg, zero windows over rows",
     "ts6_holt_linear": "Holt: corpus -> per-series daily agg, recursion = ONE in-row fold, no joins, no Python",
     "e28_pca_project": "PCA scores: two corpus scans total (moments + projection), 1-row loadings broadcast, codegen chains",
+    "g8_hits": "HITS: per half-round one equi-join + partial-agg BIGINT sum, 1-row max broadcast, integer div — no float in the loop",
 }
 
 
