@@ -2400,3 +2400,48 @@ SELECT * FROM (
 
 
 QUERIES["g8_hits"] = (g8_hits, _g8_sql())
+
+
+# --- A42: exponential time-decay aggregation ----------------------------------------------
+
+def a42_decayed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-type event mass
+    (operators/funnel.py::decayed_aggregate): half-life 7 days as of a
+    pinned 2024-02-05 — the freshness prior for source scoring. Decay
+    weights are fixed per-row IEEE expressions rounded to micro-units
+    BEFORE the sums, so every aggregate is an exact BIGINT reduction."""
+    from peskas_timor_data_pipeline_spark.operators.funnel import (
+        decayed_aggregate,
+    )
+
+    e = load(spark, sf_dir, "events")
+    return decayed_aggregate(
+        e, ["event_type"], "ts", "value", as_of="2024-02-05",
+        half_life_days=7,
+    )
+
+
+A42_ORACLE = """
+WITH w AS (
+  SELECT event_type,
+         CAST(floor(
+           1000000.0
+           * exp(-0.09902102579427789 * CAST(greatest(
+               date_diff('day', CAST(ts AS DATE), DATE '2024-02-05'), 0
+             ) AS DOUBLE))
+           + 0.5) AS BIGINT) AS wm,
+         CAST(floor(
+           1000000.0 * value
+           * exp(-0.09902102579427789 * CAST(greatest(
+               date_diff('day', CAST(ts AS DATE), DATE '2024-02-05'), 0
+             ) AS DOUBLE))
+           + 0.5) AS BIGINT) AS wvm
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(wm) AS BIGINT) AS decayed_count_micro,
+       CAST(sum(wvm) AS BIGINT) AS decayed_value_micro
+FROM w GROUP BY event_type
+"""
+
+QUERIES["a42_decayed_agg"] = (a42_decayed_agg, A42_ORACLE)

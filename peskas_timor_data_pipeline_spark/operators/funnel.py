@@ -6,6 +6,7 @@ a heavy user's millions of events never materialize in one row).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -282,4 +283,59 @@ def multi_touch_attribution(
         F.count(F.lit(1)).cast("long").alias("n_touches"),
         F.sum("__last__").cast("long").alias("last_touch_conversions"),
         F.sum("__lin__").cast("long").alias("linear_credit_micro"),
+    )
+
+
+def decayed_aggregate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    as_of: str,
+    half_life_days: int = 30,
+) -> DataFrame:
+    """Exponential time-decay aggregation (A42): recency-weighted counts
+    and value mass per group as of a fixed date — the standard freshness
+    prior for source-quality scoring, trending detection, and
+    sampling-weight computation ("how alive is this source NOW"), one
+    notch simpler than the EWMA (w13) because it needs no ordering, just
+    an age. weight = 2^(-age_days / half_life).
+
+    Determinism: the decay weight is a fixed per-row IEEE expression
+    (exp of an integer-day age — identical in both engines) rounded to
+    integer MICRO-UNITS per row BEFORE aggregation, so every group sum
+    is an exact BIGINT reduction (SURVEY §7.4: only per-row floats,
+    never float reductions, reach hashed outputs). ``as_of`` is a
+    caller-pinned literal date, the w5 convention — never now().
+
+    Shape: one projection + one partial-aggregated groupBy; nothing
+    else. Rows newer than ``as_of`` clamp to age 0 (weight 1).
+
+    Returns per group: (group cols, n_events, decayed_count_micro,
+    decayed_value_micro) — decayed_count_micro/1e6 is the effective
+    recency-weighted row count, decayed_value_micro the weighted
+    ``value_col`` mass in micro-units.
+    """
+    age = F.greatest(
+        F.datediff(F.lit(as_of).cast("date"), F.to_date(F.col(ts_col))),
+        F.lit(0),
+    ).cast("double")
+    w_micro = F.floor(
+        F.lit(1e6)
+        * F.exp(F.lit(-math.log(2.0) / float(half_life_days)) * age)
+        + 0.5
+    ).cast("long")
+    wv_micro = F.floor(
+        F.lit(1e6) * F.col(value_col)
+        * F.exp(F.lit(-math.log(2.0) / float(half_life_days)) * age)
+        + 0.5
+    ).cast("long")
+    return (
+        df.select(*group_cols, w_micro.alias("__w__"), wv_micro.alias("__wv__"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("__w__").cast("long").alias("decayed_count_micro"),
+            F.sum("__wv__").cast("long").alias("decayed_value_micro"),
+        )
     )

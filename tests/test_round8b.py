@@ -528,3 +528,52 @@ def test_hits_top_r_truncates_deterministically(spark):
     assert sum(1 for r in out if r["side"] == "authority") == 3
     # complete bipartite: every score saturates at NANO; tie-break by node
     assert [r["node"] for r in out if r["side"] == "hub"] == [0, 1, 2]
+
+
+# --- decayed aggregation -------------------------------------------------------
+
+
+def test_decayed_aggregate_halves_per_half_life(spark):
+    import datetime as dt
+
+    from peskas_timor_data_pipeline_spark.operators.funnel import (
+        decayed_aggregate,
+    )
+
+    rows = [
+        ("s", dt.datetime(2024, 1, 10, 12, 0), 10.0),   # age 0 at as_of
+        ("s", dt.datetime(2024, 1, 3, 12, 0), 10.0),    # age 7 = 1 half-life
+        ("s", dt.datetime(2023, 12, 27, 12, 0), 10.0),  # age 14 = 2
+        ("s", dt.datetime(2024, 1, 20, 12, 0), 4.0),    # future -> clamp 0
+    ]
+    df = spark.createDataFrame(rows, "src string, ts timestamp, v double")
+    out = decayed_aggregate(
+        df, ["src"], "ts", "v", as_of="2024-01-10", half_life_days=7
+    ).collect()[0]
+    assert out["n_events"] == 4
+    # weights: 1, 0.5, 0.25, 1 -> 2.75e6 micro
+    assert out["decayed_count_micro"] == pytest.approx(2_750_000, abs=2)
+    # value mass: 10 + 5 + 2.5 + 4 = 21.5e6 micro
+    assert out["decayed_value_micro"] == pytest.approx(21_500_000, abs=4)
+
+
+def test_decayed_aggregate_integer_sums_are_exact(spark):
+    import datetime as dt
+
+    from peskas_timor_data_pipeline_spark.operators.funnel import (
+        decayed_aggregate,
+    )
+
+    import math as m
+
+    rows = [("s", dt.datetime(2024, 1, 1 + (i % 9), 6, 0), 1.0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "src string, ts timestamp, v double")
+    out = decayed_aggregate(
+        df, ["src"], "ts", "v", as_of="2024-01-10", half_life_days=7
+    ).collect()[0]
+    expect = sum(
+        m.floor(1e6 * m.exp(-m.log(2.0) / 7.0 * ((9 - (i % 9)))) + 0.5)
+        for i in range(200)
+    )
+    assert out["decayed_count_micro"] == expect

@@ -107,6 +107,7 @@ SHOWCASE = {
     "ts6_holt_linear": "Holt: corpus -> per-series daily agg, recursion = ONE in-row fold, no joins, no Python",
     "e28_pca_project": "PCA scores: two corpus scans total (moments + projection), 1-row loadings broadcast, codegen chains",
     "g8_hits": "HITS: per half-round one equi-join + partial-agg BIGINT sum, 1-row max broadcast, integer div — no float in the loop",
+    "a42_decayed_agg": "decay agg: per-row micro-rounded weights, ONE partial-agg groupBy, zero windows, zero joins",
 }
 
 
