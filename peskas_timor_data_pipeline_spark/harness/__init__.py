@@ -59,7 +59,7 @@ _PRIORITY_R08 = (
     "m17_mann_whitney", "m18_chi_square", "ts5_acf", "w17_attribution",
     "t46_readability", "e27_pca_top2",
     "m19_kruskal_wallis", "m20_spearman", "ts6_holt_linear",
-    "e28_pca_project", "g8_hits", "a42_decayed_agg",
+    "e28_pca_project", "g8_hits", "a42_decayed_agg", "e29_ivf_cell_split",
 )
 _PRIORITY_R04 = _PRIORITY_R08  # kept name used by registry()
 

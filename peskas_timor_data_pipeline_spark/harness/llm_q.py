@@ -6596,3 +6596,93 @@ FROM embeddings CROSS JOIN mw CROSS JOIN w1w CROSS JOIN w2w
 
 
 QUERIES["e28_pca_project"] = (e28_pca_project, _e28_sql())
+
+
+# --- E29: IVF hot-cell split (index maintenance) -----------------------------------------
+
+def e29_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the hottest inverted list of the e3/e18 IVF configuration
+    (llm/similarity.py::ivf_cell_split): highest-variance-dimension mean
+    split, variance rounded before the argmax so the discrete choice
+    cannot flip between engines. Reports the split decision and the
+    imbalance factor before/after — the mitigation for the skew e18
+    measures."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import ivf_cell_split
+
+    emb = load(spark, sf_dir, "embeddings")
+    candidates = emb.filter(F.col("vec_id") >= 20)
+    return ivf_cell_split(candidates, "vec_id", "embedding", n_cells=16, dim=DIM)
+
+
+def _e29_sql() -> str:
+    r = 6
+    moms = ", ".join(
+        f"sum(CAST(cv[{i}] AS DOUBLE)) AS s{i}, "
+        f"sum(CAST(cv[{i}] AS DOUBLE) * CAST(cv[{i}] AS DOUBLE)) AS q{i}"
+        for i in range(1, DIM + 1)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT {i} AS d, round((q{i} - s{i} * s{i} / n) / n, {r}) AS var, "
+        f"round(s{i} / n, {r}) AS thr FROM mom"
+        for i in range(1, DIM + 1)
+    )
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 20
+), cents AS MATERIALIZED (
+  SELECT vec_id AS cell_id, embedding AS cvec
+  FROM embeddings WHERE vec_id >= 20
+  ORDER BY md5('cent#' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+), assign AS MATERIALIZED (
+  SELECT cand_id, cell_id FROM (
+    SELECT cand_id, cell_id,
+           row_number() OVER (
+             PARTITION BY cand_id
+             ORDER BY ({_dot_sql('cv', 'cvec')})
+                      / (sqrt({_dot_sql('cv', 'cv')})
+                         * sqrt({_dot_sql('cvec', 'cvec')})) DESC,
+                      cell_id
+           ) AS rn
+    FROM c CROSS JOIN cents
+  ) WHERE rn = 1
+), sizes AS MATERIALIZED (
+  SELECT cell_id, CAST(count(*) AS BIGINT) AS sz
+  FROM assign GROUP BY cell_id
+), hot AS MATERIALIZED (
+  SELECT cell_id AS hot_cell, sz AS n_hot FROM sizes
+  ORDER BY sz DESC, cell_id LIMIT 1
+), hr AS MATERIALIZED (
+  SELECT cv FROM c
+  JOIN assign USING (cand_id)
+  JOIN hot ON assign.cell_id = hot.hot_cell
+), mom AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n, {moms} FROM hr
+), dims AS MATERIALIZED ({arms}),
+pick AS MATERIALIZED (
+  SELECT d, thr FROM dims ORDER BY var DESC, d LIMIT 1
+), halves AS (
+  SELECT CAST(sum(CASE WHEN CAST(list_extract(cv, d) AS DOUBLE) < thr
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         CAST(max(d) AS BIGINT) AS split_dim,
+         max(thr) AS threshold
+  FROM hr CROSS JOIN pick
+), before AS (
+  SELECT CAST(count(*) AS BIGINT) AS ncu, CAST(sum(sz) AS BIGINT) AS nt,
+         CAST(max(sz) AS BIGINT) AS mx
+  FROM sizes
+), om AS (
+  SELECT CAST(COALESCE(max(sz), 0) AS BIGINT) AS others_max
+  FROM sizes WHERE cell_id NOT IN (SELECT hot_cell FROM hot)
+)
+SELECT hot_cell, n_hot, split_dim, threshold, n_low,
+       CAST(n_hot - n_low AS BIGINT) AS n_high,
+       ncu AS n_cells_used,
+       round(mx / (nt / CAST(ncu AS DOUBLE)), {r}) AS imbalance_before,
+       round(CAST(greatest(others_max, n_low, n_hot - n_low) AS DOUBLE)
+             / (nt / CAST(ncu + 1 AS DOUBLE)), {r}) AS imbalance_after
+FROM hot CROSS JOIN halves CROSS JOIN before CROSS JOIN om
+"""
+
+
+QUERIES["e29_ivf_cell_split"] = (e29_ivf_cell_split, _e29_sql())

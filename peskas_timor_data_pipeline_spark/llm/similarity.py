@@ -2162,3 +2162,144 @@ def mutual_knn(
         F.col("cand_id").alias("id_a"), F.col("query_id").alias("id_b")
     )
     return fwd.join(rev, ["id_a", "id_b"], "left_semi")
+
+
+def ivf_cell_split(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF index maintenance: split the HOTTEST inverted list (E29) —
+    the mitigation for the exact failure mode e18 measures. A cell that
+    accumulated a disproportionate list makes every probe that touches
+    it scan that whole list; the standard fix (FAISS re-train aside) is
+    a median/mean split of the hot cell along its highest-variance
+    dimension, turning one hot list into two balanced ones without
+    touching the other cells' assignments.
+
+    Deterministic recipe, oracle-replayable end to end: assignment is
+    the e3/e18 broadcast argmax; the hot cell is (max size, min cell id);
+    the split dimension is the argmax of the hot list's per-dimension
+    population variance ROUNDED to ``round_to`` before the argmax
+    (the e17 rule — a last-ulp variance tie must not flip the discrete
+    choice between engines), tie-break min dim; the threshold is the
+    rounded mean of that dimension; rows go low (< thr) / high (>= thr).
+
+    Scale shape: centroid seeding is one TakeOrderedAndProject pass; the
+    x n_cells assignment expansion carries only (id, cell) — vectors
+    REJOIN by id for the hot list (the r08 IVFPQ memcpy lesson); the
+    per-dim moments are ONE 2*dim-aggregate pass over the hot list; all
+    decisions live on broadcast 1-row frames.
+
+    Returns one row: (hot_cell, n_hot, split_dim, threshold, n_low,
+    n_high, n_cells_used, imbalance_before, imbalance_after).
+    """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    cents = F.broadcast(ivf_centroids(candidates, id_col, vec_col, n_cells, dim))
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(vec_col, dim).alias("cn"),
+    )
+    w_assign = Window.partitionBy("cand_id").orderBy(
+        F.desc("cos_c"), F.asc("cell_id")
+    )
+    assign = materialize(
+        c.crossJoin(cents)
+        .withColumn(
+            "cos_c", dot_expr("cv", "cvec", dim) / (F.col("cn") * F.col("cnorm"))
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("cell_id", "cand_id")
+    )
+    sizes = materialize(
+        assign.groupBy("cell_id").agg(F.count(F.lit(1)).alias("sz"))
+    )
+    hot = (
+        sizes.orderBy(F.desc("sz"), F.asc("cell_id"))
+        .limit(1)
+        .select(F.col("cell_id").alias("hot_cell"), F.col("sz").alias("n_hot"))
+    )
+    hot_rows = candidates.join(
+        assign.join(
+            hot.hint("broadcast"), assign.cell_id == hot.hot_cell, "left_semi"
+        ).withColumnRenamed("cand_id", id_col).select(id_col),
+        id_col,
+        "left_semi",
+    ).select(F.col(vec_col).alias("cv"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(1, dim + 1):
+        el = F.element_at(F.col("cv"), i).cast("double")
+        aggs.append(F.sum(el).alias(f"s{i}"))
+        aggs.append(F.sum(el * el).alias(f"q{i}"))
+    mom = hot_rows.agg(*aggs)
+    arms = ", ".join(
+        f"{i}L, round((q{i} - s{i} * s{i} / n) / n, {round_to}), "
+        f"round(s{i} / n, {round_to})"
+        for i in range(1, dim + 1)
+    )
+    pick = (
+        mom.selectExpr(f"stack({dim}, {arms}) AS (d, var, thr)")
+        .orderBy(F.desc("var"), F.asc("d"))
+        .limit(1)
+    )
+    halves = (
+        hot_rows.crossJoin(F.broadcast(pick))
+        .agg(
+            F.sum(
+                F.when(
+                    F.element_at(F.col("cv"), F.col("d").cast("int"))
+                    .cast("double") < F.col("thr"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_low"),
+            F.max("d").cast("long").alias("split_dim"),
+            F.max("thr").alias("threshold"),
+        )
+    )
+    before = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells_used"),
+        F.sum("sz").cast("long").alias("n_total"),
+        F.max("sz").cast("long").alias("max_sz"),
+    )
+    others_max = (
+        sizes.join(hot.hint("broadcast"), sizes.cell_id == hot.hot_cell,
+                   "left_anti")
+        .agg(F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("others_max"))
+    )
+    return (
+        hot.crossJoin(F.broadcast(halves))
+        .crossJoin(F.broadcast(before))
+        .crossJoin(F.broadcast(others_max))
+        .select(
+            "hot_cell",
+            F.col("n_hot").cast("long").alias("n_hot"),
+            "split_dim",
+            "threshold",
+            "n_low",
+            (F.col("n_hot") - F.col("n_low")).cast("long").alias("n_high"),
+            "n_cells_used",
+            F.round(
+                F.col("max_sz")
+                / (F.col("n_total") / F.col("n_cells_used").cast("double")),
+                round_to,
+            ).alias("imbalance_before"),
+            F.round(
+                F.greatest(
+                    F.col("others_max"),
+                    F.col("n_low"),
+                    F.col("n_hot") - F.col("n_low"),
+                ).cast("double")
+                / (
+                    F.col("n_total")
+                    / (F.col("n_cells_used") + 1).cast("double")
+                ),
+                round_to,
+            ).alias("imbalance_after"),
+        )
+    )

@@ -577,3 +577,32 @@ def test_decayed_aggregate_integer_sums_are_exact(spark):
         for i in range(200)
     )
     assert out["decayed_count_micro"] == expect
+
+
+# --- IVF cell split ------------------------------------------------------------
+
+
+def test_ivf_cell_split_hot_cluster(spark):
+    from peskas_timor_data_pipeline_spark.llm.similarity import ivf_cell_split
+
+    # two tight direction-clusters; the bigger one becomes the hot cell.
+    # within the hot cluster, dim 3 carries the variance (bimodal +-2).
+    rows = []
+    for i in range(40):
+        rows.append((i, [10.0, 0.1 * (i % 3), (2.0 if i % 2 == 0 else -2.0), 0.0]))
+    for i in range(40, 50):
+        rows.append((i, [0.0, 10.0, 0.05 * (i % 2), 0.0]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = ivf_cell_split(df, "vec_id", "embedding", n_cells=2, dim=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_hot"] == 40
+    assert r["split_dim"] == 3
+    # bimodal +-2 -> threshold ~ 0, halves 20/20
+    assert abs(r["threshold"]) < 0.01
+    assert r["n_low"] == 20 and r["n_high"] == 20
+    assert r["n_cells_used"] == 2
+    # 40 vs avg 25 -> 1.6 before; after: max(20,20,10)/avg(50/3)
+    assert r["imbalance_before"] == pytest.approx(40 / 25, abs=1e-6)
+    assert r["imbalance_after"] == pytest.approx(20 / (50 / 3), abs=1e-6)
+    assert r["imbalance_after"] < r["imbalance_before"]

@@ -108,6 +108,7 @@ SHOWCASE = {
     "e28_pca_project": "PCA scores: two corpus scans total (moments + projection), 1-row loadings broadcast, codegen chains",
     "g8_hits": "HITS: per half-round one equi-join + partial-agg BIGINT sum, 1-row max broadcast, integer div — no float in the loop",
     "a42_decayed_agg": "decay agg: per-row micro-rounded weights, ONE partial-agg groupBy, zero windows, zero joins",
+    "e29_ivf_cell_split": "cell split: slim (id,cell) assignment, vectors rejoin by id for the hot list, 128-agg moments pass, 1-row decisions",
 }
 
 
