@@ -6686,3 +6686,67 @@ FROM hot CROSS JOIN halves CROSS JOIN before CROSS JOIN om
 
 
 QUERIES["e29_ivf_cell_split"] = (e29_ivf_cell_split, _e29_sql())
+
+
+# --- M21: classification report (per-class precision/recall/F1) --------------------------
+
+def m21_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 (operators/estimate.py::
+    classification_report) of the t1 stopword language classifier
+    against the documents table's true lang labels — the evaluation
+    table for every classifier gate in the pipeline. Confusion counts
+    are exact integers; every ratio is one guarded IEEE expression."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        classification_report,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pred = langid_heuristic(docs, "text")
+    return classification_report(pred, "lang", "pred_lang")
+
+
+M21_ORACLE = f"""
+WITH hits AS (
+  SELECT lang,
+         {_hits_sql('en')} AS en_h, {_hits_sql('fr')} AS fr_h,
+         {_hits_sql('es')} AS es_h, {_hits_sql('de')} AS de_h
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE WHEN de_h > greatest(en_h, fr_h, es_h) THEN 'de'
+              WHEN es_h > greatest(en_h, fr_h) THEN 'es'
+              WHEN fr_h > en_h THEN 'fr'
+              WHEN en_h > 0 THEN 'en'
+              ELSE 'und' END AS pred_lang
+  FROM hits
+), cells AS MATERIALIZED (
+  SELECT lang AS t, pred_lang AS p, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang, pred_lang
+), tm AS (
+  SELECT t AS label, CAST(sum(n) AS BIGINT) AS support,
+         CAST(sum(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT) AS tp
+  FROM cells GROUP BY t
+), pm AS (
+  SELECT p AS label, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY p
+), rep AS (
+  SELECT COALESCE(tm.label, pm.label) AS label,
+         CAST(COALESCE(support, 0) AS BIGINT) AS support,
+         CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+         CAST(COALESCE(n_pred, 0) - COALESCE(tp, 0) AS BIGINT) AS fp,
+         CAST(COALESCE(support, 0) - COALESCE(tp, 0) AS BIGINT) AS fn
+  FROM tm FULL OUTER JOIN pm ON tm.label = pm.label
+)
+SELECT label, support, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS recall,
+       CASE WHEN tp + fp > 0 AND tp + fn > 0
+                 AND tp / (tp + fp) + tp / (tp + fn) > 0
+            THEN round(2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
+                       / (tp / (tp + fp) + tp / (tp + fn)), 6)
+       END AS f1
+FROM rep
+"""
+
+QUERIES["m21_classification_report"] = (
+    m21_classification_report, M21_ORACLE,
+)

@@ -2026,3 +2026,138 @@ FROM calc
 """
 
 QUERIES["m20_spearman"] = (m20_spearman, M20_ORACLE)
+
+
+# --- M22: ROC AUC via rank-sum -----------------------------------------------------------
+
+def m22_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free ranking quality (operators/estimate.py::roc_auc)
+    of the m16 calibrated-score construction: scores are fractional
+    event values, labels md5-seeded Bernoulli(score) draws — a
+    better-than-random ranker by construction. AUC comes out of the
+    m17 midrank machinery as one exact-integer division."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import roc_auc
+
+    e = load(spark, sf_dir, "events")
+    scored = e.select(
+        (F.col("value") - F.floor(F.col("value"))).alias("p"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long") % 1000000
+            < F.floor(
+                (F.col("value") - F.floor(F.col("value"))) * 1000000
+            ).cast("long")
+        ).cast("int").alias("y"),
+    )
+    return roc_auc(scored, "y", "p", grid=1_000_000)
+
+
+M22_ORACLE = """
+WITH scored AS MATERIALIZED (
+  SELECT value - floor(value) AS p,
+         CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000
+              < CAST(floor((value - floor(value)) * 1000000) AS BIGINT)
+         THEN 1 ELSE 0 END AS y
+  FROM events
+), t AS (
+  SELECT CAST(floor(p * 1000000) AS BIGINT) AS bin, y AS ip FROM scored
+), pb AS MATERIALIZED (
+  SELECT bin, CAST(sum(ip) AS HUGEINT) AS cp,
+         CAST(count(*) AS HUGEINT) AS t
+  FROM t GROUP BY bin
+), cum AS MATERIALIZED (
+  SELECT cp, t,
+         CAST(sum(t) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+           AS cum_t
+  FROM pb
+), mom AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+         CAST(sum(t - cp) AS BIGINT) AS n_neg,
+         sum(cp * (2 * (cum_t - t) + t + 1)) AS r2_pos
+  FROM cum
+), calc AS (
+  SELECT n_pos, n_neg,
+         (CAST(r2_pos AS DOUBLE)
+          - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
+         / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+  FROM mom
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN round(auc, 6) END AS auc,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN round(2.0 * auc - 1.0, 6) END
+         AS gini
+FROM calc
+"""
+
+QUERIES["m22_roc_auc"] = (m22_roc_auc, M22_ORACLE)
+
+
+# --- M23: expected calibration error ------------------------------------------------------
+
+def m23_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error (operators/estimate.py::
+    calibration_ece) of the same construction as m16/m22 — calibrated
+    by design, so ECE should sit near the binning noise floor. Scores
+    enter as exact integer micro-units; the total is a BIGINT sum of
+    per-bin micro-rounded gaps."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        calibration_ece,
+    )
+
+    e = load(spark, sf_dir, "events")
+    scored = e.select(
+        (F.col("value") - F.floor(F.col("value"))).alias("p"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long") % 1000000
+            < F.floor(
+                (F.col("value") - F.floor(F.col("value"))) * 1000000
+            ).cast("long")
+        ).cast("int").alias("y"),
+    )
+    return calibration_ece(scored, "p", "y", n_bins=20)
+
+
+M23_ORACLE = """
+WITH scored AS MATERIALIZED (
+  SELECT value - floor(value) AS p,
+         CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000
+              < CAST(floor((value - floor(value)) * 1000000) AS BIGINT)
+         THEN 1 ELSE 0 END AS y
+  FROM events
+), b AS (
+  SELECT least(CAST(floor(p * 20) AS INTEGER), 19) AS bin,
+         CAST(floor(p * 1000000) AS BIGINT) AS s_micro, y
+  FROM scored WHERE floor(p * 20) >= 0
+), per_bin AS MATERIALIZED (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_b, CAST(sum(y) AS BIGINT) AS pos_b,
+         CAST(sum(s_micro) AS HUGEINT) AS sm_b
+  FROM b GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(n_b) AS BIGINT) AS n FROM per_bin
+), gaps AS (
+  SELECT n_b,
+         abs(CAST(pos_b AS DOUBLE) / n_b
+             - CAST(sm_b AS DOUBLE) / (n_b * 1000000.0)) AS gap,
+         tot.n
+  FROM per_bin CROSS JOIN tot
+), ce AS (
+  SELECT n,
+         CAST(floor(1000000.0 * (n_b / n) * gap + 0.5) AS BIGINT) AS ce_micro,
+         CAST(floor(1000000.0 * gap + 0.5) AS BIGINT) AS gap_micro
+  FROM gaps
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_bins_used,
+       CAST(sum(ce_micro) AS BIGINT) AS ece_micro,
+       CAST(max(gap_micro) AS BIGINT) AS max_ce_micro
+FROM ce
+"""
+
+QUERIES["m23_calibration_ece"] = (m23_calibration_ece, M23_ORACLE)

@@ -1205,3 +1205,175 @@ def spearman_correlation(
         F.col("n").cast("long").alias("n"),
         F.when((vx > 0) & (vy > 0), F.round(num / den, 6)).alias("rho"),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    truth_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1 (M21) from (truth, predicted) label
+    pairs — the evaluation table for every quality/language/topic
+    classifier a training-data pipeline gates on (scikit-learn's
+    classification_report, distributed). Classes are the UNION of
+    observed truth and predicted labels, so a class the model never
+    predicts (or invents) still shows its zeros.
+
+    Shape: one partial-aggregated groupBy builds the confusion cells;
+    the two margins are aggregates of the CELL frame (label-cardinality-
+    sized, broadcast back) — the corpus is read exactly once, the m18
+    chi-square shape. Counts are exact integers; precision/recall/F1 are
+    single fixed IEEE expressions over them rounded 6dp, with NULL when
+    the denominator is zero (never predicted / zero support).
+
+    Returns one row per class: (label, support, tp, fp, fn, precision,
+    recall, f1).
+    """
+    cells = df.select(
+        F.col(truth_col).alias("__t__"), F.col(pred_col).alias("__p__")
+    ).groupBy("__t__", "__p__").agg(F.count(F.lit(1)).alias("n"))
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    cells = materialize(cells)
+    truth_m = cells.groupBy(F.col("__t__").alias("label")).agg(
+        F.sum("n").alias("support"),
+        F.sum(F.when(F.col("__t__") == F.col("__p__"), F.col("n"))
+              .otherwise(0)).alias("tp_t"),
+    )
+    pred_m = cells.groupBy(F.col("__p__").alias("label")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    rep = truth_m.join(pred_m, "label", "full_outer").select(
+        "label",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        F.coalesce("tp_t", F.lit(0)).cast("long").alias("tp"),
+        (F.coalesce("n_pred", F.lit(0)) - F.coalesce("tp_t", F.lit(0)))
+        .cast("long").alias("fp"),
+        (F.coalesce("support", F.lit(0)) - F.coalesce("tp_t", F.lit(0)))
+        .cast("long").alias("fn"),
+    )
+    prec = F.col("tp") / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp") / (F.col("tp") + F.col("fn"))
+    return rep.select(
+        "label", "support", "tp", "fp", "fn",
+        F.when(F.col("tp") + F.col("fp") > 0, F.round(prec, 6))
+        .alias("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0, F.round(rec, 6)).alias("recall"),
+        F.when(
+            (F.col("tp") + F.col("fp") > 0)
+            & (F.col("tp") + F.col("fn") > 0)
+            & (prec + rec > 0),
+            F.round(F.lit(2.0) * prec * rec / (prec + rec), 6),
+        ).alias("f1"),
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """ROC AUC (M22) of a numeric score against a binary label — the
+    threshold-free ranking metric for quality classifiers. Computed via
+    the rank-sum identity AUC = (R_pos - n_pos(n_pos+1)/2)/(n_pos*n_neg)
+    with midrank tie handling, i.e. exactly the Mann-Whitney machinery
+    (m17) read as a probability: the estimate includes the standard
+    +0.5 credit for ties.
+
+    Same bounded-lattice determinism as m15/m17: scores quantize onto a
+    1/``grid`` floor lattice, doubled midranks make the positive rank
+    sum an exact DECIMAL(38,0), and AUC is ONE fixed IEEE division over
+    exact integers, rounded 6dp.
+
+    Returns one row: (n_pos, n_neg, auc, gini) — gini = 2*AUC - 1;
+    degenerate inputs (single-class) emit NULLs.
+    """
+    d38 = "decimal(38,0)"
+    tagged = df.select(
+        F.floor(F.col(score_col) * grid).cast("long").alias("bin"),
+        F.when(F.col(label_col).cast("int") == 1, 1).otherwise(0).alias("ip"),
+    )
+    per_bin = tagged.groupBy("bin").agg(
+        F.sum("ip").alias("cp"), F.count(F.lit(1)).alias("t")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_bin.select(
+        F.col("cp").cast(d38).alias("cp"),
+        F.col("t").cast(d38).alias("t"),
+        F.sum("t").over(w).cast(d38).alias("cum_t"),
+    )
+    mom = ranked.agg(
+        F.sum("cp").cast("long").alias("n_pos"),
+        F.sum(F.col("t") - F.col("cp")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("cp")
+            * (F.lit(2).cast(d38) * (F.col("cum_t") - F.col("t"))
+               + F.col("t") + F.lit(1).cast(d38))
+        ).cast(d38).alias("r2_pos"),
+    )
+    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    auc = (
+        F.col("r2_pos").cast("double") - np_ * (np_ + 1.0)
+    ) / (F.lit(2.0) * np_ * nn)
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return mom.select(
+        "n_pos",
+        "n_neg",
+        F.when(ok, F.round(auc, 6)).alias("auc"),
+        F.when(ok, F.round(F.lit(2.0) * auc - 1.0, 6)).alias("gini"),
+    )
+
+
+def calibration_ece(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Expected calibration error (M23) of a probabilistic score against
+    a binary label — the companion of the isotonic fit (m16): how far do
+    predicted probabilities sit from observed frequencies, weighted by
+    bin mass. ECE = sum_b (n_b/N) * |pos_b/n_b - mean_score_b|.
+
+    Determinism: scores enter as exact integer MICRO-units
+    (floor(score*1e6)), so per-bin score mass, positives and counts are
+    exact integer aggregates; each bin's weighted gap is one fixed IEEE
+    expression rounded to integer micro-units, and the ECE total is
+    their order-independent BIGINT sum (the m18 convention — a float
+    sum over bins would be order-dependent). max_ce is an order-free
+    max over the per-bin gaps.
+
+    Returns one row: (n, n_bins_used, ece_micro, max_ce_micro) — divide
+    by 1e6 for the conventional values.
+    """
+    binned = df.select(
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("int"),
+            F.lit(int(n_bins) - 1),
+        ).alias("bin"),
+        F.floor(F.col(score_col) * 1_000_000).cast("long").alias("s_micro"),
+        F.when(F.col(label_col).cast("int") == 1, 1).otherwise(0).alias("y"),
+    ).filter(F.col("bin") >= 0)
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("y").alias("pos_b"),
+        F.sum("s_micro").cast("decimal(38,0)").alias("sm_b"),
+    )
+    tot = per_bin.agg(F.sum("n_b").alias("n"))
+    gap = F.abs(
+        F.col("pos_b").cast("double") / F.col("n_b")
+        - F.col("sm_b").cast("double") / (F.col("n_b") * F.lit(1e6))
+    )
+    scored = per_bin.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            F.lit(1e6) * (F.col("n_b") / F.col("n")) * gap + 0.5
+        ).cast("long").alias("ce_micro"),
+        F.floor(F.lit(1e6) * gap + 0.5).cast("long").alias("gap_micro"),
+    )
+    return scored.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.sum("ce_micro").cast("long").alias("ece_micro"),
+        F.max("gap_micro").cast("long").alias("max_ce_micro"),
+    )

@@ -606,3 +606,86 @@ def test_ivf_cell_split_hot_cluster(spark):
     assert r["imbalance_before"] == pytest.approx(40 / 25, abs=1e-6)
     assert r["imbalance_after"] == pytest.approx(20 / (50 / 3), abs=1e-6)
     assert r["imbalance_after"] < r["imbalance_before"]
+
+
+# --- classifier evaluation suite -----------------------------------------------
+
+
+def test_classification_report_hand_matrix(spark):
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        classification_report,
+    )
+
+    rows = (
+        [("a", "a")] * 8 + [("a", "b")] * 2       # a: tp 8, fn 2
+        + [("b", "b")] * 5 + [("b", "a")] * 5     # b: tp 5, fn 5; a gets 5 fp
+        + [("c", "a")] * 3                        # c never predicted
+    )
+    df = spark.createDataFrame(rows, "t string, p string")
+    out = {r["label"]: r for r in classification_report(df, "t", "p").collect()}
+    a = out["a"]
+    assert (a["support"], a["tp"], a["fp"], a["fn"]) == (10, 8, 8, 2)
+    assert a["precision"] == pytest.approx(8 / 16)
+    assert a["recall"] == pytest.approx(8 / 10)
+    f1 = 2 * 0.5 * 0.8 / (0.5 + 0.8)
+    assert a["f1"] == pytest.approx(f1, abs=1e-6)
+    c = out["c"]
+    assert c["support"] == 3 and c["tp"] == 0
+    assert c["precision"] is None  # never predicted
+    assert c["recall"] == 0.0
+
+
+def test_roc_auc_perfect_and_random(spark):
+    from peskas_timor_data_pipeline_spark.operators.estimate import roc_auc
+
+    # perfectly separable: positives all score above negatives
+    rows = [(1, 0.9), (1, 0.8), (1, 0.7), (0, 0.3), (0, 0.2), (0, 0.1)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    out = roc_auc(df, "y", "s").collect()[0]
+    assert out["auc"] == 1.0 and out["gini"] == 1.0
+    # all tied: AUC = 0.5 by the midrank convention
+    tied = spark.createDataFrame([(1, 0.5)] * 3 + [(0, 0.5)] * 3, "y int, s double")
+    out2 = roc_auc(tied, "y", "s").collect()[0]
+    assert out2["auc"] == 0.5
+    # single class -> NULL
+    mono = spark.createDataFrame([(1, 0.5)] * 3, "y int, s double")
+    assert roc_auc(mono, "y", "s").collect()[0]["auc"] is None
+
+
+def test_roc_auc_matches_pairwise_probability(spark):
+    from peskas_timor_data_pipeline_spark.operators.estimate import roc_auc
+
+    import itertools
+    rows = [(1, 0.9), (1, 0.4), (1, 0.4), (0, 0.6), (0, 0.4), (0, 0.1)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    out = roc_auc(df, "y", "s").collect()[0]
+    pos = [s for y, s in rows if y == 1]
+    neg = [s for y, s in rows if y == 0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    )
+    assert out["auc"] == pytest.approx(wins / (len(pos) * len(neg)), abs=1e-6)
+
+
+def test_calibration_ece_perfect_and_offset(spark):
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        calibration_ece,
+    )
+
+    # bin-constant scores with exactly matching frequencies -> ECE ~ 0
+    rows = []
+    for _ in range(10):
+        rows += [(0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0)]   # 25% pos
+        rows += [(0.75, 1), (0.75, 1), (0.75, 1), (0.75, 0)]   # 75% pos
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = calibration_ece(df, "p", "y", n_bins=4).collect()[0]
+    assert out["n"] == 80 and out["n_bins_used"] == 2
+    assert out["ece_micro"] <= 2
+    # systematic over-confidence: scores 0.9, actual 50% -> gap 0.4
+    off = spark.createDataFrame(
+        [(0.9, 1), (0.9, 0)] * 20, "p double, y int"
+    )
+    out2 = calibration_ece(off, "p", "y", n_bins=4).collect()[0]
+    assert out2["ece_micro"] == pytest.approx(400_000, abs=5)
+    assert out2["max_ce_micro"] == pytest.approx(400_000, abs=5)

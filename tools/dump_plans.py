@@ -109,6 +109,8 @@ SHOWCASE = {
     "g8_hits": "HITS: per half-round one equi-join + partial-agg BIGINT sum, 1-row max broadcast, integer div — no float in the loop",
     "a42_decayed_agg": "decay agg: per-row micro-rounded weights, ONE partial-agg groupBy, zero windows, zero joins",
     "e29_ivf_cell_split": "cell split: slim (id,cell) assignment, vectors rejoin by id for the hot list, 128-agg moments pass, 1-row decisions",
+    "m21_classification_report": "precision/recall: one confusion groupBy scan; margins + report on the label-cardinality frame only",
+    "m22_roc_auc": "ROC AUC: score-lattice partial agg, rank cumsum on the dimension grid, one-row division",
 }
 
 
