@@ -52,9 +52,10 @@ _PRIORITY_R08 = (
     "w8_cumulative_distinct", "w9_rolling_slope",
     # (c) top-up: oldest r04 rows
     "a26_winsorize", "a29_ab_test", "a30_log_histogram_quantiles",
-    # (d) new in round 8, batch 2 — past the 50-row sample window by
+    # (d) new in round 8, batches 2-5 — past the 50-row sample window by
     # design (verdict r07 ask #2 reserves this round's sample for the
-    # stale tail); these lead the r09 sample
+    # stale tail); these lead the r09 sample. Each passed all six
+    # selfcheck axes at its commit (see DRIVERSIM_r08.log tail).
     "a41_assoc_rules", "g6_link_prediction", "g7_tree_closure",
     "m17_mann_whitney", "m18_chi_square", "ts5_acf", "w17_attribution",
     "t46_readability", "e27_pca_top2",
