@@ -6750,3 +6750,56 @@ FROM rep
 QUERIES["m21_classification_report"] = (
     m21_classification_report, M21_ORACLE,
 )
+
+
+# --- T47: Good-Turing coverage -----------------------------------------------------------
+
+def t47_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass and smoothed low counts
+    (llm/text.py::good_turing_coverage) over the documents corpus —
+    "how much of the domain's vocabulary distribution has this crawl
+    captured". Spectrum chain shared with t26; everything downstream is
+    exact integers with guarded single divisions."""
+    from peskas_timor_data_pipeline_spark.llm.text import good_turing_coverage
+
+    docs = load(spark, sf_dir, "documents")
+    return good_turing_coverage(docs, "text", max_r=5)
+
+
+T47_ORACLE = """
+WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+  ) WHERE tok <> ''
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+), spectrum AS MATERIALIZED (
+  SELECT freq, CAST(count(*) AS BIGINT) AS n_types FROM counts GROUP BY freq
+), totals AS (
+  SELECT CAST(sum(freq * n_types) AS BIGINT) AS n_tokens,
+         CAST(sum(n_types) AS BIGINT) AS n_types_total,
+         CAST(COALESCE(sum(CASE WHEN freq = 1 THEN n_types END), 0) AS BIGINT)
+           AS s1
+  FROM spectrum
+), grid AS (
+  SELECT unnest(generate_series(1, 5, 1)) AS r
+), rws AS (
+  SELECT g.r,
+         CAST(COALESCE(sr.n_types, 0) AS BIGINT) AS s_r,
+         CAST(COALESCE(sr1.n_types, 0) AS BIGINT) AS s_r1
+  FROM grid g
+  LEFT JOIN spectrum sr ON sr.freq = g.r
+  LEFT JOIN spectrum sr1 ON sr1.freq = g.r + 1
+)
+SELECT CAST(r AS BIGINT) AS r, s_r, s_r1,
+       CASE WHEN s_r > 0 AND s_r1 > 0
+            THEN round(CAST(r + 1 AS DOUBLE) * s_r1 / s_r, 6) END AS r_star,
+       n_tokens, n_types_total AS n_types,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(s1 AS DOUBLE) / n_tokens, 6) END AS missing_mass,
+       CASE WHEN n_tokens > 0
+            THEN round(1.0 - CAST(s1 AS DOUBLE) / n_tokens, 6) END AS coverage
+FROM rws CROSS JOIN totals
+"""
+
+QUERIES["t47_good_turing"] = (t47_good_turing, T47_ORACLE)

@@ -2161,3 +2161,53 @@ FROM ce
 """
 
 QUERIES["m23_calibration_ece"] = (m23_calibration_ece, M23_ORACLE)
+
+
+# --- M24: A/B power analysis (required sample size) --------------------------------------
+
+def m24_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment required sample size (operators/estimate.py::
+    required_sample_size): each order-priority segment's observed
+    fulfilled-rate baseline, lifted 10% relative, at 5% alpha / 80%
+    power — "how many orders per arm before the experiment can read".
+    Baselines are exact integer counts; the Fleiss chain is one fixed
+    IEEE expression per segment."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        required_sample_size,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    return required_sample_size(
+        o, ["o_orderpriority"], "o_orderstatus = 'F'", rel_mde=0.1
+    )
+
+
+M24_ORACLE = """
+WITH cells AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS successes
+  FROM orders GROUP BY o_orderpriority
+), c1 AS (
+  SELECT *, CAST(successes AS DOUBLE) / n_obs AS p1 FROM cells
+), c2 AS (
+  SELECT *, p1 * 1.1::DOUBLE AS p2 FROM c1
+), c3 AS (
+  SELECT *, (p1 + p2) / 2.0::DOUBLE AS pbar FROM c2
+), c4 AS (
+  SELECT *,
+         1.959964::DOUBLE * sqrt(2.0::DOUBLE * pbar * (1.0::DOUBLE - pbar))
+         + 0.841621::DOUBLE
+           * sqrt(p1 * (1.0::DOUBLE - p1) + p2 * (1.0::DOUBLE - p2)) AS num
+  FROM c3
+)
+SELECT o_orderpriority, n_obs, successes,
+       CASE WHEN n_obs > 0 THEN round(p1, 6) END AS p1,
+       CASE WHEN n_obs > 0 AND p1 > 0 AND p2 < 1 THEN round(p2, 6) END AS p2,
+       CASE WHEN n_obs > 0 AND p1 > 0 AND p2 < 1
+            THEN CAST(ceil(num * num / ((p2 - p1) * (p2 - p1))) AS BIGINT)
+       END AS n_per_arm
+FROM c4
+"""
+
+QUERIES["m24_power_analysis"] = (m24_power_analysis, M24_ORACLE)

@@ -1480,3 +1480,87 @@ def readability_scores(
             .otherwise(F.lit("very_hard")),
         ).alias("band"),
     )
+
+
+def good_turing_coverage(
+    df: DataFrame,
+    text_col: str,
+    max_r: int = 5,
+) -> DataFrame:
+    """Good-Turing coverage and smoothed low counts (T47; Good 1953) —
+    the corpus-completeness statistic: the singleton share S(1)/N is an
+    unbiased estimate of the probability mass of UNSEEN vocabulary, so
+    ``coverage`` answers "how much of this domain's distribution has the
+    crawl actually captured", and r* = (r+1)S(r+1)/S(r) gives the
+    smoothed rare-type counts LM estimators use in place of raw r.
+
+    Shape: the t26 spectrum chain (token explode -> type counts ->
+    frequency-of-frequencies, two partial-aggregated groupBys — corpus
+    rows never reach the spectrum shuffle), then everything lives on
+    the spectrum frame: totals are one aggregate, the r+1 lookup is a
+    self-join of the <= max_r slice, both broadcast-sized. Every
+    statistic is exact-integer counts with single guarded IEEE
+    divisions (SURVEY §7.4).
+
+    Returns one row per r in 1..``max_r``: (r, s_r, s_r1, r_star,
+    n_tokens, n_types, missing_mass, coverage) — s_r the type count at
+    frequency r (0 when absent), r_star NULL when undefined.
+    """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    spark = df.sparkSession
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    spectrum = materialize(
+        counts.groupBy("freq").agg(
+            F.count(F.lit(1)).cast("long").alias("n_types")
+        )
+    )
+    totals = spectrum.agg(
+        F.sum(F.col("freq") * F.col("n_types")).cast("long").alias("n_tokens"),
+        F.sum("n_types").cast("long").alias("n_types_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("freq") == 1, F.col("n_types"))), F.lit(0)
+        ).cast("long").alias("s1"),
+    )
+    grid = spark.range(1, int(max_r) + 1).select(F.col("id").alias("r"))
+    sr = spectrum.withColumnRenamed("freq", "r")
+    sr1 = spectrum.select(
+        (F.col("freq") - 1).alias("r"), F.col("n_types").alias("s_r1_raw")
+    )
+    rows = (
+        grid.join(sr, "r", "left")
+        .join(sr1, "r", "left")
+        .select(
+            "r",
+            F.coalesce("n_types", F.lit(0)).cast("long").alias("s_r"),
+            F.coalesce("s_r1_raw", F.lit(0)).cast("long").alias("s_r1"),
+        )
+    )
+    mm = F.col("s1").cast("double") / F.col("n_tokens")
+    return (
+        rows.crossJoin(F.broadcast(totals))
+        .select(
+            "r",
+            "s_r",
+            "s_r1",
+            F.when(
+                (F.col("s_r") > 0) & (F.col("s_r1") > 0),
+                F.round(
+                    (F.col("r") + 1).cast("double") * F.col("s_r1")
+                    / F.col("s_r"),
+                    6,
+                ),
+            ).alias("r_star"),
+            "n_tokens",
+            F.col("n_types_total").alias("n_types"),
+            F.when(F.col("n_tokens") > 0, F.round(mm, 6)).alias("missing_mass"),
+            F.when(F.col("n_tokens") > 0, F.round(F.lit(1.0) - mm, 6)).alias(
+                "coverage"
+            ),
+        )
+    )

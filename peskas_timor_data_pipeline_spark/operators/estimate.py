@@ -1377,3 +1377,54 @@ def calibration_ece(
         F.sum("ce_micro").cast("long").alias("ece_micro"),
         F.max("gap_micro").cast("long").alias("max_ce_micro"),
     )
+
+
+def required_sample_size(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    success_expr: str,
+    rel_mde: float = 0.1,
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+) -> DataFrame:
+    """A/B test power analysis (M24): per segment, the sample size each
+    arm needs to detect a ``rel_mde`` relative lift over the segment's
+    OBSERVED baseline rate at the given significance/power (two-sided
+    normal approximation for two proportions, Fleiss eq. 3.18 —
+    defaults: 5% alpha, 80% power). The design-stage companion of the
+    a29 analysis op: "how long must this experiment run per segment."
+
+    Determinism: the baseline rate comes from exact integer counts (one
+    partial-aggregated groupBy — the corpus is read once); everything
+    after is a fixed per-row IEEE chain over those integers, rounded
+    6dp, with the required n emitted as ceil (exactly representable
+    boundary cases are identical IEEE in both engines). Degenerate
+    segments (zero or saturated baseline, lifted rate >= 1) emit NULL.
+
+    Returns one row per segment: (group cols, n_obs, successes, p1, p2,
+    n_per_arm).
+    """
+    cells = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.expr(f"CASE WHEN {success_expr} THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("successes"),
+    )
+    p1 = F.col("successes").cast("double") / F.col("n_obs")
+    p2 = p1 * (1.0 + float(rel_mde))
+    pbar = (p1 + p2) / 2.0
+    num = (
+        F.lit(float(z_alpha)) * F.sqrt(F.lit(2.0) * pbar * (1.0 - pbar))
+        + F.lit(float(z_power))
+        * F.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    )
+    n_arm = F.ceil(num * num / ((p2 - p1) * (p2 - p1)))
+    ok = (F.col("n_obs") > 0) & (p1 > 0) & (p2 < 1)
+    return cells.select(
+        *group_cols,
+        "n_obs",
+        "successes",
+        F.when(F.col("n_obs") > 0, F.round(p1, 6)).alias("p1"),
+        F.when(ok, F.round(p2, 6)).alias("p2"),
+        F.when(ok, n_arm.cast("long")).alias("n_per_arm"),
+    )

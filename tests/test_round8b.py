@@ -689,3 +689,51 @@ def test_calibration_ece_perfect_and_offset(spark):
     out2 = calibration_ece(off, "p", "y", n_bins=4).collect()[0]
     assert out2["ece_micro"] == pytest.approx(400_000, abs=5)
     assert out2["max_ce_micro"] == pytest.approx(400_000, abs=5)
+
+
+# --- Good-Turing + power analysis ----------------------------------------------
+
+
+def test_good_turing_hand_corpus(spark):
+    from peskas_timor_data_pipeline_spark.llm.text import good_turing_coverage
+
+    # tokens: a a a b b c d e -> S(1)=3 (c,d,e), S(2)=1 (b), S(3)=1 (a)
+    df = spark.createDataFrame(
+        [(1, "a a a b b"), (2, "c d e")], "doc_id int, text string"
+    )
+    out = {r["r"]: r for r in good_turing_coverage(df, "text", max_r=3).collect()}
+    assert out[1]["s_r"] == 3 and out[2]["s_r"] == 1 and out[3]["s_r"] == 1
+    assert out[1]["n_tokens"] == 8 and out[1]["n_types"] == 5
+    # missing mass = S(1)/N = 3/8
+    assert out[1]["missing_mass"] == pytest.approx(3 / 8)
+    assert out[1]["coverage"] == pytest.approx(5 / 8)
+    # r* (1) = 2 * S(2)/S(1) = 2/3; r* (2) = 3 * S(3)/S(2) = 3
+    assert out[1]["r_star"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[2]["r_star"] == pytest.approx(3.0)
+    # S(4) = 0 -> r*(3) undefined
+    assert out[3]["r_star"] is None
+
+
+def test_required_sample_size_matches_fleiss(spark):
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        required_sample_size,
+    )
+
+    import math as m
+    rows = [("seg", 1)] * 20 + [("seg", 0)] * 80   # p1 = 0.2
+    df = spark.createDataFrame(rows, "g string, s int")
+    out = required_sample_size(
+        df, ["g"], "s = 1", rel_mde=0.25
+    ).collect()[0]
+    p1, p2 = 0.2, 0.25
+    pbar = (p1 + p2) / 2
+    num = (1.959964 * m.sqrt(2 * pbar * (1 - pbar))
+           + 0.841621 * m.sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+    expect = m.ceil(num * num / (p2 - p1) ** 2)
+    assert out["p1"] == pytest.approx(0.2)
+    assert out["p2"] == pytest.approx(0.25)
+    assert out["n_per_arm"] == expect
+    # saturated baseline -> NULLs
+    sat = spark.createDataFrame([("s", 1)] * 10, "g string, s int")
+    out2 = required_sample_size(sat, ["g"], "s = 1", rel_mde=0.1).collect()[0]
+    assert out2["n_per_arm"] is None

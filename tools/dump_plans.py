@@ -111,6 +111,7 @@ SHOWCASE = {
     "e29_ivf_cell_split": "cell split: slim (id,cell) assignment, vectors rejoin by id for the hot list, 128-agg moments pass, 1-row decisions",
     "m21_classification_report": "precision/recall: one confusion groupBy scan; margins + report on the label-cardinality frame only",
     "m22_roc_auc": "ROC AUC: score-lattice partial agg, rank cumsum on the dimension grid, one-row division",
+    "t47_good_turing": "Good-Turing: t26 spectrum chain, totals + r+1 lookup on the spectrum frame only",
 }
 
 
