@@ -2211,3 +2211,74 @@ FROM c4
 """
 
 QUERIES["m24_power_analysis"] = (m24_power_analysis, M24_ORACLE)
+
+
+# --- M25: Brown-Forsythe variance-equality test ------------------------------------------
+
+def m25_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion drift across all event types (operators/estimate.py::
+    brown_forsythe): Levene-with-medians F on lattice deviations — the
+    spread companion of the m17/m19 location tests. Medians and
+    deviations live in integer lattice units; the two cross-group
+    rational folds run in pinned sorted order."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        brown_forsythe,
+    )
+
+    e = load(spark, sf_dir, "events")
+    return brown_forsythe(e, "event_type", "value")
+
+
+M25_ORACLE = """
+WITH gb AS MATERIALIZED (
+  SELECT event_type AS grp, CAST(floor(value * 100) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(floor(value * 100) AS BIGINT)
+), cum AS MATERIALIZED (
+  SELECT grp, bin, c,
+         CAST(sum(c) OVER (PARTITION BY grp ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM gb
+), ng AS (
+  SELECT grp, CAST(sum(c) AS BIGINT) AS n_g FROM gb GROUP BY grp
+), med AS MATERIALIZED (
+  SELECT grp, min(bin) AS med_bin
+  FROM cum JOIN ng USING (grp)
+  WHERE 2 * cum >= n_g GROUP BY grp
+), zm AS MATERIALIZED (
+  SELECT gb.grp,
+         CAST(sum(c) AS HUGEINT) AS n_g,
+         sum(CAST(c AS HUGEINT) * CAST(abs(bin - med_bin) AS HUGEINT)) AS s_g,
+         sum(CAST(c AS HUGEINT) * CAST(abs(bin - med_bin) AS HUGEINT)
+             * CAST(abs(bin - med_bin) AS HUGEINT)) AS q_g
+  FROM gb JOIN med ON gb.grp = med.grp
+  GROUP BY gb.grp
+), ratio AS (
+  SELECT *, CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+            AS r FROM zm
+), folded AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_g) AS HUGEINT) AS n,
+         CAST(sum(s_g) AS HUGEINT) AS s_tot,
+         CAST(sum(q_g) AS HUGEINT) AS q_tot,
+         list_reduce([0.0::DOUBLE] || list_sort(list(r)), (a, b) -> a + b)
+           AS r_sum
+  FROM ratio
+), calc AS (
+  SELECT *,
+         r_sum - (CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS ssb,
+         CAST(q_tot AS DOUBLE) - r_sum AS ssw
+  FROM folded
+)
+SELECT CAST(n AS BIGINT) AS n_total, k AS k_groups,
+       CAST(k - 1 AS BIGINT) AS df1,
+       CAST(n - k AS BIGINT) AS df2,
+       CASE WHEN k >= 2 AND n > k AND ssw > 0
+            THEN round((ssb / (CAST(k AS DOUBLE) - 1.0))
+                       / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+       END AS f_stat
+FROM calc
+"""
+
+QUERIES["m25_brown_forsythe"] = (m25_brown_forsythe, M25_ORACLE)

@@ -1428,3 +1428,105 @@ def required_sample_size(
         F.when(ok, F.round(p2, 6)).alias("p2"),
         F.when(ok, n_arm.cast("long")).alias("n_per_arm"),
     )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    grid: int = 100,
+) -> DataFrame:
+    """Brown-Forsythe variance-equality test (M25; Brown & Forsythe
+    1974 — Levene's test with median centers, the robust choice): do k
+    slices differ in SPREAD, completing the rank-test family (m17/m19
+    ask about location, this asks about dispersion — a drift monitor
+    can need either answer). One-way ANOVA F on z = |x - median_g|.
+
+    Lattice determinism, extended to the median: values quantize onto
+    the 1/``grid`` floor lattice and BOTH the group medians (lower
+    median on the lattice — the smallest bin with 2*cum >= n) and the
+    absolute deviations live in integer lattice units, so every moment
+    (S_g, Q_g, n_g) is an exact DECIMAL(38,0) aggregate. The two
+    cross-group reductions of the rational terms S_g^2/n_g fold in
+    pinned sorted order (the a39 rule); everything else is one fixed
+    IEEE expression over exact integers.
+
+    Shape: one (bin, group) partial agg; median via a per-group
+    cumulative window on the group's OWN lattice vocabulary; z-moments
+    via a second pass over the (bin, group) frame joined to the
+    medians (never the raw rows); the k-row group frame folds and
+    broadcasts. The corpus is read once.
+
+    Returns one row: (n_total, k_groups, df1, df2, f_stat) rounded
+    6dp; degenerate inputs (k < 2, all deviations zero) emit NULL.
+    """
+    d38 = "decimal(38,0)"
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    gb = materialize(
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.floor(F.col(value_col) * grid).cast("long").alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = gb.select(
+        "grp", "bin", "c", F.sum("c").over(w).alias("cum")
+    )
+    n_g = gb.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    med = (
+        cum.join(n_g, "grp")
+        .filter(F.lit(2) * F.col("cum") >= F.col("n_g"))
+        .groupBy("grp")
+        .agg(F.min("bin").alias("med_bin"))
+    )
+    z_mom = (
+        gb.join(med, "grp")
+        .select(
+            "grp",
+            F.col("c").cast(d38).alias("c"),
+            F.abs(F.col("bin") - F.col("med_bin")).cast(d38).alias("z"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast(d38).alias("n_g"),
+            F.sum(F.col("c") * F.col("z")).cast(d38).alias("s_g"),
+            F.sum(F.col("c") * F.col("z") * F.col("z")).cast(d38).alias("q_g"),
+        )
+        .withColumn(
+            "__ratio__",
+            F.col("s_g").cast("double") * F.col("s_g").cast("double")
+            / F.col("n_g").cast("double"),
+        )
+    )
+    z_mom = materialize(z_mom)
+    folded = z_mom.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast(d38).alias("n"),
+        F.sum("s_g").cast(d38).alias("s_tot"),
+        F.sum("q_g").cast(d38).alias("q_tot"),
+        F.expr(
+            "aggregate(sort_array(collect_list(__ratio__)), 0D, (a, x) -> a + x)"
+        ).alias("r_sum"),
+    )
+    nd = F.col("n").cast("double")
+    ssb = F.col("r_sum") - (
+        F.col("s_tot").cast("double") * F.col("s_tot").cast("double") / nd
+    )
+    ssw = F.col("q_tot").cast("double") - F.col("r_sum")
+    kd = F.col("k").cast("double")
+    f_stat = (ssb / (kd - 1.0)) / (ssw / (nd - kd))
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k").cast(d38)) & (ssw > 0)
+    return folded.select(
+        F.col("n").cast("long").alias("n_total"),
+        F.col("k").alias("k_groups"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n").cast("long") - F.col("k")).cast("long").alias("df2"),
+        F.when(ok, F.round(f_stat, 6)).alias("f_stat"),
+    )

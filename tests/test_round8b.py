@@ -737,3 +737,49 @@ def test_required_sample_size_matches_fleiss(spark):
     sat = spark.createDataFrame([("s", 1)] * 10, "g string, s int")
     out2 = required_sample_size(sat, ["g"], "s = 1", rel_mde=0.1).collect()[0]
     assert out2["n_per_arm"] is None
+
+
+# --- Brown-Forsythe ------------------------------------------------------------
+
+
+def test_brown_forsythe_matches_scipy_formula(spark):
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        brown_forsythe,
+    )
+
+    # group a tight around 5, group b spread 0..10 (integer lattice grid=1)
+    a = [5, 5, 5, 6, 4, 5, 5, 6, 4, 5]
+    b = [0, 10, 1, 9, 2, 8, 0, 10, 5, 5]
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = brown_forsythe(df, "g", "v", grid=1).collect()[0]
+
+    def z(vals):
+        med = sorted(vals)[(len(vals) - 1) // 2]  # lower median
+        return [abs(v - med) for v in vals]
+
+    za, zb = z(a), z(b)
+    allz = za + zb
+    n, k = len(allz), 2
+    gm = sum(allz) / n
+    ma, mb = sum(za) / len(za), sum(zb) / len(zb)
+    ssb = len(za) * (ma - gm) ** 2 + len(zb) * (mb - gm) ** 2
+    ssw = sum((v - ma) ** 2 for v in za) + sum((v - mb) ** 2 for v in zb)
+    expect = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out["n_total"] == 20 and out["k_groups"] == 2
+    assert out["df1"] == 1 and out["df2"] == 18
+    assert out["f_stat"] == pytest.approx(expect, abs=1e-5)
+
+
+def test_brown_forsythe_equal_spread_small_f(spark):
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        brown_forsythe,
+    )
+
+    rows = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v + 100)) for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = brown_forsythe(df, "g", "v", grid=1).collect()[0]
+    # identical spreads at different locations -> F ~ 0
+    assert out["f_stat"] is not None and out["f_stat"] < 0.01

@@ -112,6 +112,7 @@ SHOWCASE = {
     "m21_classification_report": "precision/recall: one confusion groupBy scan; margins + report on the label-cardinality frame only",
     "m22_roc_auc": "ROC AUC: score-lattice partial agg, rank cumsum on the dimension grid, one-row division",
     "t47_good_turing": "Good-Turing: t26 spectrum chain, totals + r+1 lookup on the spectrum frame only",
+    "m25_brown_forsythe": "Brown-Forsythe: (bin,group) partial agg, per-group lattice median windows, k-row pinned fold",
 }
 
 
