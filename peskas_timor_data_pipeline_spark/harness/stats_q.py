@@ -2282,3 +2282,83 @@ FROM calc
 """
 
 QUERIES["m25_brown_forsythe"] = (m25_brown_forsythe, M25_ORACLE)
+
+
+# --- M26: Kaplan-Meier survival curve ----------------------------------------------------
+
+def m26_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-first-error survival per user (operators/estimate.py::
+    kaplan_meier): duration = days from a user's first event to their
+    first error (censored at the 2024-01-31 observation end). Risk sets
+    are exact integer cumsums; the KM product runs in log space with
+    nano-rounded factors so the running reduction is an exact BIGINT
+    prefix sum."""
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        kaplan_meier,
+    )
+
+    e = load(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.to_date("ts"))
+        ).alias("de"),
+    )
+    dur = pu.select(
+        F.when(
+            F.col("de").isNotNull(), F.datediff(F.col("de"), F.col("d0"))
+        )
+        .otherwise(
+            F.datediff(F.lit("2024-01-31").cast("date"), F.col("d0"))
+        )
+        .alias("dur"),
+        F.when(F.col("de").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    return kaplan_meier(dur, "dur", "ev")
+
+
+M26_ORACLE = """
+WITH pu AS MATERIALIZED (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+         min(CASE WHEN event_type = 'error' THEN CAST(ts AS DATE) END) AS de
+  FROM events GROUP BY user_id
+), dur AS (
+  SELECT CASE WHEN de IS NOT NULL THEN date_diff('day', d0, de)
+              ELSE date_diff('day', d0, DATE '2024-01-31') END AS t,
+         CASE WHEN de IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM pu
+), per_t AS MATERIALIZED (
+  SELECT t, CAST(sum(e) AS BIGINT) AS d,
+         CAST(count(*) - sum(e) AS BIGINT) AS c
+  FROM dur GROUP BY t
+), tot AS (
+  SELECT CAST(sum(d + c) AS BIGINT) AS n FROM per_t
+), risky AS MATERIALIZED (
+  SELECT t, d, c,
+         n - (CAST(sum(d + c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) - (d + c)) AS n_risk
+  FROM per_t CROSS JOIN tot
+), stepped AS (
+  SELECT *,
+         CASE WHEN d < n_risk
+              THEN CAST(floor(1000000000.0
+                              * ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                              + 0.5) AS BIGINT) END AS lnn,
+         CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead
+  FROM risky
+), cum AS (
+  SELECT t, d, c, n_risk,
+         CAST(sum(COALESCE(lnn, 0)) OVER (ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm,
+         CAST(sum(dead) OVER (ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS dc
+  FROM stepped
+)
+SELECT CAST(t AS BIGINT) AS t, n_risk, d AS n_events, c AS n_censored,
+       CASE WHEN dc > 0 THEN 0.0
+            ELSE round(exp(CAST(cm AS DOUBLE) / 1000000000.0), 6)
+       END AS survival
+FROM cum WHERE d > 0
+"""
+
+QUERIES["m26_kaplan_meier"] = (m26_kaplan_meier, M26_ORACLE)

@@ -1530,3 +1530,83 @@ def brown_forsythe(
         (F.col("n").cast("long") - F.col("k")).cast("long").alias("df2"),
         F.when(ok, F.round(f_stat, 6)).alias("f_stat"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve (M26; Kaplan & Meier 1958) over
+    right-censored integer durations — time-to-churn, document lifetime,
+    time-to-first-failure: S(t) = prod over event times t_i <= t of
+    (1 - d_i / n_i), with censored subjects leaving the risk set without
+    an event.
+
+    Determinism contract: durations are INTEGERS (days, hours — the
+    caller's lattice). Risk sets and event counts are then exact integer
+    aggregates, and the KM product is evaluated in LOG space with each
+    factor's ln(1 - d/n) rounded to integer NANO-units BEFORE the
+    cumulative sum — the running reduction is an exact BIGINT prefix
+    sum, immune to both engines' window-aggregation association order
+    (DuckDB's segment-tree windows re-associate float sums; integers
+    don't care). S(t) = exp(nano/1e9) rounded 6dp differs from the
+    true product by < 1e-9 per factor — quantization, not drift. A time
+    where the whole risk set fails (d = n) sends survival to exact 0
+    from there on.
+
+    Shape: one partial-aggregated groupBy on the duration lattice, one
+    cumulative window over the (dimension-sized) distinct-time frame,
+    one broadcast of the total count. The corpus is read once.
+
+    Returns one row per distinct EVENT time: (t, n_risk, n_events,
+    n_censored, survival).
+    """
+    per_t = df.select(
+        F.col(duration_col).cast("long").alias("t"),
+        F.when(F.col(event_col).cast("int") == 1, 1).otherwise(0).alias("e"),
+    ).groupBy("t").agg(
+        F.sum("e").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("e")).cast("long").alias("c"),
+    )
+    tot = per_t.agg(F.sum(F.col("d") + F.col("c")).cast("long").alias("n"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risky = per_t.crossJoin(F.broadcast(tot)).select(
+        "t", "d", "c",
+        (F.col("n") - (F.sum(F.col("d") + F.col("c")).over(w)
+                       - (F.col("d") + F.col("c")))).alias("n_risk"),
+    )
+    # ln factor in exact nano units; d == n_risk -> survival hits exact 0
+    # (flagged with a sentinel the cumulative sum propagates)
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.floor(
+            F.lit(1e9)
+            * F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk")
+            )
+            + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(None))
+    stepped = risky.select(
+        "t", "d", "c", "n_risk",
+        term.alias("__ln_nano__"),
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0).alias("__dead__"),
+    )
+    cum = stepped.select(
+        "t", "d", "c", "n_risk",
+        F.sum(F.coalesce("__ln_nano__", F.lit(0))).over(w).alias("__cum__"),
+        F.sum("__dead__").over(w).alias("__dead_cum__"),
+    )
+    return cum.filter(F.col("d") > 0).select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("__dead_cum__") > 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.col("__cum__").cast("double") / F.lit(1e9)), 6)
+        )
+        .alias("survival"),
+    )

@@ -783,3 +783,39 @@ def test_brown_forsythe_equal_spread_small_f(spark):
     out = brown_forsythe(df, "g", "v", grid=1).collect()[0]
     # identical spreads at different locations -> F ~ 0
     assert out["f_stat"] is not None and out["f_stat"] < 0.01
+
+
+# --- Kaplan-Meier --------------------------------------------------------------
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        kaplan_meier,
+    )
+
+    # classic small example: events at t=1 (2 of 10), t=3 (1 of 7 after
+    # a censor at 2), censor at 2 and 5
+    rows = (
+        [(1, 1)] * 2 + [(2, 0)] * 1 + [(3, 1)] * 1 + [(5, 0)] * 6
+    )
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    out = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert set(out) == {1, 3}
+    # t=1: n_risk 10, d 2 -> S = 0.8
+    assert out[1]["n_risk"] == 10 and out[1]["n_events"] == 2
+    assert out[1]["survival"] == pytest.approx(0.8, abs=1e-6)
+    # t=3: n_risk 7 (one censored at 2), d 1 -> S = 0.8 * 6/7
+    assert out[3]["n_risk"] == 7
+    assert out[3]["survival"] == pytest.approx(0.8 * 6 / 7, abs=1e-6)
+
+
+def test_kaplan_meier_full_failure_hits_zero(spark):
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        kaplan_meier,
+    )
+
+    rows = [(1, 1)] * 3 + [(2, 1)] * 2  # everyone fails by t=2
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    out = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert out[1]["survival"] == pytest.approx(0.4, abs=1e-6)
+    assert out[2]["survival"] == 0.0
