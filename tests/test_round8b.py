@@ -819,3 +819,92 @@ def test_kaplan_meier_full_failure_hits_zero(spark):
     out = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
     assert out[1]["survival"] == pytest.approx(0.4, abs=1e-6)
     assert out[2]["survival"] == 0.0
+
+
+# --- empty-input robustness (the r07 2b3dfa3 convention) -----------------------
+
+
+def test_round8_operators_survive_empty_inputs(spark):
+    """Every round-8 operator must handle an empty frame without ANSI
+    division errors or crashes — returning an empty or NULL-stat result."""
+    import datetime as dt
+
+    from peskas_timor_data_pipeline_spark.llm.similarity import pca_scores, pca_top2
+    from peskas_timor_data_pipeline_spark.llm.text import (
+        good_turing_coverage,
+        readability_scores,
+    )
+    from peskas_timor_data_pipeline_spark.operators.affinity import (
+        association_rules,
+    )
+    from peskas_timor_data_pipeline_spark.operators.estimate import (
+        brown_forsythe,
+        calibration_ece,
+        chi_square_independence,
+        classification_report,
+        kaplan_meier,
+        kruskal_wallis,
+        mann_whitney_u,
+        required_sample_size,
+        roc_auc,
+        spearman_correlation,
+    )
+    from peskas_timor_data_pipeline_spark.operators.funnel import (
+        decayed_aggregate,
+        multi_touch_attribution,
+    )
+    from peskas_timor_data_pipeline_spark.operators.graph import (
+        hits_scores,
+        link_prediction_scores,
+        pointer_jump_closure,
+    )
+    from peskas_timor_data_pipeline_spark.operators.timeseries import (
+        autocorrelation,
+        holt_linear,
+    )
+
+    e_gv = spark.createDataFrame([], "g string, v double")
+    e_edges = spark.createDataFrame([], "src int, dst int")
+    e_nodes = spark.createDataFrame([], "node int, parent int")
+    e_bi = spark.createDataFrame([], "basket int, item string")
+    e_ix = spark.createDataFrame([], "i int, x int")
+    e_kix = spark.createDataFrame([], "k string, i int, x int")
+    e_ut = spark.createDataFrame([], "u int, t int, typ string")
+    e_doc = spark.createDataFrame([], "doc_id int, text string")
+    e_emb = spark.createDataFrame([], "id int, embedding array<double>")
+    e_tp = spark.createDataFrame([], "t string, p string")
+    e_ys = spark.createDataFrame([], "y int, s double")
+    e_de = spark.createDataFrame([], "dur int, ev int")
+    e_ts = spark.createDataFrame([], "src string, ts timestamp, v double")
+
+    assert association_rules(e_bi, "basket", "item", 2).count() == 0
+    assert link_prediction_scores(e_edges, "src", "dst").count() == 0
+    assert pointer_jump_closure(e_nodes, "node", "parent").count() == 0
+    assert hits_scores(e_edges, "src", "dst").count() == 0
+    mw = mann_whitney_u(e_gv, "g", "v", "a", "b").collect()[0]
+    assert mw["u_a"] is None
+    kw = kruskal_wallis(e_gv, "g", "v").collect()[0]
+    assert kw["h"] is None
+    assert chi_square_independence(e_tp, "t", "p").count() == 0
+    sp = spearman_correlation(e_gv, "g", "v", 1, 1).collect()[0]
+    assert sp["rho"] is None
+    assert autocorrelation(e_ix, "i", "x", 3).count() == 0
+    assert holt_linear(e_kix, "k", "i", "x").count() == 0
+    assert multi_touch_attribution(e_ut, "u", ["t"], "typ", "buy").count() == 0
+    assert decayed_aggregate(
+        e_ts, ["src"], "ts", "v", as_of="2024-01-01"
+    ).count() == 0
+    assert readability_scores(e_doc, "doc_id", "text").count() == 0
+    gt = good_turing_coverage(e_doc, "text", max_r=2).collect()
+    assert len(gt) == 2 and all(r["missing_mass"] is None for r in gt)
+    assert classification_report(e_tp, "t", "p").count() == 0
+    ra = roc_auc(e_ys, "y", "s").collect()[0]
+    assert ra["auc"] is None
+    ece = calibration_ece(e_ys, "s", "y").collect()[0]
+    assert ece["ece_micro"] is None or ece["ece_micro"] == 0
+    assert required_sample_size(e_ys, ["y"], "s > 0").count() == 0
+    bf = brown_forsythe(e_gv, "g", "v").collect()[0]
+    assert bf["f_stat"] is None
+    assert kaplan_meier(e_de, "dur", "ev").count() == 0
+    assert pca_top2(e_emb, "embedding", dim=2, n_iter=1).count() == 2 * 2
+    assert pca_scores(e_emb, "id", "embedding", dim=2, n_iter=1).count() == 0
