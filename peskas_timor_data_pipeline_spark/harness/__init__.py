@@ -63,7 +63,7 @@ _PRIORITY_R08 = (
     "e28_pca_project", "g8_hits", "a42_decayed_agg", "e29_ivf_cell_split",
     "m21_classification_report", "m22_roc_auc", "m23_calibration_ece",
     "t47_good_turing", "m24_power_analysis", "m25_brown_forsythe",
-    "m26_kaplan_meier",
+    "m26_kaplan_meier", "a43_rfm_segments",
 )
 _PRIORITY_R04 = _PRIORITY_R08  # kept name used by registry()
 

@@ -2445,3 +2445,45 @@ FROM w GROUP BY event_type
 """
 
 QUERIES["a42_decayed_agg"] = (a42_decayed_agg, A42_ORACLE)
+
+
+# --- A43: RFM segmentation ----------------------------------------------------------------
+
+def a43_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer grid (operators/funnel.py::rfm_segments) over
+    orders: quintile scores on recency vs pinned 2001-06-15 (the w5
+    as-of), order count, and exact-cent spend; every ntile runs over a
+    (metric, custkey) total order so boundaries are engine-independent."""
+    from peskas_timor_data_pipeline_spark.operators.funnel import rfm_segments
+
+    o = load(spark, sf_dir, "orders")
+    return rfm_segments(
+        o, "o_custkey", "o_orderdate", "o_totalprice",
+        as_of="2001-06-15", n_tiles=5,
+    )
+
+
+A43_ORACLE = """
+WITH per_cust AS MATERIALIZED (
+  SELECT o_custkey AS cust,
+         CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+                        DATE '2001-06-15') AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT cust, frequency, monetary_cents,
+         ntile(5) OVER (ORDER BY recency_days DESC, cust) AS r_score,
+         ntile(5) OVER (ORDER BY frequency ASC, cust) AS f_score,
+         ntile(5) OVER (ORDER BY monetary_cents ASC, cust) AS m_score
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(frequency) AS BIGINT) AS total_orders,
+       CAST(sum(monetary_cents) AS BIGINT) AS total_monetary_cents
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+QUERIES["a43_rfm_segments"] = (a43_rfm_segments, A43_ORACLE)

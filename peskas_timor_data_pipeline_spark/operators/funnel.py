@@ -339,3 +339,64 @@ def decayed_aggregate(
             F.sum("__wv__").cast("long").alias("decayed_value_micro"),
         )
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    customer_col: str,
+    ts_col: str,
+    amount_col: str,
+    as_of: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation (A43) — the classic customer-value grid every
+    commerce warehouse maintains: score each customer 1..``n_tiles`` on
+    Recency (days since last activity, 5 = most recent), Frequency
+    (activity count) and Monetary (total spend), then report the
+    segment grid. In a corpus pipeline the same grid scores SOURCES
+    (recency of last crawl, document count, total tokens).
+
+    Determinism: R/F/M are exact integers (day diff vs the pinned
+    ``as_of`` — the w5 convention; counts; per-row cent-rounded amounts
+    summed exactly), and every ntile runs over a TOTAL order (metric,
+    then customer id), so tile boundaries cannot depend on engine
+    iteration order. ntile semantics (first n mod k tiles one larger)
+    are the shared SQL standard.
+
+    Shape: one partial-aggregated groupBy to the per-customer frame;
+    three ntile windows over that frame (customer-cardinality-sized, a
+    dimension relative to the fact table); one groupBy to the at-most
+    n_tiles^3 segment grid. The fact table is read once. At extreme
+    customer cardinality the single-partition ntile windows would
+    bottleneck — shard by hashing customers into ntile-preserving
+    range buckets first (the a30 bounded-axis escape); not needed at
+    dimension scale.
+
+    Returns one row per populated segment: (r_score, f_score, m_score,
+    n_customers, total_orders, total_monetary_cents).
+    """
+    per_cust = df.groupBy(F.col(customer_col).alias("cust")).agg(
+        F.datediff(
+            F.lit(as_of).cast("date"), F.max(F.to_date(F.col(ts_col)))
+        ).cast("long").alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(
+            F.floor(F.col(amount_col) * 100 + 0.5).cast("long")
+        ).cast("long").alias("monetary_cents"),
+    )
+    w_r = Window.orderBy(F.desc("recency_days"), F.asc("cust"))
+    w_f = Window.orderBy(F.asc("frequency"), F.asc("cust"))
+    w_m = Window.orderBy(F.asc("monetary_cents"), F.asc("cust"))
+    scored = per_cust.select(
+        "cust",
+        "frequency",
+        "monetary_cents",
+        F.ntile(int(n_tiles)).over(w_r).alias("r_score"),
+        F.ntile(int(n_tiles)).over(w_f).alias("f_score"),
+        F.ntile(int(n_tiles)).over(w_m).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("frequency").cast("long").alias("total_orders"),
+        F.sum("monetary_cents").cast("long").alias("total_monetary_cents"),
+    )

@@ -908,3 +908,60 @@ def test_round8_operators_survive_empty_inputs(spark):
     assert kaplan_meier(e_de, "dur", "ev").count() == 0
     assert pca_top2(e_emb, "embedding", dim=2, n_iter=1).count() == 2 * 2
     assert pca_scores(e_emb, "id", "embedding", dim=2, n_iter=1).count() == 0
+
+
+# --- RFM ----------------------------------------------------------------------
+
+
+def test_rfm_segments_hand_grid(spark):
+    import datetime as dt
+
+    from peskas_timor_data_pipeline_spark.operators.funnel import rfm_segments
+
+    # 4 customers, 2 tiles: clear recency/frequency/monetary ordering
+    rows = [
+        # cust 1: recent, frequent, big spender
+        (1, dt.datetime(2024, 1, 28), 100.0),
+        (1, dt.datetime(2024, 1, 29), 100.0),
+        (1, dt.datetime(2024, 1, 30), 100.0),
+        # cust 2: recent-ish, 2 orders, medium
+        (2, dt.datetime(2024, 1, 20), 50.0),
+        (2, dt.datetime(2024, 1, 25), 50.0),
+        # cust 3: stale, 1 order, small
+        (3, dt.datetime(2024, 1, 5), 10.0),
+        # cust 4: stalest, 1 order, tiny
+        (4, dt.datetime(2024, 1, 1), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "cust int, ts timestamp, amt double")
+    out = rfm_segments(
+        df, "cust", "ts", "amt", as_of="2024-01-31", n_tiles=2
+    ).collect()
+    segs = {(r["r_score"], r["f_score"], r["m_score"]): r for r in out}
+    # customers 1,2 are the recent/frequent/big half -> (2,2,2)
+    top = segs[(2, 2, 2)]
+    assert top["n_customers"] == 2
+    assert top["total_orders"] == 5
+    assert top["total_monetary_cents"] == 30000 + 10000
+    # customers 3,4 land in the bottom tile on all axes
+    bottom = segs[(1, 1, 1)]
+    assert bottom["n_customers"] == 2
+    assert bottom["total_monetary_cents"] == 1000 + 100
+
+
+def test_rfm_tile_sizes_follow_sql_standard(spark):
+    import datetime as dt
+
+    from peskas_timor_data_pipeline_spark.operators.funnel import rfm_segments
+
+    # 7 customers into 3 tiles -> sizes 3/2/2 (first n mod k larger)
+    rows = [
+        (c, dt.datetime(2024, 1, c), float(c)) for c in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, "cust int, ts timestamp, amt double")
+    out = rfm_segments(
+        df, "cust", "ts", "amt", as_of="2024-01-31", n_tiles=3
+    ).collect()
+    per_m = {}
+    for r in out:
+        per_m[r["m_score"]] = per_m.get(r["m_score"], 0) + r["n_customers"]
+    assert per_m == {1: 3, 2: 2, 3: 2}

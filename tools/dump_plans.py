@@ -114,6 +114,7 @@ SHOWCASE = {
     "t47_good_turing": "Good-Turing: t26 spectrum chain, totals + r+1 lookup on the spectrum frame only",
     "m25_brown_forsythe": "Brown-Forsythe: (bin,group) partial agg, per-group lattice median windows, k-row pinned fold",
     "m26_kaplan_meier": "Kaplan-Meier: duration-lattice partial agg, ONE cumulative window on the distinct-time frame, BIGINT log-space product",
+    "a43_rfm_segments": "RFM: fact table read once -> customer frame; ntile windows on the dimension frame; tiles^3 grid agg",
 }
 
 
