@@ -21,41 +21,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Registry front-of-line for round 8.  The driver records ~50 CORRECTNESS
-# rows per round in registry order.  Round 7 sampled 50/50 green (no red
-# rows to lead with), so round 8 is (a) the queries added this round,
-# then (b) the full stale-evidence tail: both r02 leftovers and EVERY
-# query whose last driver sample is r03 (verdict r07 ask #2 — after this
-# window no query's evidence predates r04), then (c) the oldest r04 rows
-# as top-up.
-_PRIORITY_R08 = (
-    # (a) new in round 8
-    "d20b_store_match_banded", "d21_winnow_fingerprints", "m15_ks_drift",
-    "t45_js_divergence", "g5_ktruss", "m16_isotonic_calibration",
-    # (b) last driver-sampled r02
-    "w5_proration", "w7_rolling_range",
-    # last driver-sampled r03 (complete set, alphabetical)
-    "a25_count_min", "a27_funnel", "a28_retention_cohorts",
-    "d10_lsh_eval", "d6_decontaminate", "d8_cross_source_overlap",
-    "d9_segment_dedup", "e10_ann_recall", "e11_semdedup", "e12_mmr_topk",
-    "e8_pq_adc_topk", "e9_silhouette", "m4_poisson_glm",
-    "mm2_resize_plumbing", "mm3_image_decode", "mm4_audio_decode",
-    "mm5_video_frame_sample", "mm6_phash_neardup", "mm7_silence_runs",
-    "mm8_image_resize", "mm9_scene_cuts",
-    "p13_snapshot_diff", "p14_profile_columns",
-    "t10_heavy_hitters", "t11_shuffle_shards", "t12_chunking",
-    "t13_quality_gate", "t14_group_split", "t15_unigram_logprob",
-    "t16_pack_sequences", "t17_mixture_sample", "t18_bigram_logprob",
-    "t19_quality_buckets", "t24_dsir_select",
-    "t7_redact", "t8_weighted_sample", "t9_repetition",
-    "ts3_seasonal_decompose", "ts4_cusum_changepoint",
-    "w8_cumulative_distinct", "w9_rolling_slope",
-    # (c) top-up: oldest r04 rows
-    "a26_winsorize", "a29_ab_test", "a30_log_histogram_quantiles",
-    # (d) new in round 8, batches 2-5 — past the 50-row sample window by
-    # design (verdict r07 ask #2 reserves this round's sample for the
-    # stale tail); these lead the r09 sample. Each passed all six
-    # selfcheck axes at its commit (see DRIVERSIM_r08.log tail).
+# Registry front-of-line for round 9.  The driver records ~50 CORRECTNESS
+# rows per round in registry order.  Order (verdict r08 asks #1/#2):
+# (a) e8_pq_adc_topk FIRST — the one red row in the r08 ledger (oracle
+#     OOM in the driver's tighter DuckDB; the oracle is now the
+#     single-join long-form ADC, proven at --duckdb-mem 50MB),
+# (b) the 24 round-8 queries that have never been driver-sampled,
+# (c) top-up from the oldest evidence tail (last sampled r04),
+#     alphabetical — 25 fit in the ~50-row window; the rest lead r10.
+_PRIORITY_R09 = (
+    # (a) driver-red in r08
+    "e8_pq_adc_topk",
+    # (b) never driver-sampled (added late r08)
     "a41_assoc_rules", "g6_link_prediction", "g7_tree_closure",
     "m17_mann_whitney", "m18_chi_square", "ts5_acf", "w17_attribution",
     "t46_readability", "e27_pca_top2",
@@ -64,8 +41,25 @@ _PRIORITY_R08 = (
     "m21_classification_report", "m22_roc_auc", "m23_calibration_ece",
     "t47_good_turing", "m24_power_analysis", "m25_brown_forsythe",
     "m26_kaplan_meier", "a43_rfm_segments",
+    # (c) oldest evidence (last driver-sampled r04), alphabetical
+    "a29_ab_test", "a30_log_histogram_quantiles", "a32_benford",
+    "a35_hll", "d11_cdc_segments", "d12_best_representative",
+    "d13_containment", "e13_int8_topk", "e14_rrf_fusion",
+    "e15_hard_negatives", "e15b_hard_negatives_ann", "e16_mrl_recall",
+    "e17_top_eigenvector", "e18_ivf_cell_stats", "e19_jl_projection",
+    "e20_binary_topk", "e21_cell_exemplars", "e4_group_centroids",
+    "e5_kmeans_refine", "e6_quantize_int8", "e7_pq_encode",
+    "g1_pagerank", "j13_grid_neighbor_join", "j14_fuzzy_join",
+    "m10_poisson_bootstrap",
+    # remaining r04 tail (past the expected window; rolls into r10)
+    "m6_pmm", "mm10_audio_decimate", "mm11_channel_stats",
+    "p15_k_anonymity", "p16_fk_audit", "p17_dataset_fingerprint",
+    "t20_normalize", "t21_bpe_merges", "t22_bm25_topk", "t23_bpe_encode",
+    "t25_ngram_novelty", "t26_freq_spectrum", "t27_vocab_growth",
+    "ts2_dtw_alignment", "v_metadata", "w10_event_transitions",
+    "w11_rolling_active_users", "w13_ewma",
 )
-_PRIORITY_R04 = _PRIORITY_R08  # kept name used by registry()
+_PRIORITY_R04 = _PRIORITY_R09  # kept name used by registry()
 
 
 def registry() -> dict[str, tuple[QueryFn, str | None]]:

@@ -1667,15 +1667,21 @@ def _e8_sql() -> str:
             for m in range(m_sub)
         )
 
-    aggs = ", ".join(
-        f"min(struct_pack(d := d{m}, cid := cid)) AS s{m}" for m in range(m_sub)
+    # Long-form ADC (r09, VERDICT r08 ask #1): the previous oracle joined
+    # a wide codes row against dtab EIGHT times — 8 concurrent hash joins
+    # whose ~2MB block-granular minimums pinned together in one deep DAG
+    # OOM'd the driver's tighter shared-memory DuckDB even though the data
+    # is tiny.  Restructure: unpivot codes and the query distance tables to
+    # (m, cid) rows, ONE join, then re-assemble the distance as a fixed
+    # left-associated sum of 8 single-element conditional sums — each
+    # sum() sees exactly one row (one cid per (vec, m)), so no float
+    # summation-order hazard, and the outer + chain is the same
+    # association order as the engine's map-lookup sum.
+    d_case = " ".join(f"WHEN {m} THEN d{m}" for m in range(m_sub))
+    qd_case = " ".join(f"WHEN {m} THEN qd{m}" for m in range(m_sub))
+    dist_sum = " + ".join(
+        f"sum(CASE WHEN x.m = {m} THEN t.qd END)" for m in range(m_sub)
     )
-    joins = "\n  ".join(
-        f"JOIN dtab t{m} ON t{m}.cid = x.s{m}.cid"
-        + ("" if m == 0 else " AND t" + str(m) + ".query_id = t0.query_id")
-        for m in range(m_sub)
-    )
-    dist_sum = " + ".join(f"t{m}.qd{m}" for m in range(m_sub))
     return f"""
 WITH ordv AS (
   SELECT vec_id, embedding, md5(concat('pq#', CAST(vec_id AS VARCHAR))) AS o
@@ -1683,17 +1689,26 @@ WITH ordv AS (
 ), cb AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY o, vec_id) AS cid, embedding AS cvec
   FROM ordv ORDER BY o, vec_id LIMIT {k}
+), subs AS (
+  SELECT unnest(range({m_sub})) AS m
 ), pairs AS (
   SELECT e.vec_id, c.cid, {dist_block('e', 'd')} FROM embeddings e CROSS JOIN cb c
-), codes AS MATERIALIZED (
-  SELECT vec_id, {aggs} FROM pairs GROUP BY vec_id
-), dtab AS MATERIALIZED (
+), codes_long AS MATERIALIZED (
+  SELECT vec_id, m,
+         struct_extract(min(struct_pack(d := d, cid := cid)), 'cid') AS cid
+  FROM (SELECT vec_id, cid, u.m, CASE u.m {d_case} END AS d
+        FROM pairs CROSS JOIN subs u)
+  GROUP BY vec_id, m
+), dtab_wide AS (
   SELECT q.vec_id AS query_id, c.cid, {dist_block('q', 'qd')}
   FROM embeddings q CROSS JOIN cb c WHERE q.vec_id % 97 = 0
+), dtab AS MATERIALIZED (
+  SELECT query_id, cid, u.m, CASE u.m {qd_case} END AS qd
+  FROM dtab_wide CROSS JOIN subs u
 ), adc AS (
-  SELECT t0.query_id, x.vec_id AS cand_id, {dist_sum} AS dist
-  FROM codes x
-  {joins}
+  SELECT t.query_id, x.vec_id AS cand_id, {dist_sum} AS dist
+  FROM codes_long x JOIN dtab t ON t.m = x.m AND t.cid = x.cid
+  GROUP BY t.query_id, x.vec_id
 )
 SELECT query_id, cand_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS INTEGER) AS rank,
@@ -5514,19 +5529,16 @@ def _e24_sql() -> str:
             for m in range(m_sub)
         )
 
-    aggs = ", ".join(
-        f"min(struct_pack(d := d{m}, cid := cid)) AS s{m}" for m in range(m_sub)
+    # Long-form ADC, same restructure as _e8_sql (r09): unpivot the codes
+    # and the per-probe distance tables to (m, cid) rows so the ADC is ONE
+    # hash join instead of eight — the 8-join DAG's pinned block minimums
+    # were the e8-class driver-OOM pattern.  Fixed summation order is kept
+    # by 8 single-element conditional sums added left-associated.
+    d_case = " ".join(f"WHEN {m} THEN d{m}" for m in range(m_sub))
+    qd_case = " ".join(f"WHEN {m} THEN qd{m}" for m in range(m_sub))
+    dist_sum = " + ".join(
+        f"sum(CASE WHEN x.m = {m} THEN t.qd END)" for m in range(m_sub)
     )
-    joins = "\n  ".join(
-        (
-            "JOIN dtab t0 ON t0.cell_id = x.cell_id AND t0.cid = x.s0.cid"
-            if m == 0
-            else f"JOIN dtab t{m} ON t{m}.query_id = t0.query_id"
-            f" AND t{m}.cell_id = x.cell_id AND t{m}.cid = x.s{m}.cid"
-        )
-        for m in range(m_sub)
-    )
-    dist_sum = " + ".join(f"t{m}.qd{m}" for m in range(m_sub))
     return f"""
 WITH cents AS MATERIALIZED (
   SELECT vec_id AS cell_id, embedding AS cvec
@@ -5549,13 +5561,18 @@ WITH cents AS MATERIALIZED (
     FROM assign a
     ORDER BY o, a.cand_id LIMIT {k_cb}
   )
+), subs AS (
+  SELECT unnest(range({m_sub})) AS m
 ), encp AS (
   SELECT a.cand_id, a.cell_id, r.cid,
          {res_dist_block('a.embedding', 'a.cvec', 'd')}
   FROM assign a CROSS JOIN rcb r
-), codes AS MATERIALIZED (
-  SELECT cand_id, any_value(cell_id) AS cell_id, {aggs}
-  FROM encp GROUP BY cand_id
+), codes_long AS MATERIALIZED (
+  SELECT cand_id, m, any_value(cell_id) AS cell_id,
+         struct_extract(min(struct_pack(d := d, cid := cid)), 'cid') AS cid
+  FROM (SELECT cand_id, cell_id, cid, u.m, CASE u.m {d_case} END AS d
+        FROM encp CROSS JOIN subs u)
+  GROUP BY cand_id, m
 ), probes AS MATERIALIZED (
   SELECT query_id, cell_id, cvec, qv FROM (
     SELECT q.vec_id AS query_id, c.cell_id, c.cvec, q.embedding AS qv,
@@ -5565,14 +5582,18 @@ WITH cents AS MATERIALIZED (
            ) AS rn
     FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 50
   ) WHERE rn <= {n_probe}
-), dtab AS MATERIALIZED (
+), dtab_wide AS (
   SELECT p.query_id, p.cell_id, r.cid,
          {res_dist_block('p.qv', 'p.cvec', 'qd')}
   FROM probes p CROSS JOIN rcb r
+), dtab AS MATERIALIZED (
+  SELECT query_id, cell_id, cid, u.m, CASE u.m {qd_case} END AS qd
+  FROM dtab_wide CROSS JOIN subs u
 ), adc AS (
-  SELECT t0.query_id, x.cand_id, {dist_sum} AS dist
-  FROM codes x
-  {joins}
+  SELECT t.query_id, x.cand_id, {dist_sum} AS dist
+  FROM codes_long x
+  JOIN dtab t ON t.cell_id = x.cell_id AND t.m = x.m AND t.cid = x.cid
+  GROUP BY t.query_id, x.cand_id
 )
 SELECT query_id, cand_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS INTEGER) AS rank,
@@ -6740,9 +6761,10 @@ SELECT label, support, tp, fp, fn,
        CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END AS precision,
        CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS recall,
        CASE WHEN tp + fp > 0 AND tp + fn > 0
-                 AND tp / (tp + fp) + tp / (tp + fn) > 0
-            THEN round(2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
-                       / (tp / (tp + fp) + tp / (tp + fn)), 6)
+            THEN CASE WHEN tp / (tp + fp) + tp / (tp + fn) > 0
+                      THEN round(2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
+                                 / (tp / (tp + fp) + tp / (tp + fn)), 6)
+                      ELSE 0.0 END
        END AS f1
 FROM rep
 """

@@ -1669,7 +1669,7 @@ WITH t AS (
   SELECT CAST(floor(value * 100) AS BIGINT) AS bin,
          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
-  FROM events WHERE event_type IN ('click', 'purchase')
+  FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
 ), pb AS MATERIALIZED (
   SELECT bin, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb
   FROM t GROUP BY bin
@@ -1719,7 +1719,7 @@ def m16_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load(spark, sf_dir, "events")
-    scored = e.select(
+    scored = e.filter(F.col("value").isNotNull()).select(
         (F.col("value") - F.floor(F.col("value"))).alias("p"),
         (
             F.conv(
@@ -1741,7 +1741,7 @@ WITH scored AS MATERIALIZED (
                    % 1000000
               < CAST(floor((value - floor(value)) * 1000000) AS BIGINT)
          THEN 1 ELSE 0 END AS y
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), b AS (
   SELECT least(CAST(floor(p * 20) AS INTEGER), 19) AS bin, y
   FROM scored WHERE p >= 0
@@ -1799,7 +1799,7 @@ WITH t AS (
   SELECT CAST(floor(value * 100) AS BIGINT) AS bin,
          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
-  FROM events WHERE event_type IN ('click', 'purchase')
+  FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
 ), pb AS MATERIALIZED (
   SELECT bin, CAST(sum(ia) AS HUGEINT) AS ca,
          CAST(sum(ia) + sum(ib) AS HUGEINT) AS t
@@ -1874,23 +1874,28 @@ WITH cells AS MATERIALIZED (
          CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nr,
          CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nc
   FROM cells
+), grid AS (
+  -- full r x c grid (r09, ADVICE r08): structurally-zero cells
+  -- contribute (0-E)^2/E = E to the statistic
+  SELECT rt.o_orderstatus, rt.rt, ct.o_orderpriority, ct.ct
+  FROM rt CROSS JOIN ct
 ), scored AS MATERIALIZED (
-  SELECT c.o_orderstatus, c.o_orderpriority, c.obs,
-         round(CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+  SELECT g.o_orderstatus, g.o_orderpriority,
+         CAST(COALESCE(c.obs, 0) AS BIGINT) AS obs,
+         round(CAST(g.rt AS DOUBLE) * CAST(g.ct AS DOUBLE)
                / CAST(tot.n AS DOUBLE), 6) AS expected,
          CAST(floor(
            1000000.0
-           * CAST(CAST(c.obs AS HUGEINT) * tot.n
-                  - CAST(rt.rt AS HUGEINT) * CAST(ct.ct AS HUGEINT) AS DOUBLE)
-           * CAST(CAST(c.obs AS HUGEINT) * tot.n
-                  - CAST(rt.rt AS HUGEINT) * CAST(ct.ct AS HUGEINT) AS DOUBLE)
-           / (CAST(tot.n AS DOUBLE) * CAST(rt.rt AS DOUBLE)
-              * CAST(ct.ct AS DOUBLE))
+           * CAST(CAST(COALESCE(c.obs, 0) AS HUGEINT) * tot.n
+                  - CAST(g.rt AS HUGEINT) * CAST(g.ct AS HUGEINT) AS DOUBLE)
+           * CAST(CAST(COALESCE(c.obs, 0) AS HUGEINT) * tot.n
+                  - CAST(g.rt AS HUGEINT) * CAST(g.ct AS HUGEINT) AS DOUBLE)
+           / (CAST(tot.n AS DOUBLE) * CAST(g.rt AS DOUBLE)
+              * CAST(g.ct AS DOUBLE))
            + 0.5) AS BIGINT) AS contrib_micro,
          (tot.nr - 1) * (tot.nc - 1) AS dof
-  FROM cells c
-  JOIN rt USING (o_orderstatus)
-  JOIN ct USING (o_orderpriority)
+  FROM grid g
+  LEFT JOIN cells c USING (o_orderstatus, o_orderpriority)
   CROSS JOIN tot
 ), table_stat AS (
   SELECT CAST(sum(contrib_micro) AS BIGINT) AS chi2_micro FROM scored
@@ -1921,7 +1926,7 @@ def m19_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 M19_ORACLE = """
 WITH t AS (
   SELECT event_type AS grp, CAST(floor(value * 100) AS BIGINT) AS bin
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), pgb AS MATERIALIZED (
   SELECT bin, grp, CAST(count(*) AS BIGINT) AS cg FROM t GROUP BY bin, grp
 ), pb AS MATERIALIZED (
@@ -2039,7 +2044,7 @@ def m22_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from peskas_timor_data_pipeline_spark.operators.estimate import roc_auc
 
     e = load(spark, sf_dir, "events")
-    scored = e.select(
+    scored = e.filter(F.col("value").isNotNull()).select(
         (F.col("value") - F.floor(F.col("value"))).alias("p"),
         (
             F.conv(
@@ -2061,7 +2066,7 @@ WITH scored AS MATERIALIZED (
                    % 1000000
               < CAST(floor((value - floor(value)) * 1000000) AS BIGINT)
          THEN 1 ELSE 0 END AS y
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), t AS (
   SELECT CAST(floor(p * 1000000) AS BIGINT) AS bin, y AS ip FROM scored
 ), pb AS MATERIALIZED (
@@ -2108,7 +2113,7 @@ def m23_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load(spark, sf_dir, "events")
-    scored = e.select(
+    scored = e.filter(F.col("value").isNotNull()).select(
         (F.col("value") - F.floor(F.col("value"))).alias("p"),
         (
             F.conv(
@@ -2130,7 +2135,7 @@ WITH scored AS MATERIALIZED (
                    % 1000000
               < CAST(floor((value - floor(value)) * 1000000) AS BIGINT)
          THEN 1 ELSE 0 END AS y
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), b AS (
   SELECT least(CAST(floor(p * 20) AS INTEGER), 19) AS bin,
          CAST(floor(p * 1000000) AS BIGINT) AS s_micro, y

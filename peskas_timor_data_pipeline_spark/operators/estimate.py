@@ -65,7 +65,13 @@ def glm_per_group(
     if family not in ("poisson", "gamma"):
         raise ValueError(f"unsupported family: {family}")
     x_cols = list(x_cols)
-    out_fields = ", ".join(f"{k} string" for k in keys)
+    # key schema derived from the input frame (ADVICE r08): hardcoding
+    # string silently re-typed integer month/region keys, breaking joins
+    # back to the typed source frame (the dtw_to_pattern convention)
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
     schema = f"{out_fields}, term string, coef double, n_obs long"
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -92,7 +98,7 @@ def glm_per_group(
         terms = ["intercept"] + x_cols
         out = pd.DataFrame({"term": terms, "coef": beta, "n_obs": len(pdf)})
         for k in keys:
-            out[k] = str(pdf[k].iloc[0])
+            out[k] = pdf[k].iloc[0]
         return out[[*keys, "term", "coef", "n_obs"]]
 
     return df.groupBy(*keys).applyInPandas(fit, schema=schema)
@@ -167,7 +173,13 @@ def glmm_random_intercepts(
     if zero_inflated and family != "poisson":
         raise ValueError("zero_inflated requires family='poisson'")
     factor_cols = list(factor_cols)
-    out_fields = ", ".join(f"{k} string" for k in keys)
+    # key schema derived from the input frame (ADVICE r08): hardcoding
+    # string silently re-typed integer month/region keys, breaking joins
+    # back to the typed source frame (the dtw_to_pattern convention)
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
     schema = (
         f"{out_fields}, kind string, term string, level string, "
         "estimate double, n_obs long"
@@ -276,7 +288,7 @@ def glmm_random_intercepts(
         out = pd.DataFrame(rows, columns=["kind", "term", "level", "estimate"])
         out["n_obs"] = n
         for k in keys:
-            out[k] = str(pdf[k].iloc[0])
+            out[k] = pdf[k].iloc[0]
         return out[[*keys, "kind", "term", "level", "estimate", "n_obs"]]
 
     return df.groupBy(*keys).applyInPandas(fit, schema=schema)
@@ -751,7 +763,13 @@ def ks_two_sample(
     machinery is needed). Degenerate inputs (either side empty) emit NULL
     statistics rather than tripping ANSI division.
     """
-    tagged = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+    # pairwise deletion (ADVICE r08): NULL values would floor to a NULL
+    # bin that enters the cumulative window, where Spark orders NULLS
+    # FIRST but DuckDB defaults NULLS LAST -- filter them like cohen_kappa
+    tagged = df.filter(
+        F.col(group_col).isin(group_a, group_b)
+        & F.col(value_col).isNotNull()
+    ).select(
         F.floor(F.col(value_col) * grid).cast("long").alias("bin"),
         F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
         F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("ib"),
@@ -930,7 +948,13 @@ def mann_whitney_u(
     value in one tied bin) emit NULL statistics rather than tripping
     ANSI division.
     """
-    tagged = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+    # pairwise deletion (ADVICE r08): NULL values would floor to a NULL
+    # bin that enters the cumulative window, where Spark orders NULLS
+    # FIRST but DuckDB defaults NULLS LAST -- filter them like cohen_kappa
+    tagged = df.filter(
+        F.col(group_col).isin(group_a, group_b)
+        & F.col(value_col).isNotNull()
+    ).select(
         F.floor(F.col(value_col) * grid).cast("long").alias("bin"),
         F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
         F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("ib"),
@@ -1000,11 +1024,24 @@ def chi_square_independence(
     order-independent BIGINT sum of those micro-units (SURVEY §7.4:
     float sums never enter hashed outputs unrounded).
 
-    Returns one row per observed cell: (col_a, col_b, obs, expected,
-    contrib_micro, chi2_micro, dof).
+    Returns one row per grid cell — the FULL r x c cross of observed
+    row/column categories, including structurally-zero combinations
+    (obs = 0), whose Pearson contribution is (0-E)^2/E = E; omitting
+    them (the pre-r09 behavior, ADVICE r08) understates chi2_micro on
+    any table with empty cells while dof still counts the full grid.
+    Columns: (col_a, col_b, obs, expected, contrib_micro, chi2_micro,
+    dof).
     """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
     d38 = "decimal(38,0)"
-    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("obs"))
+    # One corpus scan; the cell frame is |A|x|B| dimension-sized by
+    # construction, so materializing it makes the three margin
+    # aggregates and the grid join read a tiny cached frame, not the
+    # corpus, regardless of exchange-reuse luck.
+    cells = materialize(
+        df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("obs"))
+    )
     rt = cells.groupBy(col_a).agg(F.sum("obs").alias("rt"))
     ct = cells.groupBy(col_b).agg(F.sum("obs").alias("ct"))
     tot = cells.agg(
@@ -1012,6 +1049,10 @@ def chi_square_independence(
         F.countDistinct(col_a).alias("n_rows_dim"),
         F.countDistinct(col_b).alias("n_cols_dim"),
     )
+    # full r x c grid: every observed row category x every observed
+    # column category; margins rt/ct are >= 1 by construction so the
+    # Pearson denominator below can never reach zero
+    grid = rt.crossJoin(F.broadcast(ct))
     diff = (
         F.col("obs").cast(d38) * F.col("n")
         - F.col("rt").cast(d38) * F.col("ct").cast(d38)
@@ -1022,8 +1063,8 @@ def chi_square_independence(
         * F.col("ct").cast("double")
     )
     scored = (
-        cells.join(F.broadcast(rt), col_a)
-        .join(F.broadcast(ct), col_b)
+        grid.join(F.broadcast(cells), [col_a, col_b], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
         .crossJoin(F.broadcast(tot))
         .select(
             col_a,
@@ -1069,7 +1110,8 @@ def kruskal_wallis(
     emit NULL statistics.
     """
     d38 = "decimal(38,0)"
-    tagged = df.select(
+    # pairwise deletion of NULL values (ADVICE r08) -- see ks_two_sample
+    tagged = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("grp"),
         F.floor(F.col(value_col) * grid).cast("long").alias("bin"),
     )
@@ -1259,11 +1301,16 @@ def classification_report(
         F.when(F.col("tp") + F.col("fp") > 0, F.round(prec, 6))
         .alias("precision"),
         F.when(F.col("tp") + F.col("fn") > 0, F.round(rec, 6)).alias("recall"),
+        # f1 = 0.0 when precision+recall == 0 but both are DEFINED
+        # (tp=0 with predictions and support present) — scikit-learn's
+        # convention, which this mirrors (ADVICE r08); NULL only when
+        # precision or recall is itself undefined
         F.when(
-            (F.col("tp") + F.col("fp") > 0)
-            & (F.col("tp") + F.col("fn") > 0)
-            & (prec + rec > 0),
-            F.round(F.lit(2.0) * prec * rec / (prec + rec), 6),
+            (F.col("tp") + F.col("fp") > 0) & (F.col("tp") + F.col("fn") > 0),
+            F.when(
+                prec + rec > 0,
+                F.round(F.lit(2.0) * prec * rec / (prec + rec), 6),
+            ).otherwise(F.lit(0.0)),
         ).alias("f1"),
     )
 
@@ -1290,7 +1337,8 @@ def roc_auc(
     degenerate inputs (single-class) emit NULLs.
     """
     d38 = "decimal(38,0)"
-    tagged = df.select(
+    # pairwise deletion of NULL scores (ADVICE r08) -- see ks_two_sample
+    tagged = df.filter(F.col(score_col).isNotNull()).select(
         F.floor(F.col(score_col) * grid).cast("long").alias("bin"),
         F.when(F.col(label_col).cast("int") == 1, 1).otherwise(0).alias("ip"),
     )

@@ -118,7 +118,13 @@ def retention_cohorts(
         .distinct()
     )
     first = active.groupBy("__u__").agg(F.min("__w__").alias("__w0__"))
-    cells = (
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    # materialized (ADVICE r08): `sizes` is derived from `cells`, and
+    # broadcasting it without a lineage cut re-ran the cohort-cell
+    # aggregation over the event scan twice at action time (the g1/e17
+    # double-scan pattern); the cell matrix is cohort x offset — tiny
+    cells = materialize(
         active.join(first, "__u__")
         .groupBy(
             F.col("__w0__").alias("cohort_week"),
