@@ -369,37 +369,48 @@ def rfm_segments(
     iteration order. ntile semantics (first n mod k tiles one larger)
     are the shared SQL standard.
 
-    Shape: one partial-aggregated groupBy to the per-customer frame;
-    three ntile windows over that frame (customer-cardinality-sized, a
-    dimension relative to the fact table); one groupBy to the at-most
-    n_tiles^3 segment grid. The fact table is read once. At extreme
-    customer cardinality the single-partition ntile windows would
-    bottleneck — shard by hashing customers into ntile-preserving
-    range buckets first (the a30 bounded-axis escape); not needed at
-    dimension scale.
+    Shape: one partial-aggregated groupBy to the per-customer frame
+    (materialized — three scorings re-read it, not the fact table);
+    each of the three ntiles runs DISTRIBUTED through
+    ``windows.global_ntile`` (range-repartition + local ranks + offset
+    arithmetic — exact SQL ntile semantics, no single-partition window
+    on a customer-cardinality frame; VERDICT r08 ask #3); one groupBy
+    to the at-most n_tiles^3 segment grid.
 
     Returns one row per populated segment: (r_score, f_score, m_score,
     n_customers, total_orders, total_monetary_cents).
     """
-    per_cust = df.groupBy(F.col(customer_col).alias("cust")).agg(
-        F.datediff(
-            F.lit(as_of).cast("date"), F.max(F.to_date(F.col(ts_col)))
-        ).cast("long").alias("recency_days"),
-        F.count(F.lit(1)).cast("long").alias("frequency"),
-        F.sum(
-            F.floor(F.col(amount_col) * 100 + 0.5).cast("long")
-        ).cast("long").alias("monetary_cents"),
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+    from peskas_timor_data_pipeline_spark.operators.windows import (
+        global_ntile,
     )
-    w_r = Window.orderBy(F.desc("recency_days"), F.asc("cust"))
-    w_f = Window.orderBy(F.asc("frequency"), F.asc("cust"))
-    w_m = Window.orderBy(F.asc("monetary_cents"), F.asc("cust"))
-    scored = per_cust.select(
-        "cust",
-        "frequency",
-        "monetary_cents",
-        F.ntile(int(n_tiles)).over(w_r).alias("r_score"),
-        F.ntile(int(n_tiles)).over(w_f).alias("f_score"),
-        F.ntile(int(n_tiles)).over(w_m).alias("m_score"),
+
+    per_cust = materialize(
+        df.groupBy(F.col(customer_col).alias("cust")).agg(
+            F.datediff(
+                F.lit(as_of).cast("date"), F.max(F.to_date(F.col(ts_col)))
+            ).cast("long").alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(
+                F.floor(F.col(amount_col) * 100 + 0.5).cast("long")
+            ).cast("long").alias("monetary_cents"),
+        )
+    )
+    k = int(n_tiles)
+    r = global_ntile(
+        per_cust, [F.desc("recency_days"), F.asc("cust")], k, "r_score"
+    ).select("cust", "r_score")
+    f = global_ntile(
+        per_cust, [F.asc("frequency"), F.asc("cust")], k, "f_score"
+    ).select("cust", "f_score")
+    m = global_ntile(
+        per_cust, [F.asc("monetary_cents"), F.asc("cust")], k, "m_score"
+    ).select("cust", "m_score")
+    scored = (
+        per_cust.select("cust", "frequency", "monetary_cents")
+        .join(r, "cust")
+        .join(f, "cust")
+        .join(m, "cust")
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),

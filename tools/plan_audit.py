@@ -39,6 +39,32 @@ ALLOWED_CARTESIAN = {
     "e12_mmr_topk",
 }
 
+# Queries allowed an UNPARTITIONED window (r09, VERDICT r08 ask #3 —
+# the a43 class must stay dead): each entry's global window runs on a
+# frame whose row count is bounded by something OTHER than data size,
+# stated here. A new query that trips the check either partitions its
+# window, routes through windows.global_ntile / orderBy().limit(R)
+# (TakeOrderedAndProject), or earns a justified row in this table.
+ALLOWED_GLOBAL_WINDOW = {
+    # value-lattice axes: rows = quantization grid cells, not corpus rows
+    "m15_ks_drift", "m17_mann_whitney", "m20_spearman", "m22_roc_auc",
+    "m16_isotonic_calibration", "m13_bh_fdr", "m26_kaplan_meier",
+    # post-limit / top-R frames (rank window AFTER TakeOrderedAndProject)
+    "o1_sort_topn", "t44_zipf_slope", "t24_dsir_select",
+    # seeded-sample / codebook selections (LIMIT k upstream)
+    "e7_pq_encode", "e8_pq_adc_topk",
+    # bounded business axes: funnel steps / calendar buckets / config-
+    # sized partition-count offsets (windows.global_ntile)
+    "a27_funnel", "w5_proration", "t27_vocab_growth",
+    "w8_cumulative_distinct", "w12_session_paths", "a43_rfm_segments",
+}
+
+GLOBAL_WINDOW_RE = re.compile(
+    # windowspecdefinition whose FIRST argument is already a sort column
+    # (has a direction marker) => the partition-column list is empty
+    r"windowspecdefinition\([^,()]* (?:ASC|DESC) NULLS"
+)
+
 # Grouped/Arrow-batched Python stages: per-group statistical models and
 # byte codecs — the applyInPandas/mapInPandas niche.
 ALLOWED_GROUPED_PYTHON = {
@@ -74,6 +100,12 @@ def main() -> int:
         n += 1
         if "CartesianProduct" in plan and name not in ALLOWED_CARTESIAN:
             violations.append(f"{name}: CartesianProduct outside the truth-twin allowlist")
+        if GLOBAL_WINDOW_RE.search(plan) and name not in ALLOWED_GLOBAL_WINDOW:
+            violations.append(
+                f"{name}: unpartitioned window outside the bounded-axis "
+                "allowlist (single-partition sort at scale — partition it, "
+                "use global_ntile/TakeOrdered, or justify an allowlist row)"
+            )
         if re.search(r"\(\d+\) (Batch|Arrow)EvalPython", plan):
             violations.append(f"{name}: row-at-a-time Python UDF in the plan")
         if (
@@ -88,7 +120,8 @@ def main() -> int:
             print(" -", v)
         return 1
     print("clean: no cartesians outside truth twins, no row-wise Python, "
-          "grouped Python only in the codec/model set")
+          "grouped Python only in the codec/model set, no unpartitioned "
+          "windows outside the bounded-axis allowlist")
     return 0
 
 
