@@ -32,6 +32,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _PRIORITY_R09 = (
     # (a) driver-red in r08
     "e8_pq_adc_topk",
+    # (a') new in r09 (report-feeding summaries — closes VERDICT r08
+    # "missing" #3; sampled immediately so no evidence gap opens)
+    "rp1_enumerator_activity", "rp2_form_completeness",
     # (b) never driver-sampled (added late r08)
     "a41_assoc_rules", "g6_link_prediction", "g7_tree_closure",
     "m17_mann_whitney", "m18_chi_square", "ts5_acf", "w17_attribution",

@@ -550,3 +550,104 @@ UNION ALL SELECT * FROM bl
 """
 
 QUERIES["v_metadata"] = (v_metadata, V_METADATA_ORACLE)
+
+
+# --- report-feeding summaries (inst/report/*.Rmd, r09) ---------------------------------
+
+def rp1_enumerator_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly survey-activity table (pipeline/report.py::
+    enumerator_activity; enumerators_summary.Rmd:195-218): events stand
+    in for survey submissions, event_type for the landing site — per
+    (site, month) submissions, active days over a completed day spine,
+    and the site's mean active days per month."""
+    from peskas_timor_data_pipeline_spark.pipeline.report import (
+        enumerator_activity,
+    )
+
+    e = load(spark, sf_dir, "events")
+    return enumerator_activity(e, "event_type", "ts", "event_id")
+
+
+RP1_ORACLE = """
+WITH per_day AS MATERIALIZED (
+  SELECT event_type AS site, CAST(ts AS DATE) AS d,
+         CAST(count(event_id) AS BIGINT) AS n_sub
+  FROM events GROUP BY site, d
+), spine AS (
+  SELECT s.site, dd.d
+  FROM (SELECT DISTINCT site FROM per_day) s
+  CROSS JOIN (SELECT DISTINCT d FROM per_day) dd
+), completed AS (
+  SELECT sp.site, date_trunc('month', sp.d) AS month,
+         COALESCE(p.n_sub, 0) AS n_sub
+  FROM spine sp LEFT JOIN per_day p ON p.site = sp.site AND p.d = sp.d
+), monthly AS MATERIALIZED (
+  SELECT site, month,
+         CAST(sum(n_sub) AS BIGINT) AS submissions,
+         CAST(sum(CASE WHEN n_sub > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS active_days
+  FROM completed GROUP BY site, month
+), site_tot AS (
+  SELECT site, CAST(sum(active_days) AS BIGINT) AS ad,
+         CAST(count(*) AS BIGINT) AS nm
+  FROM monthly GROUP BY site
+)
+SELECT m.site, m.month, m.submissions, m.active_days,
+       round(CAST(t.ad AS DOUBLE) / t.nm, 6) AS mean_active_days
+FROM monthly m JOIN site_tot t ON t.site = m.site
+"""
+
+QUERIES["rp1_enumerator_activity"] = (rp1_enumerator_activity, RP1_ORACLE)
+
+
+def rp2_form_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(site, column) unanswered-question accounting
+    (pipeline/report.py::completeness_by_group;
+    unanswered_summary.Rmd:74-84). The fixture tables are null-free, so
+    the query plants deterministic missingness first (value unanswered
+    when event_id % 7 = 0, user_id when % 11 = 0 — both replayed by the
+    oracle) and the operator does the actual counting."""
+    from peskas_timor_data_pipeline_spark.pipeline.report import (
+        completeness_by_group,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 11 != 0, F.col("user_id")).alias(
+            "user_id"
+        ),
+        "ts",
+    )
+    return completeness_by_group(e, "event_type", ["value", "user_id", "ts"])
+
+
+RP2_ORACLE = """
+WITH masked AS (
+  SELECT event_type AS grp,
+         CASE WHEN event_id % 7 != 0 THEN value END AS value,
+         CASE WHEN event_id % 11 != 0 THEN user_id END AS user_id,
+         ts
+  FROM events
+), wide AS MATERIALIZED (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS m_value,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS m_user,
+         CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS m_ts
+  FROM masked GROUP BY grp
+)
+SELECT grp AS "group", column_name, n_rows, n_missing,
+       n_missing * 1000000 // n_rows AS missing_ppm
+FROM (
+  SELECT grp, 'value' AS column_name, n_rows, m_value AS n_missing FROM wide
+  UNION ALL
+  SELECT grp, 'user_id', n_rows, m_user FROM wide
+  UNION ALL
+  SELECT grp, 'ts', n_rows, m_ts FROM wide
+)
+"""
+
+QUERIES["rp2_form_completeness"] = (rp2_form_completeness, RP2_ORACLE)

@@ -1262,6 +1262,36 @@ def pick_band_config(
     return int(rows[0].n_bands), int(rows[0].band_size)
 
 
+def band_prefix_len(
+    store_rows: int,
+    n_bands: int,
+    target_rows_per_partition: int = 1_000_000,
+    max_len: int = 4,
+) -> int:
+    """Store-size-aware hive-partition width for the banded signature
+    store (r09, VERDICT r08 ask #6): pick the smallest prefix length
+    whose 16^len partitions hold about ``target_rows_per_partition``
+    band rows each — ``ceil(log16(store_rows * n_bands / target))``
+    clamped to [0, max_len].
+
+    At toy store sizes the 256-partition listing overhead of the fixed
+    prefix_len=2 layout EXCEEDED the unbanded full scan
+    (CORPUSBENCH_r08 notes); len=0 writes one partition (band_pfx='')
+    and the matcher's pruning degenerates to the full — tiny — scan.
+    Large stores grow the partition count with the store, keeping
+    per-batch store IO flat in store size (the d20b property). Pure
+    policy arithmetic over ONE scalar the caller already has; no data
+    is read here.
+    """
+    import math
+
+    band_rows_total = max(0, int(store_rows)) * max(1, int(n_bands))
+    if band_rows_total <= target_rows_per_partition:
+        return 0
+    need = band_rows_total / target_rows_per_partition
+    return min(int(max_len), max(0, math.ceil(math.log(need, 16))))
+
+
 def store_band_rows(
     store_sigs: DataFrame,
     id_col: str,
@@ -1375,25 +1405,30 @@ def match_signature_store(
                 f"n_hashes={n_hashes}"
             )
         carried = bool(hcols)
-        if "band_size" in sb.columns:
+        # ONE limit-1 probe job reads both geometry columns (was two
+        # jobs — measurable fixed overhead per micro-batch at toy scale)
+        probe_cols = [c for c in ("band_size", "band_pfx") if c in sb.columns]
+        probe = sb.select(*probe_cols).first() if probe_cols else None
+        if probe is not None and "band_size" in probe_cols:
             # the artifact carries its build geometry; a batch banded at
             # a different band_size would produce disjoint md5 keys and
             # silently match nothing — refuse instead
-            g = sb.select("band_size").first()
-            if g is not None and g[0] != band_size:
+            if probe["band_size"] != band_size:
                 raise ValueError(
                     f"band geometry mismatch: store bands were built at "
-                    f"band_size={g[0]}, caller asked for {band_size}"
+                    f"band_size={probe['band_size']}, caller asked for "
+                    f"{band_size}"
                 )
         keep = ["store_id", "band_key", *hcols]
         if "band_pfx" in sb.columns:
-            # prefix width from ONE store row (limit-1 scan, not a pass)
-            probe = sb.select("band_pfx").first()
-            if probe is None:
-                # empty store: no candidates by construction
+            pfx_probe = probe["band_pfx"] if probe is not None else None
+            if pfx_probe is None or len(pfx_probe) == 0:
+                # empty store, or a small store written at prefix_len=0
+                # (band_prefix_len policy; hive reads the '' partition
+                # value back as NULL): nothing to prune
                 sb = sb.select(*keep)
             else:
-                plen = len(probe[0])
+                plen = len(pfx_probe)
                 # batch side computes once, feeds both the prefix set and
                 # the join (without the cut the signature lineage runs
                 # twice)

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from peskas_timor_data_pipeline_spark.llm.dedup import (
     apply_span_mask,
+    band_prefix_len,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signature,
@@ -191,9 +192,16 @@ def build_corpus_pipeline(
         # band-key prefix: the steady-state matcher prunes its store-side
         # scan to the prefixes an incoming batch collides with and never
         # re-derives the store's bands — without this, every micro-batch
-        # re-bands and re-shuffles the WHOLE store (linear in store size)
+        # re-bands and re-shuffles the WHOLE store (linear in store size).
+        # Prefix width scales with the store (band_prefix_len, r09): tiny
+        # stores write ONE partition (the fixed 256-partition layout's
+        # listing overhead beat its pruning below ~1M band rows), big
+        # stores grow partitions with size so per-batch IO stays flat.
+        plen = band_prefix_len(
+            signature_store.count(), n_hashes // band_size
+        )
         return store_band_rows(
-            signature_store, "doc_id", n_hashes, band_size
+            signature_store, "doc_id", n_hashes, band_size, prefix_len=plen
         ).repartition("band_pfx")
 
     @pipe.stage("masked", inputs=["near_deduped"])

@@ -147,3 +147,43 @@ def test_band_store_artifact_and_incremental_slice(spark, tmp_path):
     v = {r.batch_id: r.store_id for r in verdicts.collect()}
     assert v == {105: 5}
     assert {r.doc_id for r in new_docs.collect()} == {900}
+
+
+def test_band_prefix_len_policy():
+    """Store-size-aware width (r09): toy stores write one partition
+    (len 0 — the 256-partition listing overhead beat its pruning),
+    partitions then grow ~linearly with store size, capped."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import band_prefix_len
+
+    assert band_prefix_len(0, 2) == 0
+    assert band_prefix_len(500, 2) == 0            # toy: skip banding
+    assert band_prefix_len(500_000, 2) == 0        # 1M band rows: boundary
+    assert band_prefix_len(600_000, 2) == 1        # 1.2M rows -> 16 parts
+    assert band_prefix_len(50_000_000, 2) == 2     # 100M rows -> 256
+    assert band_prefix_len(10**10, 2, max_len=4) == 4  # clamped
+
+
+def test_zero_prefix_store_round_trips(spark, tmp_path):
+    """A store written at prefix_len=0 (single band_pfx='' partition)
+    matches identically to the unbanded path — the matcher recognizes
+    the empty prefix and skips pruning."""
+    docs = _docs(spark)
+    sigs = minhash_signature(docs, "doc_id", "text", 16, 5)
+    batch = docs.filter("doc_id % 7 = 0").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    bsigs = minhash_signature(batch, "doc_id", "text", 16, 5)
+    path = str(tmp_path / "bands0")
+    (
+        store_band_rows(sigs, "doc_id", 16, 8, prefix_len=0)
+        .write.mode("overwrite")
+        .partitionBy("band_pfx")
+        .parquet(path)
+    )
+    plain = match_signature_store(bsigs, sigs, "doc_id", 16, 8, 12)
+    banded = match_signature_store(
+        bsigs, sigs, "doc_id", 16, 8, 12,
+        store_bands=spark.read.parquet(path),
+    )
+    key = lambda r: (r.batch_id, r.store_id, r.n_agree, r.est_jaccard_ppm)
+    assert sorted(map(key, plain.collect())) == sorted(map(key, banded.collect()))

@@ -128,3 +128,51 @@ def test_retention_cohorts_single_cell_agg(spark):
     assert out[(0, 1)]["n_active"] == 1
     assert out[(0, 2)]["retention"] == pytest.approx(0.5)
     assert out[(1, 0)]["n_cohort"] == 1
+
+
+def test_enumerator_activity_spine_and_means(spark):
+    """Silent days count as zero-activity spine rows; mean active days
+    is the site's average over months (enumerators_summary.Rmd:195-218)."""
+    from peskas_timor_data_pipeline_spark.pipeline.report import (
+        enumerator_activity,
+    )
+
+    rows = [
+        ("siteA", "2024-01-01", 1), ("siteA", "2024-01-01", 2),
+        ("siteA", "2024-01-03", 3),
+        ("siteA", "2024-02-05", 4),
+        ("siteB", "2024-02-05", 5),  # siteB silent all of January
+    ]
+    df = spark.createDataFrame(rows, "site string, d string, id int")
+    out = {
+        (r.site, r.month.month): r
+        for r in enumerator_activity(df, "site", "d", "id").collect()
+    }
+    a_jan = out[("siteA", 1)]
+    assert a_jan.submissions == 3 and a_jan.active_days == 2
+    # siteA: jan 2 days + feb 1 day -> mean 1.5
+    assert a_jan.mean_active_days == 1.5
+    # siteB january exists via the spine, all zeros
+    b_jan = out[("siteB", 1)]
+    assert b_jan.submissions == 0 and b_jan.active_days == 0
+
+
+def test_completeness_by_group_counts(spark):
+    from peskas_timor_data_pipeline_spark.pipeline.report import (
+        completeness_by_group,
+    )
+
+    rows = [
+        ("g1", 1.0, "u"), ("g1", None, "u"), ("g1", None, None),
+        ("g2", 2.0, "v"),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, u string")
+    out = {
+        (r.group, r.column_name): r
+        for r in completeness_by_group(df, "g", ["v", "u"]).collect()
+    }
+    assert out[("g1", "v")].n_missing == 2
+    assert out[("g1", "v")].missing_ppm == 666666
+    assert out[("g1", "u")].n_missing == 1
+    assert out[("g2", "v")].n_missing == 0
+    assert out[("g2", "v")].n_rows == 1
