@@ -234,13 +234,23 @@ def run_incremental(spark, label: str, workdir: str) -> dict:
         return {"wall_s": wall, "verdicts": n,
                 **_window_metrics(_stages(spark), seen)}
 
-    # banded path (band_store artifact present after the full build)
+    # banded path (band_store artifact present after the full build).
+    # Artifact frames are resolved ONCE outside the window, exactly like
+    # the unbanded contrast's store_sigs — a streaming front door
+    # (store_dedup_sink) reads the store once per process, not per
+    # micro-batch, so billing per-call artifact re-resolution to the
+    # banded side compared one read_stage-per-batch path against a
+    # pre-read one (fixed ~1s skew at toy scale, r09 fix)
+    store_sigs = spark.read.parquet(_latest(workdir, "signature_store"))
+    store_bands = spark.read.parquet(_latest(workdir, "band_store"))
+    slice_sigs = minhash_signature(slice_df, "doc_id", "norm_text", n_hashes=16)
     banded = window(
-        lambda: dedup_incoming_slice(spark, workdir, slice_df)[1].count()
+        lambda: match_signature_store(
+            slice_sigs, store_sigs, "doc_id", 16, 8, 12,
+            store_bands=store_bands,
+        ).count()
     )
     # signature-only contrast: full store scan + re-band per batch
-    store_sigs = spark.read.parquet(_latest(workdir, "signature_store"))
-    slice_sigs = minhash_signature(slice_df, "doc_id", "norm_text", n_hashes=16)
     unbanded = window(
         lambda: match_signature_store(
             slice_sigs, store_sigs, "doc_id", 16, 8, 12
