@@ -1718,6 +1718,8 @@ def ivfpq_build(
     k_cb: int = 16,
     n_cells: int = 16,
     checkpoint_dir: str | None = None,
+    route: str = "exact",
+    n_route_probe: int = 4,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the IVF-PQ index once (FAISS train+add): seeded coarse
     centroids, the residual codebook, and the encoded inverted lists —
@@ -1752,16 +1754,74 @@ def ivfpq_build(
     # build cost at the r07 profile); vectors rejoin by id afterwards,
     # one slim shuffle of n rows.
     c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__v__"))
-    assign_codes = (
-        c.crossJoin(cents)
-        .select("cand_id", "cell_id", l2_fold("__v__", "cvec").alias("__l2__"))
-        .groupBy("cand_id")
-        .agg(
-            F.min_by("cell_id", F.struct(F.col("__l2__"), F.col("cell_id"))).alias(
-                "cell_id"
+    argmin = F.min_by(
+        "cell_id", F.struct(F.col("__l2__"), F.col("cell_id"))
+    ).alias("cell_id")
+    if route == "coarse" and n_cells >= 64:
+        # two-level quantized assignment (see ivf_build's route="coarse"
+        # note): O(sqrt(C) + p*C/sqrt(C)) distance evals per vector.
+        # Opt-in only — the e24/e24b oracles replay EXACT assignment.
+        import math
+
+        n_sup = max(4, math.isqrt(n_cells))
+        sups = F.broadcast(
+            materialize(
+                cents.select(
+                    F.col("cell_id").alias("sup_id"),
+                    F.col("cvec").alias("svec"),
+                    F.md5(
+                        F.concat(
+                            F.lit("cent#"), F.col("cell_id").cast("string")
+                        )
+                    ).alias("__sk__"),
+                )
+                .orderBy("__sk__", "sup_id")
+                .limit(n_sup)
+                .drop("__sk__"),
+                checkpoint_dir,
             )
         )
-    )
+        children = F.broadcast(
+            materialize(
+                cents.crossJoin(sups)
+                .select(
+                    "sup_id", "cell_id", "cvec",
+                    l2_fold("cvec", "svec").alias("__l2__"),
+                )
+                .groupBy("cell_id")
+                .agg(
+                    F.min_by(
+                        "sup_id", F.struct(F.col("__l2__"), F.col("sup_id"))
+                    ).alias("sup_id"),
+                    F.first("cvec").alias("cvec"),
+                ),
+                checkpoint_dir,
+            )
+        )
+        w_r = Window.partitionBy("cand_id").orderBy(
+            F.asc("__l2__"), F.asc("sup_id")
+        )
+        routed = (
+            c.crossJoin(sups)
+            .select("cand_id", "sup_id", l2_fold("__v__", "svec").alias("__l2__"))
+            .withColumn("rn", F.row_number().over(w_r))
+            .filter(F.col("rn") <= int(n_route_probe))
+            .select("cand_id", "sup_id")
+        )
+        assign_codes = (
+            routed.join(F.broadcast(children), "sup_id")
+            .join(c, "cand_id")
+            .select("cand_id", "cell_id", l2_fold("__v__", "cvec").alias("__l2__"))
+            .groupBy("cand_id")
+            .agg(argmin)
+        )
+    else:
+        assign_codes = (
+            c.crossJoin(cents)
+            .select("cand_id", "cell_id", l2_fold("__v__", "cvec").alias("__l2__"))
+            .groupBy("cand_id")
+            .agg(argmin)
+        )
     assigned = (
         assign_codes.join(c, "cand_id")
         .join(cents.withColumnRenamed("cvec", "__cv__"), "cell_id")
@@ -2044,11 +2104,33 @@ def ivf_build(
     dim: int = 64,
     n_cells: int = 16,
     checkpoint_dir: str | None = None,
+    route: str = "exact",
+    n_route_probe: int = 4,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index once (FAISS train+add): seeded centroids and
     the inverted lists (cell_id, cand_id, cv, cn), both materialized so
     repeated searches never re-pay assignment. Returns (cents, inverted).
+
+    Assignment is a SLIM broadcast expansion (r09): the x n_cells rows
+    carry only (cand_id, cell_id, cos) — one codegen dot per pair, one
+    ``max_by`` partial aggregate (map-side combine, no window shuffle) —
+    and the vectors rejoin by id. The previous window-over-wide-rows
+    shape memcpy'd the dim-double array n x n_cells times and shuffled
+    it (the r07 ivfpq lesson, ported here after ANNSCALE showed 382 s
+    at 300k vectors).
+
+    ``route="coarse"`` caps the per-vector assignment cost as cells grow
+    with sqrt(n): a two-level quantizer routes each vector to its
+    ``n_route_probe`` nearest of ~sqrt(n_cells) super-centroids (a
+    seeded subset of the centroids), then compares exactly against only
+    those supers' child centroids — O(sqrt(C) + p*C/sqrt(C)) distance
+    evals per vector instead of O(C). A vector occasionally lands in
+    its 2nd-best cell, which search absorbs: probing n_probe cells
+    looks in every list a near-best assignment can reach (FAISS's own
+    assign-time quantization trade). Exact remains the default.
     """
+    import math
+
     from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
 
     cents = materialize(
@@ -2060,17 +2142,75 @@ def ivf_build(
         F.col(vec_col).alias("cv"),
         norm_expr(vec_col, dim).alias("cn"),
     )
-    w_assign = Window.partitionBy("cand_id").orderBy(
-        F.desc("cos_c"), F.asc("cell_id")
-    )
-    inverted = materialize(
-        c.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "cos_c", dot_expr("cv", "cvec", dim) / (F.col("cn") * F.col("cnorm"))
+    cos = dot_expr("cv", "cvec", dim) / (F.col("cn") * F.col("cnorm"))
+    argmax = F.max_by(
+        "cell_id", F.struct(F.col("cos_c"), (-F.col("cell_id")).alias("t"))
+    ).alias("cell_id")
+    if route == "coarse" and n_cells >= 64:
+        n_sup = max(4, math.isqrt(n_cells))
+        sups = F.broadcast(
+            materialize(
+                cents.select(
+                    F.col("cell_id").alias("sup_id"),
+                    F.col("cvec").alias("svec"),
+                    F.col("cnorm").alias("snorm"),
+                    F.md5(
+                        F.concat(F.lit("cent#"), F.col("cell_id").cast("string"))
+                    ).alias("__sk__"),
+                )
+                .orderBy("__sk__", "sup_id")
+                .limit(n_sup)
+                .drop("__sk__"),
+                checkpoint_dir,
+            )
         )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("cell_id", "cand_id", "cv", "cn"),
+        # children: every centroid -> its nearest super (exact; the
+        # centroid table is dimension-sized)
+        ch_cos = dot_expr("cvec", "svec", dim) / (F.col("cnorm") * F.col("snorm"))
+        children = F.broadcast(
+            materialize(
+                cents.crossJoin(sups)
+                .select("sup_id", "cell_id", "cvec", "cnorm", ch_cos.alias("cos_s"))
+                .groupBy("cell_id")
+                .agg(
+                    F.max_by(
+                        "sup_id",
+                        F.struct(F.col("cos_s"), (-F.col("sup_id")).alias("t")),
+                    ).alias("sup_id"),
+                    F.first("cvec").alias("cvec"),
+                    F.first("cnorm").alias("cnorm"),
+                ),
+                checkpoint_dir,
+            )
+        )
+        # route: the n_route_probe nearest supers per vector — slim rows
+        q_cos = dot_expr("cv", "svec", dim) / (F.col("cn") * F.col("snorm"))
+        w_r = Window.partitionBy("cand_id").orderBy(
+            F.desc("cos_s"), F.asc("sup_id")
+        )
+        routed = (
+            c.crossJoin(sups)
+            .select("cand_id", "sup_id", q_cos.alias("cos_s"))
+            .withColumn("rn", F.row_number().over(w_r))
+            .filter(F.col("rn") <= int(n_route_probe))
+            .select("cand_id", "sup_id")
+        )
+        assign = (
+            routed.join(F.broadcast(children), "sup_id")
+            .join(c, "cand_id")
+            .select("cand_id", "cell_id", cos.alias("cos_c"))
+            .groupBy("cand_id")
+            .agg(argmax)
+        )
+    else:
+        assign = (
+            c.crossJoin(F.broadcast(cents))
+            .select("cand_id", "cell_id", cos.alias("cos_c"))
+            .groupBy("cand_id")
+            .agg(argmax)
+        )
+    inverted = materialize(
+        assign.join(c, "cand_id").select("cell_id", "cand_id", "cv", "cn"),
         checkpoint_dir,
     )
     return cents, inverted

@@ -416,3 +416,59 @@ def test_binary_quantize_and_rerank_agree_with_signs(spark):
         )
         assert got[0] == (1, 2, 0)
         assert {g[1] for g in got} == {2, 3, 4}
+
+
+def test_coarse_routed_build_matches_exact_search(spark):
+    """route='coarse' (r09): two-level assignment may place a vector in a
+    near-best cell, but (a) most vectors land exactly where exact
+    assignment puts them and (b) search recall over the coarse index
+    matches the exact index at a realistic probe budget."""
+    import math
+
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        cosine_topk_bruteforce,
+        ivf_build,
+        ivf_search,
+    )
+
+    dim, n, n_cells = 16, 2000, 100
+    rows = [
+        (
+            i,
+            [
+                math.sin((i % 40) * (7.0 + d) + 0.37 * d)
+                + 0.1 * math.sin(i * 13.7 + d)
+                for d in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    cands = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = cands.filter("vec_id < 20").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+
+    _, inv_exact = ivf_build(cands, "vec_id", "embedding", dim=dim, n_cells=n_cells)
+    cents, inv_coarse = ivf_build(
+        cands, "vec_id", "embedding", dim=dim, n_cells=n_cells, route="coarse"
+    )
+    exact_map = {r.cand_id: r.cell_id for r in inv_exact.collect()}
+    coarse_map = {r.cand_id: r.cell_id for r in inv_coarse.collect()}
+    assert set(coarse_map) == set(exact_map)  # every vector assigned once
+    agree = sum(1 for k in exact_map if exact_map[k] == coarse_map[k])
+    assert agree / n >= 0.9  # near-best assignments are the rare case
+
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in cosine_topk_bruteforce(
+            queries, cands, "vec_id", "embedding", k=3, dim=dim
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.cand_id)
+        for r in ivf_search(
+            queries, cents, inv_coarse, "vec_id", "embedding",
+            k=3, dim=dim, n_probe=10,
+        ).collect()
+    }
+    assert len(truth & got) / len(truth) >= 0.95

@@ -110,7 +110,14 @@ def main() -> None:
     cands = materialize(cands)
 
     n_cells = max(16, int(math.sqrt(n)))
-    n_probe = max(4, n_cells // 16)
+    # probe budget: hold the scanned corpus fraction at or under the r08
+    # measured ratio (10/173 = 0.0578) as cells grow with sqrt(n) —
+    # n_cells // 16 drifts up to 1/16 = 0.0625 from floor jitter
+    n_probe = max(4, n_cells // 18)
+    # refine budget scales with list length: a fixed rerank_m=100 over
+    # 10x longer inverted lists starves the ADC shortlist (r09 measured
+    # recall@3 0.80 -> 0.57 at 300k with the r08 constant)
+    rerank_m = max(100, n // 300)
 
     brute_s, truth = timed(
         cosine_topk_bruteforce, queries, cands, "vec_id", "embedding",
@@ -119,7 +126,13 @@ def main() -> None:
     # index BUILD is the one-time amortized cost (FAISS train+add);
     # SEARCH is what a serving deployment pays per query batch
     t0 = time.time()
-    cents, inverted = ivf_build(cands, "vec_id", "embedding", dim=DIM, n_cells=n_cells)
+    # coarse two-level assignment: the scale path (exact assignment is
+    # O(n*sqrt(n)) once n_cells tracks sqrt(n) — superlinear by design;
+    # search probes n_probe cells, absorbing near-best assignments)
+    cents, inverted = ivf_build(
+        cands, "vec_id", "embedding", dim=DIM, n_cells=n_cells,
+        route="coarse",
+    )
     ivf_build_s = time.time() - t0
     ivf_s, ivf_rows = timed(
         ivf_search, queries, cents, inverted, "vec_id", "embedding",
@@ -128,12 +141,12 @@ def main() -> None:
     t0 = time.time()
     pcents, rcb, encoded = ivfpq_build(
         cands, "vec_id", "embedding", dim=DIM, m_sub=8, k_cb=256,
-        n_cells=n_cells,
+        n_cells=n_cells, route="coarse",
     )
     ivfpq_build_s = time.time() - t0
     ivfpq_s, pq_rows = timed(
         ivfpq_search, queries, pcents, rcb, encoded, "vec_id", "embedding",
-        dim=DIM, m_sub=8, n_probe=n_probe, k_top=3, rerank_m=100,
+        dim=DIM, m_sub=8, n_probe=n_probe, k_top=3, rerank_m=rerank_m,
     )
     result = {
         "n_candidates": n,
@@ -148,7 +161,7 @@ def main() -> None:
         "ivfpq_search_sec": round(ivfpq_s, 3),
         "ivf_recall_at3": recall(truth, ivf_rows),
         "ivfpq_recall_at3": recall(truth, pq_rows),
-        "ivfpq_rerank_m": 100,
+        "ivfpq_rerank_m": rerank_m,
         "scan_fraction": round(n_probe / n_cells, 4),
         # the trade IVFPQ exists for: the scanned representation is m_sub
         # bytes of codes per vector vs dim float32s — flat vectors are
