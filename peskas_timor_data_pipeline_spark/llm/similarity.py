@@ -28,6 +28,19 @@ def dot_expr(a: str, b: str, dim: int) -> Column:
     return F.expr(terms)
 
 
+def l2_expr(a: str, b: str, dim: int) -> Column:
+    """sum_i (a[i]-b[i])^2 as one generated (codegen) expression. Used on
+    the coarse-routing hot paths where the HOF fold's interpreted
+    evaluation dominates at n x sqrt(C) row counts (one ~2-4 s codegen
+    compile per distinct stage buys ~10x per-row throughput)."""
+    terms = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    return F.expr(terms)
+
+
 def norm_expr(a: str, dim: int) -> Column:
     terms = " + ".join(f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)" for i in range(dim))
     return F.sqrt(F.expr(terms))
@@ -1786,7 +1799,7 @@ def ivfpq_build(
                 cents.crossJoin(sups)
                 .select(
                     "sup_id", "cell_id", "cvec",
-                    l2_fold("cvec", "svec").alias("__l2__"),
+                    l2_expr("cvec", "svec", dim).alias("__l2__"),
                 )
                 .groupBy("cell_id")
                 .agg(
@@ -1803,7 +1816,7 @@ def ivfpq_build(
         )
         routed = (
             c.crossJoin(sups)
-            .select("cand_id", "sup_id", l2_fold("__v__", "svec").alias("__l2__"))
+            .select("cand_id", "sup_id", l2_expr("__v__", "svec", dim).alias("__l2__"))
             .withColumn("rn", F.row_number().over(w_r))
             .filter(F.col("rn") <= int(n_route_probe))
             .select("cand_id", "sup_id")
@@ -1811,7 +1824,7 @@ def ivfpq_build(
         assign_codes = (
             routed.join(F.broadcast(children), "sup_id")
             .join(c, "cand_id")
-            .select("cand_id", "cell_id", l2_fold("__v__", "cvec").alias("__l2__"))
+            .select("cand_id", "cell_id", l2_expr("__v__", "cvec", dim).alias("__l2__"))
             .groupBy("cand_id")
             .agg(argmin)
         )
