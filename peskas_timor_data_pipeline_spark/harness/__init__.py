@@ -21,48 +21,45 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Registry front-of-line for round 9.  The driver records ~50 CORRECTNESS
-# rows per round in registry order.  Order (verdict r08 asks #1/#2):
-# (a) e8_pq_adc_topk FIRST — the one red row in the r08 ledger (oracle
-#     OOM in the driver's tighter DuckDB; the oracle is now the
-#     single-join long-form ADC, proven at --duckdb-mem 50MB),
-# (b) the 24 round-8 queries that have never been driver-sampled,
-# (c) top-up from the oldest evidence tail (last sampled r04),
-#     alphabetical — 25 fit in the ~50-row window; the rest lead r10.
-_PRIORITY_R09 = (
-    # (a) driver-red in r08
-    "e8_pq_adc_topk",
-    # (a') new in r09 (report-feeding summaries — closes VERDICT r08
-    # "missing" #3; sampled immediately so no evidence gap opens)
-    "rp1_enumerator_activity", "rp2_form_completeness",
-    # (b) never driver-sampled (added late r08)
-    "a41_assoc_rules", "g6_link_prediction", "g7_tree_closure",
-    "m17_mann_whitney", "m18_chi_square", "ts5_acf", "w17_attribution",
-    "t46_readability", "e27_pca_top2",
-    "m19_kruskal_wallis", "m20_spearman", "ts6_holt_linear",
-    "e28_pca_project", "g8_hits", "a42_decayed_agg", "e29_ivf_cell_split",
-    "m21_classification_report", "m22_roc_auc", "m23_calibration_ece",
-    "t47_good_turing", "m24_power_analysis", "m25_brown_forsythe",
-    "m26_kaplan_meier", "a43_rfm_segments",
-    # (c) oldest evidence (last driver-sampled r04), alphabetical
-    "a29_ab_test", "a30_log_histogram_quantiles", "a32_benford",
-    "a35_hll", "d11_cdc_segments", "d12_best_representative",
-    "d13_containment", "e13_int8_topk", "e14_rrf_fusion",
-    "e15_hard_negatives", "e15b_hard_negatives_ann", "e16_mrl_recall",
-    "e17_top_eigenvector", "e18_ivf_cell_stats", "e19_jl_projection",
-    "e20_binary_topk", "e21_cell_exemplars", "e4_group_centroids",
-    "e5_kmeans_refine", "e6_quantize_int8", "e7_pq_encode",
-    "g1_pagerank", "j13_grid_neighbor_join", "j14_fuzzy_join",
-    "m10_poisson_bootstrap",
-    # remaining r04 tail (past the expected window; rolls into r10)
-    "m6_pmm", "mm10_audio_decimate", "mm11_channel_stats",
-    "p15_k_anonymity", "p16_fk_audit", "p17_dataset_fingerprint",
-    "t20_normalize", "t21_bpe_merges", "t22_bm25_topk", "t23_bpe_encode",
+# Registry front-of-line for round 10.  The driver records ~50 CORRECTNESS
+# rows per round in registry order.  Order (verdict r09 asks #2/#3):
+# (a) rp3/rp4 — NEW this round (data_report.Rmd composition + dispersion
+#     frames), sampled immediately so no evidence gap opens,
+# (b) the 20 queries whose driver evidence still dates to r04 (oldest in
+#     the r01-r09 union ledger), alphabetical,
+# (c) top-up from the r05 evidence tail (47 queries), alphabetical —
+#     ~28 fit in the ~50-row window; the rest lead r11.
+_PRIORITY_R10 = (
+    # (a) new in r10 (data_report.Rmd aggregate twins — VERDICT r09 #3)
+    "rp3_catch_composition", "rp4_period_dispersion",
+    # (b) oldest evidence (last driver-sampled r04), alphabetical
+    "j14_fuzzy_join", "m10_poisson_bootstrap", "m6_pmm",
+    "mm10_audio_decimate", "mm11_channel_stats", "p15_k_anonymity",
+    "p16_fk_audit", "p17_dataset_fingerprint", "t20_normalize",
+    "t21_bpe_merges", "t22_bm25_topk", "t23_bpe_encode",
     "t25_ngram_novelty", "t26_freq_spectrum", "t27_vocab_growth",
     "ts2_dtw_alignment", "v_metadata", "w10_event_transitions",
     "w11_rolling_active_users", "w13_ewma",
+    # (c) r05 evidence tail, alphabetical (overflow rolls into r11)
+    "a17_tumbling_window", "a23_session_window", "a31_growth_accounting",
+    "a33_time_to_convert", "a34_bounce_rate", "a36_sliding_hll",
+    "a38_gini", "a6_sessionization", "d14_bloom_decontaminate",
+    "d15_dup_rate_scout", "d16_repeated_span_mask", "d17_band_planner",
+    "d1_exact_dedup", "d2_minhash_lsh_jaccard", "d2b_lsh_skew_capped",
+    "d5_dup_clusters", "d5b_dup_clusters_star", "e22_ivf_probe_sweep",
+    "e24_ivfpq_topk", "e24b_ivfpq_refine", "e25_mrl_funnel", "e3_ivf_ann",
+    "g2_triangle_count", "j10_asof_join", "j10b_asof_forward",
+    "j10c_asof_nearest_tolerance", "j11_interval_join",
+    "j12_scd2_temporal", "m11_theil_sen", "m12_mann_kendall",
+    "m13_bh_fdr", "m2b_length_weight_ll", "m4b_glmm_1ri",
+    "mm13_audio_clipping", "p18_fd_audit", "p7b_fish_groups",
+    "t30_source_similarity", "t31_psi_drift", "t36_tokenizer_fertility",
+    "t37_repetition_signals", "t38_kneser_ney_logprob",
+    "t39_temperature_mixture", "t40_source_diversity",
+    "w12_session_paths", "w15_ohlc", "w16_interval_union",
+    "w6_downsample",
 )
-_PRIORITY_R04 = _PRIORITY_R09  # kept name used by registry()
+_PRIORITY_R04 = _PRIORITY_R10  # kept name used by registry()
 
 
 def registry() -> dict[str, tuple[QueryFn, str | None]]:

@@ -651,3 +651,123 @@ FROM (
 """
 
 QUERIES["rp2_form_completeness"] = (rp2_form_completeness, RP2_ORACLE)
+
+
+def rp3_catch_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regional catch-composition shares (pipeline/report.py::
+    catch_composition; data_report.Rmd:1067-1078): lineitem rows stand
+    in for catch records, the supplier's nation for the reporting
+    region, the part-type's first word for the grouped taxa — per
+    (region, taxa) catch completed over the full grid with per-region
+    percent shares. Dims broadcast onto the fact scan."""
+    from peskas_timor_data_pipeline_spark.pipeline.report import (
+        catch_composition,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    prt = load(spark, sf_dir, "part")
+    fact = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(prt), li.l_partkey == prt.p_partkey)
+        .select(
+            F.col("n_name").alias("region"),
+            F.split(F.col("p_type"), " ").getItem(0).alias("taxa"),
+            F.col("l_quantity").alias("catch_kg"),
+        )
+    )
+    return catch_composition(fact, "region", "taxa", "catch_kg")
+
+
+RP3_ORACLE = """
+WITH fact AS (
+  SELECT n.n_name AS region,
+         string_split(p.p_type, ' ')[1] AS taxa,
+         l.l_quantity AS c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+), agg AS MATERIALIZED (
+  SELECT region, taxa, sum(c) AS catch FROM fact GROUP BY region, taxa
+), grid AS (
+  SELECT r.region, t.taxa
+  FROM (SELECT DISTINCT region FROM agg) r
+  CROSS JOIN (SELECT DISTINCT taxa FROM agg) t
+), completed AS MATERIALIZED (
+  SELECT g.region, g.taxa, COALESCE(a.catch, 0) AS catch
+  FROM grid g LEFT JOIN agg a ON a.region = g.region AND a.taxa = g.taxa
+), totals AS (
+  SELECT region, sum(catch) AS total_catch FROM completed GROUP BY region
+)
+SELECT c.region, c.taxa, c.catch, t.total_catch,
+       round(c.catch / t.total_catch * 100.0, 6) AS percent_catch
+FROM completed c JOIN totals t ON t.region = c.region
+"""
+
+QUERIES["rp3_catch_composition"] = (rp3_catch_composition, RP3_ORACLE)
+
+
+def rp4_period_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue/CPUE dispersion frame (pipeline/report.py::
+    period_dispersion; data_report.Rmd:343-368): orders stand in for
+    landings — landing-level catch is the per-order quantity total
+    (integer-scaled, so the exact-sum sd is deterministic), then per
+    month: median, sd, n, se and the qt(0.975, n-1) confidence
+    interval via the Cornish-Fisher expansion both engines evaluate
+    identically."""
+    from peskas_timor_data_pipeline_spark.pipeline.report import (
+        period_dispersion,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    landing = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.trunc(F.to_date("o_orderdate"), "month").alias("period"),
+        )
+        .agg(F.sum("l_quantity").alias("catch"))
+    )
+    return period_dispersion(landing, "period", "catch")
+
+
+def _rp4_oracle() -> str:
+    z = 1.959963984540054
+    g1 = (z**3 + z) / 4.0
+    g2 = (5 * z**5 + 16 * z**3 + 3 * z) / 96.0
+    g3 = (3 * z**7 + 19 * z**5 + 17 * z**3 - 15 * z) / 384.0
+    return f"""
+WITH landing AS MATERIALIZED (
+  SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS period,
+         sum(l.l_quantity) AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, period
+), g AS MATERIALIZED (
+  SELECT period, median(v) AS med_raw, sum(v) AS s, sum(v * v) AS ss,
+         CAST(count(v) AS BIGINT) AS n
+  FROM landing GROUP BY period
+), stats AS (
+  SELECT period, med_raw, n,
+         CAST(n AS DOUBLE) AS nn,
+         sqrt(greatest((ss - s * s / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1), 0.0)) AS sd_raw
+  FROM g
+)
+SELECT period,
+  round(med_raw, 6) AS med,
+  CASE WHEN n >= 2 THEN round(sd_raw, 6) END AS sd,
+  n,
+  CASE WHEN n >= 2 THEN round(sd_raw / sqrt(nn), 6) END AS se,
+  CASE WHEN n >= 2 THEN round(
+    (sd_raw / sqrt(nn)) * ({z!r} + {g1!r} / (nn - 1)
+      + {g2!r} / ((nn - 1) * (nn - 1))
+      + {g3!r} / ((nn - 1) * (nn - 1) * (nn - 1))), 6) END AS ic
+FROM stats
+"""
+
+
+QUERIES["rp4_period_dispersion"] = (rp4_period_dispersion, _rp4_oracle())

@@ -70,8 +70,20 @@ def decode_image(content: bytes) -> dict:
       is returned as RGB(A).
 
     Returns ``{"width", "height", "channels", "pixels"}`` with pixels a
-    ``height x width x channels`` uint8 numpy array. Raises ``ValueError``
-    on anything else — loud failure, never fake pixels."""
+    ``height x width x channels`` uint8 numpy array.
+
+    JPEG / PNG / GIF / WebP take the OPTIONAL Pillow path (public
+    library, import-gated): a production multimodal corpus is
+    JPEG-dominated, so when Pillow is installed those formats decode
+    into the same dict through the same distributed plumbing
+    (decode_image_meta / resize_images / image_dhash run unchanged).
+    Without Pillow they still raise ``ValueError`` loudly. The ORACLE
+    path stays pure-Python PPM/PGM/BMP — registry queries never depend
+    on Pillow, so driver hashes are library-version independent; the
+    Pillow path is exercised by pytest only (skipped where absent).
+
+    Raises ``ValueError`` on anything else — loud failure, never fake
+    pixels."""
     import numpy as np
 
     if content[:2] in (b"P2", b"P3", b"P5", b"P6"):
@@ -128,7 +140,46 @@ def decode_image(content: bytes) -> dict:
         if channels >= 3:  # BGR(A) -> RGB(A)
             rows = rows[:, :, [2, 1, 0, *range(3, channels)]]
         return {"width": w, "height": h, "channels": channels, "pixels": rows}
+    fmt = _pil_format(content)
+    if fmt is not None:
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise ValueError(
+                f"{fmt} decode needs the optional Pillow path "
+                "(public 'Pillow' package, import-gated); the pure-Python "
+                "oracle path supports PPM/PGM/BMP only"
+            ) from exc
+        import io
+
+        with Image.open(io.BytesIO(content)) as im:
+            im.load()
+            if im.mode not in ("L", "RGB", "RGBA"):
+                im = im.convert("RGB")
+            arr = np.asarray(im, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return {
+            "width": arr.shape[1],
+            "height": arr.shape[0],
+            "channels": arr.shape[2],
+            "pixels": arr,
+        }
     raise ValueError(f"unsupported image magic: {content[:4]!r}")
+
+
+def _pil_format(content: bytes) -> str | None:
+    """Container sniff for the Pillow-gated formats (header magics are
+    public file-format constants)."""
+    if content[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if content[:4] == b"\x89PNG":
+        return "png"
+    if content[:4] in (b"GIF8",):
+        return "gif"
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        return "webp"
+    return None
 
 
 def encode_ppm(pixels) -> bytes:

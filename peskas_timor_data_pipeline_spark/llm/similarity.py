@@ -473,9 +473,9 @@ def pq_adc_topk(
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each query
     precomputes its distance table to the codebook — per subvector, one
-    map cid -> partial squared distance — and every encoded vector's
-    distance is then ``m_sub`` MAP LOOKUPS summed, never a float-vector
-    scan. This is the serving path PQ exists for: the code table is 8
+    cid-ordered array of partial squared distances — and every encoded
+    vector's distance is then ``m_sub`` O(1) ARRAY READS summed, never a
+    float-vector scan. This is the serving path PQ exists for: the code table is 8
     bytes/vector, the per-query tables are k x m_sub doubles (broadcast),
     and the scan is a narrow crossJoin in whole-stage codegen.
 
@@ -517,22 +517,27 @@ def pq_adc_topk(
         for m in range(m_sub)
     ]
     dtab = pairs.select("query_id", "cid", *dcols)
-    # map order is irrelevant (lookup by key), so collect_list
-    # nondeterminism is harmless
+    # cid-ORDERED ARRAYS, not maps (r10, same fix as ivfpq_search):
+    # element_at on an UnsafeMapData is a LINEAR key scan, m_sub x k
+    # comparisons per scanned candidate; cids are dense 1..k
+    # (pq_codebook's row_number), so a cid-sorted array makes each
+    # lookup one O(1) offset read. array_sort on the (cid, d) structs
+    # orders by the unique cid — collect_list nondeterminism sorted away.
+    def _cid_array(m: int) -> Column:
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("cid", f"__d{m}__"))),
+            lambda s: s[f"__d{m}__"],
+        ).alias(f"__a{m}__")
+
     per_q = dtab.groupBy("query_id").agg(
-        *[
-            F.map_from_arrays(
-                F.collect_list("cid"), F.collect_list(f"__d{m}__")
-            ).alias(f"__m{m}__")
-            for m in range(m_sub)
-        ]
+        *[_cid_array(m) for m in range(m_sub)]
     )
     joined = encoded.select(F.col(id_col).alias("cand_id"), "codes").crossJoin(
         F.broadcast(per_q)
     )
-    adc = F.element_at(F.col("__m0__"), F.col("codes")[0])
+    adc = F.element_at(F.col("__a0__"), F.col("codes")[0])
     for m in range(1, m_sub):
-        adc = adc + F.element_at(F.col(f"__m{m}__"), F.col("codes")[m])
+        adc = adc + F.element_at(F.col(f"__a{m}__"), F.col("codes")[m])
     scored = joined.withColumn("__adc__", adc).select(
         "query_id", "cand_id", "__adc__"
     )
@@ -1930,28 +1935,49 @@ def ivfpq_search(
             diff_arr("qv", "cvec").alias("__qd__"),
         )
     )
-    # --- per-(query, probed cell) distance tables to the residual codebook ---
-    tab_dists = [
-        res_fold("__qd__", m).alias(f"__t{m}__") for m in range(m_sub)
-    ]
+    # --- per-(query, probed cell) distance tables to the residual codebook.
+    # UNROLLED element chains, not res_fold: higher-order lambdas evaluate
+    # INTERPRETED, and this is a x k_cb expansion (q x n_probe x k_cb rows
+    # x m_sub sums) — the same wall the r07 BUILD paid before its encode
+    # step was unrolled (ivfpq_build docstring). Identical left-associated
+    # IEEE sum, so e24/e24b oracle hashes are unchanged.
+    sub = dim // m_sub
+
+    def _tab_unrolled(m: int) -> Column:
+        total = None
+        for i in range(sub):
+            idx = m * sub + i
+            d = F.col("__qd__")[idx] - F.col("rvec")[idx]
+            sq = d * d
+            total = sq if total is None else total + sq
+        return total
+
+    tab_dists = [_tab_unrolled(m).alias(f"__t{m}__") for m in range(m_sub)]
     dtab = probes.crossJoin(rcb).select(
         "query_id", "cell_id", "cid", *tab_dists
     )
-    # map order is irrelevant (lookup by key) — collect_list nondeterminism
-    # is harmless, same as pq_adc_topk
+    # cid-ORDERED ARRAYS, not maps (r10): element_at on an UnsafeMapData
+    # is a LINEAR key scan — m_sub lookups x k_cb comparisons per scanned
+    # candidate row turned the 300k-vector search into billions of key
+    # compares (ANNSCALE_r09: ivfpq_search 19.5s vs ivf_search 3.7s).
+    # cids are dense 1..k_cb by construction (residual_codebook's
+    # row_number), so an array sorted by cid makes each lookup one O(1)
+    # offset read. array_sort on (cid, t) structs orders by the unique
+    # cid; collect_list nondeterminism is sorted away.
+    def _cid_array(m: int) -> Column:
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("cid", f"__t{m}__"))),
+            lambda s: s[f"__t{m}__"],
+        ).alias(f"__a{m}__")
+
     tables = dtab.groupBy("query_id", "cell_id").agg(
-        *[
-            F.map_from_arrays(
-                F.collect_list("cid"), F.collect_list(f"__t{m}__")
-            ).alias(f"__m{m}__")
-            for m in range(m_sub)
-        ]
+        *[_cid_array(m) for m in range(m_sub)]
     )
-    # --- scan only probed cells' inverted lists; ADC = m_sub lookups ---
+    # --- scan only probed cells' inverted lists; ADC = m_sub O(1) reads ---
     joined = encoded.join(F.broadcast(materialize(tables)), "cell_id")
-    adc = F.element_at(F.col("__m0__"), F.col("__c0__"))
+    adc = F.element_at(F.col("__a0__"), F.col("__c0__"))
     for m in range(1, m_sub):
-        adc = adc + F.element_at(F.col(f"__m{m}__"), F.col(f"__c{m}__"))
+        adc = adc + F.element_at(F.col(f"__a{m}__"), F.col(f"__c{m}__"))
     scored = joined.select("query_id", "cand_id", adc.alias("__adc__"))
     w = Window.partitionBy("query_id").orderBy(F.asc("__adc__"), F.asc("cand_id"))
     if rerank_m is None:

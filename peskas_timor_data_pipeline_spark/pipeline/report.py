@@ -11,10 +11,17 @@ summaries this module names:
   (enumerators_summary.Rmd:195-218, the submissions_month table);
 - :func:`completeness_by_group` — per-(site, column) answered/missing
   accounting (unanswered_summary.Rmd:74-84, the miss_plots frame, as
-  counts rather than a ggplot).
+  counts rather than a ggplot);
+- :func:`catch_composition` — per-(region, taxa) catch totals completed
+  over the full region x taxa grid with per-region percentage shares
+  (data_report.Rmd:1067-1078, the municipal catch-composition stacked
+  bars; the year x taxa variant at :813-820 is the same shape);
+- :func:`period_dispersion` — per-period median / sd / se / t-CI of a
+  landing-level value (data_report.Rmd:357-368, the revenue and CPUE
+  time-series frames with their qt()-based confidence ribbon).
 
-Scale shape: both are single partial-aggregated groupBys over the fact
-scan; spine completion and the unpivot run on group-cardinality
+Scale shape: all are single partial-aggregated groupBys over the fact
+scan; spine/grid completion and the unpivot run on group-cardinality
 dimension frames.
 """
 
@@ -124,4 +131,114 @@ def completeness_by_group(
         "n_rows",
         "n_missing",
         F.expr("n_missing * 1000000L div n_rows").alias("missing_ppm"),
+    )
+
+
+def catch_composition(
+    df: DataFrame,
+    region_col: str,
+    taxa_col: str,
+    catch_col: str,
+) -> DataFrame:
+    """Per-region catch composition with percentage shares
+    (data_report.Rmd:1067-1078): sum catch per (region, taxa), complete
+    the region x taxa grid with zeros (tidyr::complete with
+    fill = list(catch = 0)), compute each region's total and every
+    taxa's percent share of it — the frame behind the reference's
+    municipal catch-composition stacked-bar chart. The annual variant
+    at :813-820 (year x grouped_taxa + complete) is the same shape with
+    year as the region axis.
+
+    One partial-aggregated groupBy over the fact scan; the grid
+    completion, per-region totals, and the percent division all run on
+    group-cardinality frames (regions x taxa), broadcast-joined.
+
+    Returns (region, taxa, catch, total_catch, percent_catch) — catch
+    summed as-is, percent rounded to 6 so float division cannot flip a
+    digit between engines when catch values are integer-scaled.
+    """
+    agg = (
+        df.select(
+            F.col(region_col).alias("region"),
+            F.col(taxa_col).alias("taxa"),
+            F.col(catch_col).alias("__c__"),
+        )
+        .groupBy("region", "taxa")
+        .agg(F.sum("__c__").alias("catch"))
+    )
+    grid = agg.select("region").distinct().crossJoin(
+        F.broadcast(agg.select("taxa").distinct())
+    )
+    completed = grid.join(agg, ["region", "taxa"], "left").select(
+        "region", "taxa", F.coalesce("catch", F.lit(0)).alias("catch")
+    )
+    totals = completed.groupBy("region").agg(
+        F.sum("catch").alias("total_catch")
+    )
+    return completed.join(F.broadcast(totals), "region").select(
+        "region",
+        "taxa",
+        "catch",
+        "total_catch",
+        F.round(F.col("catch") / F.col("total_catch") * 100.0, 6).alias(
+            "percent_catch"
+        ),
+    )
+
+
+def period_dispersion(df: DataFrame, period_col: str, value_col: str) -> DataFrame:
+    """Per-period dispersion frame behind the reference's revenue/CPUE
+    time series (data_report.Rmd:357-368): median, sample sd, n,
+    se = sd/sqrt(n) and the qt(0.975, n-1)-scaled confidence interval
+    (`ic = se * qt((1 - 0.05) / 2 + .5, n - 1)`).
+
+    Determinism (SURVEY §7.4): the sd uses the exact sum-of-squares
+    identity sqrt((sum(x^2) - sum(x)^2/n)/(n-1)) — exact when callers
+    feed integer-scaled values (both engines sum identical integers),
+    unlike builtin stddev_samp whose central-moment accumulation is
+    partition-order dependent. The t quantile uses the Cornish-Fisher
+    expansion around z = 1.959963984540054 (documented approximation of
+    R's qt; <1e-4 absolute error for n-1 >= 8, and byte-identical
+    between engines because both evaluate the same polynomial).
+
+    One partial-aggregated groupBy over the landing-level input.
+    Returns (period, med, sd, n, se, ic); sd/se/ic null when n < 2.
+    """
+    z = 1.959963984540054
+    g1 = (z**3 + z) / 4.0
+    g2 = (5 * z**5 + 16 * z**3 + 3 * z) / 96.0
+    g3 = (3 * z**7 + 19 * z**5 + 17 * z**3 - 15 * z) / 384.0
+    g = (
+        df.select(
+            F.col(period_col).alias("period"),
+            F.col(value_col).alias("__v__"),
+        )
+        .filter(F.col("__v__").isNotNull())
+        .groupBy("period")
+        .agg(
+            F.median("__v__").alias("__med__"),
+            F.sum("__v__").alias("__s__"),
+            F.sum(F.col("__v__") * F.col("__v__")).alias("__ss__"),
+            F.count("__v__").cast("long").alias("n"),
+        )
+    )
+    nn = F.col("n").cast("double")
+    var = (F.col("__ss__") - F.col("__s__") * F.col("__s__") / nn) / (nn - 1)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    dof = nn - 1
+    tq = (
+        F.lit(z)
+        + F.lit(g1) / dof
+        + F.lit(g2) / (dof * dof)
+        + F.lit(g3) / (dof * dof * dof)
+    )
+    se = sd / F.sqrt(nn)
+    guard = F.col("n") >= 2
+    return g.select(
+        "period",
+        F.round("__med__", 6).alias("med"),
+        F.when(guard, F.round(sd, 6)).alias("sd"),
+        "n",
+        F.when(guard, F.round(se, 6)).alias("se"),
+        F.when(guard, F.round(se * tq, 6)).alias("ic"),
     )
