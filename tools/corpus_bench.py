@@ -81,10 +81,12 @@ def _window_metrics(stages: list[dict], after_id: int) -> dict:
     }
 
 
-def synth_10x(spark, src_sf_dir: str, out_path: str) -> int:
-    """50k docs from the 5k sf0.1 documents: variants 0 and 1 are exact
-    copies (planted exact dups), variant 2 appends one char (near dup for
-    LSH), 3..9 get distinct md5 tails (unique mass). Deterministic."""
+def synth_10x(spark, src_sf_dir: str, out_path: str, mult: int = 10) -> int:
+    """``mult`` x docs from the 5k sf0.1 documents: variants 0 and 1 are
+    exact copies (planted exact dups), variant 2 appends one char (near
+    dup for LSH), 3..mult-1 get distinct md5 tails (unique mass).
+    Deterministic. mult=10 -> 50k docs; mult=100 -> 500k docs (the r10
+    second scale decade)."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{src_sf_dir}/documents.parquet").select(
@@ -92,10 +94,11 @@ def synth_10x(spark, src_sf_dir: str, out_path: str) -> int:
     )
     blown = (
         docs.select(
-            "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("v")
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("v"),
         )
         .select(
-            (F.col("doc_id") * 16 + F.col("v")).alias("doc_id"),
+            (F.col("doc_id") * 128 + F.col("v")).alias("doc_id"),
             F.when(F.col("v") <= 1, F.col("text"))
             .when(F.col("v") == 2, F.concat(F.col("text"), F.lit("!")))
             .otherwise(
@@ -301,12 +304,17 @@ def main() -> int:
     x10_path = os.path.join(base, "docs_10x.parquet")
     n10 = synth_10x(spark, SF_DIR, x10_path)
     print(f"synthesized {n10} docs at {x10_path}")
+    x100_path = os.path.join(base, "docs_100x.parquet")
+    n100 = synth_10x(spark, SF_DIR, x100_path, mult=100)
+    print(f"synthesized {n100} docs at {x100_path}")
 
     r1 = run_scale(spark, "sf0.1 (5k docs)",
                    f"{SF_DIR}/documents.parquet",
                    os.path.join(base, "art_1x"))
     r10 = run_scale(spark, "10x (50k docs)", x10_path,
                     os.path.join(base, "art_10x"))
+    r100 = run_scale(spark, "100x (500k docs)", x100_path,
+                     os.path.join(base, "art_100x"))
     # incremental-path scaling needs stores that genuinely ARE 1x and
     # 10x after dedup (the planted-dup corpus collapses back to ~1x)
     u1_path = os.path.join(base, "docs_u1.parquet")
@@ -324,7 +332,7 @@ def main() -> int:
         return sum(s.get(k, 0) for s in r["stages"].values())
 
     result = {
-        "runs": [r1, r10],
+        "runs": [r1, r10, r100],
         "incremental": {
             "runs": [inc1, inc10],
             "banded_store_input_ratio_10x_over_1x": round(
@@ -356,13 +364,18 @@ def main() -> int:
             round(tot(r10, "shuffle_write") / max(tot(r1, "shuffle_write"), 1), 2),
         "wall_ratio_10x_over_1x":
             round(r10["total_wall_s"] / max(r1["total_wall_s"], 0.01), 2),
+        "shuffle_write_ratio_100x_over_10x":
+            round(tot(r100, "shuffle_write") / max(tot(r10, "shuffle_write"), 1), 2),
+        "wall_ratio_100x_over_10x":
+            round(r100["total_wall_s"] / max(r10["total_wall_s"], 0.01), 2),
+        "spill_bytes_100x": tot(r100, "spill_bytes"),
         "max_broadcast_result_bytes": max(
             s.get("max_broadcast_result_bytes", 0)
-            for r in (r1, r10) for s in r["stages"].values()
+            for r in (r1, r10, r100) for s in r["stages"].values()
         ),
         "max_collect_result_bytes": max(
             s.get("max_collect_result_bytes", 0)
-            for r in (r1, r10) for s in r["stages"].values()
+            for r in (r1, r10, r100) for s in r["stages"].values()
         ),
         "notes": (
             "broadcast results are BroadcastExchange materializations "
