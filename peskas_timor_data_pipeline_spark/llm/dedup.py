@@ -115,7 +115,19 @@ def minhash_signature(
     rewrite — per-row transform + 16× array_min — was measured 3× SLOWER:
     CollapseProject inlines the shared digest-chain subexpression into
     every array_min, recomputing the md5s n_hashes times. Exploding is the
-    idiom that lets Spark evaluate the chain exactly once per shingle.)"""
+    idiom that lets Spark evaluate the chain exactly once per shingle.)
+
+    The per-slot min runs on the hex slice CONVERTED TO A LONG, converted
+    back to the identical lowercase hex afterwards (r10): min over STRING
+    buffers can't use whole-stage-codegen HashAggregate — it compiles to
+    ObjectHashAggregate, which falls back to SORT-BASED aggregation past a
+    ~128-key in-memory map, i.e. it sorts the ENTIRE exploded shingle x
+    digest frame (CORPUSBENCH_r10 first capture: 20-35 GB spilled at 500k
+    docs, all of the pipeline's spill). Fixed-width lowercase hex has
+    ASCII order == numeric order, so the long-min picks the same slice and
+    lpad(lower(hex(.)), 8) reproduces the exact bytes — signatures, store
+    artifacts, and oracle hashes are unchanged, but the aggregate is a
+    fixed-width hash aggregate with map-side partials and zero spill."""
     n_md5 = -(-n_hashes * MINHASH_WIDTH // 32)  # ceil
     digest = F.concat(
         *[F.md5(F.concat(F.col("sh"), F.lit(f"#{j}"))) for j in range(n_md5)]
@@ -126,10 +138,20 @@ def minhash_signature(
         else shingle_rows(df, id_col, text_col, k_shingle)
     ).withColumn("dig", digest)
     aggs = [
-        F.min(F.substring("dig", 1 + MINHASH_WIDTH * j, MINHASH_WIDTH)).alias(f"h{j}")
+        F.min(
+            F.conv(
+                F.substring("dig", 1 + MINHASH_WIDTH * j, MINHASH_WIDTH), 16, 10
+            ).cast("long")
+        ).alias(f"__hl{j}__")
         for j in range(n_hashes)
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    back = [
+        F.lpad(F.lower(F.hex(F.col(f"__hl{j}__"))), MINHASH_WIDTH, "0").alias(
+            f"h{j}"
+        )
+        for j in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs).select(id_col, *back)
 
 
 def band_rows(
