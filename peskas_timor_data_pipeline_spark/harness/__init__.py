@@ -30,8 +30,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (c) top-up from the r05 evidence tail (47 queries), alphabetical —
 #     ~28 fit in the ~50-row window; the rest lead r11.
 _PRIORITY_R10 = (
-    # (a) new in r10 (data_report.Rmd aggregate twins — VERDICT r09 #3)
+    # (a) new in r10 (data_report.Rmd aggregate twins — VERDICT r09 #3;
+    #     rp5/rp6 extend the same closure to the treemap and nutrient
+    #     frames, Rmd:1281-1299 / :1440-1449)
     "rp3_catch_composition", "rp4_period_dispersion",
+    "rp5_category_share", "rp6_nutrient_density",
     # (b) oldest evidence (last driver-sampled r04), alphabetical
     "j14_fuzzy_join", "m10_poisson_bootstrap", "m6_pmm",
     "mm10_audio_decimate", "mm11_channel_stats", "p15_k_anonymity",

@@ -771,3 +771,95 @@ FROM stats
 
 
 QUERIES["rp4_period_dispersion"] = (rp4_period_dispersion, _rp4_oracle())
+
+
+def rp5_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-share treemap frame (pipeline/report.py::category_share;
+    data_report.Rmd:1281-1299): orders stand in for landings, the
+    landing's gear is the deterministic first (modeled as min, the
+    explicit ordering SURVEY §7.4 requires) of its line flags, and the
+    fisher-composition category derives from the customer key — per
+    (gear, category) landing counts with per-category percent shares."""
+    from peskas_timor_data_pipeline_spark.pipeline.report import (
+        category_share,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    gear = li.groupBy("l_orderkey").agg(F.min("l_returnflag").alias("gear"))
+    landing = gear.join(o, gear.l_orderkey == o.o_orderkey).select(
+        "gear",
+        F.when(F.col("o_custkey") % 4 == 0, F.lit("Women and childs"))
+        .otherwise(F.lit("Only men"))
+        .alias("category"),
+    )
+    return category_share(landing, "gear", "category")
+
+
+RP5_ORACLE = """
+WITH gear AS MATERIALIZED (
+  SELECT l_orderkey AS k, min(l_returnflag) AS dim
+  FROM lineitem GROUP BY l_orderkey
+), cat AS (
+  SELECT g.dim,
+         CASE WHEN o.o_custkey % 4 = 0 THEN 'Women and childs'
+              ELSE 'Only men' END AS category
+  FROM gear g JOIN orders o ON o.o_orderkey = g.k
+), counts AS MATERIALIZED (
+  SELECT dim, category, CAST(count(*) AS BIGINT) AS n
+  FROM cat GROUP BY dim, category
+), totals AS (
+  SELECT category, CAST(sum(n) AS BIGINT) AS n_tot FROM counts GROUP BY category
+)
+SELECT c.dim, c.category, c.n, t.n_tot,
+       round(c.n / t.n_tot * 100.0, 2) AS pct
+FROM counts c JOIN totals t ON t.category = c.category
+"""
+
+QUERIES["rp5_category_share"] = (rp5_category_share, RP5_ORACLE)
+
+
+def rp6_nutrient_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Habitat x nutrient median density (pipeline/report.py::
+    habitat_nutrient_density; data_report.Rmd:1440-1449): lineitem rows
+    stand in for landing catch rows — habitat from the return flag,
+    catch mass from quantity, three measure columns as the nutrient
+    masses with RDI conversion factors; per (habitat, nutrient) the
+    median individuals-per-kg, /10 then x100 exactly as the Rmd."""
+    from peskas_timor_data_pipeline_spark.pipeline.report import (
+        habitat_nutrient_density,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("habitat"),
+        F.col("l_quantity").alias("catch"),
+        F.col("l_extendedprice").alias("protein"),
+        F.col("l_tax").alias("zinc"),
+        F.col("l_discount").alias("calcium"),
+    )
+    return habitat_nutrient_density(
+        li,
+        "habitat",
+        "catch",
+        ["protein", "zinc", "calcium"],
+        {"protein": 50.0, "zinc": 11.0, "calcium": 1000.0},
+    )
+
+
+RP6_ORACLE = """
+WITH long AS MATERIALIZED (
+  SELECT l_returnflag AS habitat, 'protein' AS nutrient,
+         (l_extendedprice / l_quantity) * 1000.0 / 50.0 AS v
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity <> 0
+  UNION ALL
+  SELECT l_returnflag, 'zinc', (l_tax / l_quantity) * 1000.0 / 11.0
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity <> 0
+  UNION ALL
+  SELECT l_returnflag, 'calcium', (l_discount / l_quantity) * 1000.0 / 1000.0
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity <> 0
+)
+SELECT habitat, nutrient, round(median(v) / 10.0 * 100.0, 6) AS inds_kg
+FROM long GROUP BY habitat, nutrient
+"""
+
+QUERIES["rp6_nutrient_density"] = (rp6_nutrient_density, RP6_ORACLE)

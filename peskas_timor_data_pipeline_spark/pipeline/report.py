@@ -18,7 +18,12 @@ summaries this module names:
   bars; the year x taxa variant at :813-820 is the same shape);
 - :func:`period_dispersion` — per-period median / sd / se / t-CI of a
   landing-level value (data_report.Rmd:357-368, the revenue and CPUE
-  time-series frames with their qt()-based confidence ribbon).
+  time-series frames with their qt()-based confidence ribbon);
+- :func:`category_share` — per-(dim, category) landing counts with
+  per-category percentage shares (data_report.Rmd:1281-1299, the
+  habitat/gear/catch-use treemap frames);
+- :func:`habitat_nutrient_density` — per-(habitat, nutrient) median
+  individuals-per-kg density (data_report.Rmd:1440-1449).
 
 Scale shape: all are single partial-aggregated groupBys over the fact
 scan; spine/grid completion and the unpivot run on group-cardinality
@@ -241,4 +246,90 @@ def period_dispersion(df: DataFrame, period_col: str, value_col: str) -> DataFra
         "n",
         F.when(guard, F.round(se, 6)).alias("se"),
         F.when(guard, F.round(se * tq, 6)).alias("ic"),
+    )
+
+
+def category_share(
+    df: DataFrame,
+    dim_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Per-(dim, category) landing counts with the share of each
+    category's total (data_report.Rmd:1281-1299, the "Gear used" treemap
+    frame; :1244-1247 "Habitat exploited" and :1318-1321 "Catch use" are
+    the same shape with a different dim): count landings per (dim,
+    category), total per category, share = round(n / n_tot * 100, 2) —
+    the Rmd's exact mutate. Null dim/category rows are dropped
+    (na.omit), like the reference.
+
+    One partial-aggregated groupBy over the landing-level input; the
+    category totals and the share division run on group-cardinality
+    frames, broadcast-joined. Integer count ratios divided once, so the
+    rounding is engine-stable.
+
+    Returns (dim, category, n, n_tot, pct).
+    """
+    counts = (
+        df.filter(
+            F.col(dim_col).isNotNull() & F.col(category_col).isNotNull()
+        )
+        .select(
+            F.col(dim_col).alias("dim"), F.col(category_col).alias("category")
+        )
+        .groupBy("dim", "category")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = counts.groupBy("category").agg(
+        F.sum("n").cast("long").alias("n_tot")
+    )
+    return counts.join(F.broadcast(totals), "category").select(
+        "dim",
+        "category",
+        "n",
+        "n_tot",
+        F.round(F.col("n") / F.col("n_tot") * 100.0, 2).alias("pct"),
+    )
+
+
+def habitat_nutrient_density(
+    df: DataFrame,
+    habitat_col: str,
+    catch_col: str,
+    nutrient_cols: Sequence[str],
+    conv_factors: dict[str, float],
+) -> DataFrame:
+    """Median per-kg nutrient density per habitat
+    (data_report.Rmd:1440-1449): unpivot the per-landing nutrient mass
+    columns to long, normalize by catch (value / catch), convert to
+    individuals-per-kg via the RDI conversion factor
+    (value * 1000 / conv_factor), then per (habitat, nutrient) the
+    median, divided by 10 and rescaled x100 exactly as the Rmd does.
+
+    The per-row arithmetic chain is identical IEEE ops in both engines;
+    only the median (interpolated, same rule in Spark and DuckDB) runs
+    per group — one partial shuffle of landing-level rows, the unpivot
+    is a stack over the row, never a join.
+
+    Returns (habitat, nutrient, inds_kg) with inds_kg rounded to 6.
+    """
+    cols = list(nutrient_cols)
+    stack = ", ".join(f"'{c}', `{c}`" for c in cols)
+    long = df.select(
+        F.col(habitat_col).alias("habitat"),
+        F.col(catch_col).alias("__catch__"),
+        F.expr(f"stack({len(cols)}, {stack}) AS (nutrient, __value__)"),
+    ).filter(F.col("__catch__").isNotNull() & (F.col("__catch__") != 0))
+    conv = F.create_map(
+        *[x for c in cols for x in (F.lit(c), F.lit(float(conv_factors[c])))]
+    )
+    inds = long.select(
+        "habitat",
+        "nutrient",
+        (
+            (F.col("__value__") / F.col("__catch__")) * 1000.0
+            / conv[F.col("nutrient")]
+        ).alias("__inds__"),
+    )
+    return inds.groupBy("habitat", "nutrient").agg(
+        F.round(F.median("__inds__") / 10.0 * 100.0, 6).alias("inds_kg")
     )
