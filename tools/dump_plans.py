@@ -32,7 +32,7 @@ SHOWCASE = {
     "m5_impute_replicates": "imputation draws as pure column expressions; zero Python evaluators",
     "e6_quantize_int8": "higher-order transform over broadcast calibration arrays; constant tree in dim",
     "mm3_image_decode": "mapInPandas codec path: one Python stage, no shuffle",
-    "e8_pq_adc_topk": "ADC scan: broadcast per-query distance maps, candidate dist = 8 map lookups",
+    "e8_pq_adc_topk": "ADC scan: broadcast per-query cid-ordered distance arrays, candidate dist = 8 O(1) array reads (maps were linear key scans)",
     "j10c_asof_nearest_tolerance": "nearest as-of: BOTH direction fills from one sorted window, zero joins",
     "d9_segment_dedup": "segment dedup: partial min(struct) on the segment key, no pairwise ops",
     "e11_semdedup": "SemDeDup: x16 centroid broadcast assignment + cell-keyed hash-join compare",
