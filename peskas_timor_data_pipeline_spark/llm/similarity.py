@@ -1775,7 +1775,12 @@ def ivfpq_build(
     argmin = F.min_by(
         "cell_id", F.struct(F.col("__l2__"), F.col("cell_id"))
     ).alias("cell_id")
-    if route == "coarse" and n_cells >= 64:
+    if route == "gemm":
+        # BLAS L2 argmin over all cells (|v-c|^2 = -2*(v.c - |c|^2/2)
+        # + |v|^2, the |v|^2 term is constant per row) — exact, and
+        # cheaper than the two-level routed JVM path (see _gemm_assign)
+        assign_codes = _gemm_assign(c, cents, "cand_id", "__v__", dim, "l2")
+    elif route == "coarse" and n_cells >= 64:
         # two-level quantized assignment (see ivf_build's route="coarse"
         # note): O(sqrt(C) + p*C/sqrt(C)) distance evals per vector.
         # Opt-in only — the e24/e24b oracles replay EXACT assignment.
@@ -2136,6 +2141,81 @@ def mrl_funnel_topk(
     )
 
 
+def _gemm_assign(
+    c: DataFrame,
+    cents: DataFrame,
+    id_field_name: str,
+    vec_field: str,
+    dim: int,
+    metric: str,
+) -> DataFrame:
+    """Arrow-batched BLAS assignment: argbest cell per vector against the
+    full centroid matrix in one GEMM per batch (``V @ C.T``), via
+    mapInPandas. This is the scale path for index BUILDS (the one place
+    the engine is compute-bound on per-row array arithmetic): the r10
+    split-probe measured the JVM codegen element chains at ~2 us per
+    (vector, centroid) pair — the 28.5M-pair coarse-routed assignment at
+    300k vectors was pure scoring cost — while a batch GEMM does the
+    SAME flops at BLAS speed and, because it is cheap enough to score
+    ALL cells, is also EXACT (no two-level routing approximation).
+
+    Centroids are a dimension-sized frame: one bounded driver collect
+    (C rows) builds the matrix each executor task reuses per batch.
+
+    ``metric``: "cosine" — argmax of v.c/(|v||c|); |v| scales every
+    column equally so the GEMM uses column-normalized centroids and
+    skips the per-row norm. "l2" — argmin of |v-c|^2 = argmax of
+    (v.c - |c|^2/2). numpy ties resolve to the FIRST (lowest) index and
+    the matrix is ordered by cell_id, matching the exact path's
+    (score, cell_id) tie-break; float reassociation can flip only
+    exact-tie scores, which n_probe-cell search absorbs (same contract
+    as route='coarse', tested against exact assignment).
+
+    NOT used by any registry query (their oracles replay the exact
+    JVM-chain sums; ``route='exact'`` stays the default), so the
+    grouped-Python plan audit surface is unchanged.
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = cents.select("cell_id", "cvec").orderBy("cell_id").collect()
+    cell_ids = np.array([int(r.cell_id) for r in rows], dtype=np.int64)
+    mat = np.array([[float(x) for x in r.cvec] for r in rows], dtype=np.float64)
+    if metric == "cosine":
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        mat_t = (mat / norms[:, None]).T  # dim x C, column-normalized
+        offset = None
+    elif metric == "l2":
+        mat_t = mat.T
+        offset = 0.5 * (mat * mat).sum(axis=1)  # C
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+
+    out_schema = StructType(
+        [c.schema[id_field_name], StructField("cell_id", LongType(), False)]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            v = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_field]]
+            )
+            scores = v @ mat_t
+            if offset is not None:
+                scores = scores - offset
+            best = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_field_name: pdf[id_field_name],
+                    "cell_id": cell_ids[best],
+                }
+            )
+
+    return c.select(id_field_name, vec_field).mapInPandas(assign, out_schema)
+
+
 def ivf_build(
     candidates: DataFrame,
     id_col: str,
@@ -2167,6 +2247,13 @@ def ivf_build(
     its 2nd-best cell, which search absorbs: probing n_probe cells
     looks in every list a near-best assignment can reach (FAISS's own
     assign-time quantization trade). Exact remains the default.
+
+    ``route="gemm"`` (r10) supersedes coarse for builds at scale: one
+    Arrow-batched BLAS GEMM per vector batch against the full centroid
+    matrix — EXACT assignment cheaper than the routed JVM path (the
+    split-probe measured the JVM element chains at ~2 us per
+    (vector, cell) pair; the GEMM does the same flops in BLAS). Not
+    used by registry queries, so oracle sums are untouched.
     """
     import math
 
@@ -2185,7 +2272,13 @@ def ivf_build(
     argmax = F.max_by(
         "cell_id", F.struct(F.col("cos_c"), (-F.col("cell_id")).alias("t"))
     ).alias("cell_id")
-    if route == "coarse" and n_cells >= 64:
+    if route == "gemm":
+        # Arrow-batched BLAS argmax over ALL cells — exact assignment at
+        # a fraction of the coarse path's JVM scoring cost (see
+        # _gemm_assign; r10 split-probe: scoring was the entire build
+        # wall, the argmax aggregate was free)
+        assign = _gemm_assign(c, cents, "cand_id", "cv", dim, "cosine")
+    elif route == "coarse" and n_cells >= 64:
         n_sup = max(4, math.isqrt(n_cells))
         sups = F.broadcast(
             materialize(

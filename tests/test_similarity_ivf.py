@@ -472,3 +472,52 @@ def test_coarse_routed_build_matches_exact_search(spark):
         ).collect()
     }
     assert len(truth & got) / len(truth) >= 0.95
+
+
+def test_gemm_build_matches_exact_assignment(spark):
+    """route='gemm' (r10): BLAS argbest over ALL cells is exact
+    assignment — agreement with the JVM-chain exact path should be
+    ~total (only float-reassociation ties can differ), for both the
+    cosine (ivf) and L2-residual (ivfpq) builds."""
+    import math
+
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        ivf_build,
+        ivfpq_build,
+    )
+
+    dim, n, n_cells = 16, 2000, 100
+    rows = [
+        (
+            i,
+            [
+                math.sin((i % 40) * (7.0 + d) + 0.37 * d)
+                + 0.1 * math.sin(i * 13.7 + d)
+                for d in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    cands = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    _, inv_exact = ivf_build(cands, "vec_id", "embedding", dim=dim, n_cells=n_cells)
+    _, inv_gemm = ivf_build(
+        cands, "vec_id", "embedding", dim=dim, n_cells=n_cells, route="gemm"
+    )
+    exact_map = {r.cand_id: r.cell_id for r in inv_exact.collect()}
+    gemm_map = {r.cand_id: r.cell_id for r in inv_gemm.collect()}
+    assert set(gemm_map) == set(exact_map)
+    agree = sum(1 for k in exact_map if exact_map[k] == gemm_map[k])
+    assert agree / n >= 0.995  # exact modulo float-tie reassociation
+
+    _, _, enc_exact = ivfpq_build(
+        cands, "vec_id", "embedding", dim=dim, m_sub=4, k_cb=16, n_cells=n_cells
+    )
+    _, _, enc_gemm = ivfpq_build(
+        cands, "vec_id", "embedding", dim=dim, m_sub=4, k_cb=16,
+        n_cells=n_cells, route="gemm",
+    )
+    cell_exact = {r.cand_id: r.cell_id for r in enc_exact.collect()}
+    cell_gemm = {r.cand_id: r.cell_id for r in enc_gemm.collect()}
+    agree2 = sum(1 for k in cell_exact if cell_exact[k] == cell_gemm[k])
+    assert agree2 / n >= 0.995
