@@ -1727,6 +1727,76 @@ def _pq_folds(dim: int, m_sub: int):
     return l2_fold, diff_arr, res_fold
 
 
+def _gemm_pq_encode(
+    df: DataFrame,
+    cents: DataFrame,
+    rcb: DataFrame,
+    dim: int,
+    m_sub: int,
+) -> DataFrame:
+    """Arrow-batched PQ encode (r10): per batch, subtract the assigned
+    centroid (one fancy-indexed numpy gather) and compute every
+    subvector's argmin against the residual codebook as matrix ops —
+    |r-c|^2 = |r|^2 - 2 r.c + |c|^2 per 8-dim sub-block. Replaces the
+    x k_cb broadcast expansion (n x k_cb rows x m_sub unrolled chains,
+    the measured wall of the JVM encode at 300k x 256). Exact up to
+    float reassociation on distance ties; numpy argmin takes the first
+    (lowest cid) index, matching the exact path's (dist, cid) min_by
+    tie-break. ``df`` needs (cand_id, cell_id, __v__); both lookup
+    tables are dimension-sized bounded collects."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    crows = cents.select("cell_id", "cvec").orderBy("cell_id").collect()
+    cell_ids = [int(r.cell_id) for r in crows]
+    cmat = np.array([[float(x) for x in r.cvec] for r in crows], dtype=np.float64)
+    cell_idx = {cid: i for i, cid in enumerate(cell_ids)}
+    rrows = rcb.select("cid", "rvec").orderBy("cid").collect()
+    # int32: the ADC lookup is element_at(array, code) and array ordinals
+    # must be INT
+    cids = np.array([int(r.cid) for r in rrows], dtype=np.int32)
+    rmat = np.array([[float(x) for x in r.rvec] for r in rrows], dtype=np.float64)
+    sub = dim // m_sub
+
+    out_schema = StructType(
+        [
+            df.schema["cand_id"],
+            StructField("cell_id", LongType(), False),
+            df.schema["__v__"],
+            *[StructField(f"__c{m}__", IntegerType(), False) for m in range(m_sub)],
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            v = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["__v__"]]
+            )
+            idx = pdf["cell_id"].map(cell_idx).to_numpy(dtype=np.int64)
+            r = v - cmat[idx]
+            out = {
+                "cand_id": pdf["cand_id"],
+                "cell_id": pdf["cell_id"],
+                "__v__": pdf["__v__"],
+            }
+            for m in range(m_sub):
+                rm = r[:, m * sub : (m + 1) * sub]
+                cm = rmat[:, m * sub : (m + 1) * sub]
+                d = (
+                    (rm * rm).sum(axis=1)[:, None]
+                    - 2.0 * (rm @ cm.T)
+                    + (cm * cm).sum(axis=1)[None, :]
+                )
+                out[f"__c{m}__"] = cids[d.argmin(axis=1)]
+            yield pd.DataFrame(out)
+
+    return df.select("cand_id", "cell_id", "__v__").mapInPandas(
+        encode, out_schema
+    )
+
+
 def ivfpq_build(
     candidates: DataFrame,
     id_col: str,
@@ -1776,11 +1846,36 @@ def ivfpq_build(
         "cell_id", F.struct(F.col("__l2__"), F.col("cell_id"))
     ).alias("cell_id")
     if route == "gemm":
-        # BLAS L2 argmin over all cells (|v-c|^2 = -2*(v.c - |c|^2/2)
-        # + |v|^2, the |v|^2 term is constant per row) — exact, and
-        # cheaper than the two-level routed JVM path (see _gemm_assign)
-        assign_codes = _gemm_assign(c, cents, "cand_id", "__v__", dim, "l2")
-    elif route == "coarse" and n_cells >= 64:
+        # Full-BLAS build (r10): assignment is the L2 argmin over all
+        # cells (|v-c|^2 = -2*(v.c - |c|^2/2) + |v|^2, the |v|^2 term
+        # constant per row) in one GEMM per batch, and the ENCODE skips
+        # the x k_cb broadcast expansion entirely — per batch, residuals
+        # and all m_sub subvector argmins run as numpy matrix ops
+        # (_gemm_pq_encode). The residual codebook still trains on the
+        # same seeded rows via the JVM path (one cheap ranked pass), so
+        # rcb is bit-identical to the exact route's.
+        assign_m = materialize(
+            _gemm_assign(c, cents, "cand_id", "__v__", dim, "l2"),
+            checkpoint_dir,
+        )
+        assigned_lazy = (
+            assign_m.join(c, "cand_id")
+            .join(cents.withColumnRenamed("cvec", "__cv__"), "cell_id")
+        )
+        rcb = F.broadcast(
+            materialize(
+                residual_codebook(assigned_lazy, "cand_id", k=k_cb, dim=dim),
+                checkpoint_dir,
+            )
+        )
+        encoded = materialize(
+            _gemm_pq_encode(
+                assign_m.join(c, "cand_id"), cents, rcb, dim, m_sub
+            ),
+            checkpoint_dir,
+        )
+        return cents, rcb, encoded
+    if route == "coarse" and n_cells >= 64:
         # two-level quantized assignment (see ivf_build's route="coarse"
         # note): O(sqrt(C) + p*C/sqrt(C)) distance evals per vector.
         # Opt-in only — the e24/e24b oracles replay EXACT assignment.

@@ -517,7 +517,38 @@ def test_gemm_build_matches_exact_assignment(spark):
         cands, "vec_id", "embedding", dim=dim, m_sub=4, k_cb=16,
         n_cells=n_cells, route="gemm",
     )
-    cell_exact = {r.cand_id: r.cell_id for r in enc_exact.collect()}
-    cell_gemm = {r.cand_id: r.cell_id for r in enc_gemm.collect()}
-    agree2 = sum(1 for k in cell_exact if cell_exact[k] == cell_gemm[k])
+    exact_rows = {r.cand_id: r for r in enc_exact.collect()}
+    gemm_rows = {r.cand_id: r for r in enc_gemm.collect()}
+    agree2 = sum(
+        1 for k in exact_rows
+        if exact_rows[k].cell_id == gemm_rows[k].cell_id
+    )
     assert agree2 / n >= 0.995
+    # the PQ codes themselves: identical whenever the cell agrees
+    # (residuals then match; only float-tie reassociation can differ)
+    code_cols = [f"__c{m}__" for m in range(4)]
+    same_codes = sum(
+        1
+        for k in exact_rows
+        if exact_rows[k].cell_id == gemm_rows[k].cell_id
+        and all(
+            int(exact_rows[k][c]) == int(gemm_rows[k][c]) for c in code_cols
+        )
+    )
+    assert same_codes / agree2 >= 0.99
+
+    # the gemm-encoded index must SERVE: ADC search runs end to end
+    from peskas_timor_data_pipeline_spark.llm.similarity import ivfpq_search
+
+    pcents, rcb, _ = ivfpq_build(
+        cands, "vec_id", "embedding", dim=dim, m_sub=4, k_cb=16,
+        n_cells=n_cells, route="gemm",
+    )
+    queries = cands.filter("vec_id < 5").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    hits = ivfpq_search(
+        queries, pcents, rcb, enc_gemm, "vec_id", "embedding",
+        dim=dim, m_sub=4, n_probe=10, k_top=3, rerank_m=20,
+    ).collect()
+    assert len(hits) == 15

@@ -141,13 +141,12 @@ def main() -> None:
         k=3, dim=DIM, n_probe=n_probe,
     )
     t0 = time.time()
-    # ivfpq keeps the coarse route: its wall is the x k_cb ENCODE
-    # expansion, not assignment, and the gemm path's unpartitioned
-    # Python-stage output forfeits the co-partitioned rejoin (measured
-    # 51.4s gemm vs 35.0s coarse at 300k)
+    # gemm here too: the BLAS ENCODE path skips the x k_cb broadcast
+    # expansion (14.0s vs coarse 32.2s at 300k; assignment-only gemm
+    # with the JVM encode was 51.4s - the encode was the wall)
     pcents, rcb, encoded = ivfpq_build(
         cands, "vec_id", "embedding", dim=DIM, m_sub=8, k_cb=256,
-        n_cells=n_cells, route="coarse",
+        n_cells=n_cells, route="gemm",
     )
     ivfpq_build_s = time.time() - t0
     ivfpq_s, pq_rows = timed(
