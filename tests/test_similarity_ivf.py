@@ -552,3 +552,28 @@ def test_gemm_build_matches_exact_assignment(spark):
         dim=dim, m_sub=4, n_probe=10, k_top=3, rerank_m=20,
     ).collect()
     assert len(hits) == 15
+
+
+def test_gemm_bruteforce_matches_sql_engine(spark):
+    """engine='gemm' reproduces the sql engine's exact top-k row for row
+    (ranks, ids) — float reassociation can only flip sub-1e-15 near-ties,
+    absent in the fixture — and rounds cosines to the same 6 places."""
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    queries, candidates = _split(spark)
+    sql_rows = cosine_topk_bruteforce(
+        queries, candidates, "vec_id", "embedding", k=3, dim=64
+    ).collect()
+    gemm_rows = cosine_topk_bruteforce(
+        queries, candidates, "vec_id", "embedding", k=3, dim=64,
+        engine="gemm",
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)
+    a = {key(r): (r.cand_id, r.cosine) for r in sql_rows}
+    b = {key(r): (r.cand_id, r.cosine) for r in gemm_rows}
+    assert set(a) == set(b)
+    for kk in a:
+        assert a[kk][0] == b[kk][0]
+        assert abs(a[kk][1] - b[kk][1]) <= 2e-6
