@@ -727,11 +727,19 @@ def segment_dedup(
 
     Scale shape: segmentation is shuffle-free (split + slice inside one
     projection, then a posexplode in the same stage); the first-occurrence
-    decision is ONE ``min(struct(id, pos))`` aggregation keyed by the
-    segment text — partial-aggregated map-side, so the shuffle carries one
-    (segment, min-claim) row per partition — rejoined on the same segment
-    key (AQE co-partitions the two sides, and a viral segment costs one
-    hot reduce key, never a pairwise expansion); the rebuild is one
+    decision is lexicographic min over (id, pos) keyed by the segment
+    text, computed as TWO chained fixed-width aggregates — ``min(id)``
+    per segment, then ``min(pos)`` among the rows carrying that id —
+    because ``min(struct(...))`` carries a non-mutable aggregation
+    buffer and therefore NEVER hash-aggregates (SortAggregate sorts the
+    whole exploded frame; the identical class spilled 35 GB on the
+    minhash signature agg at 500k docs before r10's long re-encoding).
+    With integral ids every buffer is a mutable long, both aggregates
+    are HashAggregate with map-side partials, and all three segment-key
+    stages (agg → tie-break agg → rejoin) reuse ONE exchange on the
+    segment key — a viral segment costs one hot reduce key, never a
+    pairwise expansion. Non-integral ids fall back to the struct-min
+    form (same results, documented sort cost). The rebuild is one
     groupBy on the id. Nothing pairwise, no corpus-wide windows.
 
     Returns (id, n_segs, n_kept, kept_ratio, rebuilt) — ``rebuilt`` is the
@@ -751,13 +759,34 @@ def segment_dedup(
     segs = _spread(df).select(
         F.col(id_col), F.posexplode(seg_arr).alias("pos", "seg")
     )
-    firsts = segs.groupBy("seg").agg(
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first__")
-    )
+    id_dtype = dict(segs.dtypes)[id_col]
+    if id_dtype in ("tinyint", "smallint", "int", "bigint"):
+        # hash-aggregable lexicographic min: min(id) per seg, then
+        # min(pos) restricted to that id — identical to min(struct) and
+        # every stage stays on the segment-key exchange (ReusedExchange)
+        min_ids = segs.groupBy("seg").agg(F.min(F.col(id_col)).alias("__fid__"))
+        firsts = (
+            segs.join(min_ids, "seg")
+            .filter(F.col(id_col) == F.col("__fid__"))
+            .groupBy("seg")
+            .agg(
+                F.min(F.col(id_col)).alias("__fid__"),
+                F.min("pos").alias("__fpos__"),
+            )
+        )
+    else:
+        firsts = (
+            segs.groupBy("seg")
+            .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first__"))
+            .select(
+                "seg",
+                F.col(f"__first__.{id_col}").alias("__fid__"),
+                F.col("__first__.pos").alias("__fpos__"),
+            )
+        )
     marked = segs.join(firsts, "seg").withColumn(
         "__keep__",
-        (F.col(id_col) == F.col(f"__first__.{id_col}"))
-        & (F.col("pos") == F.col("__first__.pos")),
+        (F.col(id_col) == F.col("__fid__")) & (F.col("pos") == F.col("__fpos__")),
     )
     return marked.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_segs"),

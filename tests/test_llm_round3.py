@@ -189,6 +189,29 @@ def test_segment_dedup_first_occurrence_and_rebuild(spark):
     assert abs(got[2].kept_ratio - 0.5) < 1e-9
 
 
+def test_segment_dedup_string_id_fallback_agrees(spark):
+    """Non-integral ids take the struct-min fallback; it must produce the
+    identical first-occurrence decisions as the hash-aggregable integral
+    path (same corpus, ids mapped doc 1->'d1' etc. so lexicographic order
+    matches numeric order)."""
+    from peskas_timor_data_pipeline_spark.llm.dedup import segment_dedup
+
+    rows = [(1, "a b c d"), (2, "a b x y"), (3, "a b c d"), (4, "z z z")]
+    d_long = spark.createDataFrame(rows, "doc_id long, text string")
+    d_str = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in rows], "doc_id string, text string"
+    )
+    by_long = {
+        r.doc_id: (r.n_segs, r.n_kept, r.rebuilt)
+        for r in segment_dedup(d_long, "doc_id", "text", seg_words=2).collect()
+    }
+    by_str = {
+        int(r.doc_id[1:]): (r.n_segs, r.n_kept, r.rebuilt)
+        for r in segment_dedup(d_str, "doc_id", "text", seg_words=2).collect()
+    }
+    assert by_long == by_str
+
+
 def test_bm25_topk_matches_pure_python(spark):
     """BM25 scores and ranking agree with a hand-rolled replica on a tiny
     corpus with known tf/dl variation."""

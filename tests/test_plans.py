@@ -316,9 +316,9 @@ def test_quantize_transform_constant_tree(spark, sf_dir):
 
 
 def test_segment_dedup_partial_min_no_cartesian(spark, sf_dir):
-    """The first-occurrence decision must partial-aggregate min(struct)
-    map-side on the segment key and nothing in the plan may go pairwise
-    (no cartesian/nested-loop join) or through a python UDF."""
+    """The first-occurrence decision must partial-aggregate min map-side
+    on the segment key and nothing in the plan may go pairwise (no
+    cartesian/nested-loop join) or through a python UDF."""
     from peskas_timor_data_pipeline_spark.harness.llm_q import d9_segment_dedup
 
     p = plan_str(d9_segment_dedup(spark, sf_dir))
@@ -326,6 +326,37 @@ def test_segment_dedup_partial_min_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_segment_dedup_first_occurrence_hash_aggregates(spark, sf_dir):
+    """min/max over strings or structs never hash-aggregates (non-mutable
+    aggregation buffer -> SortAggregate sorts the whole exploded frame;
+    the identical class spilled 35 GB on the minhash signature agg at
+    500k docs, VERDICT r10 #1).  With integral ids the first-occurrence
+    decision must run as chained fixed-width min aggregates: the EXECUTED
+    plan must contain no SortAggregate anywhere."""
+    from peskas_timor_data_pipeline_spark.harness.llm_q import d9_segment_dedup
+
+    df = d9_segment_dedup(spark, sf_dir)
+    df.count()  # materialize so AQE finalizes the executed plan
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in p
+    assert "HashAggregate" in p
+
+
+def test_span_mask_no_sort_aggregate(spark, sf_dir):
+    """repeated_span_mask's gram aggregation and island sweep carry only
+    fixed-width keys (60-bit md5-prefix longs, positions) — the executed
+    plan must never fall back to SortAggregate (VERDICT r10 #1 asked for
+    the span-mask path to be audited for the struct-min shape)."""
+    from peskas_timor_data_pipeline_spark.harness.llm_q import (
+        d16_repeated_span_mask,
+    )
+
+    df = d16_repeated_span_mask(spark, sf_dir)
+    df.count()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in p
 
 
 def test_quality_buckets_freq_join_partial_agg(spark, sf_dir):
