@@ -736,10 +736,17 @@ def rp4_period_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rp4_oracle() -> str:
+    from peskas_timor_data_pipeline_spark.pipeline.report import QT975_SMALL_DOF
+
     z = 1.959963984540054
     g1 = (z**3 + z) / 4.0
     g2 = (5 * z**5 + 16 * z**3 + 3 * z) / 96.0
     g3 = (3 * z**7 + 19 * z**5 + 17 * z**3 - 15 * z) / 384.0
+    # exact small-dof qt values (ADVICE r10): same literal table as the
+    # Spark side, so the engines can never diverge
+    small = " ".join(
+        f"WHEN {d} THEN CAST({v!r} AS DOUBLE)" for d, v in QT975_SMALL_DOF.items()
+    )
     return f"""
 WITH landing AS MATERIALIZED (
   SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS period,
@@ -763,9 +770,10 @@ SELECT period,
   n,
   CASE WHEN n >= 2 THEN round(sd_raw / sqrt(nn), 6) END AS se,
   CASE WHEN n >= 2 THEN round(
-    (sd_raw / sqrt(nn)) * ({z!r} + {g1!r} / (nn - 1)
+    (sd_raw / sqrt(nn)) * (CASE CAST(n - 1 AS INTEGER) {small}
+      ELSE {z!r} + {g1!r} / (nn - 1)
       + {g2!r} / ((nn - 1) * (nn - 1))
-      + {g3!r} / ((nn - 1) * (nn - 1) * (nn - 1))), 6) END AS ic
+      + {g3!r} / ((nn - 1) * (nn - 1) * (nn - 1)) END), 6) END AS ic
 FROM stats
 """
 

@@ -106,15 +106,16 @@ def _gemm_topk(
     vec_col: str,
     k: int,
 ) -> DataFrame:
-    """BLAS engine for :func:`cosine_topk_bruteforce` — see its docstring."""
-    import numpy as np
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    """BLAS engine for :func:`cosine_topk_bruteforce` — see its docstring.
 
-    qrows = queries.select(id_col, vec_col).collect()
-    qids = [r[0] for r in qrows]
-    qmat = np.array([[float(x) for x in r[1]] for r in qrows], dtype=np.float64)
-    qn = np.sqrt((qmat * qmat).sum(axis=1))
-    qmat_t = (qmat / qn[:, None]).T  # dim x Q, column-normalized
+    Degenerate inputs mirror the sql engine (ADVICE r10): an empty query
+    frame returns an empty result (the sql engine's crossJoin is empty),
+    and zero-norm vectors raise a clear ValueError — the sql engine's
+    ANSI division rejects them too (DIVIDE_BY_ZERO on qn*cn = 0), so a
+    silent NaN here would DIVERGE from the engine the pytest pins this
+    path against, not match it."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
     out_schema = StructType(
         [
@@ -123,6 +124,23 @@ def _gemm_topk(
             StructField("cosine", DoubleType()),
         ]
     )
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        empty_schema = StructType(
+            out_schema.fields[:2]
+            + [StructField("rank", IntegerType()), StructField("cosine", DoubleType())]
+        )
+        return queries.sparkSession.createDataFrame([], empty_schema)
+    qids = [r[0] for r in qrows]
+    qmat = np.array([[float(x) for x in r[1]] for r in qrows], dtype=np.float64)
+    qn = np.sqrt((qmat * qmat).sum(axis=1))
+    if np.any(qn == 0):
+        bad = [qids[i] for i in np.nonzero(qn == 0)[0][:5]]
+        raise ValueError(
+            f"zero-norm query vector(s) {bad}: cosine is undefined "
+            "(the sql engine raises DIVIDE_BY_ZERO here under ANSI mode)"
+        )
+    qmat_t = (qmat / qn[:, None]).T  # dim x Q, column-normalized
 
     def score(batches):
         import pandas as pd
@@ -132,8 +150,15 @@ def _gemm_topk(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
             )
             vn = np.sqrt((v * v).sum(axis=1))
-            s = (v @ qmat_t) / vn[:, None]  # b x Q
             ids = pdf[id_col].to_numpy()
+            if np.any(vn == 0):
+                bad = [ids[i] for i in np.nonzero(vn == 0)[0][:5]]
+                raise ValueError(
+                    f"zero-norm candidate vector(s) {bad}: cosine is "
+                    "undefined (the sql engine raises DIVIDE_BY_ZERO "
+                    "here under ANSI mode)"
+                )
+            s = (v @ qmat_t) / vn[:, None]  # b x Q
             b = s.shape[0]
             oq, oc, ocos = [], [], []
             for j, qid in enumerate(qids):
@@ -399,8 +424,9 @@ def kmeans_refine(
         .select(F.col(id_col), F.col("__v__"), F.col("cell_id"), sim.alias("__sim__"))
         .groupBy(id_col)
         .agg(
-            F.max_by(
-                "cell_id", F.struct(F.col("__sim__"), (-F.col("cell_id")).alias("nc"))
+            F.min_by(
+                "cell_id",
+                F.struct((-F.col("__sim__")).alias("ns"), F.col("cell_id")),
             ).alias("cell_id"),
             F.first("__v__").alias("__v__"),  # identical across the k rows
         )
@@ -1727,8 +1753,9 @@ def cell_exemplars(
         .filter(F.col("__rn__") == 1)
     )
     return assigned.groupBy("cell_id").agg(
-        F.max_by(
-            "__vid__", F.struct(F.col("__cos__"), (-F.col("__vid__")).alias("nid"))
+        F.min_by(
+            "__vid__",
+            F.struct((-F.col("__cos__")).alias("ns"), F.col("__vid__")),
         ).alias("exemplar_id"),
         F.round(F.max("__cos__"), 6).alias("cosine"),
         F.count(F.lit(1)).alias("n_members"),
@@ -1829,12 +1856,14 @@ def _gemm_pq_encode(
     tie-break. ``df`` needs (cand_id, cell_id, __v__); both lookup
     tables are dimension-sized bounded collects."""
     import numpy as np
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
     crows = cents.select("cell_id", "cvec").orderBy("cell_id").collect()
-    cell_ids = [int(r.cell_id) for r in crows]
+    # cell_id is the centroid's own id column — carry its values and
+    # dtype through untouched (ADVICE r10: int() coercion crashed
+    # string-id corpora and LongType() skewed the schema for int ids)
+    cell_idx = {r.cell_id: i for i, r in enumerate(crows)}
     cmat = np.array([[float(x) for x in r.cvec] for r in crows], dtype=np.float64)
-    cell_idx = {cid: i for i, cid in enumerate(cell_ids)}
     rrows = rcb.select("cid", "rvec").orderBy("cid").collect()
     # int32: the ADC lookup is element_at(array, code) and array ordinals
     # must be INT
@@ -1845,7 +1874,7 @@ def _gemm_pq_encode(
     out_schema = StructType(
         [
             df.schema["cand_id"],
-            StructField("cell_id", LongType(), False),
+            df.schema["cell_id"],
             df.schema["__v__"],
             *[StructField(f"__c{m}__", IntegerType(), False) for m in range(m_sub)],
         ]
@@ -1935,9 +1964,11 @@ def ivfpq_build(
         # constant per row) in one GEMM per batch, and the ENCODE skips
         # the x k_cb broadcast expansion entirely — per batch, residuals
         # and all m_sub subvector argmins run as numpy matrix ops
-        # (_gemm_pq_encode). The residual codebook still trains on the
-        # same seeded rows via the JVM path (one cheap ranked pass), so
-        # rcb is bit-identical to the exact route's.
+        # (_gemm_pq_encode). The residual codebook still trains via the
+        # JVM path (one cheap ranked pass), but its rvec entries depend
+        # on the ASSIGNED centroid — so rcb matches the exact route's
+        # only modulo float-tie assignment flips (GEMM reassociation can
+        # flip exact-tie cells; same caveat as the assignment itself).
         assign_m = materialize(
             _gemm_assign(c, cents, "cand_id", "__v__", dim, "l2"),
             checkpoint_dir,
@@ -2355,10 +2386,14 @@ def _gemm_assign(
     grouped-Python plan audit surface is unchanged.
     """
     import numpy as np
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
 
     rows = cents.select("cell_id", "cvec").orderBy("cell_id").collect()
-    cell_ids = np.array([int(r.cell_id) for r in rows], dtype=np.int64)
+    # cell_id is the centroid's own id column — keep its values and dtype
+    # (ADVICE r10: int() crashed string-id corpora that the exact/coarse
+    # routes support, and a hardcoded LongType diverged the inverted-list
+    # schema from route='exact' for int-typed ids)
+    cell_ids = np.asarray([r.cell_id for r in rows])
     mat = np.array([[float(x) for x in r.cvec] for r in rows], dtype=np.float64)
     if metric == "cosine":
         norms = np.sqrt((mat * mat).sum(axis=1))
@@ -2371,7 +2406,10 @@ def _gemm_assign(
         raise ValueError(f"unknown metric: {metric}")
 
     out_schema = StructType(
-        [c.schema[id_field_name], StructField("cell_id", LongType(), False)]
+        [
+            c.schema[id_field_name],
+            StructField("cell_id", cents.schema["cell_id"].dataType, False),
+        ]
     )
 
     def assign(batches):
@@ -2448,8 +2486,13 @@ def ivf_build(
         norm_expr(vec_col, dim).alias("cn"),
     )
     cos = dot_expr("cv", "cvec", dim) / (F.col("cn") * F.col("cnorm"))
-    argmax = F.max_by(
-        "cell_id", F.struct(F.col("cos_c"), (-F.col("cell_id")).alias("t"))
+    # min_by over (-cos, cell_id): max cosine, ties to the LOWEST cell
+    # id — identical to the previous max_by(cos, -cell_id) form but the
+    # tie-break never negates the id, so string-id corpora work on the
+    # exact route too (ADVICE r10; cosines are finite here — ANSI division
+    # rejects zero norms before any NaN could flip min/max NaN ordering)
+    argmax = F.min_by(
+        "cell_id", F.struct((-F.col("cos_c")).alias("ns"), F.col("cell_id"))
     ).alias("cell_id")
     if route == "gemm":
         # Arrow-batched BLAS argmax over ALL cells — exact assignment at
@@ -2484,9 +2527,9 @@ def ivf_build(
                 .select("sup_id", "cell_id", "cvec", "cnorm", ch_cos.alias("cos_s"))
                 .groupBy("cell_id")
                 .agg(
-                    F.max_by(
+                    F.min_by(
                         "sup_id",
-                        F.struct(F.col("cos_s"), (-F.col("sup_id")).alias("t")),
+                        F.struct((-F.col("cos_s")).alias("ns"), F.col("sup_id")),
                     ).alias("sup_id"),
                     F.first("cvec").alias("cvec"),
                     F.first("cnorm").alias("cnorm"),

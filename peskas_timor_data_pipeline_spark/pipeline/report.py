@@ -191,6 +191,22 @@ def catch_composition(
     )
 
 
+# qt(0.975, dof) for dof 1..7, where the Cornish-Fisher expansion is poor
+# (dof=1: ~9.7 vs the true 12.706). Closed forms for dof 1 (tan(0.475*pi))
+# and 2 (0.95*sqrt(2/(4*0.975*0.025))), cross-checked to 1e-13 against an
+# exact-tail Simpson quadrature of the t pdf; dof 3..7 from the quadrature
+# (abs error <= 1e-9). Oracles import THIS table so literals never diverge.
+QT975_SMALL_DOF = {
+    1: 12.706204736174696,
+    2: 4.302652729749464,
+    3: 3.1824463052837135,
+    4: 2.7764451051977783,
+    5: 2.57058183563632,
+    6: 2.4469118511449777,
+    7: 2.364624251592777,
+}
+
+
 def period_dispersion(df: DataFrame, period_col: str, value_col: str) -> DataFrame:
     """Per-period dispersion frame behind the reference's revenue/CPUE
     time series (data_report.Rmd:357-368): median, sample sd, n,
@@ -201,10 +217,14 @@ def period_dispersion(df: DataFrame, period_col: str, value_col: str) -> DataFra
     identity sqrt((sum(x^2) - sum(x)^2/n)/(n-1)) — exact when callers
     feed integer-scaled values (both engines sum identical integers),
     unlike builtin stddev_samp whose central-moment accumulation is
-    partition-order dependent. The t quantile uses the Cornish-Fisher
-    expansion around z = 1.959963984540054 (documented approximation of
-    R's qt; <1e-4 absolute error for n-1 >= 8, and byte-identical
-    between engines because both evaluate the same polynomial).
+    partition-order dependent. The t quantile matches R's qt: exact
+    precomputed values for dof = n-1 in 1..7 (where the series expansion
+    is poor — Cornish-Fisher at dof=1 gives ~9.7 vs the true 12.706,
+    ADVICE r10; the lookup values are verified to <=1e-9 by closed
+    forms for dof 1-2 and exact-tail quadrature for 3-7), and the
+    Cornish-Fisher expansion around z = 1.959963984540054 for dof >= 8
+    (<1e-4 absolute error there). Byte-identical between engines
+    because both evaluate the same literals/polynomial.
 
     One partial-aggregated groupBy over the landing-level input.
     Returns (period, med, sd, n, se, ic); sd/se/ic null when n < 2.
@@ -231,12 +251,17 @@ def period_dispersion(df: DataFrame, period_col: str, value_col: str) -> DataFra
     var = (F.col("__ss__") - F.col("__s__") * F.col("__s__") / nn) / (nn - 1)
     sd = F.sqrt(F.greatest(var, F.lit(0.0)))
     dof = nn - 1
-    tq = (
+    tq_cf = (
         F.lit(z)
         + F.lit(g1) / dof
         + F.lit(g2) / (dof * dof)
         + F.lit(g3) / (dof * dof * dof)
     )
+    tq = None
+    for d, val in QT975_SMALL_DOF.items():
+        cond = F.col("n") == F.lit(d + 1)
+        tq = F.when(cond, F.lit(val)) if tq is None else tq.when(cond, F.lit(val))
+    tq = tq.otherwise(tq_cf)
     se = sd / F.sqrt(nn)
     guard = F.col("n") >= 2
     return g.select(

@@ -176,3 +176,40 @@ def test_completeness_by_group_counts(spark):
     assert out[("g1", "u")].n_missing == 1
     assert out[("g2", "v")].n_missing == 0
     assert out[("g2", "v")].n_rows == 1
+
+
+def test_period_dispersion_small_dof_exact_t_quantile(spark):
+    """For n-1 <= 7 the ic ribbon must use the exact qt(0.975, dof)
+    lookup, not the Cornish-Fisher expansion (ADVICE r10: at dof=1 the
+    expansion gives ~9.7 vs the true 12.706 — a 25% ribbon error on
+    short periods). Checks every lookup dof plus the first expansion dof."""
+    import math
+
+    from peskas_timor_data_pipeline_spark.pipeline.report import (
+        QT975_SMALL_DOF,
+        period_dispersion,
+    )
+
+    # period "pK" has K+1 values 0, 10, 20, ... -> n = K+1, sd/se exact
+    rows = [(f"p{n}", float(10 * i)) for n in range(2, 10) for i in range(n)]
+    df = spark.createDataFrame(rows, "period string, v double")
+    out = {r.period: r for r in period_dispersion(df, "period", "v").collect()}
+    z = 1.959963984540054
+    g1 = (z**3 + z) / 4.0
+    g2 = (5 * z**5 + 16 * z**3 + 3 * z) / 96.0
+    g3 = (3 * z**7 + 19 * z**5 + 17 * z**3 - 15 * z) / 384.0
+    for n in range(2, 10):
+        vals = [10.0 * i for i in range(n)]
+        mean = sum(vals) / n
+        sd = math.sqrt(sum((x - mean) ** 2 for x in vals) / (n - 1))
+        se = sd / math.sqrt(n)
+        dof = n - 1
+        tq = QT975_SMALL_DOF.get(
+            dof, z + g1 / dof + g2 / dof**2 + g3 / dof**3
+        )
+        assert abs(out[f"p{n}"].ic - round(se * tq, 6)) < 1e-9, n
+    # dof=1 sanity: the exact value, nowhere near the expansion's ~9.7
+    two = spark.createDataFrame([("q", 0.0), ("q", 10.0)], "period string, v double")
+    r = period_dispersion(two, "period", "v").collect()[0]
+    se = (10.0 / math.sqrt(2)) / math.sqrt(2)  # sd=7.0710678, se=5.0
+    assert abs(r.ic - round(se * 12.706204736174696, 6)) < 1e-9

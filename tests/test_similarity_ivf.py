@@ -577,3 +577,89 @@ def test_gemm_bruteforce_matches_sql_engine(spark):
     for kk in a:
         assert a[kk][0] == b[kk][0]
         assert abs(a[kk][1] - b[kk][1]) <= 2e-6
+
+
+def test_gemm_bruteforce_degenerate_inputs_match_sql_engine(spark):
+    """ADVICE r10: an empty query frame must return an empty result (the
+    sql engine's crossJoin is empty) instead of crashing on a 1-D
+    collect; zero-norm vectors must fail LOUDLY on both engines — the
+    sql engine's ANSI division raises DIVIDE_BY_ZERO, so the gemm path
+    raises a clear ValueError instead of numpy's silent NaN-drop."""
+    import pytest
+
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    cands = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    empty_q = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = cosine_topk_bruteforce(
+        empty_q, cands, "vec_id", "embedding", k=2, dim=2, engine="gemm"
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "cand_id", "rank", "cosine",
+    ]
+
+    qs = spark.createDataFrame([(10, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    zq = spark.createDataFrame([(20, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    zc = spark.createDataFrame([(3, [0.0, 0.0])], "vec_id long, embedding array<double>")
+
+    # zero-norm query: gemm raises driver-side with the ids named
+    with pytest.raises(ValueError, match="zero-norm query"):
+        cosine_topk_bruteforce(
+            zq, cands, "vec_id", "embedding", k=2, dim=2, engine="gemm"
+        )
+    # zero-norm candidate: raises at execution (wrapped by Spark)
+    with pytest.raises(Exception, match="zero-norm candidate"):
+        cosine_topk_bruteforce(
+            qs, cands.union(zc), "vec_id", "embedding", k=3, dim=2,
+            engine="gemm",
+        ).collect()
+    # ...and the sql engine indeed rejects the same input (ANSI)
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        cosine_topk_bruteforce(
+            qs, cands.union(zc), "vec_id", "embedding", k=3, dim=2
+        ).collect()
+
+
+def test_gemm_build_string_ids_and_schema_parity(spark):
+    """ADVICE r10: cell_id is the centroid's own id column — route='gemm'
+    must carry its values and dtype through (string-id corpora used to
+    crash at int(r.cell_id); int-id corpora got a LongType schema skew vs
+    route='exact')."""
+    import math
+
+    from peskas_timor_data_pipeline_spark.llm.similarity import ivf_build
+
+    dim, n, n_cells = 8, 300, 9
+    rows = [
+        (
+            f"doc-{i:04d}",
+            [math.sin((i % 25) * (3.0 + d) + 0.21 * d) for d in range(dim)],
+        )
+        for i in range(n)
+    ]
+    cands = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    cents_e, inv_e = ivf_build(cands, "vec_id", "embedding", dim=dim, n_cells=n_cells)
+    cents_g, inv_g = ivf_build(
+        cands, "vec_id", "embedding", dim=dim, n_cells=n_cells, route="gemm"
+    )
+    assert inv_g.schema["cell_id"].dataType == inv_e.schema["cell_id"].dataType
+    em = {r.cand_id: r.cell_id for r in inv_e.collect()}
+    gm = {r.cand_id: r.cell_id for r in inv_g.collect()}
+    assert set(em) == set(gm)
+    agree = sum(1 for k in em if em[k] == gm[k])
+    assert agree / len(em) > 0.99
+
+    # int-id schema parity (used to come back LongType regardless of input)
+    irows = [(i, v) for i, (_, v) in enumerate(rows)]
+    icands = spark.createDataFrame(irows, "vec_id int, embedding array<double>")
+    _, iinv_e = ivf_build(icands, "vec_id", "embedding", dim=dim, n_cells=n_cells)
+    _, iinv_g = ivf_build(
+        icands, "vec_id", "embedding", dim=dim, n_cells=n_cells, route="gemm"
+    )
+    assert iinv_g.schema["cell_id"].dataType == iinv_e.schema["cell_id"].dataType
