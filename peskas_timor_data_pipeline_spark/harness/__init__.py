@@ -21,48 +21,45 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Registry front-of-line for round 10.  The driver records ~50 CORRECTNESS
-# rows per round in registry order.  Order (verdict r09 asks #2/#3):
-# (a) rp3/rp4 — NEW this round (data_report.Rmd composition + dispersion
-#     frames), sampled immediately so no evidence gap opens,
-# (b) the 20 queries whose driver evidence still dates to r04 (oldest in
-#     the r01-r09 union ledger), alphabetical,
-# (c) top-up from the r05 evidence tail (47 queries), alphabetical —
-#     ~28 fit in the ~50-row window; the rest lead r11.
-_PRIORITY_R10 = (
-    # (a) new in r10 (data_report.Rmd aggregate twins — VERDICT r09 #3;
-    #     rp5/rp6 extend the same closure to the treemap and nutrient
-    #     frames, Rmd:1281-1299 / :1440-1449)
-    "rp3_catch_composition", "rp4_period_dispersion",
-    "rp5_category_share", "rp6_nutrient_density",
-    # (b) oldest evidence (last driver-sampled r04), alphabetical
-    "j14_fuzzy_join", "m10_poisson_bootstrap", "m6_pmm",
-    "mm10_audio_decimate", "mm11_channel_stats", "p15_k_anonymity",
-    "p16_fk_audit", "p17_dataset_fingerprint", "t20_normalize",
-    "t21_bpe_merges", "t22_bm25_topk", "t23_bpe_encode",
-    "t25_ngram_novelty", "t26_freq_spectrum", "t27_vocab_growth",
-    "ts2_dtw_alignment", "v_metadata", "w10_event_transitions",
-    "w11_rolling_active_users", "w13_ewma",
-    # (c) r05 evidence tail, alphabetical (overflow rolls into r11)
-    "a17_tumbling_window", "a23_session_window", "a31_growth_accounting",
-    "a33_time_to_convert", "a34_bounce_rate", "a36_sliding_hll",
-    "a38_gini", "a6_sessionization", "d14_bloom_decontaminate",
-    "d15_dup_rate_scout", "d16_repeated_span_mask", "d17_band_planner",
-    "d1_exact_dedup", "d2_minhash_lsh_jaccard", "d2b_lsh_skew_capped",
-    "d5_dup_clusters", "d5b_dup_clusters_star", "e22_ivf_probe_sweep",
-    "e24_ivfpq_topk", "e24b_ivfpq_refine", "e25_mrl_funnel", "e3_ivf_ann",
-    "g2_triangle_count", "j10_asof_join", "j10b_asof_forward",
-    "j10c_asof_nearest_tolerance", "j11_interval_join",
-    "j12_scd2_temporal", "m11_theil_sen", "m12_mann_kendall",
-    "m13_bh_fdr", "m2b_length_weight_ll", "m4b_glmm_1ri",
-    "mm13_audio_clipping", "p18_fd_audit", "p7b_fish_groups",
-    "t30_source_similarity", "t31_psi_drift", "t36_tokenizer_fertility",
-    "t37_repetition_signals", "t38_kneser_ney_logprob",
-    "t39_temperature_mixture", "t40_source_diversity",
-    "w12_session_paths", "w15_ohlc", "w16_interval_union",
-    "w6_downsample",
+# Registry front-of-line for round 11.  The driver records ~50 CORRECTNESS
+# rows per round in registry order.  Order (VERDICT r10 ask #4 — finish
+# the evidence rotation so no query's driver evidence predates r06):
+# (a) the 21 queries that overflowed the r10 window (their latest driver
+#     evidence is still r05 in the CORRECTNESS_r01-r10 union ledger),
+#     alphabetical,
+# (b) top-up from the r06 evidence cohort (50 queries), alphabetical —
+#     ~29 fit in the ~50-row window; the rest lead r12.
+_PRIORITY_R11 = (
+    # (a) r05 evidence tail (the r10 rotation's own documented overflow)
+    "j11_interval_join", "j12_scd2_temporal", "m11_theil_sen",
+    "m12_mann_kendall", "m13_bh_fdr", "m2b_length_weight_ll",
+    "m4b_glmm_1ri", "mm13_audio_clipping", "p18_fd_audit",
+    "p7b_fish_groups", "t30_source_similarity", "t31_psi_drift",
+    "t36_tokenizer_fertility", "t37_repetition_signals",
+    "t38_kneser_ney_logprob", "t39_temperature_mixture",
+    "t40_source_diversity", "w12_session_paths", "w15_ohlc",
+    "w16_interval_union", "w6_downsample",
+    # (b) r06 evidence cohort, alphabetical (overflow rolls into r12)
+    "a10_quantile_group", "a11_pivot_longer", "a11_pivot_wider",
+    "a12_two_level_nest", "a13_rollup_two_level",
+    "a14_time_binned_multisource", "a15_metric_unpivot",
+    "a1_groupby_stats", "a2_summarise_across", "a3_add_count",
+    "a4_conditional_agg", "a5_mode_per_group", "a7_grid_binning",
+    "a8_mad_bounds_grouped", "a9_mad_alert_global", "d18_bbit_minhash",
+    "d19_cluster_safe_split", "d7_repeated_grams", "d7b_gram_checksum",
+    "d7c_shared_checksum", "e23_embedding_audit", "f_date_functions",
+    "f_string_functions", "flagship_cpue", "j1_left_join_dims",
+    "j2_inner_join", "j3_right_join_spine", "j4_full_outer_coalesce",
+    "j5_one_to_one_day_match", "j6_reduce_join_unite", "j7_join_nested",
+    "j8_complete_crossfill", "j9_suffix_match_join", "m4_glmm",
+    "m4zi_glmm", "o1_sort_topn", "o2_union_by_name", "o4_set_ops",
+    "p10_replicate_rows", "p11_sample_deterministic",
+    "p12_distinct_except", "p1_pattern_projection", "p2_filter_project",
+    "p3_semi_join", "p4_anti_join", "p5_mutate_across",
+    "p6_coalesce_columns", "p7_case_when_recode", "p9_type_casts",
+    "t41_weighted_reservoir",
 )
-_PRIORITY_R04 = _PRIORITY_R10  # kept name used by registry()
+_PRIORITY_R04 = _PRIORITY_R11  # kept name used by registry()
 
 
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
