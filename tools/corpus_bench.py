@@ -70,13 +70,23 @@ def _window_metrics(stages: list[dict], after_id: int) -> dict:
         # BroadcastExchange runs — capped by autoBroadcastJoinThreshold
         # and replaced by sort-merge joins once a side outgrows it, so
         # they VANISH at scale) vs everything else (explicit collects —
-        # the class that must stay KB-sized at any scale)
+        # the class that must stay KB-sized at any scale).  The marker
+        # lives in the stage's submission STACK TRACE ("details" in the
+        # REST payload) — in Spark 4.x the stage NAME carries the
+        # user call site (e.g. "collect at bench.py:10") even for the
+        # broadcast thread's job, so matching on name alone misfiles
+        # broadcast materializations as collects (found via seg_bench's
+        # 137 MB "collect" that was really the AQE-elected broadcast of
+        # the firsts side of the segment join).
         "max_broadcast_result_bytes": max(
             (st.get("resultSize", 0) for st in new
-             if "withThreadLocalCaptured" in st.get("name", "")), default=0),
+             if "withThreadLocalCaptured" in st.get("name", "")
+             or "withThreadLocalCaptured" in st.get("details", "")),
+            default=0),
         "max_collect_result_bytes": max(
             (st.get("resultSize", 0) for st in new
-             if "withThreadLocalCaptured" not in st.get("name", "")),
+             if "withThreadLocalCaptured" not in st.get("name", "")
+             and "withThreadLocalCaptured" not in st.get("details", "")),
             default=0),
     }
 
