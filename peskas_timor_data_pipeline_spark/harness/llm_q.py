@@ -5084,6 +5084,73 @@ FROM counted
 QUERIES["mm13_audio_clipping"] = (mm13_audio_clipping, MM13_ORACLE)
 
 
+# --- MM14: REAL PNG decode (pure-Python zlib+unfilter codec) ----------------------------
+
+def mm14_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL decode of the most common real-world container
+    (VERDICT r10 ask #2): synthesize a deterministic image per document —
+    width = doc_id%11+1, height = doc_id%5+1, grayscale when doc_id%3==0
+    else RGB, pixel(y,x,c) = (doc_id+x+y+c)%256 — encode it as a REAL
+    PNG (stdlib zlib deflate, scanline filter cycling 0-4 by row so
+    every unfilter branch executes), then recover width/height/channels/
+    mean pixel FROM THE BYTES with the pure-Python PNG decoder
+    (llm/multimodal.py::_decode_png: chunk walk + CRC verify + inflate +
+    Sub/Up/Average/Paeth unfilter). The oracle recomputes the expected
+    values from the generating formula, so a chunk-parse, inflate
+    framing, or filter-math bug breaks the hash. Same attachments model
+    as mm3 (reference R/pt_nest_attachments.R:40-72); no Pillow anywhere
+    on this path."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        decode_image_meta,
+        encode_png,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 11 + 1, did % 5 + 1
+                ch = 1 if did % 3 == 0 else 3
+                y, x, c = np.indices((h, w, ch))
+                px = ((did + x + y + c) % 256).astype(np.uint8)
+                contents.append(encode_png(px, filter_type="cycle"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    meta = decode_image_meta(media, "doc_id")
+    return meta.select(
+        "doc_id", "width", "height", "channels",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
+MM14_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 11 + 1 AS w, doc_id % 5 + 1 AS h,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS ch
+  FROM documents
+), flat AS (
+  SELECT doc_id, w, h, ch, unnest(generate_series(0, w * h * ch - 1)) AS t
+  FROM dims
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(ch AS INTEGER) AS channels,
+       round(avg(CAST((doc_id + (t % (w * ch)) // ch + t // (w * ch) + t % ch) % 256
+                      AS DOUBLE)), 6) AS mean_pixel
+FROM flat GROUP BY doc_id, w, h, ch
+"""
+
+QUERIES["mm14_png_decode"] = (mm14_png_decode, MM14_ORACLE)
+
+
 # --- T36: tokenizer fertility / compression ratio per language --------------------------
 
 def t36_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:

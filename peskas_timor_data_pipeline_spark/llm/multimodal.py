@@ -140,6 +140,13 @@ def decode_image(content: bytes) -> dict:
         if channels >= 3:  # BGR(A) -> RGB(A)
             rows = rows[:, :, [2, 1, 0, *range(3, channels)]]
         return {"width": w, "height": h, "channels": channels, "pixels": rows}
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            return _decode_png(content)
+        except _PngSubsetError:
+            # 16-bit / interlaced PNGs: fall through to the optional
+            # Pillow path below (raises loudly when absent)
+            pass
     fmt = _pil_format(content)
     if fmt is not None:
         try:
@@ -166,6 +173,209 @@ def decode_image(content: bytes) -> dict:
             "pixels": arr,
         }
     raise ValueError(f"unsupported image magic: {content[:4]!r}")
+
+
+class _PngSubsetError(ValueError):
+    """A well-formed PNG outside the pure-Python subset (16-bit samples
+    or Adam7 interlace) — decode_image retries it on the Pillow path."""
+
+
+def _decode_png(content: bytes) -> dict:
+    """Pure-Python/numpy PNG decode (VERDICT r10 ask #2): stdlib ``zlib``
+    inflate + the public PNG spec's per-scanline unfilter — no Pillow,
+    no libpng. Upgrades the oracle-replayable decoder set from toy
+    formats (PPM/PGM/BMP) to the most common real container with zero
+    new dependencies.
+
+    Supported subset (the overwhelming majority of real PNGs): bit depth
+    8, color types 0 (gray), 2 (RGB), 3 (palette -> RGB), 4 (gray+alpha)
+    and 6 (RGBA), interlace 0, all five scanline filters (None / Sub /
+    Up / Average / Paeth). Chunk CRCs are verified for the critical
+    chunks — loud failure, never fake pixels. 16-bit samples and Adam7
+    interlace raise :class:`_PngSubsetError` so ``decode_image`` can
+    retry via the optional Pillow path; palette transparency (tRNS)
+    raises ``ValueError`` outright.
+
+    Filter math follows the spec exactly: every predictor operates on
+    UNSIGNED bytes mod 256; Average's ``(left + up) // 2`` floors the
+    TRUE sum (9-bit intermediate) and Paeth picks the predictor with the
+    smallest absolute delta, ties left > up > upper-left. Rows unfilter
+    sequentially (the spec's data dependency), vectorized across the
+    row's byte lanes with numpy; this runs inside Arrow-batched
+    ``mapInPandas`` workers, so per-image Python cost parallelizes
+    across the corpus like every other codec here."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos = 8
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype in (b"IHDR", b"PLTE", b"IDAT"):
+            (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG {ctype.decode()} chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"tRNS":
+            raise ValueError("PNG palette transparency (tRNS) not supported")
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    if not idat:
+        raise ValueError("PNG without IDAT")
+    w, h, bit_depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG with nonzero compression/filter method")
+    if interlace != 0:
+        raise _PngSubsetError("Adam7-interlaced PNG outside the pure subset")
+    if bit_depth != 8:
+        raise _PngSubsetError(f"{bit_depth}-bit PNG outside the pure subset")
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if n_ch is None:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE")
+    if w <= 0 or h <= 0:
+        raise ValueError("PNG with non-positive dimensions")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * n_ch
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    rows = np.frombuffer(raw[: (stride + 1) * h], dtype=np.uint8).reshape(
+        h, stride + 1
+    )
+    filters = rows[:, 0]
+    if (filters > 4).any():
+        raise ValueError("PNG scanline with unknown filter type")
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        line = rows[y, 1:].copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: per byte-lane running sum mod 256
+            for k in range(n_ch):
+                lane = line[k::n_ch].astype(np.uint64)
+                line[k::n_ch] = (np.cumsum(lane) & 0xFF).astype(np.uint8)
+        elif f == 2:  # Up
+            line += prev  # uint8 wraps mod 256, per spec
+        elif f == 3:  # Average: floor of the TRUE (9-bit) sum
+            up = prev.astype(np.uint16)
+            left = np.zeros(n_ch, dtype=np.uint16)
+            for x in range(0, stride, n_ch):
+                left = (
+                    line[x : x + n_ch]
+                    + ((left + up[x : x + n_ch]) // 2).astype(np.uint8)
+                ).astype(np.uint16)
+                line[x : x + n_ch] = left.astype(np.uint8)
+        else:  # Paeth
+            up = prev.astype(np.int16)
+            ul = np.zeros(n_ch, dtype=np.int16)
+            left = np.zeros(n_ch, dtype=np.int16)
+            for x in range(0, stride, n_ch):
+                b = up[x : x + n_ch]
+                p = left + b - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - b), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, ul)
+                )
+                rec = (line[x : x + n_ch] + pred.astype(np.uint8)).astype(
+                    np.uint8
+                )
+                line[x : x + n_ch] = rec
+                ul, left = b, rec.astype(np.int16)
+        recon[y] = line
+        prev = recon[y]
+    pixels = recon.reshape(h, w, n_ch)
+    if color_type == 3:
+        pixels = plte[pixels[:, :, 0]]
+        n_ch = 3
+    return {"width": w, "height": h, "channels": n_ch, "pixels": pixels}
+
+
+def encode_png(pixels, filter_type: int | str = 0) -> bytes:
+    """Pure-Python PNG encoder for a uint8 HxWx{1,2,3,4} array — the
+    writer half of the codec (test fixtures + sinks). ``filter_type``
+    picks the per-scanline filter: 0-4 fixed, or ``"cycle"`` to rotate
+    row index mod 5 through all five — fixtures that exercise every
+    unfilter branch in one image. Compressed with stdlib zlib level 6;
+    round-trip through :func:`_decode_png` is byte-exact on pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError("encode_png needs 1, 2, 3 or 4 channels")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    flat = arr.reshape(h, w * c).astype(np.int16)
+    prev = np.zeros(w * c, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        f = (y % 5) if filter_type == "cycle" else int(filter_type)
+        line = flat[y]
+        left = np.zeros_like(line)
+        left[c:] = line[:-c]
+        up = prev
+        ul = np.zeros_like(up)
+        ul[c:] = up[:-c]
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = line - left
+        elif f == 2:
+            filt = line - up
+        elif f == 3:
+            filt = line - (left + up) // 2
+        elif f == 4:
+            p = left + up - ul
+            pa, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc_), left, np.where(pb <= pc_, up, ul)
+            )
+            filt = line - pred
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out += bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def _pil_format(content: bytes) -> str | None:

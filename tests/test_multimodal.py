@@ -30,14 +30,18 @@ def media(spark):
 def test_decode_unsupported_fails_loudly():
     from peskas_timor_data_pipeline_spark.llm.multimodal import decode_image
 
-    # PNG routes to the import-gated Pillow path: a clear ValueError
+    # PNG decodes pure-Python now (tests/test_multimodal_png.py); a bare
+    # signature with no chunks is corrupt, not a Pillow matter
+    with pytest.raises(ValueError, match="PNG without IHDR"):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+    # GIF still routes to the import-gated Pillow path: a clear ValueError
     # naming the optional dependency when Pillow is absent (decode works
     # outright when it is installed — tests/test_multimodal_pillow.py)
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(ValueError, match="Pillow path"):
-            decode_image(b"\x89PNG\r\n\x1a\n")
+            decode_image(b"GIF89a" + b"\x00" * 16)
     with pytest.raises(ValueError, match="unsupported image magic"):
         decode_image(b"\x00\x01\x02\x03nonsense")
     with pytest.raises(ValueError, match="truncated PPM"):
@@ -240,12 +244,9 @@ def test_decode_image_meta_quarantine_mode(spark):
     df = spark.createDataFrame(rows, "media_id long, content binary")
     out = {r.media_id: r for r in decode_image_meta(df, "media_id", on_error="quarantine").collect()}
     assert out[1].width == 3 and out[1].decode_error is None
-    # PNG magic: quarantined either way — "Pillow path" without the
-    # optional library, a Pillow decode error on the truncated body with it
-    assert out[2].width is None and (
-        "Pillow path" in out[2].decode_error
-        or "image file" in out[2].decode_error
-    )
+    # PNG magic with a garbage body: the pure-Python chunk walk reads a
+    # bogus chunk length and quarantines on the truncated chunk
+    assert out[2].width is None and "PNG" in out[2].decode_error
     assert out[3].width is None and "truncated PPM" in out[3].decode_error
     with pytest.raises(Exception):
         decode_image_meta(df, "media_id").collect()  # default raises
