@@ -30,9 +30,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (b) top-up from the r06 evidence cohort (50 queries), alphabetical —
 #     ~29 fit in the ~50-row window; the rest lead r12.
 _PRIORITY_R11 = (
-    # (0) new in r11 (pure-Python PNG decode, VERDICT r10 ask #2) —
-    #     sampled immediately so no evidence gap opens
-    "mm14_png_decode",
+    # (0) new in r11 — sampled immediately so no evidence gap opens:
+    #     pure-Python PNG decode (VERDICT r10 ask #2) and the four
+    #     data_report.Rmd frame twins closing the frame audit (ask #5)
+    "mm14_png_decode", "rp7_catch_use_share", "rp8_regional_mix",
+    "rp9_survey_activity", "rp10_fisher_mix",
     # (a) r05 evidence tail (the r10 rotation's own documented overflow)
     "j11_interval_join", "j12_scd2_temporal", "m11_theil_sen",
     "m12_mann_kendall", "m13_bh_fdr", "m2b_length_weight_ll",

@@ -871,3 +871,200 @@ FROM long GROUP BY habitat, nutrient
 """
 
 QUERIES["rp6_nutrient_density"] = (rp6_nutrient_density, RP6_ORACLE)
+
+
+def rp7_catch_use_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catch-usage proportions per taxon (pipeline/report.py::
+    catch_use_share; data_report.Rmd:650-670 — the per-municipality
+    variant at :706-726 is the same frame with a different key):
+    lineitem rows stand in for landing-catch rows — the order is the
+    landing, the part-type's first word the taxon, the return flag the
+    catch-use — per (landing, taxon) the deterministic first use, drop
+    the 'STANDARD' placeholder taxa (exercising the Rmd's
+    `!catch_taxon %in% ("0")` filter), count per (taxon, use), share
+    per taxon's total."""
+    from peskas_timor_data_pipeline_spark.pipeline.report import (
+        catch_use_share,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    prt = load(spark, sf_dir, "part")
+    fact = li.join(F.broadcast(prt), li.l_partkey == prt.p_partkey).select(
+        F.col("l_orderkey").alias("landing"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("taxon"),
+        F.col("l_returnflag").alias("catch_use"),
+        F.col("l_quantity").alias("catch"),
+    )
+    return catch_use_share(
+        fact, "landing", "taxon", "taxon", "catch_use", "catch",
+        drop_taxa=("STANDARD",),
+    )
+
+
+RP7_ORACLE = """
+WITH fact AS MATERIALIZED (
+  SELECT l.l_orderkey AS landing,
+         string_split(p.p_type, ' ')[1] AS taxon,
+         l.l_returnflag AS u
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_quantity IS NOT NULL
+), units AS MATERIALIZED (
+  SELECT landing, taxon, min(u) AS catch_use
+  FROM fact GROUP BY landing, taxon
+), counts AS MATERIALIZED (
+  SELECT taxon AS key, catch_use, CAST(count(*) AS BIGINT) AS obs
+  FROM units WHERE taxon <> 'STANDARD'
+  GROUP BY taxon, catch_use
+), totals AS (
+  SELECT key, CAST(sum(obs) AS BIGINT) AS tot_obs FROM counts GROUP BY key
+)
+SELECT c.key, c.catch_use, c.obs, t.tot_obs,
+       round(c.obs / CAST(t.tot_obs AS DOUBLE), 6) AS prop_obs
+FROM counts c JOIN totals t ON t.key = c.key
+"""
+
+QUERIES["rp7_catch_use_share"] = (rp7_catch_use_share, RP7_ORACLE)
+
+
+def rp8_regional_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stacked-100% regional mix (pipeline/report.py::regional_mix;
+    data_report.Rmd:235-252 gear bars, :269-278 propulsion): orders
+    stand in for landings, the customer's nation for the municipality,
+    the order priority for the gear — per (nation, priority) counts
+    with nation totals, completed over the full grid (created rows get
+    n = 0 and a NULL total, exactly the tidyr::complete +
+    replace_na(list(n = 0)) behavior)."""
+    from peskas_timor_data_pipeline_spark.pipeline.report import regional_mix
+
+    o = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    fact = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("region"),
+            F.col("o_orderpriority").alias("dim"),
+        )
+    )
+    return regional_mix(fact, "region", "dim")
+
+
+RP8_ORACLE = """
+WITH fact AS MATERIALIZED (
+  SELECT n.n_name AS key, o.o_orderpriority AS dim
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_name IS NOT NULL AND o.o_orderpriority IS NOT NULL
+), counts AS MATERIALIZED (
+  SELECT key, dim, CAST(count(*) AS BIGINT) AS n FROM fact GROUP BY key, dim
+), totals AS (
+  SELECT key, CAST(sum(n) AS BIGINT) AS tot_obs FROM counts GROUP BY key
+), grid AS (
+  SELECT k.key, d.dim
+  FROM (SELECT DISTINCT key FROM counts) k
+  CROSS JOIN (SELECT DISTINCT dim FROM counts) d
+)
+SELECT g.key, g.dim,
+       CASE WHEN c.n IS NULL THEN NULL ELSE t.tot_obs END AS tot_obs,
+       COALESCE(c.n, 0) AS n
+FROM grid g
+LEFT JOIN counts c ON c.key = g.key AND c.dim = g.dim
+LEFT JOIN totals t ON t.key = g.key
+"""
+
+QUERIES["rp8_regional_mix"] = (rp8_regional_mix, RP8_ORACLE)
+
+
+def rp9_survey_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey-activity heatmap frame (pipeline/report.py::
+    survey_activity; data_report.Rmd:145-152): orders stand in for
+    landing surveys — per (customer-nation, order month) counts over
+    the completed nation x month grid, 0-filled where a region went
+    silent for a month."""
+    from peskas_timor_data_pipeline_spark.pipeline.report import (
+        survey_activity,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    fact = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("region"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+    )
+    return survey_activity(fact, "region", "d")
+
+
+RP9_ORACLE = """
+WITH fact AS MATERIALIZED (
+  SELECT n.n_name AS region,
+         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+), counts AS MATERIALIZED (
+  SELECT region, month, CAST(count(*) AS BIGINT) AS obs
+  FROM fact WHERE region IS NOT NULL GROUP BY region, month
+), grid AS (
+  SELECT r.region, m.month
+  FROM (SELECT DISTINCT region FROM counts) r
+  CROSS JOIN (SELECT DISTINCT month FROM fact WHERE month IS NOT NULL) m
+)
+SELECT g.region, g.month, COALESCE(c.obs, 0) AS obs
+FROM grid g LEFT JOIN counts c ON c.region = g.region AND c.month = g.month
+"""
+
+QUERIES["rp9_survey_activity"] = (rp9_survey_activity, RP9_ORACLE)
+
+
+def rp10_fisher_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-composition parallel frame (pipeline/report.py::
+    fisher_mix; data_report.Rmd:1110-1160): lineitem rows stand in for
+    landing-catch rows — the order is the landing, return flag the
+    habitat, line status the gear, and three per-row integer columns
+    the fisher counts — rolled up to landing-level deterministic
+    firsts, unpivoted, and totaled per (habitat, gear, fisher type)."""
+    from peskas_timor_data_pipeline_spark.pipeline.report import fisher_mix
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("landing"),
+        F.col("l_returnflag").alias("habitat"),
+        F.col("l_linestatus").alias("gear"),
+        (F.col("l_linenumber") % 4).cast("long").alias("n_child"),
+        (F.col("l_suppkey") % 5).cast("long").alias("n_man"),
+        (F.col("l_partkey") % 3).cast("long").alias("n_woman"),
+    )
+    return fisher_mix(
+        li, "landing", "habitat", "gear", ["n_child", "n_man", "n_woman"]
+    )
+
+
+RP10_ORACLE = """
+WITH landing AS MATERIALIZED (
+  SELECT l_orderkey AS landing,
+         min(l_returnflag) AS habitat,
+         min(l_linestatus) AS gear,
+         min(l_linenumber % 4) AS n_child,
+         min(l_suppkey % 5) AS n_man,
+         min(l_partkey % 3) AS n_woman
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+  GROUP BY l_orderkey
+), long AS (
+  SELECT habitat, gear, 'n_child' AS name, n_child AS v FROM landing
+  UNION ALL
+  SELECT habitat, gear, 'n_man', n_man FROM landing
+  UNION ALL
+  SELECT habitat, gear, 'n_woman', n_woman FROM landing
+)
+SELECT habitat, gear, name, CAST(sum(v) AS BIGINT) AS value
+FROM long GROUP BY habitat, gear, name
+"""
+
+QUERIES["rp10_fisher_mix"] = (rp10_fisher_mix, RP10_ORACLE)

@@ -23,7 +23,23 @@ summaries this module names:
   per-category percentage shares (data_report.Rmd:1281-1299, the
   habitat/gear/catch-use treemap frames);
 - :func:`habitat_nutrient_density` — per-(habitat, nutrient) median
-  individuals-per-kg density (data_report.Rmd:1440-1449).
+  individuals-per-kg density (data_report.Rmd:1440-1449);
+- :func:`catch_use_share` — per-(key, catch-use) observation shares at
+  (landing, taxon) granularity (data_report.Rmd:650-670 per-taxon,
+  :706-726 per-municipality — same frame, different key);
+- :func:`regional_mix` — per-(region, dim) counts with the region
+  total, completed over the full grid (data_report.Rmd:235-252 gear
+  proportion, :269-278 propulsion — the stacked-100% bar frames);
+- :func:`survey_activity` — per-(region, month) observation counts over
+  the completed region x month grid (data_report.Rmd:145-152, the
+  survey-activity heatmap);
+- :func:`fisher_mix` — landing-level deterministic firsts unpivoted to
+  per-(habitat, gear, fisher-type) totals (data_report.Rmd:1110-1160,
+  the fisher-composition parallel-categories frame).
+
+The COVERAGE.md "data_report.Rmd frame audit" table maps every
+group_by/summarise site in the Rmd to its twin here or to the green
+registry query covering its shape.
 
 Scale shape: all are single partial-aggregated groupBys over the fact
 scan; spine/grid completion and the unpivot run on group-cardinality
@@ -357,4 +373,164 @@ def habitat_nutrient_density(
     )
     return inds.groupBy("habitat", "nutrient").agg(
         F.round(F.median("__inds__") / 10.0 * 100.0, 6).alias("inds_kg")
+    )
+
+
+def catch_use_share(
+    df: DataFrame,
+    landing_col: str,
+    taxon_col: str,
+    key_col: str,
+    use_col: str,
+    catch_col: str,
+    drop_taxa: Sequence[str] = ("0",),
+) -> DataFrame:
+    """Catch-usage proportion frame (data_report.Rmd:650-670; the
+    per-municipality variant at :706-726 is the same frame with
+    ``key_col`` = municipality): the observation unit is a (landing,
+    taxon) pair with a non-null catch — per unit take the deterministic
+    first catch-use (modeled as min, the explicit ordering SURVEY §7.4
+    requires of dplyr::first), drop the reference's placeholder taxa
+    (``catch_taxon %in% ("0")``), count units per (key, use), and share
+    each key's total.
+
+    Two chained partial-aggregated groupBys over the fact scan (unit
+    rollup on (landing, taxon), then the count) plus group-cardinality
+    totals broadcast back — nothing pairwise, no windows.
+
+    Returns (key, catch_use, obs, tot_obs, prop_obs) with obs/tot_obs
+    BIGINT counts and prop_obs the single integer-ratio division both
+    engines evaluate identically, rounded to 6.
+    """
+    units = (
+        df.filter(F.col(catch_col).isNotNull())
+        .groupBy(
+            F.col(landing_col).alias("__landing__"),
+            F.col(taxon_col).alias("__taxon__"),
+        )
+        .agg(
+            F.min(F.col(key_col)).alias("key"),
+            F.min(F.col(use_col)).alias("catch_use"),
+        )
+        .filter(~F.col("__taxon__").isin(list(drop_taxa)))
+    )
+    counts = units.groupBy("key", "catch_use").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    totals = counts.groupBy("key").agg(
+        F.sum("obs").cast("long").alias("tot_obs")
+    )
+    return counts.join(F.broadcast(totals), "key").select(
+        "key",
+        "catch_use",
+        "obs",
+        "tot_obs",
+        F.round(F.col("obs") / F.col("tot_obs"), 6).alias("prop_obs"),
+    )
+
+
+def regional_mix(df: DataFrame, key_col: str, dim_col: str) -> DataFrame:
+    """Stacked-100% mix frame (data_report.Rmd:235-252, the "Gear type
+    proportion by region" bars; :269-278 propulsion is the same shape):
+    drop rows with a null key or dim (the Rmd's opening filter), count
+    per (key, dim) with each key's total attached (`group_by(key)
+    mutate(tot_obs = n())`), then complete the key x dim grid — created
+    combinations get n = 0 and, exactly like tidyr::complete followed by
+    `replace_na(list(n = 0))`, a NULL tot_obs (only n is na-filled).
+
+    One partial-aggregated groupBy over the fact scan; totals and the
+    grid completion run on group-cardinality frames, broadcast-joined.
+
+    Returns (key, dim, tot_obs, n) — BIGINT counts, tot_obs nullable on
+    grid-completed rows.
+    """
+    counts = (
+        df.filter(F.col(key_col).isNotNull() & F.col(dim_col).isNotNull())
+        .select(F.col(key_col).alias("key"), F.col(dim_col).alias("dim"))
+        .groupBy("key", "dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = counts.groupBy("key").agg(F.sum("n").cast("long").alias("tot_obs"))
+    withtot = counts.join(F.broadcast(totals), "key")
+    grid = counts.select("key").distinct().crossJoin(
+        F.broadcast(counts.select("dim").distinct())
+    )
+    return grid.join(withtot, ["key", "dim"], "left").select(
+        "key", "dim", "tot_obs", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+def survey_activity(df: DataFrame, region_col: str, date_col: str) -> DataFrame:
+    """Survey-activity heatmap frame (data_report.Rmd:145-152): the Rmd
+    completes the (municipality, landing_date) grid, marks observed rows
+    record = 1 and completed ones 0, floors dates to month and sums —
+    equivalently: count observations per (region, month) over the grid
+    of every non-null region x every month present anywhere in the data,
+    0-filled. Regions that never observed a month still get a row (that
+    is what the heatmap shows as a gap).
+
+    One partial-aggregated count over the fact scan; the month spine and
+    region list are group-cardinality frames, cross-joined broadcast.
+
+    Returns (region, month, obs) with obs a BIGINT count.
+    """
+    month = F.trunc(F.col(date_col), "month")
+    base = df.filter(F.col(region_col).isNotNull()).select(
+        F.col(region_col).alias("region"), month.alias("month")
+    )
+    counts = base.groupBy("region", "month").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    months = (
+        df.filter(F.col(date_col).isNotNull())
+        .select(month.alias("month"))
+        .distinct()
+    )
+    grid = counts.select("region").distinct().crossJoin(F.broadcast(months))
+    return grid.join(counts, ["region", "month"], "left").select(
+        "region", "month", F.coalesce("obs", F.lit(0)).alias("obs")
+    )
+
+
+def fisher_mix(
+    df: DataFrame,
+    landing_col: str,
+    habitat_col: str,
+    gear_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Fisher-composition parallel-categories frame
+    (data_report.Rmd:1110-1160): roll the landing-catch rows up to one
+    row per landing taking deterministic firsts (min, SURVEY §7.4) of
+    habitat, gear and the per-type fisher counts — dropping landings
+    with any null fisher count and null habitat/gear like the Rmd's
+    `dat` filters — then unpivot the count columns and total each
+    (habitat, gear, fisher-type) cell.
+
+    One partial-aggregated rollup on the landing key, then the stack
+    (a per-row expression, never a join) and a group-cardinality sum.
+
+    Returns (habitat, gear, name, value) with value a BIGINT total.
+    """
+    cols = list(value_cols)
+    pred = F.col(habitat_col).isNotNull() & F.col(gear_col).isNotNull()
+    for c in cols:
+        pred = pred & F.col(c).isNotNull()
+    landing = (
+        df.filter(pred)
+        .groupBy(F.col(landing_col).alias("__landing__"))
+        .agg(
+            F.min(F.col(habitat_col)).alias("habitat"),
+            F.min(F.col(gear_col)).alias("gear"),
+            *[F.min(F.col(c)).alias(c) for c in cols],
+        )
+    )
+    stack = ", ".join(f"'{c}', `{c}`" for c in cols)
+    long = landing.select(
+        "habitat",
+        "gear",
+        F.expr(f"stack({len(cols)}, {stack}) AS (name, __v__)"),
+    )
+    return long.groupBy("habitat", "gear", "name").agg(
+        F.sum("__v__").cast("long").alias("value")
     )
