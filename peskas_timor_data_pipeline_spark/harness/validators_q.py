@@ -792,9 +792,31 @@ def rp5_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         category_share,
     )
 
+    from peskas_timor_data_pipeline_spark.pipeline.report import (
+        string_rank_dict,
+    )
+
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    gear = li.groupBy("l_orderkey").agg(F.min("l_returnflag").alias("gear"))
+    # min over a string never hash-aggregates (VERDICT r10 #1 class):
+    # dictionary-encode the flag, min the long id, decode on the
+    # order-cardinality frame — values identical to min(l_returnflag)
+    fdict = string_rank_dict(li, "l_returnflag")
+    gear = (
+        li.join(F.broadcast(fdict), "l_returnflag")
+        .groupBy("l_orderkey")
+        .agg(F.min("__rank_id__").alias("__fid__"))
+        .join(
+            F.broadcast(
+                fdict.select(
+                    F.col("__rank_id__").alias("__fid__"),
+                    F.col("l_returnflag").alias("gear"),
+                )
+            ),
+            "__fid__",
+        )
+        .select("l_orderkey", "gear")
+    )
     landing = gear.join(o, gear.l_orderkey == o.o_orderkey).select(
         "gear",
         F.when(F.col("o_custkey") % 4 == 0, F.lit("Women and childs"))

@@ -395,37 +395,52 @@ def catch_use_share(
     each key's total.
 
     Two chained partial-aggregated groupBys over the fact scan (unit
-    rollup on (landing, taxon), then the count) plus group-cardinality
-    totals broadcast back — nothing pairwise, no windows.
+    rollup on (landing, key, taxon) — key rides the GROUP KEY exactly
+    like the Rmd's ``group_by(landing_id, municipality, catch_taxon)``,
+    so it must be unit-functional like municipality is — then the
+    count) plus group-cardinality totals broadcast back. The
+    deterministic-first use aggregates as ``min`` over a
+    :func:`string_rank_dict` id, NOT the string itself, so the
+    fact-sized rollup HASH-aggregates (a string min buffer would
+    SortAggregate the whole fact — the VERDICT r10 #1 class); the id
+    decodes back on the group-cardinality counts frame.
 
     Returns (key, catch_use, obs, tot_obs, prop_obs) with obs/tot_obs
     BIGINT counts and prop_obs the single integer-ratio division both
     engines evaluate identically, rounded to 6.
     """
+    use_dict = string_rank_dict(df, use_col)
     units = (
         df.filter(F.col(catch_col).isNotNull())
+        .join(F.broadcast(use_dict), use_col, "left")
         .groupBy(
             F.col(landing_col).alias("__landing__"),
+            F.col(key_col).alias("key"),
             F.col(taxon_col).alias("__taxon__"),
         )
-        .agg(
-            F.min(F.col(key_col)).alias("key"),
-            F.min(F.col(use_col)).alias("catch_use"),
-        )
+        .agg(F.min("__rank_id__").alias("__uid__"))
         .filter(~F.col("__taxon__").isin(list(drop_taxa)))
     )
-    counts = units.groupBy("key", "catch_use").agg(
+    counts = units.groupBy("key", "__uid__").agg(
         F.count(F.lit(1)).cast("long").alias("obs")
     )
     totals = counts.groupBy("key").agg(
         F.sum("obs").cast("long").alias("tot_obs")
     )
-    return counts.join(F.broadcast(totals), "key").select(
-        "key",
-        "catch_use",
-        "obs",
-        "tot_obs",
-        F.round(F.col("obs") / F.col("tot_obs"), 6).alias("prop_obs"),
+    decode = use_dict.select(
+        F.col("__rank_id__").alias("__uid__"),
+        F.col(use_col).alias("catch_use"),
+    )
+    return (
+        counts.join(F.broadcast(decode), "__uid__", "left")
+        .join(F.broadcast(totals), "key")
+        .select(
+            "key",
+            "catch_use",
+            "obs",
+            "tot_obs",
+            F.round(F.col("obs") / F.col("tot_obs"), 6).alias("prop_obs"),
+        )
     )
 
 
@@ -509,6 +524,11 @@ def fisher_mix(
 
     One partial-aggregated rollup on the landing key, then the stack
     (a per-row expression, never a join) and a group-cardinality sum.
+    The habitat/gear deterministic firsts aggregate as ``min`` over
+    :func:`string_rank_dict` ids so the fact-sized rollup
+    HASH-aggregates (string min buffers SortAggregate the whole fact —
+    the VERDICT r10 #1 class); ids decode back on the landing-
+    cardinality frame before the unpivot.
 
     Returns (habitat, gear, name, value) with value a BIGINT total.
     """
@@ -516,13 +536,41 @@ def fisher_mix(
     pred = F.col(habitat_col).isNotNull() & F.col(gear_col).isNotNull()
     for c in cols:
         pred = pred & F.col(c).isNotNull()
+    h_dict = string_rank_dict(df, habitat_col)
+    g_dict = string_rank_dict(df, gear_col)
     landing = (
         df.filter(pred)
+        .join(
+            F.broadcast(h_dict.withColumnRenamed("__rank_id__", "__hid__")),
+            habitat_col,
+        )
+        .join(
+            F.broadcast(g_dict.withColumnRenamed("__rank_id__", "__gid__")),
+            gear_col,
+        )
         .groupBy(F.col(landing_col).alias("__landing__"))
         .agg(
-            F.min(F.col(habitat_col)).alias("habitat"),
-            F.min(F.col(gear_col)).alias("gear"),
+            F.min("__hid__").alias("__hid__"),
+            F.min("__gid__").alias("__gid__"),
             *[F.min(F.col(c)).alias(c) for c in cols],
+        )
+        .join(
+            F.broadcast(
+                h_dict.select(
+                    F.col("__rank_id__").alias("__hid__"),
+                    F.col(habitat_col).alias("habitat"),
+                )
+            ),
+            "__hid__",
+        )
+        .join(
+            F.broadcast(
+                g_dict.select(
+                    F.col("__rank_id__").alias("__gid__"),
+                    F.col(gear_col).alias("gear"),
+                )
+            ),
+            "__gid__",
         )
     )
     stack = ", ".join(f"'{c}', `{c}`" for c in cols)
@@ -534,3 +582,31 @@ def fisher_mix(
     return long.groupBy("habitat", "gear", "name").agg(
         F.sum("__v__").cast("long").alias("value")
     )
+
+
+def string_rank_dict(df: DataFrame, col: str) -> DataFrame:
+    """Order-preserving dense long ids for a LOW-CARDINALITY string
+    column (bounded by contract: survey categoricals — gear types, catch
+    uses, habitats), so that ``min(id) == min(string)`` and the min can
+    ride a HASH aggregate: min/max over a string column never
+    hash-aggregates (non-mutable aggregation buffer -> SortAggregate
+    sorts the whole fact input — the class that spilled 35 GB on the
+    minhash signature agg at 500k docs, VERDICT r10 #1). Every stage
+    here is itself hash-friendly: distinct (string GROUP KEY is fine —
+    only string BUFFERS are not), then rank = count of values <= self
+    via a tiny broadcast self-join (no window, no driver collect); the
+    O(u^2) pair frame is dictionary-cardinality squared, nothing
+    data-sized.
+
+    Returns (``col``, __rank_id__) for non-null values, to broadcast
+    against the fact."""
+    u = df.select(F.col(col).alias("__v__")).filter(
+        F.col("__v__").isNotNull()
+    ).distinct()
+    pairs = u.select(F.col("__v__")).join(
+        F.broadcast(u.select(F.col("__v__").alias("__w__"))),
+        F.col("__v__") >= F.col("__w__"),
+    )
+    return pairs.groupBy("__v__").agg(
+        F.count(F.lit(1)).cast("long").alias("__rank_id__")
+    ).select(F.col("__v__").alias(col), "__rank_id__")

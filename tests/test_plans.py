@@ -581,3 +581,23 @@ def test_triangle_count_no_cartesian_and_partial_degree(spark, sf_dir):
     p = plan_str(g2_triangle_count(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "LeftSemi" in p
+
+
+def test_report_frame_rollups_hash_aggregate(spark, sf_dir):
+    """The r11 report-frame twins roll fact-sized inputs up with
+    deterministic-first semantics over STRING categoricals — which must
+    ride string_rank_dict long ids, never string min buffers (min over
+    a string never hash-aggregates; VERDICT r10 #1 class). Executed
+    plans must carry no SortAggregate."""
+    from peskas_timor_data_pipeline_spark.harness.validators_q import (
+        rp5_category_share,
+        rp7_catch_use_share,
+        rp10_fisher_mix,
+    )
+
+    for fn in (rp5_category_share, rp7_catch_use_share, rp10_fisher_mix):
+        df = fn(spark, sf_dir)
+        df.count()  # materialize so AQE finalizes the executed plan
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortAggregate" not in p, fn.__name__
+        assert "HashAggregate" in p, fn.__name__
