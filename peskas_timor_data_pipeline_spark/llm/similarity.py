@@ -99,6 +99,108 @@ def cosine_topk_bruteforce(
     )
 
 
+def l2_topk_bruteforce(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Exact top-k by EUCLIDEAN distance per query (ties by candidate
+    id) — the truth twin for the L2-metric indexes, as
+    :func:`cosine_topk_bruteforce` is for the cosine ones: the IVFPQ
+    path (ADC tables and the rerank refine) is L2 by design, the FAISS
+    IndexIVFPQ convention.
+
+    Added r11 after the rerank_m frontier sweep came back FLAT: the ANN
+    bench scored IVFPQ recall against the COSINE truth, and on a
+    non-unit-norm corpus (bench norms spread 1.8-7.4) the exact-L2
+    top-3 only overlaps the cosine top-3 ~82% — the 0.773 plateau read
+    as "shortlist-bound" in r09/r10 was the METRIC GAP, unreachable by
+    any rerank budget. Recall against this truth isolates the index's
+    actual loss (quantization + probe misses).
+
+    BLAS engine only (Arrow-batched GEMM, same shape as the gemm brute
+    scan): this is a recall-evaluation truth, not an oracle path — no
+    DuckDB replay depends on it. Distances use the expansion
+    |v|^2 - 2 v.q + |q|^2 computed batch-wise; the returned ``dist`` is
+    the true (non-squared) L2, rounded to 6.
+
+    Returns (query_id, cand_id, rank, dist).
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("cand_id", candidates.schema[id_col].dataType),
+            StructField("dist2", DoubleType()),
+        ]
+    )
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        empty_schema = StructType(
+            out_schema.fields[:2]
+            + [
+                StructField("rank", IntegerType()),
+                StructField("dist", DoubleType()),
+            ]
+        )
+        return queries.sparkSession.createDataFrame([], empty_schema)
+    qids = [r[0] for r in qrows]
+    qmat = np.array(
+        [[float(x) for x in r[1]] for r in qrows], dtype=np.float64
+    )
+    qsq = (qmat * qmat).sum(axis=1)  # Q
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            v = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            ids = pdf[id_col].to_numpy()
+            vsq = (v * v).sum(axis=1)
+            # b x Q squared distances via the expansion
+            d = vsq[:, None] - 2.0 * (v @ qmat.T) + qsq[None, :]
+            b = d.shape[0]
+            oq, oc, od = [], [], []
+            for j, qid in enumerate(qids):
+                col = d[:, j]
+                if b > k:
+                    thr = np.partition(col, k - 1)[k - 1]
+                    idx = np.nonzero(col <= thr)[0]  # <= keeps k-th ties
+                else:
+                    idx = np.arange(b)
+                # the global total order: dist asc, cand_id asc
+                best = sorted(idx, key=lambda i: (col[i], ids[i]))[:k]
+                oq.extend([qid] * len(best))
+                oc.extend(ids[i] for i in best)
+                od.extend(float(col[i]) for i in best)
+            yield pd.DataFrame({"query_id": oq, "cand_id": oc, "dist2": od})
+
+    local = candidates.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cand_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            "rank",
+            F.round(F.sqrt(F.greatest("dist2", F.lit(0.0))), 6).alias("dist"),
+        )
+    )
+
+
 def _gemm_topk(
     queries: DataFrame,
     candidates: DataFrame,

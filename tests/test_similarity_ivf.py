@@ -663,3 +663,72 @@ def test_gemm_build_string_ids_and_schema_parity(spark):
         icands, "vec_id", "embedding", dim=dim, n_cells=n_cells, route="gemm"
     )
     assert iinv_g.schema["cell_id"].dataType == iinv_e.schema["cell_id"].dataType
+
+
+def test_l2_topk_bruteforce_matches_numpy_and_sql_fold(spark):
+    """The L2 truth twin (r11): ranked rows must equal a full numpy
+    replica (dist asc, cand_id asc ties) AND a JVM l2_expr crossJoin
+    ranking on the fixture embeddings — the same exactness contract the
+    cosine gemm engine carries."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        l2_expr,
+        l2_topk_bruteforce,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.orderBy("vec_id").limit(7)
+    got = l2_topk_bruteforce(
+        queries, emb, "vec_id", "embedding", k=3, dim=dim
+    ).collect()
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([list(map(float, r.embedding)) for r in rows])
+    qrows = sorted(rows, key=lambda r: r.vec_id)[:7]
+    expect = {}
+    for qr in qrows:
+        qv = np.array(list(map(float, qr.embedding)))
+        d = ((m - qv) ** 2).sum(axis=1)
+        order = sorted(range(len(ids)), key=lambda i: (d[i], ids[i]))[:3]
+        expect[qr.vec_id] = [int(ids[i]) for i in order]
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.cand_id)
+    assert by_q == expect
+
+    # JVM replica: crossJoin + l2_expr + rank window
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cand_id"))
+    sql_rows = (
+        q.crossJoin(c)
+        .withColumn("d2", l2_expr("qv", "cv", dim))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    )
+    sql_by_q = {}
+    for r in sorted(sql_rows, key=lambda r: (r.query_id, r.rank)):
+        sql_by_q.setdefault(r.query_id, []).append(r.cand_id)
+    assert sql_by_q == expect
+
+
+def test_l2_topk_bruteforce_empty_queries(spark):
+    from peskas_timor_data_pipeline_spark.llm.similarity import (
+        l2_topk_bruteforce,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    empty = emb.filter("vec_id < 0")
+    out = l2_topk_bruteforce(empty, emb, "vec_id", "embedding", k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "cand_id", "rank", "dist"]
