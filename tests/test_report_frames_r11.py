@@ -110,3 +110,23 @@ def test_fisher_mix_rollup_filters_and_unpivot(spark):
     assert out[("h1", "g1", "b")] == 2
     assert out[("h1", "g1", "c")] == 3
     assert len(out) == 3
+
+
+def test_string_rank_dict_order_preserving(spark):
+    """Ids must be dense 1..u in the column's own (binary) sort order —
+    including empty strings and non-ASCII — so min(id) decodes to
+    min(string) exactly."""
+    from peskas_timor_data_pipeline_spark.pipeline.report import (
+        string_rank_dict,
+    )
+
+    vals = ["b", "", "ăâ", "a", "B", "b", None, "z"]
+    df = spark.createDataFrame([(v,) for v in vals], "c string")
+    out = sorted(
+        ((r.c, r["__rank_id__"]) for r in string_rank_dict(df, "c").collect()),
+        key=lambda t: t[1],
+    )
+    got_vals = [v for v, _ in out]
+    got_ids = [i for _, i in out]
+    assert got_vals == sorted(set(v for v in vals if v is not None))
+    assert got_ids == list(range(1, len(got_vals) + 1))
