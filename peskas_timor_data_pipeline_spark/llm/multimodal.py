@@ -72,15 +72,19 @@ def decode_image(content: bytes) -> dict:
     Returns ``{"width", "height", "channels", "pixels"}`` with pixels a
     ``height x width x channels`` uint8 numpy array.
 
-    JPEG / PNG / GIF / WebP take the OPTIONAL Pillow path (public
-    library, import-gated): a production multimodal corpus is
-    JPEG-dominated, so when Pillow is installed those formats decode
-    into the same dict through the same distributed plumbing
-    (decode_image_meta / resize_images / image_dhash run unchanged).
-    Without Pillow they still raise ``ValueError`` loudly. The ORACLE
-    path stays pure-Python PPM/PGM/BMP — registry queries never depend
-    on Pillow, so driver hashes are library-version independent; the
-    Pillow path is exercised by pytest only (skipped where absent).
+    **PNG** (r11) decodes pure-Python too: stdlib zlib inflate + the
+    spec's per-scanline unfilter (:func:`_decode_png` — 8-bit
+    gray/RGB/palette/alpha, CRC-verified); **baseline JPEG** (r11)
+    likewise via the from-spec codec in
+    :mod:`~peskas_timor_data_pipeline_spark.llm.jpeg_codec`
+    (SOF0, 8-bit, grayscale / YCbCr 4:4:4 / 4:2:0, restart markers).
+    Only the leftovers take the OPTIONAL Pillow path (public library,
+    import-gated): GIF, WebP, 16-bit/interlaced PNG, progressive/
+    arithmetic/12-bit JPEG. Without Pillow those still raise
+    ``ValueError`` loudly. The ORACLE path stays fully deterministic
+    pure-Python — registry queries never depend on Pillow, so driver
+    hashes are library-version independent; the Pillow path is
+    exercised by pytest only (skipped where absent).
 
     Raises ``ValueError`` on anything else — loud failure, never fake
     pixels."""
@@ -146,6 +150,19 @@ def decode_image(content: bytes) -> dict:
         except _PngSubsetError:
             # 16-bit / interlaced PNGs: fall through to the optional
             # Pillow path below (raises loudly when absent)
+            pass
+    if content[:3] == b"\xff\xd8\xff":
+        from peskas_timor_data_pipeline_spark.llm.jpeg_codec import (
+            JpegSubsetError,
+            decode_jpeg,
+        )
+
+        try:
+            return decode_jpeg(content)
+        except JpegSubsetError:
+            # progressive / 12-bit / exotic-sampling JPEGs: fall through
+            # to the optional Pillow path below (raises loudly when
+            # absent)
             pass
     fmt = _pil_format(content)
     if fmt is not None:
