@@ -33,8 +33,8 @@ _PRIORITY_R11 = (
     # (0) new in r11 — sampled immediately so no evidence gap opens:
     #     pure-Python PNG decode (VERDICT r10 ask #2) and the four
     #     data_report.Rmd frame twins closing the frame audit (ask #5)
-    "mm14_png_decode", "rp7_catch_use_share", "rp8_regional_mix",
-    "rp9_survey_activity", "rp10_fisher_mix",
+    "mm14_png_decode", "mm15_jpeg_decode", "rp7_catch_use_share",
+    "rp8_regional_mix", "rp9_survey_activity", "rp10_fisher_mix",
     # (a) r05 evidence tail (the r10 rotation's own documented overflow)
     "j11_interval_join", "j12_scd2_temporal", "m11_theil_sen",
     "m12_mann_kendall", "m13_bh_fdr", "m2b_length_weight_ll",

@@ -5151,6 +5151,89 @@ FROM flat GROUP BY doc_id, w, h, ch
 QUERIES["mm14_png_decode"] = (mm14_png_decode, MM14_ORACLE)
 
 
+# --- MM15: REAL baseline JPEG decode (pure-Python T.81 codec) ---------------------------
+
+def mm15_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL decode of the dominant lossy container: per
+    document synthesize a deterministic photo-like image — width =
+    doc_id%12+5, height = doc_id%6+5, grayscale when doc_id%2==0 else
+    RGB, pixel(y,x,c) = (doc_id*7 + x*3 + y*5 + c*11) % 251 — encode it
+    as a REAL baseline JFIF (llm/jpeg_codec.py: DCT, Annex-K tables,
+    Huffman, 4:4:4; restart markers every 2 MCUs when doc_id%5==0),
+    then recover the geometry FROM THE BYTES with the pure-Python
+    decoder and check the decoded mean pixel against the generating
+    formula's exact mean within the quantization tolerance. JPEG is
+    lossy, so width/height/channels hash exactly and the mean rides a
+    boundedness flag the oracle predicts from the construction (same
+    attachments model as mm3, R/pt_nest_attachments.R:40-72)."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+    import pandas as pd
+
+    from peskas_timor_data_pipeline_spark.llm.jpeg_codec import encode_jpeg
+    from peskas_timor_data_pipeline_spark.llm.multimodal import (
+        decode_image_meta,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 12 + 5, did % 6 + 5
+                ch = 1 if did % 2 == 0 else 3
+                y, x, c = np.indices((h, w, ch))
+                px = ((did * 7 + x * 3 + y * 5 + c * 11) % 251).astype(
+                    np.uint8
+                )
+                ri = 2 if did % 5 == 0 else 0
+                contents.append(
+                    encode_jpeg(px, quality=90, subsampling="4:4:4",
+                                restart_interval=ri)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    media = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    meta = decode_image_meta(media, "doc_id")
+    # exact source mean from the generating formula, computed JVM-side:
+    # mean over t in [0, w*h*ch) of (doc_id*7 + (t % (w*ch)) div ch * 3
+    # + t div (w*ch) * 5 + t % ch * 11) % 251 — all-integer per element,
+    # summed in doubles (bounded by 255 * 612 elements: exact)
+    src_mean = F.expr(
+        "aggregate(sequence(0, int((doc_id % 12 + 5) * (doc_id % 6 + 5) "
+        "* (case when doc_id % 2 = 0 then 1 else 3 end)) - 1), 0.0D, "
+        "(acc, t) -> acc + double((doc_id * 7 "
+        "+ (t % ((doc_id % 12 + 5) * (case when doc_id % 2 = 0 then 1 else 3 end))) "
+        "div (case when doc_id % 2 = 0 then 1 else 3 end) * 3 "
+        "+ t div ((doc_id % 12 + 5) * (case when doc_id % 2 = 0 then 1 else 3 end)) * 5 "
+        "+ t % (case when doc_id % 2 = 0 then 1 else 3 end) * 11) % 251)) "
+        "/ ((doc_id % 12 + 5) * (doc_id % 6 + 5) "
+        "* (case when doc_id % 2 = 0 then 1 else 3 end))"
+    )
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        (F.abs(F.col("mean_pixel") - src_mean) < 6.0).alias("mean_within_tol"),
+    )
+
+
+MM15_ORACLE = """
+SELECT doc_id,
+       CAST(doc_id % 12 + 5 AS INTEGER) AS width,
+       CAST(doc_id % 6 + 5 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+       TRUE AS mean_within_tol
+FROM documents
+"""
+
+QUERIES["mm15_jpeg_decode"] = (mm15_jpeg_decode, MM15_ORACLE)
+
+
 # --- T36: tokenizer fertility / compression ratio per language --------------------------
 
 def t36_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -76,6 +76,7 @@ ALLOWED_GROUPED_PYTHON = {
     "mm1_binary_meta",      # typed byte-metadata extraction over binary cols
     "mm13_audio_clipping",  # WAV-rail saturation counts over real bytes
     "mm14_png_decode",      # pure-Python PNG codec over real bytes
+    "mm15_jpeg_decode",     # pure-Python baseline JPEG codec over real bytes
     "t16_pack_sequences",   # greedy context-packing walk per md5 shard
 }
 
