@@ -2,9 +2,10 @@
 with typed metadata, processed by Arrow-batched pandas iterators.
 
 The container has no codec libraries, so ``decode_image`` is a pure-Python
-/ numpy decoder for the formats specifiable from first principles (netpbm
-PGM/PPM and uncompressed BMP) — REAL bytes in, real pixel arrays out —
-and raises loudly on anything else (JPEG/PNG would need libjpeg/zlib).
+/ numpy decoder built from the public specs — REAL bytes in, real pixel
+arrays out: netpbm PGM/PPM, uncompressed BMP, 8-bit PNG (stdlib zlib +
+scanline unfilter, Adam7 included) and baseline JPEG (from-spec DCT +
+Huffman, ``llm.jpeg_codec``) — and raises loudly on anything else.
 Everything Spark-side — schema, batch iteration, partitioning, UDF
 signatures — is real and tested. The reference's `_attachments` model
 (R/pt_nest_attachments.R:40-72: per-row array of {download_url, id})
@@ -74,12 +75,12 @@ def decode_image(content: bytes) -> dict:
 
     **PNG** (r11) decodes pure-Python too: stdlib zlib inflate + the
     spec's per-scanline unfilter (:func:`_decode_png` — 8-bit
-    gray/RGB/palette/alpha, CRC-verified); **baseline JPEG** (r11)
+    gray/RGB/palette/alpha, Adam7 interlace, CRC-verified); **baseline JPEG** (r11)
     likewise via the from-spec codec in
     :mod:`~peskas_timor_data_pipeline_spark.llm.jpeg_codec`
     (SOF0, 8-bit, grayscale / YCbCr 4:4:4 / 4:2:0, restart markers).
     Only the leftovers take the OPTIONAL Pillow path (public library,
-    import-gated): GIF, WebP, 16-bit/interlaced PNG, progressive/
+    import-gated): GIF, WebP, 16-bit PNG, progressive/
     arithmetic/12-bit JPEG. Without Pillow those still raise
     ``ValueError`` loudly. The ORACLE path stays fully deterministic
     pure-Python — registry queries never depend on Pillow, so driver
@@ -148,8 +149,8 @@ def decode_image(content: bytes) -> dict:
         try:
             return _decode_png(content)
         except _PngSubsetError:
-            # 16-bit / interlaced PNGs: fall through to the optional
-            # Pillow path below (raises loudly when absent)
+            # 16-bit PNGs: fall through to the optional Pillow path
+            # below (raises loudly when absent)
             pass
     if content[:3] == b"\xff\xd8\xff":
         from peskas_timor_data_pipeline_spark.llm.jpeg_codec import (
@@ -206,11 +207,12 @@ def _decode_png(content: bytes) -> dict:
 
     Supported subset (the overwhelming majority of real PNGs): bit depth
     8, color types 0 (gray), 2 (RGB), 3 (palette -> RGB), 4 (gray+alpha)
-    and 6 (RGBA), interlace 0, all five scanline filters (None / Sub /
-    Up / Average / Paeth). Chunk CRCs are verified for the critical
-    chunks — loud failure, never fake pixels. 16-bit samples and Adam7
-    interlace raise :class:`_PngSubsetError` so ``decode_image`` can
-    retry via the optional Pillow path; palette transparency (tRNS)
+    and 6 (RGBA), sequential AND Adam7-interlaced scan order (r11: the
+    seven sub-images unfilter independently and reassemble), all five
+    scanline filters (None / Sub / Up / Average / Paeth). Chunk CRCs are
+    verified for the critical chunks — loud failure, never fake pixels.
+    16-bit samples raise :class:`_PngSubsetError` so ``decode_image``
+    can retry via the optional Pillow path; palette transparency (tRNS)
     raises ``ValueError`` outright.
 
     Filter math follows the spec exactly: every predictor operates on
@@ -260,10 +262,10 @@ def _decode_png(content: bytes) -> dict:
     w, h, bit_depth, color_type, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("PNG with nonzero compression/filter method")
-    if interlace != 0:
-        raise _PngSubsetError("Adam7-interlaced PNG outside the pure subset")
     if bit_depth != 8:
         raise _PngSubsetError(f"{bit_depth}-bit PNG outside the pure subset")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if n_ch is None:
         raise ValueError(f"unknown PNG color type {color_type}")
@@ -272,6 +274,39 @@ def _decode_png(content: bytes) -> dict:
     if w <= 0 or h <= 0:
         raise ValueError("PNG with non-positive dimensions")
     raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        pixels = _png_unfilter(raw, h, w, n_ch).reshape(h, w, n_ch)
+    else:
+        # Adam7: seven filtered sub-images back to back, each with its
+        # own scanline filters; pass p covers pixels at
+        # (y0 + i*dy, x0 + j*dx) — empty passes contribute zero bytes
+        pixels = np.zeros((h, w, n_ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            n = (pw * n_ch + 1) * ph
+            sub = _png_unfilter(raw[pos : pos + n], ph, pw, n_ch)
+            pos += n
+            pixels[y0::dy, x0::dx] = sub.reshape(ph, pw, n_ch)
+    if color_type == 3:
+        pixels = plte[pixels[:, :, 0]]
+        n_ch = 3
+    return {"width": w, "height": h, "channels": n_ch, "pixels": pixels}
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, n_ch: int):
+    """Undo the five PNG scanline filters over ``h`` rows of ``w``
+    pixels x ``n_ch`` bytes (bit depth 8): returns an (h, w*n_ch) uint8
+    array. Shared by the sequential path and each Adam7 pass (a pass is
+    its own filtered sub-image with its own zeroed 'prior row')."""
+    import numpy as np
+
     stride = w * n_ch
     if len(raw) < (stride + 1) * h:
         raise ValueError("truncated PNG pixel data")
@@ -321,20 +356,20 @@ def _decode_png(content: bytes) -> dict:
                 ul, left = b, rec.astype(np.int16)
         recon[y] = line
         prev = recon[y]
-    pixels = recon.reshape(h, w, n_ch)
-    if color_type == 3:
-        pixels = plte[pixels[:, :, 0]]
-        n_ch = 3
-    return {"width": w, "height": h, "channels": n_ch, "pixels": pixels}
+    return recon
 
 
-def encode_png(pixels, filter_type: int | str = 0) -> bytes:
+def encode_png(
+    pixels, filter_type: int | str = 0, interlace: bool = False
+) -> bytes:
     """Pure-Python PNG encoder for a uint8 HxWx{1,2,3,4} array — the
     writer half of the codec (test fixtures + sinks). ``filter_type``
     picks the per-scanline filter: 0-4 fixed, or ``"cycle"`` to rotate
     row index mod 5 through all five — fixtures that exercise every
-    unfilter branch in one image. Compressed with stdlib zlib level 6;
-    round-trip through :func:`_decode_png` is byte-exact on pixels."""
+    unfilter branch in one image. ``interlace=True`` writes Adam7 (the
+    seven sub-images, each filtered independently). Compressed with
+    stdlib zlib level 6; round-trip through :func:`_decode_png` is
+    byte-exact on pixels."""
     import struct
     import zlib
 
@@ -356,37 +391,58 @@ def encode_png(pixels, filter_type: int | str = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    flat = arr.reshape(h, w * c).astype(np.int16)
-    prev = np.zeros(w * c, dtype=np.int16)
-    out = bytearray()
-    for y in range(h):
-        f = (y % 5) if filter_type == "cycle" else int(filter_type)
-        line = flat[y]
-        left = np.zeros_like(line)
-        left[c:] = line[:-c]
-        up = prev
-        ul = np.zeros_like(up)
-        ul[c:] = up[:-c]
-        if f == 0:
-            filt = line
-        elif f == 1:
-            filt = line - left
-        elif f == 2:
-            filt = line - up
-        elif f == 3:
-            filt = line - (left + up) // 2
-        elif f == 4:
-            p = left + up - ul
-            pa, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc_), left, np.where(pb <= pc_, up, ul)
-            )
-            filt = line - pred
-        else:
-            raise ValueError(f"unknown PNG filter type {f}")
-        out += bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes()
-        prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    def filter_image(img) -> bytearray:
+        """Filter one (sub-)image's rows per ``filter_type``."""
+        ih, iw = img.shape[0], img.shape[1]
+        flat = img.reshape(ih, iw * c).astype(np.int16)
+        prev = np.zeros(iw * c, dtype=np.int16)
+        buf = bytearray()
+        for y in range(ih):
+            f = (y % 5) if filter_type == "cycle" else int(filter_type)
+            line = flat[y]
+            left = np.zeros_like(line)
+            left[c:] = line[:-c]
+            up = prev
+            ul = np.zeros_like(up)
+            ul[c:] = up[:-c]
+            if f == 0:
+                filt = line
+            elif f == 1:
+                filt = line - left
+            elif f == 2:
+                filt = line - up
+            elif f == 3:
+                filt = line - (left + up) // 2
+            elif f == 4:
+                p = left + up - ul
+                pa, pb, pc_ = (
+                    np.abs(p - left), np.abs(p - up), np.abs(p - ul),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc_), left,
+                    np.where(pb <= pc_, up, ul),
+                )
+                filt = line - pred
+            else:
+                raise ValueError(f"unknown PNG filter type {f}")
+            buf += bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes()
+            prev = line
+        return buf
+
+    if not interlace:
+        out = filter_image(arr)
+    else:
+        out = bytearray()
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                out += filter_image(sub)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

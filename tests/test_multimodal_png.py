@@ -135,8 +135,9 @@ def test_png_corruption_fails_loudly():
 
 
 def test_png_subset_boundaries():
-    """16-bit and interlaced PNGs leave the pure subset (Pillow fallback,
-    which raises loudly when absent); unknown filter types are corrupt."""
+    """16-bit PNGs leave the pure subset (Pillow fallback, which raises
+    loudly when absent); interlace decodes natively now (r11 Adam7);
+    unknown filter types and interlace methods are corrupt."""
 
     def chunk(ctype, data):
         return (
@@ -156,9 +157,12 @@ def test_png_subset_boundaries():
             + chunk(b"IEND", b"")
         )
 
-    for bad in (mk(bit_depth=16), mk(interlace=1)):
-        with pytest.raises(ValueError):
-            decode_image(bad)  # subset error or Pillow-absent error: loud
+    with pytest.raises(ValueError):
+        decode_image(mk(bit_depth=16))  # subset or Pillow-absent: loud
+    # a 1x1 Adam7 image decodes natively (only pass 1 is non-empty)
+    assert decode_image(mk(interlace=1))["pixels"].tolist() == [[[1, 2, 3]]]
+    with pytest.raises(ValueError, match="interlace"):
+        _decode_png(mk(interlace=2))
     with pytest.raises(ValueError, match="filter"):
         _decode_png(mk(scan=b"\x07\x01\x02\x03"))
 
@@ -197,5 +201,32 @@ def test_png_matches_pillow_if_available():
     px = _rand(16, 16, 3, seed=99)
     buf = io.BytesIO()
     PIL.fromarray(px).save(buf, format="PNG")
+    out = _decode_png(buf.getvalue())
+    assert np.array_equal(out["pixels"], px)
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("hw", [(16, 16), (13, 9), (7, 3), (1, 1), (2, 10)])
+def test_png_adam7_interlace_roundtrip(channels, hw):
+    """Adam7 (r11): seven independently-filtered sub-images reassemble
+    byte-exactly, including dimensions where some passes are empty."""
+    h, w = hw
+    px = _rand(h, w, channels, seed=h * 31 + w + channels)
+    data = encode_png(px, filter_type="cycle", interlace=True)
+    # IHDR interlace byte set
+    ihdr_at = data.index(b"IHDR") - 4
+    assert data[ihdr_at + 8 + 12] == 1
+    out = decode_image(data)
+    assert (out["width"], out["height"]) == (w, h)
+    assert np.array_equal(out["pixels"], px)
+
+
+def test_png_adam7_matches_pillow_if_available():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    px = _rand(20, 24, 3, seed=77)
+    buf = io.BytesIO()
+    PIL.fromarray(px).save(buf, format="PNG", interlace=True)
     out = _decode_png(buf.getvalue())
     assert np.array_equal(out["pixels"], px)
