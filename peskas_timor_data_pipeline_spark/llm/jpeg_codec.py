@@ -216,6 +216,8 @@ def encode_jpeg(pixels, quality: int = 85, subsampling: str = "4:2:0",
     h, w, nc = arr.shape
     if nc not in (1, 3):
         raise ValueError("encode_jpeg needs 1 or 3 channels")
+    if not (0 < h <= 65535 and 0 < w <= 65535):
+        raise ValueError("JPEG dimensions must be in [1, 65535]")
     if subsampling not in ("4:2:0", "4:4:4"):
         raise ValueError("subsampling must be '4:2:0' or '4:4:4'")
     sub2 = nc == 3 and subsampling == "4:2:0"
