@@ -1903,7 +1903,12 @@ def d7c_shared_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = shingle_rows(docs, "doc_id", "text", 32).distinct()
     gram_docs = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("__docs__"))
-    shared = grams.join(gram_docs, "sh").filter(F.col("__docs__") > 1)
+    # shuffle_hash: gram_docs is a corpus-sized same-key aggregate whose
+    # size estimate fooled broadcast election (vanilla-driver OOM at
+    # sf0.1, r11) — pin the co-partitioned plan
+    shared = grams.join(gram_docs.hint("shuffle_hash"), "sh").filter(
+        F.col("__docs__") > 1
+    )
     agg = shared.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shared"),
         F.sum(

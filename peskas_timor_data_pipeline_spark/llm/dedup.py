@@ -550,7 +550,13 @@ def repeated_gram_share(
         F.count(F.lit(1)).alias("__docs__")
     )
     per_doc = (
-        grams.join(gram_docs, "sh")
+        # gram_docs is a same-key aggregate of grams — corpus-sized, but
+        # its post-aggregate size ESTIMATE can fool broadcast election
+        # (compressed stats << deserialized hash table; a vanilla 1g
+        # driver OOMed at sf0.1, r11). shuffle_hash pins the scale-safe
+        # plan: co-partitioned on the sh exchange both sides already
+        # share, no sort, no driver materialization.
+        grams.join(gram_docs.hint("shuffle_hash"), "sh")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -765,8 +771,11 @@ def segment_dedup(
         # min(pos) restricted to that id — identical to min(struct) and
         # every stage stays on the segment-key exchange (ReusedExchange)
         min_ids = segs.groupBy("seg").agg(F.min(F.col(id_col)).alias("__fid__"))
+        # same-key aggregates of segs: keep them off the broadcast path
+        # (segment-cardinality sides; SEGBENCH r11 caught a 137 MB
+        # mis-elected broadcast) — shuffle_hash reuses the seg exchange
         firsts = (
-            segs.join(min_ids, "seg")
+            segs.join(min_ids.hint("shuffle_hash"), "seg")
             .filter(F.col(id_col) == F.col("__fid__"))
             .groupBy("seg")
             .agg(
@@ -784,7 +793,7 @@ def segment_dedup(
                 F.col("__first__.pos").alias("__fpos__"),
             )
         )
-    marked = segs.join(firsts, "seg").withColumn(
+    marked = segs.join(firsts.hint("shuffle_hash"), "seg").withColumn(
         "__keep__",
         (F.col(id_col) == F.col("__fid__")) & (F.col("pos") == F.col("__fpos__")),
     )
@@ -1164,7 +1173,9 @@ def repeated_span_mask(
         .agg(F.count(F.lit(1)).alias("__docs__"))
         .filter(F.col("__docs__") > 1)
     )
-    seeds = hashed.join(gram_docs.select("gh"), "gh", "left_semi").select(
+    seeds = hashed.join(
+        gram_docs.select("gh").hint("shuffle_hash"), "gh", "left_semi"
+    ).select(
         id_col,
         F.col("pos").alias("s"),
         (F.col("pos") + F.lit(k_min - 1)).alias("e"),
