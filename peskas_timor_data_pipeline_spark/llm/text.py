@@ -534,10 +534,13 @@ def bigram_logprob(
     bi = bg.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c_bg"))
     prev_c = uni.select(F.col("token").alias("prev"), F.col("c_w").alias("c_prev"))
     lam = F.lit(float(lambda_interp))
+    # bi/prev_c/uni are vocabulary-sized aggregates of the token frame
+    # they rejoin — keep them off the broadcast path (post-aggregate size
+    # estimates fool broadcast election; the d7c class, r11)
     scored = (
-        bg.join(bi, ["prev", "token"])
-        .join(prev_c, "prev")
-        .join(uni, "token")
+        bg.join(bi.hint("shuffle_hash"), ["prev", "token"])
+        .join(prev_c.hint("shuffle_hash"), "prev")
+        .join(uni.hint("shuffle_hash"), "token")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "__lp__",
@@ -591,8 +594,9 @@ def quality_buckets(
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__tok__"),
     ).filter(F.col("__tok__") != "")
     freq = toks.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__freq__"))
+    # freq is a vocabulary-sized aggregate of toks (d7c class, r11)
     scored = (
-        toks.join(freq, "__tok__")
+        toks.join(freq.hint("shuffle_hash"), "__tok__")
         .groupBy(id_col, group_col)
         .agg(F.sum("__freq__").alias("score"))
     )
@@ -901,7 +905,8 @@ def dsir_select(
     )
     scored = (
         toks.filter(~F.col("__tgt__"))
-        .join(raw_counts, "token")
+        # raw_counts is vocabulary-sized (d7c class, r11)
+        .join(raw_counts.hint("shuffle_hash"), "token")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
@@ -983,10 +988,11 @@ def kneser_ney_logprob(
         + d * F.col("n_follow") / F.col("c_prev")
         * F.col("n_prec") / F.col("n_bb")
     )
+    # bi/ctx/cont are vocabulary-sized aggregates (d7c class, r11)
     scored = (
-        bg.join(bi, ["prev", "token"])
-        .join(ctx, "prev")
-        .join(cont, "token")
+        bg.join(bi.hint("shuffle_hash"), ["prev", "token"])
+        .join(ctx.hint("shuffle_hash"), "prev")
+        .join(cont.hint("shuffle_hash"), "token")
         .crossJoin(F.broadcast(nbb))
         .withColumn("__lp__", F.log(p_kn))
     )
@@ -1208,10 +1214,11 @@ def pmi_collocations(
     )
     n_tokens = unigrams.agg(F.sum("c").alias("__n__"))
     return (
+        # unigrams is vocabulary-sized (d7c class, r11)
         big.join(unigrams.withColumnRenamed("w", "w1")
-                 .withColumnRenamed("c", "c1"), "w1")
+                 .withColumnRenamed("c", "c1").hint("shuffle_hash"), "w1")
         .join(unigrams.withColumnRenamed("w", "w2")
-              .withColumnRenamed("c", "c2"), "w2")
+              .withColumnRenamed("c", "c2").hint("shuffle_hash"), "w2")
         .crossJoin(F.broadcast(n_tokens))
         .select(
             "w1", "w2",
