@@ -5115,7 +5115,12 @@ def mm14_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_png,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # spread the per-image Python codec work (see mm15)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
         for pdf in batches:
@@ -5181,7 +5186,14 @@ def mm15_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_image_meta,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # the parquet fixture arrives as ONE partition at sf0.1 — spread the
+    # per-image Python codec work across the executor cores (at corpus
+    # scale the input is already many-partitioned; this mirrors that)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
         for pdf in batches:
