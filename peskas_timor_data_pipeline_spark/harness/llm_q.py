@@ -1989,7 +1989,12 @@ def mm6_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
 
     media = docs.mapInPandas(synth, schema="doc_id long, content binary")
-    hashes = image_dhash(media, "doc_id", grid=8)
+    # materialized (r11): the dhash frame feeds the banded pair join (two
+    # self-join sides) AND the final per-doc report — unmaterialized, the
+    # whole Python synth+decode+dhash pipeline ran once per consumer
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    hashes = materialize(image_dhash(media, "doc_id", grid=8))
     pairs = hamming_neardup_pairs(
         hashes, "doc_id", "dhash", n_bits=56, n_bands=4, max_hamming=6
     )
@@ -4588,11 +4593,20 @@ def e22_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_expr("embedding", DIM).alias("cn"),
     )
     w_assign = Window.partitionBy("cand_id").orderBy(F.desc("cos_c"), F.asc("cell_id"))
+    # SLIM window input + id-rejoin (r11, guide §2.3): only
+    # (cand_id, cell_id, cos_c) rides the ×16 assignment Exchange+Sort;
+    # vectors rejoin by id after the winning cell is picked.
     inverted = (
         c.crossJoin(cents)
-        .withColumn("cos_c", dot_expr("cv", "cvec", DIM) / (F.col("cn") * F.col("cnorm")))
+        .select(
+            "cand_id",
+            "cell_id",
+            (dot_expr("cv", "cvec", DIM) / (F.col("cn") * F.col("cnorm"))).alias("cos_c"),
+        )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
+        .select("cell_id", "cand_id")
+        .join(c, "cand_id")
         .select("cell_id", "cand_id", "cv", "cn")
     )
     q = queries.select(
@@ -5327,13 +5341,20 @@ def d15_dup_rate_scout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever running the Jaccard verification — the cheap first look that
     decides whether a full dedup pass is worth scheduling on a new crawl
     slice. All outputs are exact integers."""
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
     from peskas_timor_data_pipeline_spark.llm.dedup import (
         lsh_candidate_pairs,
         minhash_signature,
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
+    # materialized (r11): the signatures feed BOTH the bucket-mass rollup
+    # and the candidate-pair count below — unmaterialized, the minhash
+    # (shingle explode + 16-slot aggregate, the scout's dominant cost)
+    # ran twice per invocation
+    sigs = materialize(
+        minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
+    )
     n_bands = N_HASHES // BAND_SIZE
     bands = [
         F.md5(

@@ -1446,11 +1446,20 @@ def match_signature_store(
 
     from pyspark.sql.window import Window
 
+    # MATERIALIZE the signature frames that feed TWO consumers each (r11):
+    # the batch signatures feed both their band rows and the slot-
+    # comparison join — unmaterialized, the whole upstream minhash
+    # (shingle explode + 16-slot aggregate) was computed twice per
+    # micro-batch. Same for the store side on the unbanded path; on the
+    # banded path store_sigs is never scanned (the carried band rows
+    # replace it), so it is deliberately NOT materialized there.
+    batch_sigs = materialize(batch_sigs)
     bb = band_rows(batch_sigs, id_col, n_hashes, band_size).withColumnRenamed(
         id_col, "batch_id"
     )
     carried = False
     if store_bands is None:
+        store_sigs = materialize(store_sigs)
         sb = band_rows(store_sigs, id_col, n_hashes, band_size).withColumnRenamed(
             id_col, "store_id"
         )
@@ -1491,10 +1500,10 @@ def match_signature_store(
                 sb = sb.select(*keep)
             else:
                 plen = len(pfx_probe)
-                # batch side computes once, feeds both the prefix set and
-                # the join (without the cut the signature lineage runs
-                # twice)
-                bb = materialize(bb)
+                # the heavy batch lineage (minhash) is already cut above;
+                # bb re-derives narrowly (band md5 + ×n_bands explode)
+                # from the checkpointed signatures for both the prefix
+                # set and the join — no second cut needed (r11)
                 pfx = sorted(
                     r[0]
                     for r in bb.select(
@@ -1612,10 +1621,18 @@ def winnow_fingerprints(
         (F.col("__p0__") + 1).alias("pos"),
         F.substring(F.md5("__g__"), 1, 8).alias("__h__"),
     )
-    key = F.concat(
-        F.col("__h__"),
-        F.lit("#"),
-        F.lpad((F.lit(10_000_000) - F.col("pos")).cast("string"), 7, "0"),
+    # (hash, pos) encoded as ONE fixed-width LONG: hash32 * 10^7 +
+    # (10^7 - pos) — the same ordering as the former
+    # "hash8 || '#' || zero-padded(10^7 - pos)" string (both fields
+    # fixed-width, lowercase hex has ASCII order == numeric order), so
+    # ``min`` picks the identical gram. The long keeps the sliding-window
+    # min buffer primitive (r11; the README fixed-width-aggregate rule
+    # applied to the window frame), the window Exchange ships 8 bytes
+    # instead of a 16-char key per gram, and the distinct dedups longs —
+    # fp/fp_pos decode back losslessly afterwards.
+    key = (
+        F.conv(F.col("__h__"), 16, 10).cast("long") * 10_000_000
+        + (F.lit(10_000_000) - F.col("pos"))
     )
     w_frame = (
         Window.partitionBy(id_col)
@@ -1631,12 +1648,16 @@ def winnow_fingerprints(
             F.count(F.lit(1)).over(w_part).alias("__n__"),
         )
         .filter(F.col("pos") <= F.greatest(F.col("__n__") - window + 1, F.lit(1)))
+        .select(id_col, "__wmin__")
+        .distinct()
         .select(
             id_col,
             (F.lit(10_000_000)
-             - F.substring("__wmin__", 10, 7).cast("int")).alias("fp_pos"),
-            F.substring("__wmin__", 1, 8).alias("fp"),
+             - (F.col("__wmin__") % 10_000_000)).cast("int").alias("fp_pos"),
+            F.lpad(
+                F.lower(F.hex(F.expr("__wmin__ div 10000000L"))),
+                8, "0",
+            ).alias("fp"),
         )
-        .distinct()
     )
     return winnowed

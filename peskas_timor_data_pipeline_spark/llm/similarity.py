@@ -391,13 +391,24 @@ def cosine_topk_ivf(
     w_assign = Window.partitionBy("cand_id").orderBy(
         F.desc("cos_c"), F.asc("cell_id")
     )
-    inverted = (
+    # SLIM the window input (r11, guide §2.3 "project before the exchange"):
+    # the assignment window only needs (cand_id, cell_id, cos_c) — carrying
+    # the dim-double vector + norm through the ×n_cells Exchange+Sort ships
+    # n_cells copies of every vector; the winning cell rejoins the vectors
+    # by id afterwards (one slim equi-join — the proven ivfpq_build
+    # slim-carry pattern). Same rows, same window ordering, same values.
+    best_cell = (
         c.crossJoin(cents)
-        .withColumn("cos_c", dot_expr("cv", "cvec", dim) / (F.col("cn") * F.col("cnorm")))
+        .select(
+            "cand_id",
+            "cell_id",
+            (dot_expr("cv", "cvec", dim) / (F.col("cn") * F.col("cnorm"))).alias("cos_c"),
+        )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("cell_id", "cand_id", "cv", "cn")
+        .select("cell_id", "cand_id")
     )
+    inverted = best_cell.join(c, "cand_id").select("cell_id", "cand_id", "cv", "cn")
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -407,13 +418,18 @@ def cosine_topk_ivf(
     w_probe = Window.partitionBy("query_id").orderBy(
         F.desc("cos_q"), F.asc("cell_id")
     )
-    probes = (
+    probe_cells = (
         q.crossJoin(cents)
-        .withColumn("cos_q", dot_expr("qv", "cvec", dim) / (F.col("qn") * F.col("cnorm")))
+        .select(
+            "query_id",
+            "cell_id",
+            (dot_expr("qv", "cvec", dim) / (F.col("qn") * F.col("cnorm"))).alias("cos_q"),
+        )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", "qn", "cell_id")
+        .select("query_id", "cell_id")
     )
+    probes = probe_cells.join(q, "query_id").select("query_id", "qv", "qn", "cell_id")
 
     scored = probes.join(inverted, "cell_id").withColumn(
         "cosine", dot_expr("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
@@ -521,18 +537,22 @@ def kmeans_refine(
         "cell_id", F.col("cvec"), norm_expr("cvec", dim).alias("__cn__")
     )
     sim = dot_expr("__v__", "cvec", dim) / (F.col("__vn__") * F.col("__cn__"))
-    best = (
+    # SLIM carry (r11, guide §2.3): only (id, cell_id, sim) rides the ×k
+    # expansion and the aggregate — routing the dim-double array through
+    # n×k expanded rows and the agg buffers (the former F.first carry) is
+    # pure memcpy, the exact ivfpq_build r07 lesson. Vectors rejoin by id.
+    best_cell = (
         v.crossJoin(F.broadcast(c))
-        .select(F.col(id_col), F.col("__v__"), F.col("cell_id"), sim.alias("__sim__"))
+        .select(F.col(id_col), F.col("cell_id"), sim.alias("__sim__"))
         .groupBy(id_col)
         .agg(
             F.min_by(
                 "cell_id",
                 F.struct((-F.col("__sim__")).alias("ns"), F.col("cell_id")),
             ).alias("cell_id"),
-            F.first("__v__").alias("__v__"),  # identical across the k rows
         )
     )
+    best = best_cell.join(v.select(F.col(id_col), "__v__"), id_col)
     return group_centroids(best, "cell_id", "__v__", dim, round_to=round_to)
 
 
@@ -905,6 +925,8 @@ def centroid_blocked_near_dup(
 
     Returns (id, cell_id, is_dup) — filter ``~is_dup`` to keep survivors.
     """
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
     cents = F.broadcast(ivf_centroids(df, id_col, vec_col, n_cells, dim))
     v = df.select(
         F.col(id_col),
@@ -912,14 +934,26 @@ def centroid_blocked_near_dup(
         norm_expr(vec_col, dim).alias("n"),
     )
     w_assign = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cell_id"))
-    assigned = (
+    # SLIM window input + id-rejoin (r11, guide §2.3): the assignment
+    # window needs only (id, cell_id, cos_c); shipping the dim-double
+    # vector + norm through the ×n_cells Exchange+Sort moves n_cells
+    # copies of the corpus. MATERIALIZED once (r11): the assignment feeds
+    # three consumers (both self-join sides + the final verdict join) —
+    # unmaterialized, the whole ×n_cells assignment subtree was planned
+    # and executed three times per run (see plans/r11/e11_semdedup_*).
+    best = (
         v.crossJoin(cents)
-        .withColumn(
-            "cos_c", dot_expr("v", "cvec", dim) / (F.col("n") * F.col("cnorm"))
+        .select(
+            id_col,
+            "cell_id",
+            (dot_expr("v", "cvec", dim) / (F.col("n") * F.col("cnorm"))).alias("cos_c"),
         )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select(id_col, "v", "n", "cell_id")
+        .select(id_col, "cell_id")
+    )
+    assigned = materialize(
+        best.join(v, id_col).select(id_col, "v", "n", "cell_id")
     )
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"),
@@ -1210,13 +1244,21 @@ def hard_negatives(
         w_assign = Window.partitionBy("neg_id").orderBy(
             F.desc("cos_c"), F.asc("cell_id")
         )
+        # SLIM window input + id-rejoin (r11, guide §2.3): only
+        # (neg_id, cell_id, cos_c) rides the ×n_cells assignment
+        # Exchange+Sort; vector/norm/label rejoin by id afterwards.
         inverted = (
             cand.crossJoin(cents)
-            .withColumn(
-                "cos_c", dot_expr("nv", "cvec", dim) / (F.col("nn") * F.col("cnorm"))
+            .select(
+                "neg_id",
+                "cell_id",
+                (dot_expr("nv", "cvec", dim)
+                 / (F.col("nn") * F.col("cnorm"))).alias("cos_c"),
             )
             .withColumn("rn", F.row_number().over(w_assign))
             .filter(F.col("rn") == 1)
+            .select("cell_id", "neg_id")
+            .join(cand, "neg_id")
             .select("cell_id", "neg_id", "nv", "nn", "nlbl")
         )
         w_probe = Window.partitionBy("anchor_id").orderBy(
@@ -1580,10 +1622,14 @@ def ivf_cell_stats(
     w_assign = Window.partitionBy("cand_id").orderBy(
         F.desc("cos_c"), F.asc("cell_id")
     )
+    # SLIM window input (r11, guide §2.3): stats only need ids — keep the
+    # dim-double vectors out of the ×n_cells window Exchange entirely.
     assigned = (
         c.crossJoin(cents)
-        .withColumn(
-            "cos_c", dot_expr("cv", "cvec", dim) / (F.col("cn") * F.col("cnorm"))
+        .select(
+            "cand_id",
+            "cell_id",
+            (dot_expr("cv", "cvec", dim) / (F.col("cn") * F.col("cnorm"))).alias("cos_c"),
         )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
@@ -1846,10 +1892,15 @@ def cell_exemplars(
     w_assign = Window.partitionBy("__vid__").orderBy(
         F.desc("__cos__"), F.asc("cell_id")
     )
+    # SLIM window input (r11, guide §2.3): the exemplar pick only needs
+    # (id, cell_id, cos) — the vectors never ride the assignment Exchange.
     assigned = (
         v.crossJoin(cents)
-        .withColumn(
-            "__cos__", dot_expr("__v__", "cvec", dim) / (F.col("__vn__") * F.col("cnorm"))
+        .select(
+            "__vid__",
+            "cell_id",
+            (dot_expr("__v__", "cvec", dim)
+             / (F.col("__vn__") * F.col("cnorm"))).alias("__cos__"),
         )
         .withColumn("__rn__", F.row_number().over(w_assign))
         .filter(F.col("__rn__") == 1)
@@ -2236,8 +2287,6 @@ def ivfpq_search(
     m_sub map lookups each; optionally refine (FAISS IndexRefineFlat)
     the ADC top-``rerank_m`` with exact L2 against the index's flat
     vectors. Per-query work is O(n_probe/n_cells) of the corpus."""
-    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
-
     l2_fold, diff_arr, res_fold = _pq_folds(dim, m_sub)
     # --- query probes: n_probe nearest cells by L2 ---
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -2291,7 +2340,11 @@ def ivfpq_search(
         *[_cid_array(m) for m in range(m_sub)]
     )
     # --- scan only probed cells' inverted lists; ADC = m_sub O(1) reads ---
-    joined = encoded.join(F.broadcast(materialize(tables)), "cell_id")
+    # tables has exactly ONE consumer (this broadcast): no materialize —
+    # the broadcast build computes it directly, saving one eager
+    # checkpoint barrier per search (r11). Determinism is unaffected
+    # (array_sort fixes the collect_list order).
+    joined = encoded.join(F.broadcast(tables), "cell_id")
     adc = F.element_at(F.col("__a0__"), F.col("__c0__"))
     for m in range(1, m_sub):
         adc = adc + F.element_at(F.col(f"__a{m}__"), F.col(f"__c{m}__"))
@@ -2804,10 +2857,15 @@ def ivf_cell_split(
     w_assign = Window.partitionBy("cand_id").orderBy(
         F.desc("cos_c"), F.asc("cell_id")
     )
+    # SLIM window input (r11, guide §2.3): only (cand_id, cell_id, cos_c)
+    # rides the assignment Exchange+Sort — the split decision never needs
+    # the vectors downstream of the window, so there is no rejoin either.
     assign = materialize(
         c.crossJoin(cents)
-        .withColumn(
-            "cos_c", dot_expr("cv", "cvec", dim) / (F.col("cn") * F.col("cnorm"))
+        .select(
+            "cand_id",
+            "cell_id",
+            (dot_expr("cv", "cvec", dim) / (F.col("cn") * F.col("cnorm"))).alias("cos_c"),
         )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
