@@ -60,8 +60,14 @@ def connected_components(
         )
         # min-ignores-nulls carries each node's previous label through the
         # same aggregate that merges hop candidates — no extra join for the
-        # convergence check
-        prop = (
+        # convergence check. The hop aggregate (the edge-scale shuffle, the
+        # round's dominant cost) is materialized HERE, before the jump
+        # self-join: both sides of that join read the checkpointed frame,
+        # so the aggregate's reduce side runs once per round, not once per
+        # join side. The jump itself stays lazy — a node-scale self-join
+        # of checkpointed data, cheap to replay for its two round-(r+1)
+        # consumers, far cheaper than re-running the edge-scale hop.
+        prop = materialize(
             labels.select("node", "component", F.col("component").alias("__old__"))
             .unionByName(
                 nbr.withColumn(
@@ -73,31 +79,34 @@ def connected_components(
                 F.min("component").alias("component"),
                 F.min("__old__").alias("__old__"),
             )
+            .withColumn("__changed__", F.col("component") != F.col("__old__")),
+            checkpoint_dir,
         )
+        # Convergence is checked on the POST-HOP labels: with symmetrized
+        # edges and monotone non-increasing labels, hop-fixed-point ⟺
+        # jump-fixed-point (post-jump ≤ post-hop ≤ pre-round pointwise, so
+        # either equality squeezes the other; and a hop fixed point means
+        # labels are equal across every edge, making label(label) the
+        # identity). Same stopping round, same returned labels as checking
+        # post-jump — and the detection round skips its jump join outright.
+        changed = prop.filter(F.col("__changed__")).limit(1).count()
+        if changed == 0:
+            return prop.select("node", "component")
         # jump: label <- min(label, label(label)) halves path depth; the
         # left join keeps root nodes (whose label is themselves or a node
         # with no better label) intact
         tgt = prop.select(
             F.col("node").alias("__t__"), F.col("component").alias("__tc__")
         )
-        jumped = (
+        labels = (
             prop.join(tgt, prop.component == tgt.__t__, "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce(F.col("__tc__"), F.col("component"))
                 ).alias("component"),
-                "__old__",
             )
         )
-        new_labels = materialize(
-            jumped.withColumn("__changed__", F.col("component") != F.col("__old__")),
-            checkpoint_dir,
-        )
-        changed = new_labels.filter(F.col("__changed__")).limit(1).count()
-        labels = new_labels.select("node", "component")
-        if changed == 0:
-            return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the pair graph is deeper than 2^max_iter hops or labels are cycling "

@@ -602,36 +602,40 @@ def hits_scores(
         "n", F.lit(NANO).cast("long").alias("h")
     )
     auth = None
+    # Each half-round materializes the RAW edge-scale sum, not the
+    # normalized frame: the raw aggregate is referenced twice (once by the
+    # max scalar, once by the normalize projection), and checkpointing it
+    # first means the join+groupBy's reduce side runs once per half-round
+    # instead of once per reference. The normalize itself — a broadcast
+    # crossJoin of a 1-row max over the checkpointed raw frame — stays
+    # lazy; its next-half-round consumer replays only that cheap
+    # projection, never the edge-scale aggregate.
     for _ in range(n_rounds):
-        a_raw = (
+        a_raw = materialize(
             e.join(hubs.withColumnRenamed("n", "s"), "s")
             .groupBy("d")
             .agg(F.sum("h").alias("a_raw"))
         )
         a_max = a_raw.agg(F.max("a_raw").alias("m"))
-        auth = materialize(
-            a_raw.crossJoin(F.broadcast(a_max)).select(
-                F.col("d").alias("n"),
-                F.expr(
-                    f"CAST((CAST(a_raw AS DECIMAL(38,0)) * {NANO}L)"
-                    f" div CAST(m AS DECIMAL(38,0)) AS BIGINT)"
-                ).alias("a"),
-            )
+        auth = a_raw.crossJoin(F.broadcast(a_max)).select(
+            F.col("d").alias("n"),
+            F.expr(
+                f"CAST((CAST(a_raw AS DECIMAL(38,0)) * {NANO}L)"
+                f" div CAST(m AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("a"),
         )
-        h_raw = (
+        h_raw = materialize(
             e.join(auth.withColumnRenamed("n", "d"), "d")
             .groupBy("s")
             .agg(F.sum("a").alias("h_raw"))
         )
         h_max = h_raw.agg(F.max("h_raw").alias("m"))
-        hubs = materialize(
-            h_raw.crossJoin(F.broadcast(h_max)).select(
-                F.col("s").alias("n"),
-                F.expr(
-                    f"CAST((CAST(h_raw AS DECIMAL(38,0)) * {NANO}L)"
-                    f" div CAST(m AS DECIMAL(38,0)) AS BIGINT)"
-                ).alias("h"),
-            )
+        hubs = h_raw.crossJoin(F.broadcast(h_max)).select(
+            F.col("s").alias("n"),
+            F.expr(
+                f"CAST((CAST(h_raw AS DECIMAL(38,0)) * {NANO}L)"
+                f" div CAST(m AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("h"),
         )
     top_h = (
         hubs.select(
