@@ -93,11 +93,30 @@ def uniform_row_sample(
     bottom-k of a union of group samples is the union's sample — so
     per-partition sampling rolls up without touching raw data again.
     Standing alternative to shuffling every value into an exact
-    percentile (A8/A10) when the group is billions of rows."""
-    hashed = df.withColumn("__h__", unit_hash(row_key))
-    w = Window.partitionBy(*keys).orderBy("__h__")
+    percentile (A8/A10) when the group is billions of rows.
+
+    Executed as TWO-LEVEL bottom-k (the merge property above, applied to
+    the plan itself): a single window partitioned only by low-cardinality
+    ``keys`` sorts the ENTIRE group in one task — parallelism pinned at
+    n_groups forever, the 199/200-straggler shape. Level 1 ranks within
+    (keys, salt) — ``n_salts`` deterministic shards derived from the row
+    hash — keeping each sort 1/n_salts the size; level 2 ranks the
+    surviving k·n_salts rows per group, a constant-size frame at any data
+    scale. The global bottom-k is always inside the union of per-salt
+    bottom-k's, so the selected rows are identical."""
+    n_salts = 64
+    hashed = df.withColumn("__h__", unit_hash(row_key)).withColumn(
+        "__salt__", F.pmod(F.xxhash64(F.col("__h__")), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(*keys, "__salt__").orderBy("__h__")
+    survivors = (
+        hashed.withColumn("__rn__", F.row_number().over(w1))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__", "__salt__")
+    )
+    w2 = Window.partitionBy(*keys).orderBy("__h__")
     return (
-        hashed.withColumn("__rn__", F.row_number().over(w))
+        survivors.withColumn("__rn__", F.row_number().over(w2))
         .filter(F.col("__rn__") <= k)
         .drop("__rn__", "__h__")
     )
