@@ -4132,24 +4132,29 @@ def d12_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "node",
     )
-    w = Window.partitionBy("component").orderBy(
-        F.desc("n_chars"), F.asc("node")
-    )
+    # One hash-aggregate replaces the window + self-join pair: the pick
+    # "max n_chars, then min node" is the max of ONE fixed-width long
+    # (n_chars * 2^34 + (2^34-1 - node); head-room for node ids < 2^34 and
+    # n_chars < 2^28 — far beyond any document), aggregated alongside the
+    # cluster size in the same pass, so `sized` is computed once and never
+    # re-shuffled. Identical rows to the ranked formulation (README
+    # fixed-width-aggregate rule; argmax decode is exact integer math).
+    enc_c = 1 << 34
     return (
-        sized.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
+        sized.groupBy("component")
+        .agg(
+            F.max(
+                F.col("n_chars").cast("long") * F.lit(enc_c)
+                + (F.lit(enc_c - 1) - F.col("node"))
+            ).alias("__enc__"),
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        )
         .select(
             "component",
-            F.col("node").alias("rep_doc"),
-            F.col("n_chars").alias("rep_len"),
+            "cluster_size",
+            (F.lit(enc_c - 1) - F.expr(f"__enc__ % {enc_c}L")).alias("rep_doc"),
+            F.expr(f"__enc__ div {enc_c}L").cast("int").alias("rep_len"),
         )
-        .join(
-            sized.groupBy("component").agg(
-                F.count(F.lit(1)).cast("long").alias("cluster_size")
-            ),
-            "component",
-        )
-        .select("component", "cluster_size", "rep_doc", "rep_len")
     )
 
 

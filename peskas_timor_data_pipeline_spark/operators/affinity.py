@@ -47,7 +47,11 @@ def association_rules(
 
     bi = materialize(bi)
     item_sup = bi.groupBy("item").agg(F.count(F.lit(1)).alias("sup"))
-    frequent = item_sup.filter(F.col("sup") >= min_support)
+    # the frequent-item frame is referenced three times (the Apriori
+    # semi-join prune and both rule-direction support joins); checkpoint
+    # the item-cardinality-sized result so the corpus-scale support
+    # aggregate over `bi` runs once, not once per broadcast build
+    frequent = materialize(item_sup.filter(F.col("sup") >= min_support))
     pruned = bi.join(F.broadcast(frequent.select("item")), "item", "left_semi")
     pairs = (
         pruned.select("basket", F.col("item").alias("ia"))
@@ -57,7 +61,11 @@ def association_rules(
         .agg(F.count(F.lit(1)).alias("pair_sup"))
         .filter(F.col("pair_sup") >= min_support)
     )
-    n_baskets = bi.select("basket").distinct().count()
+    # basket total rides the action as a broadcast 1-row subtree over the
+    # checkpointed `bi` instead of a sequential driver count() job
+    nb = bi.select("basket").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__nb__")
+    )
     directed = pairs.select(
         F.col("ia").alias("antecedent"),
         F.col("ib").alias("consequent"),
@@ -78,19 +86,20 @@ def association_rules(
     return (
         directed.join(F.broadcast(sup_a), "antecedent")
         .join(F.broadcast(sup_c), "consequent")
+        .crossJoin(F.broadcast(nb))
         .select(
             "antecedent",
             "consequent",
             F.col("pair_sup").cast("long").alias("pair_support"),
             F.col("antecedent_support").cast("long").alias("antecedent_support"),
             F.col("consequent_support").cast("long").alias("consequent_support"),
-            F.lit(n_baskets).cast("long").alias("n_baskets"),
+            F.col("__nb__").alias("n_baskets"),
             F.round(
                 F.col("pair_sup").cast("double") / F.col("antecedent_support"),
                 6,
             ).alias("confidence"),
             F.round(
-                F.col("pair_sup").cast("double") * F.lit(n_baskets)
+                F.col("pair_sup").cast("double") * F.col("__nb__")
                 / (
                     F.col("antecedent_support").cast("double")
                     * F.col("consequent_support")

@@ -168,12 +168,21 @@ def triangle_count(
         ["x", "y"],
         "left_semi",
     )
-    n_nodes = deg.count()
-    n_edges = und.count()
-    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).select(
-        F.lit(n_nodes).cast("long").alias("n_nodes"),
-        F.lit(n_edges).cast("long").alias("n_edges"),
-        F.col("n_triangles").cast("long"),
+    # node/edge totals ride the SAME action as broadcast 1-row subtrees
+    # instead of two sequential driver count() jobs — both aggregate the
+    # already-checkpointed `und`, and inside one job their stages overlap
+    # with the wedge join rather than serializing before it
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_triangles").cast("long"),
+        )
     )
 
 
