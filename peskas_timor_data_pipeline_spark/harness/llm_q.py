@@ -6265,13 +6265,31 @@ def d20b_store_match_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_sigs = minhash_signature(docs, "doc_id", "text", N_HASHES, K_SHINGLE)
     batch_sigs = minhash_signature(batch, "doc_id", "text", N_HASHES, K_SHINGLE)
     path = tempfile.mkdtemp(prefix="band_store_") + "/bands"
-    (
-        store_band_rows(store_sigs, "doc_id", N_HASHES, BAND_SIZE)
-        .repartition("band_pfx")
-        .write.mode("overwrite")
-        .partitionBy("band_pfx")
-        .parquet(path)
-    )
+
+    # The store-artifact write and the batch signature pass are
+    # INDEPENDENT corpus-scale jobs (store minhash -> band write vs batch
+    # minhash -> checkpoint); running them from a 2-thread pool overlaps
+    # their stages (guide §2.6) instead of serializing two full passes.
+    # The matcher's own materialize() passes the pre-checkpointed batch
+    # frame through untouched.
+    def _write_store() -> None:
+        (
+            store_band_rows(store_sigs, "doc_id", N_HASHES, BAND_SIZE)
+            .repartition("band_pfx")
+            .write.mode("overwrite")
+            .partitionBy("band_pfx")
+            .parquet(path)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        store_fut = pool.submit(_write_store)
+        batch_fut = pool.submit(materialize, batch_sigs)
+        store_fut.result()
+        batch_sigs = batch_fut.result()
     return match_signature_store(
         batch_sigs, store_sigs, "doc_id", N_HASHES, BAND_SIZE,
         min_agree=_D20_MIN_AGREE,

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+from peskas_timor_data_pipeline_spark.llm.ckpt import materialize, materialize_many
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -1465,14 +1465,19 @@ def match_signature_store(
     # (shingle explode + 16-slot aggregate) was computed twice per
     # micro-batch. Same for the store side on the unbanded path; on the
     # banded path store_sigs is never scanned (the carried band rows
-    # replace it), so it is deliberately NOT materialized there.
-    batch_sigs = materialize(batch_sigs)
+    # replace it), so it is deliberately NOT materialized there. The two
+    # sides are INDEPENDENT corpus-scale passes, so the unbanded path
+    # checkpoints them as concurrent jobs (guide §2.6): the store pass
+    # back-fills executors idled by the batch pass's straggler tail.
+    carried = False
+    if store_bands is None:
+        batch_sigs, store_sigs = materialize_many([batch_sigs, store_sigs])
+    else:
+        batch_sigs = materialize(batch_sigs)
     bb = band_rows(batch_sigs, id_col, n_hashes, band_size).withColumnRenamed(
         id_col, "batch_id"
     )
-    carried = False
     if store_bands is None:
-        store_sigs = materialize(store_sigs)
         sb = band_rows(store_sigs, id_col, n_hashes, band_size).withColumnRenamed(
             id_col, "store_id"
         )

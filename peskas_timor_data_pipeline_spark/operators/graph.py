@@ -50,11 +50,13 @@ def pagerank_fixed_point(
 
     Returns (node, rank_nanos, n_iter).
     """
-    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+    from peskas_timor_data_pipeline_spark.llm.ckpt import (
+        materialize,
+        materialize_many,
+    )
 
     src = edges.select(F.col(src_col).alias("node"))
     dst = edges.select(F.col(dst_col).alias("node"))
-    nodes = materialize(src.union(dst).distinct())
     # integer-weight-> 0 contract enforced up front: cast BEFORE summing
     # (summing fractional weights then truncating the total would count
     # mass the per-edge truncated __w__ never carries), and drop edges
@@ -67,7 +69,11 @@ def pagerank_fixed_point(
         F.col(weight_col).cast("long").alias("__w__"),
     ).filter(F.col("__w__") > 0)
     out_w = typed.groupBy("__src__").agg(F.sum("__w__").alias("__ow__"))
-    e = materialize(typed.join(out_w, "__src__"))
+    # the node set and the weighted edge list are independent edge-scale
+    # passes — checkpoint them as concurrent jobs (guide §2.6)
+    nodes, e = materialize_many(
+        [src.union(dst).distinct(), typed.join(out_w, "__src__")]
+    )
     n_nodes = nodes.count()
     if n_nodes == 0:
         # empty edge list: no nodes, no ranks — return the typed empty frame

@@ -166,8 +166,19 @@ def estimate_weights_ll(
     window width, so the operator counts both tables up front (two cheap
     aggregations on dimension-scale frames) and raises rather than
     silently building a plan that dies on the executors at scale."""
-    for tbl_name, tbl in (("lw", lw), ("ll", ll)):
-        n = tbl.count()
+    # ONE job checks both tables (the union's two count branches run as
+    # concurrent stages) instead of two sequential driver count() barriers
+    counts = {
+        r["t"]: r["n"]
+        for r in lw.groupBy(F.lit("lw").alias("t"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .unionByName(
+            ll.groupBy(F.lit("ll").alias("t")).agg(F.count(F.lit(1)).alias("n"))
+        )
+        .collect()
+    }
+    for tbl_name in ("lw", "ll"):
+        n = counts.get(tbl_name, 0)
         if n > max_params_rows:
             raise ValueError(
                 f"{tbl_name} parameter table has {n} rows, over the "
