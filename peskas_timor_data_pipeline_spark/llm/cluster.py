@@ -254,7 +254,12 @@ def connected_components_star(
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
-        large = (
+        # materialized (r11, the batch-3 CC/HITS lesson): the small-star
+        # phase references `large` FOUR times (twice in _sym, again via
+        # smins, again in the re-hang join) — unmaterialized, only the
+        # distinct's Exchange is reused and the post-shuffle dedup plus
+        # the join ran once per reference inside the small-star job
+        large = materialize(
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(
@@ -262,7 +267,8 @@ def connected_components_star(
                 F.greatest(F.col("v"), F.col("m")).alias("b"),
             )
             .filter(F.col("a") != F.col("b"))
-            .distinct()
+            .distinct(),
+            checkpoint_dir,
         )
         # SMALL-STAR: per node u over its SMALLER neighbors N≤ = {v <= u},
         # m = min(N≤ ∪ {u}); re-hang N≤ ∪ {u} \ {m} onto m
