@@ -37,6 +37,26 @@ def main() -> None:
     warm_fn, _ = reg["flagship_cpue"]
     warm_fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # Fixed calibration probe (r12, additions-only): a registry-independent
+    # synthetic job — pure CPU over range(), no I/O, no repo code that can
+    # change between rounds — timed after warmup and reported in the JSON,
+    # so round-over-round driver comparisons can be normalized for host
+    # drift (this host shows 1.5-2x CPU-steal swings between rounds).
+    def _calibrate() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            (
+                spark.range(0, 50_000_000, 1, int(os.environ.get(
+                    "SPARK_GRAFT_CPUS", "32")))
+                .selectExpr("sum(pmod(xxhash64(id), 1000000)) AS s")
+                .write.mode("overwrite").format("noop").save()
+            )
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    calib = _calibrate()
+
     def run_one(name: str) -> float:
         fn, _sql = reg[name]
         t0 = time.time()
@@ -97,6 +117,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "calib_sec": calib,
         }
     )
     # Persist the FULL per-query map to BENCH_FULL.json — this is the
@@ -128,6 +149,7 @@ def main() -> None:
         # stale pointer would read as the prior round's timings
         "queries_full": os.path.basename(out_path) if full_written else None,
         "sf": sf,
+        "calib_sec": calib,
     }
     line = json.dumps(compact)
     # Never exceed the capture window: halve the slowest-N subset until the

@@ -8,7 +8,7 @@ full LSH pipeline is value-checked end to end, not just row-counted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from peskas_timor_data_pipeline_spark.harness.tables import load
@@ -4112,6 +4112,32 @@ QUERIES["e18_ivf_cell_stats"] = (e18_ivf_cell_stats, E18_ORACLE)
 
 # --- D12: best-representative dedup (keep the most complete duplicate) ------------------
 
+def _d12_enc_guarded() -> Column:
+    """The d12 single-pass argmax encoding over (node, n_chars), GUARDED
+    (r12, VERDICT r11 #9): ``n_chars * 2^34 + (2^34-1 - node)`` is exact
+    only for 0 <= node < 2^34 and n_chars < 2^28 — far beyond this
+    corpus's ids/lengths, but a different id scheme must fail loudly
+    (raise_error), not rank wrong. The guard branch is constant-true on
+    valid data, so values (and the oracle hash) are untouched."""
+    enc_c = 1 << 34
+    enc = F.col("n_chars").cast("long") * F.lit(enc_c) + (
+        F.lit(enc_c - 1) - F.col("node")
+    )
+    return F.when(
+        (F.col("node") >= 0)
+        & (F.col("node") < F.lit(enc_c))
+        & (F.col("n_chars") < F.lit(1 << 28)),
+        enc,
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "d12 argmax encoding out of range: requires 0 <= node < 2^34 "
+                "and n_chars < 2^28"
+            )
+        )
+    )
+
+
 def d12_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-grade survivor selection: within each near-dup cluster
     (d5's MinHash-LSH -> connected components), keep the LONGEST copy
@@ -4143,10 +4169,7 @@ def d12_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sized.groupBy("component")
         .agg(
-            F.max(
-                F.col("n_chars").cast("long") * F.lit(enc_c)
-                + (F.lit(enc_c - 1) - F.col("node"))
-            ).alias("__enc__"),
+            F.max(_d12_enc_guarded()).alias("__enc__"),
             F.count(F.lit(1)).cast("long").alias("cluster_size"),
         )
         .select(
@@ -4772,7 +4795,16 @@ def t30_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.substring("dig", 1 + MINHASH_WIDTH * j, MINHASH_WIDTH)).alias(f"h{j}")
         for j in range(N_HASHES)
     ]
-    sigs = shingled.groupBy("source").agg(*aggs)
+    # Size-gated lineage cut (r12): sigs is |sources| rows but its subtree
+    # is the full corpus-scale shingle+md5-chain pass, and BOTH self-join
+    # sides reference it. At cluster scale the cut halves the dominant
+    # pass (duplicated subtrees don't share stages under AQE); at toy
+    # scale the duplicates run as PARALLEL stages inside one job (wall
+    # cost ~0) while an eager checkpoint would serialize the timeline —
+    # measured +1.7 s at sf0.1 unconditional, so it engages on size only.
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize_gated
+
+    sigs = materialize_gated(shingled.groupBy("source").agg(*aggs))
     a = sigs.select(
         F.col("source").alias("src_a"),
         *[F.col(f"h{j}").alias(f"a{j}") for j in range(N_HASHES)],
@@ -5387,14 +5419,29 @@ def d15_dup_rate_scout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_colliding_buckets"),
         )
     )
-    n_docs = docs.count()
-    n_pairs = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BAND_SIZE).count()
-    return bucket_mass.select(
-        F.lit(n_docs).cast("long").alias("n_docs"),
-        "candidate_pair_mass",
-        "n_colliding_buckets",
-        F.lit(n_pairs).cast("long").alias("n_distinct_candidates"),
-        F.lit(n_pairs * 1_000_000 // n_docs).alias("candidates_per_doc_ppm"),
+    # Counts folded into the action plan (r12, guide §1.2 / the g2
+    # pattern): the doc count and the candidate-pair count become 1-row
+    # aggregate subtrees cross-joined onto the bucket-mass row, so the
+    # scout is ONE job instead of one job per driver-side .count(). The
+    # ppm division moves in-plan as exact long arithmetic (both operands
+    # positive, well inside bigint range — identical values to the old
+    # Python floor division).
+    n_docs_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_pairs_df = lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BAND_SIZE).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_candidates")
+    )
+    return (
+        bucket_mass.crossJoin(F.broadcast(n_docs_df))
+        .crossJoin(F.broadcast(n_pairs_df))
+        .select(
+            "n_docs",
+            "candidate_pair_mass",
+            "n_colliding_buckets",
+            "n_distinct_candidates",
+            F.expr("n_distinct_candidates * 1000000L div n_docs").alias(
+                "candidates_per_doc_ppm"
+            ),
+        )
     )
 
 

@@ -9,10 +9,87 @@ default stays local for tests and single-node runs.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
+
+# Size gate for OPTIONAL lineage cuts (r12): an eager checkpoint is a
+# driver-blocking job whose fixed cost (scheduling, stage barriers, block
+# writes) is only repaid when the recompute it prevents is bigger. Below
+# the threshold the duplicated consumers run as PARALLEL sibling stages
+# inside one job (near-zero extra wall on an unsaturated cluster) while
+# the checkpoint would serialize the timeline, so gated call sites pass
+# the frame through lazily; above it the duplicate pass is real work and
+# the cut wins. Thresholds compare against either source parquet bytes
+# (scan_bytes) or a checkpoint's stored bytes (materialized_bytes, ~10x
+# the parquet size for narrow rows); 1 GiB keeps every toy/test scale on
+# the lazy path and engages the cut where a duplicated pass costs whole
+# node-minutes. Parameterized for cluster tuning.
+EAGER_MIN_BYTES_ENV = "SPARK_GRAFT_EAGER_MIN_BYTES"
+_DEFAULT_EAGER_MIN_BYTES = 1 << 30
+
+
+def eager_min_bytes() -> int:
+    return int(os.environ.get(EAGER_MIN_BYTES_ENV, _DEFAULT_EAGER_MIN_BYTES))
+
+
+def scan_bytes(df: DataFrame) -> int:
+    """Catalyst's estimate of the frame's SOURCE size: the sum of leaf-node
+    statistics of the analyzed plan (file sizes for file scans). Driver-side
+    only — no job. Leaves without real statistics (checkpointed RDDs,
+    in-memory relations) report the defaultSizeInBytes sentinel, so unknown
+    inputs read as huge and gated call sites stay on the scale-safe eager
+    path. Join/aggregate estimate inflation never enters: only LEAF stats
+    are summed."""
+    total = 0
+    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    for i in range(leaves.size()):
+        sz = leaves.apply(i).stats().sizeInBytes()
+        total += sz if isinstance(sz, int) else int(sz.toString())
+        if total >= (1 << 62):
+            break
+    return total
+
+
+def materialized_bytes(df: DataFrame) -> int | None:
+    """Actual stored size of a just-:func:`materialize`-d frame, read from
+    the block manager's storage registry (driver-side, no job). None when
+    it cannot be determined (not a checkpoint scan, reliable checkpoint on
+    an external filesystem, blocks evicted) — callers treat None as big,
+    which keeps the scale-safe eager path."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return None
+        rid = plan.rdd().id()
+        for info in df.sparkSession.sparkContext._jsc.sc().getRDDStorageInfo():
+            if info.id() == rid:
+                return int(info.memSize()) + int(info.diskSize())
+    except Exception:  # noqa: BLE001 - any py4j/reflection surprise => unknown
+        return None
+    return None
+
+
+def materialize_gated(
+    df: DataFrame,
+    checkpoint_dir: str | None = None,
+    small: bool | None = None,
+) -> DataFrame:
+    """Size-gated lineage cut: :func:`materialize` when the upstream input
+    is big (or unknown), pass-through when provably small — at toy scale
+    the eager checkpoint job costs more than the recompute it saves (the
+    r11→r12 lesson: the checkpoint cohort regressed the sf0.1 bench 2-3x
+    while being plan-verified wins at cluster scale).
+
+    ``small``: explicit gate decision (e.g. from a counted loop frame);
+    None derives it from :func:`scan_bytes` vs :func:`eager_min_bytes`."""
+    if small is None:
+        small = scan_bytes(df) < eager_min_bytes()
+    if small:
+        return df
+    return materialize(df, checkpoint_dir)
 
 
 def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:

@@ -24,7 +24,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from peskas_timor_data_pipeline_spark.llm.ckpt import materialize
+from peskas_timor_data_pipeline_spark.llm.ckpt import (
+    eager_min_bytes,
+    materialize,
+    materialized_bytes,
+)
+
+
+def _cut(df: DataFrame, eager: bool, checkpoint_dir: str | None) -> DataFrame:
+    """Per-round lineage cut for the CC loops. Both paths truncate the
+    logical plan identically (the returned frame is a checkpoint scan, so
+    every downstream plan — and the at-scale plan shape — is the same);
+    only eagerness differs. ``eager`` (big inputs / cluster runs) blocks on
+    a checkpoint job now, so the round's edge-scale shuffle never re-runs.
+    Lazy (small inputs) defers computation to the round's convergence-probe
+    action: the probe computes the frame, the local checkpoint caches it in
+    the same action, and the separate driver-blocking job — whose fixed
+    cost dominates a toy-scale round (the r11 bench regression) — never
+    happens."""
+    if eager:
+        return materialize(df, checkpoint_dir)
+    return df.localCheckpoint(eager=False)
 
 
 def connected_components(
@@ -45,6 +65,13 @@ def connected_components(
         .distinct(),
         checkpoint_dir,
     )
+    # Size gate (r12, guide §5): the per-round lineage cut stays — the
+    # plan-verified r11 win (hop aggregate's reduce side runs once per
+    # round) — but its EAGERNESS follows the measured edge bytes, so toy
+    # inputs stop paying a driver-blocking job per round. None (reliable
+    # checkpoints, evicted blocks) reads as big: cluster runs stay eager.
+    sz = materialized_bytes(edges)
+    eager = sz is None or sz >= eager_min_bytes()
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("nbr_min"))
@@ -67,7 +94,7 @@ def connected_components(
         # join side. The jump itself stays lazy — a node-scale self-join
         # of checkpointed data, cheap to replay for its two round-(r+1)
         # consumers, far cheaper than re-running the edge-scale hop.
-        prop = materialize(
+        prop = _cut(
             labels.select("node", "component", F.col("component").alias("__old__"))
             .unionByName(
                 nbr.withColumn(
@@ -80,6 +107,7 @@ def connected_components(
                 F.min("__old__").alias("__old__"),
             )
             .withColumn("__changed__", F.col("component") != F.col("__old__")),
+            eager,
             checkpoint_dir,
         )
         # Convergence is checked on the POST-HOP labels: with symmetrized
@@ -234,13 +262,24 @@ def connected_components_star(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    nodes = materialize(
-        canon.select(F.col("a").alias("node"))
-        .unionByName(canon.select(F.col("b").alias("node")))
-        .distinct(),
-        checkpoint_dir,
-    )
     edges = materialize(canon, checkpoint_dir)
+    # nodes derive LAZILY from the checkpointed edges (r12): same values
+    # as distinct-over-canon, but canon is computed once (inside the edges
+    # checkpoint) instead of twice, and the node set's only consumer is
+    # the final labeling join after convergence — an upfront eager job
+    # bought nothing at any scale. The initial edges frame is pinned here
+    # so the reference survives the loop's reassignment.
+    edges0 = edges
+    nodes = (
+        edges0.select(F.col("a").alias("node"))
+        .unionByName(edges0.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    # Same size gate as connected_components: per-round lineage cuts stay
+    # (bounded plans, single edge-scale pass per star phase at scale) but
+    # only block on checkpoint jobs when the edge set is actually big.
+    sz = materialized_bytes(edges)
+    eager = sz is None or sz >= eager_min_bytes()
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
@@ -259,7 +298,7 @@ def connected_components_star(
         # smins, again in the re-hang join) — unmaterialized, only the
         # distinct's Exchange is reused and the post-shuffle dedup plus
         # the join ran once per reference inside the small-star job
-        large = materialize(
+        large = _cut(
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(
@@ -268,6 +307,7 @@ def connected_components_star(
             )
             .filter(F.col("a") != F.col("b"))
             .distinct(),
+            eager,
             checkpoint_dir,
         )
         # SMALL-STAR: per node u over its SMALLER neighbors N≤ = {v <= u},
@@ -291,7 +331,7 @@ def connected_components_star(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-        edges = materialize(small, checkpoint_dir)
+        edges = _cut(small, eager, checkpoint_dir)
         # convergence = the edge set is a DISJOINT union of min-rooted
         # stars, which (with every edge canonical a < b) holds exactly
         # when (1) no edge's smaller endpoint appears as some other

@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from peskas_timor_data_pipeline_spark.llm.ckpt import materialize, materialize_many
+from peskas_timor_data_pipeline_spark.llm.ckpt import (
+    materialize,
+    materialize_many,
+)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -266,7 +269,10 @@ def lsh_candidate_pairs(
     key the pair join already uses)."""
     long = band_rows(signatures, id_col, n_hashes, band_size)
     # the pair join is a self-join: without materialization the whole
-    # signature lineage (shingle explode + n_hashes mins) computes twice
+    # signature lineage (shingle explode + n_hashes mins) computes twice.
+    # Measured r12: gating this cut off at toy scale made d2/d18 ~0.3-0.5s
+    # SLOWER (the two join sides do not share one Exchange after the
+    # id_a/id_b renames), so it stays unconditional.
     long = materialize(long, checkpoint_dir)
     if bucket_cap is not None:
         stats = long.groupBy("band_key").agg(
@@ -1024,6 +1030,18 @@ def containment_pairs(
         checkpoint_dir,
     )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n__"))
+    # Size-gated lineage cut (r12): both self-join sides reference the
+    # df-capped frame — at scale the cut stops the df aggregate + cap
+    # join running once per side (duplicated subtrees don't share stages
+    # under AQE); at toy scale those duplicates run as parallel stages in
+    # one job while an eager checkpoint would serialize (+0.8 s at sf0.1
+    # measured), so the cut engages on upstream size only. Gate reads the
+    # checkpointed grams' REAL stored bytes, not an estimate.
+    from peskas_timor_data_pipeline_spark.llm.ckpt import (
+        eager_min_bytes,
+        materialized_bytes,
+    )
+
     gram_df = grams.join(
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("__df__"))
@@ -1031,6 +1049,9 @@ def containment_pairs(
         .select("gh"),
         "gh",
     )
+    _gsz = materialized_bytes(grams)
+    if _gsz is None or _gsz >= eager_min_bytes():
+        gram_df = materialize(gram_df, checkpoint_dir)
     a = gram_df.select(F.col(id_col).alias("id_a"), "gh")
     b = gram_df.select(F.col(id_col).alias("id_b"), "gh")
     pairs = (
@@ -1469,6 +1490,10 @@ def match_signature_store(
     # sides are INDEPENDENT corpus-scale passes, so the unbanded path
     # checkpoints them as concurrent jobs (guide §2.6): the store pass
     # back-fills executors idled by the batch pass's straggler tail.
+    # Measured r12: gating these off at toy scale moved the work into the
+    # action, which recomputed the minhash once per consumer (duplicated
+    # aggregate subtrees do NOT share stages under AQE) — total flat to
+    # slightly worse. The checkpoints stay unconditional.
     carried = False
     if store_bands is None:
         batch_sigs, store_sigs = materialize_many([batch_sigs, store_sigs])

@@ -1071,6 +1071,11 @@ def mmr_topk(
         "query_id", F.col("cand_id").alias("id_b"),
         F.col("cv").alias("vb"), F.col("cn").alias("nb"),
     )
+    # Stays UNCONDITIONALLY materialized (measured r12): the k-1 greedy
+    # steps consume sim SEQUENTIALLY (each depends on the previous pick),
+    # so a lazy sim recomputes the pool self-join on the critical path —
+    # +0.8 s at sf0.1, worse at any scale. No parallel-sibling overlap
+    # exists here, unlike the gated multi-consumer cuts.
     sim = materialize(
         a.join(b, "query_id")
         .filter(F.col("id_a") != F.col("id_b"))
@@ -1158,7 +1163,14 @@ def int8_topk(
 
     Returns (query_id, cand_id, rank, score).
     """
-    cal = int8_calibration(candidates, vec_col, dim)
+    from peskas_timor_data_pipeline_spark.llm.ckpt import materialize_gated
+
+    # Size-gated lineage cut (r12): the one-row calibration frame is a
+    # corpus-scale 2*dim-aggregate pass referenced by BOTH quantize sides.
+    # At scale the cut keeps that pass at one execution (duplicated
+    # subtrees don't share stages under AQE); at toy scale the duplicates
+    # run as parallel stages in one job, so the cut engages on size only.
+    cal = materialize_gated(int8_calibration(candidates, vec_col, dim))
     qq = quantize_int8(queries, id_col, vec_col, dim, calibration=cal).select(
         F.col(id_col).alias("query_id"), F.col("qvec").alias("qq")
     )
